@@ -1,0 +1,50 @@
+"""Benchmark runner: all registry queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from connemara_spark.queries import REGISTRY
+    from connemara_spark.session import get_spark
+
+    spark = get_spark("connemara-bench")
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # queries, not session startup.
+    spark.range(1).collect()
+
+    times: dict[str, float] = {}
+    for name, q in REGISTRY.items():
+        t0 = time.monotonic()
+        df = q.fn(spark, sf_dir)
+        n = len(df.collect())
+        times[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""CDC event transport model + parser.
+
+The reference spools wal2json change events into ``replication.raw_messages``
+(DDL at connemara_replication/src/connemara_replication.c:457-474) and the
+replayer projects JSON fields per event (replayer/connemara_replay.pl:818-833,
+:432-444). Here the transport is a DataFrame of ``BRONZE_SCHEMA`` rows; the
+framing regexes of the C receiver (connemara_replication.c:33-104) are
+unnecessary because ``from_json`` parses whole documents.
+
+Parsing happens ONCE (not per consumer, unlike the reference's re-fetch per
+worker): ``parse_events`` turns the raw spool into a typed event DataFrame
+with the §1.2 SURVEY struct. All expressions are native Catalyst (from_json,
+map_from_arrays) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Spool ("bronze") schema — replication.raw_messages analog.
+# connemara_replication.c:457-474 + ALTER :471-474.
+BRONZE_SCHEMA = T.StructType(
+    [
+        T.StructField("insert_timestamp", T.TimestampType()),
+        T.StructField("database", T.StringType()),
+        T.StructField("source_slotname", T.StringType()),
+        T.StructField("lsn_start", T.LongType()),
+        T.StructField("xid", T.LongType()),
+        T.StructField("xid_timestamp", T.TimestampType()),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+# wal2json v1 single-change payload (include-types=false,
+# connemara_replication.c:504; fields consumed replay.pl:432-444).
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("columnnames", T.ArrayType(T.StringType())),
+        T.StructField("columnvalues", T.ArrayType(T.StringType())),
+        T.StructField(
+            "oldkeys",
+            T.StructType(
+                [
+                    T.StructField("keynames", T.ArrayType(T.StringType())),
+                    T.StructField("keyvalues", T.ArrayType(T.StringType())),
+                ]
+            ),
+        ),
+    ]
+)
+
+# Whole-transaction envelope (the receiver's MT_FIRST/REGULAR/LAST framing,
+# connemara_replication.c:33-104): {"xid":N,"timestamp":"...","change":[...]}
+TX_SCHEMA = T.StructType(
+    [
+        T.StructField("xid", T.LongType()),
+        T.StructField("timestamp", T.StringType()),
+        T.StructField("change", T.ArrayType(PAYLOAD_SCHEMA)),
+    ]
+)
+
+
+def parse_events(bronze: DataFrame) -> DataFrame:
+    """Spool rows -> typed CDC events (one row per row-change).
+
+    Equivalent of the dispatcher's JSON projections (replay.pl:818-833) plus
+    the worker re-fetch (replay.pl:432-444), done once. Output columns:
+    transport fields + ``op, schema, table, columnnames, columnvalues,
+    oldkeys`` — SURVEY §1.2's event struct, flattened.
+    """
+    ev = F.from_json(F.col("payload"), PAYLOAD_SCHEMA).alias("ev")
+    return bronze.select(
+        "insert_timestamp",
+        "database",
+        "source_slotname",
+        "lsn_start",
+        "xid",
+        "xid_timestamp",
+        ev,
+    ).select(
+        "insert_timestamp",
+        "database",
+        "source_slotname",
+        "lsn_start",
+        "xid",
+        "xid_timestamp",
+        F.col("ev.kind").alias("op"),
+        F.col("ev.schema").alias("schema"),
+        F.col("ev.table").alias("table"),
+        F.col("ev.columnnames").alias("columnnames"),
+        F.col("ev.columnvalues").alias("columnvalues"),
+        F.col("ev.oldkeys").alias("oldkeys"),
+    )
+
+
+def parse_transactions(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Whole wal2json transaction documents -> one row per change event.
+
+    Replaces the C receiver's chunk framing (P1, connemara_replication.c:
+    33-104,736-754) and tx-header extraction (P2, :106-157): ``from_json``
+    the envelope, ``explode`` the change array, carry xid + commit timestamp.
+    """
+    tx = raw.withColumn("_tx", F.from_json(F.col(payload_col), TX_SCHEMA))
+    exploded = tx.select(
+        F.col("_tx.xid").alias("xid"),
+        F.to_timestamp(F.col("_tx.timestamp")).alias("xid_timestamp"),
+        F.posexplode(F.col("_tx.change")).alias("change_index", "ev"),
+        *[c for c in raw.columns if c != payload_col],
+    )
+    return exploded.select(
+        "*",
+        F.col("ev.kind").alias("op"),
+        F.col("ev.schema").alias("schema"),
+        F.col("ev.table").alias("table"),
+        F.col("ev.columnnames").alias("columnnames"),
+        F.col("ev.columnvalues").alias("columnvalues"),
+        F.col("ev.oldkeys").alias("oldkeys"),
+    ).drop("ev")
+
+
+def record_map(columnnames: str | Column = "columnnames", columnvalues: str | Column = "columnvalues") -> Column:
+    """names→values zip (P4): the Perl hash-slice ``@record{@names}=@values``
+    (replay.pl:287,395,938) as a native map column."""
+    n = F.col(columnnames) if isinstance(columnnames, str) else columnnames
+    v = F.col(columnvalues) if isinstance(columnvalues, str) else columnvalues
+    return F.map_from_arrays(n, v)
+
+
+def standard_filters(events: DataFrame) -> DataFrame:
+    """Built-in routing filters applied to every event stream:
+
+    - temp-table rewrite artifacts dropped (F3, replay.pl:362-367)
+    """
+    return events.filter(~F.col("table").startswith("pg_temp"))
+
+
+def slot_restriction(
+    events: DataFrame,
+    excluded_databases: list[str] | None = None,
+    allowed_slots: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Db/slot restriction filter (F2, replay.pl:726-736,779-799):
+    ``database NOT IN (excluded) OR (database, source_slotname) IN (allowed)``.
+    """
+    cond = F.lit(True)
+    if excluded_databases:
+        cond = ~F.col("database").isin(excluded_databases)
+    if allowed_slots:
+        pair = F.struct(F.col("database"), F.col("source_slotname"))
+        allowed = [F.struct(F.lit(d), F.lit(s)) for d, s in allowed_slots]
+        cond = cond | pair.isin(*allowed) if excluded_databases else pair.isin(*allowed)
+    return events.filter(cond)
+
+
+def is_ddl_event(schema_col: Column | None = None, table_col: Column | None = None) -> Column:
+    """DDL-event predicate (F4, replay.pl:371,867): events on
+    ``public.sql_ddl_statements`` route to the DDL path."""
+    s = schema_col if schema_col is not None else F.col("schema")
+    t = table_col if table_col is not None else F.col("table")
+    return (s == "public") & (t == "sql_ddl_statements")
+
+
+def split_ddl_dml(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split an event stream into (ddl_events, dml_events) — the F4 routing
+    branch, as two filtered DataFrames off one parsed scan."""
+    ddl = events.filter(is_ddl_event())
+    dml = events.filter(~is_ddl_event())
+    return ddl, dml

@@ -1,0 +1,294 @@
+"""CDC apply — the distributed equivalent of the reference's replayer.
+
+The reference applies events strictly sequentially per primary key (hash
+routing, replay.pl:879-960) with prepared INSERT/UPDATE/DELETE statements
+(replay.pl:219-260). The Spark formulation turns that sequential apply into a
+**per-key ordered fold** expressed entirely in native Catalyst expressions:
+
+    snapshot ⟗ (events grouped per PK, sorted) → F.aggregate fold → new state
+
+which is provably equivalent to sequential apply because the fold function IS
+the per-event transition function:
+
+    delete  -> row gone                              (replay.pl:230-236)
+    insert  -> row = event values                    (replay.pl:220-229)
+    update  -> row = overlay of PRESENT columns      (replay.pl:237-251;
+               absent columns = unchanged TOASTs keep the old value,
+               statement-shape cache at replay.pl:186-194)
+
+PK-change updates (replay.pl:905-950) are split into delete(old_pk) +
+insert(new_pk) *before* grouping, preserving intra-event order via a
+sub-ordinal — the same barrier semantics without any barrier.
+
+No Python UDFs anywhere: one shuffle for the groupBy, one sort-merge join
+against the snapshot. Scales to arbitrary table sizes; per-key state is
+bounded by events-per-key-per-batch (same bound as the reference's queues).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from connemara_spark.catalog import TableSpec
+
+# Ordering of events: (insert_timestamp, lsn_start) — replay.pl:833 — plus a
+# sub-ordinal so a split PK-change update keeps delete-before-insert.
+_ORDER_COLS = ("insert_timestamp", "lsn_start", "sub_ord")
+
+
+def _typed_value(spec: TableSpec, name: str) -> Column:
+    """Cast projection P5 (replay.pl:133-156): string value -> typed column.
+    bytea is hex-decoded (replay.pl:149-153) via native unhex."""
+    raw = F.element_at(F.map_from_arrays("columnnames", "columnvalues"), name)
+    col = spec.columns[[c.name for c in spec.columns].index(name)]
+    if isinstance(col.spark_type, T.BinaryType):
+        return F.unhex(raw)
+    if isinstance(col.spark_type, T.ArrayType):
+        # PG array literal / JSON array in text — parse as JSON array.
+        return F.from_json(raw, col.spark_type)
+    return raw.cast(col.spark_type)
+
+
+def _old_key(spec: TableSpec) -> list[Column]:
+    """PK from oldkeys, REORDERED to catalog PK order — 'don't trust
+    wal2json' (replay.pl:396, P6). Typed like the table's pk columns."""
+    m = F.map_from_arrays(F.col("oldkeys.keynames"), F.col("oldkeys.keyvalues"))
+    out = []
+    for pk in spec.pk_cols:
+        col = spec.columns[[c.name for c in spec.columns].index(pk)]
+        out.append(F.element_at(m, pk).cast(col.spark_type))
+    return out
+
+
+def _new_key(spec: TableSpec) -> list[Column]:
+    """PK computed from the new column values (insert path, replay.pl:934-937)."""
+    return [_typed_value(spec, pk) for pk in spec.pk_cols]
+
+
+def events_for_table(events: DataFrame, spec: TableSpec) -> DataFrame:
+    """Filter + project the parsed event stream for one table.
+
+    Output: ``insert_timestamp, lsn_start, sub_ord, op, __pk (struct),
+    vals (typed struct), has (bool struct)`` with PK-change updates exploded
+    into delete+insert pairs (P7, replay.pl:905-950).
+    """
+    ev = events.filter(
+        (F.col("database") == spec.database)
+        & (F.col("schema") == spec.schema)
+        & (F.col("table") == spec.table)
+    )
+
+    new_key = F.struct(*[c.alias(k) for c, k in zip(_new_key(spec), spec.pk_cols)])
+    old_key = F.struct(*[c.alias(k) for c, k in zip(_old_key(spec), spec.pk_cols)])
+    vals = F.struct(*[_typed_value(spec, c.name).alias(c.name) for c in spec.columns])
+    has = F.struct(
+        *[F.array_contains(F.coalesce("columnnames", F.array()), c.name).alias(c.name) for c in spec.columns]
+    )
+    null_vals = F.struct(*[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns])
+    false_has = F.struct(*[F.lit(False).alias(c.name) for c in spec.columns])
+
+    pk_changed = (F.col("op") == "update") & F.col("oldkeys").isNotNull() & (old_key != new_key)
+
+    # Each source event becomes 1 or 2 (op, key, vals, has, sub_ord) parts.
+    parts = (
+        F.when(
+            pk_changed,
+            F.array(
+                F.struct(F.lit(0).alias("sub_ord"), F.lit("delete").alias("op"), old_key.alias("__pk"), null_vals.alias("vals"), false_has.alias("has")),
+                F.struct(F.lit(1).alias("sub_ord"), F.lit("insert").alias("op"), new_key.alias("__pk"), vals.alias("vals"), has.alias("has")),
+            ),
+        )
+        .when(
+            F.col("op") == "insert",
+            F.array(F.struct(F.lit(0).alias("sub_ord"), F.col("op").alias("op"), new_key.alias("__pk"), vals.alias("vals"), has.alias("has"))),
+        )
+        .otherwise(
+            # update (same key) / delete: key from oldkeys
+            F.array(F.struct(F.lit(0).alias("sub_ord"), F.col("op").alias("op"), old_key.alias("__pk"), vals.alias("vals"), has.alias("has"))),
+        )
+    )
+
+    return (
+        ev.select("insert_timestamp", "lsn_start", F.explode(parts).alias("p"))
+        .select(
+            "insert_timestamp",
+            "lsn_start",
+            F.col("p.sub_ord").alias("sub_ord"),
+            F.col("p.op").alias("op"),
+            F.col("p.__pk").alias("__pk"),
+            F.col("p.vals").alias("vals"),
+            F.col("p.has").alias("has"),
+        )
+    )
+
+
+def _fold_expr(spec: TableSpec, events_col: str, init_exists: Column, init_vals: Column) -> Column:
+    """The per-key ordered fold: F.aggregate over the sorted event array.
+
+    Accumulator: struct(exists boolean, violations int, vals struct<cols>).
+    ``violations`` counts update/delete on a missing row — the J4 single-row
+    drift assertion (replay.pl:416-426) as data instead of death.
+    """
+    cols = [c.name for c in spec.columns]
+
+    def fold(acc: Column, e: Column) -> Column:
+        upd_vals = F.struct(
+            *[F.when(e["has"][c], e["vals"][c]).otherwise(acc["vals"][c]).alias(c) for c in cols]
+        )
+        null_vals = F.struct(*[F.lit(None).cast(s.spark_type).alias(s.name) for s in spec.columns])
+        violation = (
+            F.when((e["op"].isin("update", "delete")) & ~acc["exists"], F.lit(1)).otherwise(F.lit(0))
+        )
+        return (
+            F.when(
+                e["op"] == "delete",
+                F.struct(
+                    F.lit(False).alias("exists"),
+                    (acc["violations"] + violation).alias("violations"),
+                    null_vals.alias("vals"),
+                ),
+            )
+            .when(
+                e["op"] == "insert",
+                F.struct(
+                    F.lit(True).alias("exists"),
+                    acc["violations"].alias("violations"),
+                    e["vals"].alias("vals"),
+                ),
+            )
+            .otherwise(  # update: overlay present columns over current state
+                F.struct(
+                    F.lit(True).alias("exists"),
+                    (acc["violations"] + violation).alias("violations"),
+                    upd_vals.alias("vals"),
+                )
+            )
+        )
+
+    init = F.struct(
+        init_exists.alias("exists"), F.lit(0).alias("violations"), init_vals.alias("vals")
+    )
+    return F.aggregate(F.col(events_col), init, fold)
+
+
+def apply_changes(
+    snapshot: DataFrame, events: DataFrame, spec: TableSpec, *, with_metrics: bool = False
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Apply a parsed CDC event batch onto a snapshot DataFrame.
+
+    ``snapshot`` columns must match ``spec`` columns. Returns the new
+    snapshot (same schema). With ``with_metrics=True`` also returns a 1-row
+    metrics DataFrame (keys_touched, violations) — the J4 drift assertion.
+
+    This is the pure batch core: ``(snapshot_df, events_df) -> snapshot_df'``
+    — usable identically from batch jobs and from ``foreachBatch`` (SURVEY §7
+    design stance).
+    """
+    ev = events_for_table(events, spec)
+
+    # One shuffle: group per key, events sorted by (ts, lsn, sub_ord) via
+    # sort_array on a struct whose leading fields are the order columns.
+    ev_struct = F.struct(
+        F.col("insert_timestamp").alias("insert_timestamp"),
+        F.col("lsn_start").alias("lsn_start"),
+        F.col("sub_ord").alias("sub_ord"),
+        F.col("op").alias("op"),
+        F.col("vals").alias("vals"),
+        F.col("has").alias("has"),
+    )
+    per_key = ev.groupBy("__pk").agg(F.sort_array(F.collect_list(ev_struct)).alias("__evs"))
+
+    snap_key = F.struct(*[F.col(k).alias(k) for k in spec.pk_cols])
+    snap = snapshot.select(
+        snap_key.alias("__pk"),
+        F.struct(*[F.col(c.name).alias(c.name) for c in spec.columns]).alias("__snap_vals"),
+    )
+
+    # Sort-merge full outer join on the PK struct; AQE handles skew.
+    joined = snap.join(per_key, on="__pk", how="full_outer")
+
+    folded = joined.select(
+        "__pk",
+        F.when(
+            F.col("__evs").isNotNull(),
+            _fold_expr(
+                spec,
+                "__evs",
+                init_exists=F.col("__snap_vals").isNotNull(),
+                init_vals=F.coalesce(
+                    F.col("__snap_vals"),
+                    F.struct(*[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns]),
+                ),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.col("__snap_vals").isNotNull().alias("exists"),
+                F.lit(0).alias("violations"),
+                F.coalesce(
+                    F.col("__snap_vals"),
+                    F.struct(*[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns]),
+                ).alias("vals"),
+            )
+        )
+        .alias("__state"),
+    )
+
+    result = (
+        folded.filter(F.col("__state.exists"))
+        .select(
+            *[
+                # PK columns come from the join key (authoritative); the fold
+                # keeps them consistent for insert/update events anyway.
+                (F.col(f"__pk.{c.name}") if c.name in spec.pk_cols else F.col(f"__state.vals.{c.name}")).alias(c.name)
+                for c in spec.columns
+            ]
+        )
+    )
+
+    if not with_metrics:
+        return result
+    metrics = folded.agg(
+        F.count(F.lit(1)).alias("keys_seen"),
+        F.sum(F.col("__state.violations")).alias("violations"),
+    )
+    return result, metrics
+
+
+def latest_wins(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """A5 — the core batch-CDC reduction: keep the last event per key.
+
+    ``row_number() over (partition by key order by ord desc) = 1``
+    (SURVEY §2.5 A5). Used for full-row upsert streams where every event
+    carries complete values (no partial-column updates).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def upsert_full_rows(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Simplified apply for full-row change streams (every event carries all
+    columns): latest-wins per key, then delete-aware anti-join + union.
+
+    Equivalent to MERGE whenMatchedUpdate/whenNotMatchedInsert/
+    whenMatchedDelete (S8/J1-J3) on engines without Delta: one window
+    shuffle + one join.
+    """
+    last = latest_wins(changes, key_cols, order_cols)
+    data_cols = [c for c in snapshot.columns]
+    upserts = last.filter(F.col(op_col) != "delete").select(*data_cols)
+    keys = last.select(*key_cols)
+    survived = snapshot.join(keys, on=key_cols, how="left_anti")
+    return survived.unionByName(upserts)

@@ -1,0 +1,550 @@
+"""Headline query registry: Spark DataFrame implementation + DuckDB oracle SQL.
+
+Each entry exercises engine operators from SURVEY §2 over the driver's
+TPC-H-ish tables (TESTDATA.md). Conventions for oracle parity:
+
+- Money math is done in DECIMAL (price: DECIMAL(12,2), rates: DECIMAL(4,2))
+  in BOTH engines, so sums are exact and hash-identical; final aggregates are
+  CAST to DOUBLE (identical schema both sides).
+- Every computed column is aliased identically in the DataFrame code and the
+  SQL (driver compares by column name).
+- LIMIT queries carry a unique tiebreaker so the row set is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connemara_spark.catalog import ColumnSpec, TableSpec
+from connemara_spark.events import parse_events
+from connemara_spark.operators.apply import apply_changes, latest_wins
+
+DEC_PRICE = "decimal(12,2)"
+DEC_RATE = "decimal(4,2)"
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong conf);
+    # floor-convert to micros — identical to DuckDB's CAST(ts AS TIMESTAMP).
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint" and table == "events":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# Oracle-side prelude matching the loader's ns→us conversion.
+EVENTS_CTE = (
+    "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
+    "event_type, value, props FROM events)"
+)
+
+
+def _dec(c: str, t: str = DEC_PRICE) -> F.Column:
+    return F.col(c).cast(t)
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, description: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(name, fn, oracle, description)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational queries (scan/filter/join/agg/sort/limit — the
+# "target tables are plain relational tables" side of the reference)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "full-scan grouped aggregation (map-side partial agg)",
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    price, disc, tax = _dec("l_extendedprice"), _dec("l_discount", DEC_RATE), _dec("l_tax", DEC_RATE)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "3-way join + agg + top-k (broadcastable dim)",
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", DEC_RATE)))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    "6-way star join with broadcast dims",
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", DEC_RATE)))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "selective scan + global agg (predicate pushdown showcase)",
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", DEC_RATE)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-10-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "join + agg + top-k with returned-items filter",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", DEC_RATE)))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "window_top_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice
+    FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) t WHERE rn <= 3
+    """,
+    "window function: top-N per group",
+)
+def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        _dec("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    """,
+    "anti-join (NOT EXISTS) + agg",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC / event-stream queries (the reference's core dataflow re-expressed)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cdc_latest_wins",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+    "A5 latest-wins reduction — the core batch-CDC primitive",
+)
+def cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return latest_wins(ev, ["user_id"], ["event_id"]).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+CUSTOMER_SPEC = TableSpec(
+    database="db1",
+    schema="public",
+    table="customer",
+    columns=[
+        ColumnSpec("c_custkey", "bigint"),
+        ColumnSpec("c_name", "text"),
+        ColumnSpec("c_nationkey", "integer"),
+        ColumnSpec("c_acctbal", "double precision"),
+        ColumnSpec("c_mktsegment", "text"),
+    ],
+    pk_cols=["c_custkey"],
+)
+
+
+def _customer_cdc_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a deterministic wal2json CDC stream from the events table:
+    error → delete, signup → insert, other → full-row update, keyed into a
+    custkey space that overlaps the snapshot (mix of updates + new keys)."""
+    ev = load(spark, sf_dir, "events")
+    key = ((F.col("user_id") * 31 + F.col("event_id") % 100) % 200 + 1).cast("long")
+    kind = (
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "insert")
+        .otherwise("update")
+    )
+    names = F.array(*[F.lit(c) for c in ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]])
+    vals = F.array(
+        key.cast("string"),
+        F.concat(F.lit("cdc#"), F.col("event_id").cast("string")),
+        (F.col("user_id") % 25).cast("string"),
+        F.col("value").cast("string"),
+        F.col("event_type"),
+    )
+    payload = F.to_json(
+        F.struct(
+            kind.alias("kind"),
+            F.lit("public").alias("schema"),
+            F.lit("customer").alias("table"),
+            F.when(kind != "delete", names).alias("columnnames"),
+            F.when(kind != "delete", vals).alias("columnvalues"),
+            F.when(
+                kind != "insert",
+                F.struct(
+                    F.array(F.lit("c_custkey")).alias("keynames"),
+                    F.array(key.cast("string")).alias("keyvalues"),
+                ),
+            ).alias("oldkeys"),
+        )
+    )
+    return ev.select(
+        # Constant arrival time: apply order is purely lsn_start (event_id),
+        # matching the oracle's ORDER BY event_id.
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("insert_timestamp"),
+        F.lit("db1").alias("database"),
+        F.lit("slot_db1").alias("source_slotname"),
+        F.col("event_id").alias("lsn_start"),
+        (F.col("event_id") + 1000).alias("xid"),
+        F.col("ts").alias("xid_timestamp"),
+        payload.alias("payload"),
+    )
+
+
+@register(
+    "cdc_apply_customer",
+    """
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               'cdc#' || CAST(event_id AS VARCHAR) AS c_name,
+               CAST(user_id % 25 AS INTEGER) AS c_nationkey,
+               value AS c_acctbal,
+               event_type AS c_mktsegment
+        FROM events
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg
+        ) t WHERE rn = 1
+    )
+    SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_name ELSE l.c_name END AS c_name,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_nationkey ELSE l.c_nationkey END AS c_nationkey,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS c_acctbal,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_mktsegment ELSE l.c_mktsegment END AS c_mktsegment
+    FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.c_custkey
+    WHERE COALESCE(l.op, '') <> 'delete'
+    """,
+    "full CDC path: wal2json payloads → parse → per-key ordered fold → merged snapshot",
+)
+def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_cdc_bronze(spark, sf_dir)
+    events = parse_events(bronze)
+    return apply_changes(snapshot, events, CUSTOMER_SPEC)
+
+
+@register(
+    "events_sessionize",
+    EVENTS_CTE + """
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM ev
+        ) g
+    ) s
+    GROUP BY user_id, session_id
+    """,
+    "gap-based sessionization (30-min inactivity) — W1 event-time analog",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "is_new",
+        F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 1800)
+            | F.lag(F.col("ts")).over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = gapped.withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "events_daily_rollup",
+    EVENTS_CTE + """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM ev
+    GROUP BY 1, event_type
+    """,
+    "tumbling-window rollup (daily)",
+)
+def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops (dedup / text analysis) — first slice
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_dedup_documents",
+    """
+    SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    "exact dedup: hash-groupBy fingerprinting",
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+    FROM documents
+    """,
+    "text analysis: whitespace token counting",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: q.oracle.strip() for name, q in REGISTRY.items() if q.oracle}

@@ -1,0 +1,191 @@
+"""CDC apply core vs the sequential oracle (the reference's semantics)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+
+from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
+from connemara_spark.events import BRONZE_SCHEMA, parse_events
+from connemara_spark.operators.apply import apply_changes, latest_wins, upsert_full_rows
+from connemara_spark.testing import SequentialOracle, make_event, random_event_stream
+
+CUST = TableSpec(
+    database="db1",
+    schema="public",
+    table="customer",
+    columns=[
+        ColumnSpec("c_custkey", "bigint"),
+        ColumnSpec("c_name", "text"),
+        ColumnSpec("c_nationkey", "integer"),
+        ColumnSpec("c_acctbal", "double precision"),
+        ColumnSpec("c_mktsegment", "text"),
+    ],
+    pk_cols=["c_custkey"],
+)
+
+LINE = TableSpec(
+    database="db1",
+    schema="public",
+    table="lineitem",
+    columns=[
+        ColumnSpec("l_orderkey", "bigint"),
+        ColumnSpec("l_linenumber", "integer"),
+        ColumnSpec("l_quantity", "double precision"),
+        ColumnSpec("l_comment", "text"),
+    ],
+    pk_cols=["l_orderkey", "l_linenumber"],  # composite PK case (FIXTURES F3)
+)
+
+
+def _rows_match(spark_rows, oracle_rows, pk_cols):
+    key = lambda r: tuple(str(r[k]) for k in pk_cols)
+    s = {key(r): r for r in spark_rows}
+    o = {key(r): r for r in oracle_rows}
+    assert set(s) == set(o), f"key sets differ: only-spark={set(s)-set(o)} only-oracle={set(o)-set(s)}"
+    for k in s:
+        for col in s[k]:
+            sv, ov = s[k][col], o[k][col]
+            if isinstance(sv, float) and isinstance(ov, float):
+                assert math.isclose(sv, ov, rel_tol=1e-9), (k, col, sv, ov)
+            else:
+                assert sv == ov, (k, col, sv, ov)
+
+
+def _base_customers(n=50):
+    return [
+        {
+            "c_custkey": i,
+            "c_name": f"Customer#{i}",
+            "c_nationkey": i % 25,
+            "c_acctbal": round(100.0 + i, 2),
+            "c_mktsegment": ["AUTO", "BUILDING", "MACHINERY"][i % 3],
+        }
+        for i in range(1, n + 1)
+    ]
+
+
+def _run_apply(spark, spec, base_rows, bronze_rows):
+    snapshot = spark.createDataFrame(
+        [tuple(r[c.name] for c in spec.columns) for r in base_rows], schema=spec.spark_schema()
+    )
+    bronze = spark.createDataFrame(
+        [tuple(r[f.name] for f in BRONZE_SCHEMA.fields) for r in bronze_rows], schema=BRONZE_SCHEMA
+    )
+    events = parse_events(bronze)
+    return apply_changes(snapshot, events, spec)
+
+
+def test_insert_update_delete_roundtrip(spark):
+    base = _base_customers(10)
+    evs = [
+        make_event(CUST, "insert", lsn=1, row={"c_custkey": 100, "c_name": "New", "c_nationkey": 7, "c_acctbal": 1.5, "c_mktsegment": "AUTO"}),
+        make_event(CUST, "update", lsn=2, row={**base[0], "c_acctbal": 999.0}),
+        make_event(CUST, "delete", lsn=3, old_key={"c_custkey": 2}),
+    ]
+    oracle = SequentialOracle(CUST, base)
+    oracle.apply(evs)
+    result = _run_apply(spark, CUST, base, evs).collect()
+    _rows_match([r.asDict() for r in result], oracle.rows(), CUST.pk_cols)
+    assert len(result) == 10  # 10 - 1 delete + 1 insert
+
+
+def test_partial_column_update_keeps_old_values(spark):
+    """Absent TOAST columns keep the old value (replay.pl:186-194)."""
+    base = _base_customers(3)
+    evs = [
+        make_event(
+            CUST, "update", lsn=1,
+            row={"c_custkey": 1, "c_acctbal": 777.0},
+            old_key={"c_custkey": 1},
+            present=["c_custkey", "c_acctbal"],
+        )
+    ]
+    result = {r["c_custkey"]: r.asDict() for r in _run_apply(spark, CUST, base, evs).collect()}
+    assert result[1]["c_acctbal"] == 777.0
+    assert result[1]["c_name"] == "Customer#1"  # untouched
+    assert result[1]["c_mktsegment"] == "BUILDING"
+
+
+def test_pk_change_update_moves_row(spark):
+    """PK-change update = delete(old)+insert(new) (replay.pl:905-950)."""
+    base = _base_customers(3)
+    evs = [
+        make_event(
+            CUST, "update", lsn=1,
+            row={"c_custkey": 555, "c_name": "Customer#1", "c_nationkey": 0, "c_acctbal": 101.0, "c_mktsegment": "BUILDING"},
+            old_key={"c_custkey": 1},
+        )
+    ]
+    result = {r["c_custkey"]: r.asDict() for r in _run_apply(spark, CUST, base, evs).collect()}
+    assert 1 not in result
+    assert result[555]["c_name"] == "Customer#1"
+    assert len(result) == 3
+
+
+def test_explicit_null_vs_absent_column(spark):
+    base = _base_customers(2)
+    evs = [
+        # explicit null present -> becomes NULL
+        make_event(CUST, "update", lsn=1, row={"c_custkey": 1, "c_name": None},
+                   old_key={"c_custkey": 1}, present=["c_custkey", "c_name"]),
+        # absent -> keeps old
+        make_event(CUST, "update", lsn=2, row={"c_custkey": 2, "c_acctbal": 5.0},
+                   old_key={"c_custkey": 2}, present=["c_custkey", "c_acctbal"]),
+    ]
+    result = {r["c_custkey"]: r.asDict() for r in _run_apply(spark, CUST, base, evs).collect()}
+    assert result[1]["c_name"] is None
+    assert result[2]["c_name"] == "Customer#2"
+
+
+def test_reinsert_after_delete_same_batch(spark):
+    base = _base_customers(2)
+    evs = [
+        make_event(CUST, "delete", lsn=1, old_key={"c_custkey": 1}),
+        make_event(CUST, "insert", lsn=2, row={"c_custkey": 1, "c_name": "Reborn", "c_nationkey": 9, "c_acctbal": 0.0, "c_mktsegment": "AUTO"}),
+        make_event(CUST, "update", lsn=3, row={"c_custkey": 1, "c_acctbal": 42.0}, old_key={"c_custkey": 1}, present=["c_custkey", "c_acctbal"]),
+    ]
+    result = {r["c_custkey"]: r.asDict() for r in _run_apply(spark, CUST, base, evs).collect()}
+    assert result[1]["c_name"] == "Reborn"
+    assert result[1]["c_acctbal"] == 42.0
+
+
+def test_randomized_stream_matches_sequential_oracle(spark):
+    base = _base_customers(50)
+    evs = random_event_stream(CUST, base, n_events=300, seed=7)
+    oracle = SequentialOracle(CUST, base)
+    oracle.apply(evs)
+    result = [r.asDict() for r in _run_apply(spark, CUST, base, evs).collect()]
+    _rows_match(result, oracle.rows(), CUST.pk_cols)
+
+
+def test_composite_pk_stream(spark):
+    base = [
+        {"l_orderkey": o, "l_linenumber": ln, "l_quantity": float(o + ln), "l_comment": f"c{o}-{ln}"}
+        for o in range(1, 11) for ln in range(1, 4)
+    ]
+    evs = random_event_stream(LINE, base, n_events=150, seed=11)
+    oracle = SequentialOracle(LINE, base)
+    oracle.apply(evs)
+    result = [r.asDict() for r in _run_apply(spark, LINE, base, evs).collect()]
+    _rows_match(result, oracle.rows(), LINE.pk_cols)
+
+
+def test_latest_wins(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "x")], "k int, ord int, v string"
+    )
+    out = {r["k"]: r["v"] for r in latest_wins(df, ["k"], ["ord"]).collect()}
+    assert out == {1: "b", 2: "x"}
+
+
+def test_upsert_full_rows(spark):
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    chg = spark.createDataFrame(
+        [(2, "b2", "update", 1), (3, "c", "insert", 2), (1, None, "delete", 3)],
+        "k int, v string, op string, lsn int",
+    )
+    out = {r["k"]: r["v"] for r in upsert_full_rows(snap, chg, ["k"], ["lsn"]).collect()}
+    assert out == {2: "b2", 3: "c"}
