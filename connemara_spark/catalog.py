@@ -101,15 +101,17 @@ def pg_type_to_spark(pg_type: str) -> T.DataType:
     return _PG_TO_SPARK.get(t_nomod, T.StringType())
 
 
+# Keyed by DataType.simpleString()
 SPARK_TYPE_TO_PG: dict[str, str] = {
-    "short": "smallint",
-    "integer": "integer",
-    "long": "bigint",
+    "smallint": "smallint",
+    "int": "integer",
+    "bigint": "bigint",
     "float": "real",
     "double": "double precision",
     "string": "text",
     "binary": "bytea",
     "timestamp": "timestamp without time zone",
+    "timestamp_ntz": "timestamp without time zone",
     "date": "date",
     "boolean": "boolean",
 }

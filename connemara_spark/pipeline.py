@@ -1,0 +1,307 @@
+"""Batch replayer: the reference's apply loop as a pure batch function.
+
+``Replayer.apply_batch(bronze_df)`` is the engine's heart — the analog of one
+dispatcher pass over the spool (replay.pl:801-985):
+
+1. parse + standard filters (temp tables F3, db/slot restriction F2)
+2. split DDL / DML (F4)
+3. **DDL barrier** (D11, replay.pl:867-876): the batch is cut at each DDL
+   event's (insert_timestamp, lsn_start); each DML segment is fully applied
+   (per-table latest-wins fold + merge) BEFORE the DDL executes and the
+   engine catalog is refreshed — exactly the reference's commit-all →
+   replay-DDL-alone → DISCARD protocol, without threads.
+4. per-table apply via ``operators.apply.apply_changes``
+5. table store write (memory for tests, parquet for real runs)
+
+The same function body serves batch jobs and ``foreachBatch`` (streaming).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connemara_spark.catalog import EngineCatalog, TableSpec
+from connemara_spark.ddl.executor import DDLExecutor
+from connemara_spark.ddl.rewriter import DDLAction, classify_ddl, fix_search_path
+from connemara_spark.events import parse_events, slot_restriction, split_ddl_dml, standard_filters
+from connemara_spark.operators.apply import apply_changes
+
+
+def parse_command_tags(tags: str | None) -> list[str]:
+    """PG text-array literal → list (P8, replay.pl:300-309):
+    '{COMMENT,"ALTER TABLE"}' → ['COMMENT', 'ALTER TABLE']."""
+    if not tags:
+        return []
+    body = tags.strip()
+    if body.startswith("{") and body.endswith("}"):
+        body = body[1:-1]
+    out, cur, in_q = [], [], False
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if in_q:
+            if c == '\\' and i + 1 < len(body):
+                cur.append(body[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                in_q = False
+            else:
+                cur.append(c)
+        elif c == '"':
+            in_q = True
+        elif c == ",":
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur or (body and body.endswith(",")):
+        out.append("".join(cur))
+    return [t for t in out if t]
+
+
+class MemoryStore:
+    """Lazy in-memory table store (DataFrames); for tests and small runs."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, DataFrame] = {}
+
+    def read(self, spec: TableSpec) -> DataFrame:
+        df = self.tables.get(spec.target_name)
+        if df is None:
+            return self.spark.createDataFrame([], spec.spark_schema())
+        return df
+
+    def write(self, spec: TableSpec, df: DataFrame) -> None:
+        self.tables[spec.target_name] = df
+
+    def create_table(self, spec: TableSpec) -> None:
+        self.tables[spec.target_name] = self.spark.createDataFrame([], spec.spark_schema())
+
+    def drop_table(self, spec: TableSpec) -> None:
+        self.tables.pop(spec.target_name, None)
+
+    def truncate_table(self, spec: TableSpec) -> None:
+        self.create_table(spec)
+
+    def rename_table(self, spec: TableSpec, new_name: str) -> None:
+        df = self.tables.pop(spec.target_name, None)
+        if df is not None:
+            self.tables[f"{spec.target_schema}.{new_name}"] = df
+
+    def evolve_add_column(self, spec: TableSpec, name: str, spark_type) -> None:
+        df = self.read(spec)
+        self.tables[spec.target_name] = df.withColumn(name, F.lit(None).cast(spark_type))
+
+    def evolve_drop_column(self, spec: TableSpec, name: str) -> None:
+        self.tables[spec.target_name] = self.read(spec).drop(name)
+
+    def evolve_rename_column(self, spec: TableSpec, old: str, new: str) -> None:
+        self.tables[spec.target_name] = self.read(spec).withColumnRenamed(old, new)
+
+
+class ParquetStore:
+    """Versioned parquet table store ("silver" tables).
+
+    Writes go to a NEW versioned directory then the current-version pointer
+    advances — safe against Spark's lazy self-read-overwrite hazard and
+    giving idempotent-recovery points (the replication-origin analog, W3).
+    At cluster scale this layout maps 1:1 onto a table format commit log.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        import os
+
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._versions: dict[str, int] = {}
+
+    def _dir(self, spec_name: str, version: int) -> str:
+        return f"{self.root}/{spec_name}/v{version:06d}"
+
+    def current_version(self, spec_name: str) -> int | None:
+        import json
+        import os
+
+        ptr = f"{self.root}/{spec_name}/CURRENT"
+        if spec_name in self._versions:
+            return self._versions[spec_name]
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                return json.load(fh)["version"]
+        return None
+
+    def _advance(self, spec_name: str, version: int) -> None:
+        import json
+        import os
+
+        ptr = f"{self.root}/{spec_name}/CURRENT"
+        os.makedirs(os.path.dirname(ptr), exist_ok=True)
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version}, fh)
+        os.replace(tmp, ptr)
+        self._versions[spec_name] = version
+
+    def read(self, spec: TableSpec) -> DataFrame:
+        v = self.current_version(spec.target_name)
+        if v is None:
+            return self.spark.createDataFrame([], spec.spark_schema())
+        return self.spark.read.parquet(self._dir(spec.target_name, v))
+
+    def write(self, spec: TableSpec, df: DataFrame) -> None:
+        v = (self.current_version(spec.target_name) or 0) + 1
+        df.write.mode("overwrite").parquet(self._dir(spec.target_name, v))
+        self._advance(spec.target_name, v)
+
+    def create_table(self, spec: TableSpec) -> None:
+        self.write(spec, self.spark.createDataFrame([], spec.spark_schema()))
+
+    def drop_table(self, spec: TableSpec) -> None:
+        import shutil
+
+        shutil.rmtree(f"{self.root}/{spec.target_name}", ignore_errors=True)
+        self._versions.pop(spec.target_name, None)
+
+    def truncate_table(self, spec: TableSpec) -> None:
+        self.create_table(spec)
+
+    def rename_table(self, spec: TableSpec, new_name: str) -> None:
+        import os
+
+        new = f"{self.root}/{spec.target_schema}.{new_name}"
+        os.replace(f"{self.root}/{spec.target_name}", new)
+        v = self._versions.pop(spec.target_name, None)
+        if v is not None:
+            self._versions[f"{spec.target_schema}.{new_name}"] = v
+
+    def evolve_add_column(self, spec: TableSpec, name: str, spark_type) -> None:
+        self.write(spec, self.read(spec).withColumn(name, F.lit(None).cast(spark_type)))
+
+    def evolve_drop_column(self, spec: TableSpec, name: str) -> None:
+        self.write(spec, self.read(spec).drop(name))
+
+    def evolve_rename_column(self, spec: TableSpec, old: str, new: str) -> None:
+        self.write(spec, self.read(spec).withColumnRenamed(old, new))
+
+
+@dataclass
+class BatchMetrics:
+    tables_touched: int = 0
+    ddl_executed: int = 0
+    ddl_skipped: int = 0
+    segments: int = 1
+    actions: list[str] = field(default_factory=list)
+
+
+class Replayer:
+    """Distributed replacement for connemara_replay.pl's dispatcher/workers."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: EngineCatalog,
+        store,
+        *,
+        excluded_databases: list[str] | None = None,
+        allowed_slots: list[tuple[str, str]] | None = None,
+        md5_blocklist: set[str] | None = None,
+        dml_hook=None,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.store = store
+        self.excluded_databases = excluded_databases
+        self.allowed_slots = allowed_slots
+        self.md5_blocklist = md5_blocklist or set()
+        self.executor = DDLExecutor(catalog, store)
+        # fix_object_dml analog (D14, connemara_rewrite.pm:136-140):
+        # callable(db, schema, table) -> bool keep
+        self.dml_hook = dml_hook
+
+    def apply_batch(self, bronze: DataFrame) -> BatchMetrics:
+        metrics = BatchMetrics()
+        events = standard_filters(parse_events(bronze))
+        if self.excluded_databases or self.allowed_slots:
+            events = slot_restriction(events, self.excluded_databases, self.allowed_slots)
+        ddl_df, dml = split_ddl_dml(events)
+
+        # DDL is rare; pull it to the driver ordered (replay.pl:867 — the
+        # dispatcher sees DDL inline in the cursor order).
+        ddl_rows = sorted(
+            ddl_df.select(
+                "insert_timestamp", "lsn_start", "database", "columnnames", "columnvalues"
+            ).collect(),
+            key=lambda r: (r["insert_timestamp"], r["lsn_start"]),
+        )
+
+        # Cut points: each DDL event is a barrier (replay.pl:862-876).
+        cuts = [(r["insert_timestamp"], r["lsn_start"]) for r in ddl_rows]
+        bounds = [None, *cuts, None]
+        metrics.segments = len(cuts) + 1
+
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            seg = dml
+            key = F.struct(
+                F.col("insert_timestamp").alias("insert_timestamp"),
+                F.col("lsn_start").alias("lsn_start"),
+            )
+
+            def bound(b):
+                return F.struct(
+                    F.lit(b[0]).cast("timestamp").alias("insert_timestamp"),
+                    F.lit(b[1]).cast("long").alias("lsn_start"),
+                )
+
+            if lo is not None:
+                seg = seg.filter(key > bound(lo))
+            if hi is not None:
+                seg = seg.filter(key <= bound(hi))
+            self._apply_dml_segment(seg, metrics)
+            if i < len(cuts):
+                self._execute_ddl_event(ddl_rows[i], metrics)
+        return metrics
+
+    def _apply_dml_segment(self, seg: DataFrame, metrics: BatchMetrics) -> None:
+        touched = [
+            (r["database"], r["schema"], r["table"])
+            for r in seg.select("database", "schema", "table").distinct().collect()
+        ]
+        for db, schema, table in sorted(touched):
+            if self.dml_hook is not None and not self.dml_hook(db, schema, table):
+                continue
+            spec = self.catalog.maybe_get(db, schema, table)
+            if spec is None:
+                continue  # unregistered table: events ignored (no target)
+            snapshot = self.store.read(spec)
+            new_state = apply_changes(snapshot, seg, spec)
+            self.store.write(spec, new_state)
+            metrics.tables_touched += 1
+
+    def _execute_ddl_event(self, row, metrics: BatchMetrics) -> None:
+        rec = dict(zip(row["columnnames"] or [], row["columnvalues"] or []))
+        query = rec.get("current_query")
+        database = row["database"]
+        if not query:
+            metrics.ddl_skipped += 1
+            return
+        known = {s.schema for s in self.catalog.tables() if s.database == database} | {"public"}
+        decision = classify_ddl(
+            query, database, known_schemas=known, md5_blocklist=self.md5_blocklist
+        )
+        if decision.action == DDLAction.SKIP:
+            metrics.ddl_skipped += 1
+            metrics.actions.append(f"skip:{decision.reason}")
+            return
+        tag = self.executor.execute(decision, database)
+        metrics.ddl_executed += 1
+        metrics.actions.append(tag)

@@ -1,0 +1,147 @@
+"""Streaming replayer: readStream over a CDC landing zone → foreachBatch.
+
+Maps the reference's two daemons onto Structured Streaming (SURVEY §3.2/3.3):
+
+- the C WAL receiver's role (protocol → spool) is played by whatever lands
+  bronze files (a Debezium-style connector, Kafka sink, file drop); the
+  engine reads the landing zone as a stream — S1's idiomatic mapping.
+- the Perl replayer's role is the batch core (`Replayer.apply_batch`) called
+  from ``foreachBatch`` — one microbatch == one spool pass == one commit
+  barrier (W2/W5 are implicit in Spark's microbatch model).
+
+Exactly-once (W3, the replication-origin analog): the streaming checkpoint
+dedups source files, and a per-(database, slot) **LSN high-watermark** file
+makes re-application of a half-failed batch idempotent — events at or below
+the watermark are filtered out before apply, and the watermark advances
+only after every table write of the batch succeeded.
+
+Fail-fast (W9): exceptions in foreachBatch propagate and kill the query —
+no internal retry, matching the reference's suicide policy.
+
+Backpressure (W6): ``maxFilesPerTrigger`` bounds a microbatch like the
+reference's 1000-message queue bound.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connemara_spark.catalog import EngineCatalog
+from connemara_spark.events import BRONZE_SCHEMA
+from connemara_spark.pipeline import Replayer
+
+
+class LsnWatermark:
+    """Per-(database, source_slotname) applied-LSN high watermark — the
+    engine's replication origin (pg_replication_origin analog,
+    connemara_replication.c:394-442,570-621)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._state: dict[str, int] = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                self._state = json.load(fh)
+
+    @staticmethod
+    def _key(database: str, slot: str) -> str:
+        return f"{database}\t{slot}"
+
+    def get(self, database: str, slot: str) -> int:
+        return self._state.get(self._key(database, slot), -1)
+
+    def advance(self, updates: dict[tuple[str, str], int]) -> None:
+        for (db, slot), lsn in updates.items():
+            k = self._key(db, slot)
+            self._state[k] = max(self._state.get(k, -1), lsn)
+        tmp = self.path + ".tmp"
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump(self._state, fh)
+        os.replace(tmp, self.path)
+
+    def filter_applied(self, bronze: DataFrame) -> DataFrame:
+        """Drop events already applied (lsn <= watermark for their origin)."""
+        if not self._state:
+            return bronze
+        cond = F.lit(True)
+        for k, lsn in self._state.items():
+            db, slot = k.split("\t")
+            cond = cond & ~(
+                (F.col("database") == db)
+                & (F.col("source_slotname") == slot)
+                & (F.col("lsn_start") <= lsn)
+            )
+        return bronze.filter(cond)
+
+
+class StreamingReplayer:
+    """readStream(landing zone) → foreachBatch(batch core) with checkpoints."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: EngineCatalog,
+        store,
+        *,
+        landing_dir: str,
+        checkpoint_dir: str,
+        watermark_path: str | None = None,
+        landing_format: str = "parquet",
+        max_files_per_trigger: int | None = None,
+        **replayer_kwargs,
+    ):
+        self.spark = spark
+        self.replayer = Replayer(spark, catalog, store, **replayer_kwargs)
+        self.landing_dir = landing_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.landing_format = landing_format
+        self.max_files_per_trigger = max_files_per_trigger
+        self.watermark = LsnWatermark(
+            watermark_path or os.path.join(checkpoint_dir, "lsn_watermark.json")
+        )
+        self.batches_applied = 0
+
+    def _foreach_batch(self, bronze: DataFrame, batch_id: int) -> None:
+        fresh = self.watermark.filter_applied(bronze)
+        self.replayer.apply_batch(fresh)
+        maxes = (
+            fresh.groupBy("database", "source_slotname")
+            .agg(F.max("lsn_start").alias("max_lsn"))
+            .collect()
+        )
+        self.watermark.advance(
+            {(r["database"], r["source_slotname"]): r["max_lsn"] for r in maxes if r["max_lsn"] is not None}
+        )
+        self.batches_applied += 1
+
+    def start(self, *, available_now: bool = False, processing_time: str = "15 seconds"):
+        """Start the stream. ``available_now=True`` drains the landing zone
+        and stops (test/batch-catchup mode); otherwise runs continuously with
+        the given trigger interval (the reference's idle cadence, W8)."""
+        reader = self.spark.readStream.schema(BRONZE_SCHEMA)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        bronze = getattr(reader, "parquet" if self.landing_format == "parquet" else "json")(
+            self.landing_dir
+        )
+        writer = bronze.writeStream.foreachBatch(self._foreach_batch).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_until_drained(self, timeout_sec: int = 300) -> None:
+        """availableNow + awaitTermination — drain everything currently in
+        the landing zone, fail-fast on error."""
+        q = self.start(available_now=True)
+        q.awaitTermination(timeout_sec)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))

@@ -1,0 +1,153 @@
+"""Replayer end-to-end: DML apply + mid-batch DDL barrier + store evolution."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
+from connemara_spark.events import BRONZE_SCHEMA
+from connemara_spark.pipeline import MemoryStore, ParquetStore, Replayer
+from connemara_spark.testing import EPOCH, make_event
+
+SPEC = TableSpec(
+    database="db1",
+    schema="public",
+    table="items",
+    columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text")],
+    pk_cols=["id"],
+)
+
+
+def ddl_event(lsn, query, database="db1"):
+    """An F2 DDL event: insert on public.sql_ddl_statements."""
+    import datetime
+    import json as j
+
+    payload = {
+        "kind": "insert",
+        "schema": "public",
+        "table": "sql_ddl_statements",
+        "columnnames": ["id", "current_query", "search_path", "command_tags"],
+        "columnvalues": [str(lsn), query, '"$user", public', "{DDL}"],
+    }
+    ts = EPOCH + datetime.timedelta(seconds=lsn)
+    return {
+        "insert_timestamp": ts,
+        "database": database,
+        "source_slotname": f"slot_{database}",
+        "lsn_start": lsn,
+        "xid": 1000 + lsn,
+        "xid_timestamp": ts,
+        "payload": j.dumps(payload),
+    }
+
+
+def bronze_df(spark, rows):
+    return spark.createDataFrame(
+        [tuple(r[f.name] for f in BRONZE_SCHEMA.fields) for r in rows], schema=BRONZE_SCHEMA
+    )
+
+
+@pytest.fixture()
+def engine(spark):
+    cat = EngineCatalog()
+    cat.register(
+        TableSpec(
+            database=SPEC.database, schema=SPEC.schema, table=SPEC.table,
+            columns=[ColumnSpec(c.name, c.pg_type) for c in SPEC.columns],
+            pk_cols=list(SPEC.pk_cols),
+        )
+    )
+    store = MemoryStore(spark)
+    rep = Replayer(spark, cat, store)
+    return cat, store, rep
+
+
+def test_dml_only_batch(spark, engine):
+    cat, store, rep = engine
+    spec = cat.get("db1", "public", "items")
+    rows = [
+        make_event(spec, "insert", lsn=1, row={"id": 1, "v": "a"}),
+        make_event(spec, "insert", lsn=2, row={"id": 2, "v": "b"}),
+        make_event(spec, "update", lsn=3, row={"id": 1, "v": "a2"}, old_key={"id": 1}),
+        make_event(spec, "delete", lsn=4, old_key={"id": 2}),
+    ]
+    m = rep.apply_batch(bronze_df(spark, rows))
+    assert m.tables_touched == 1 and m.segments == 1
+    out = {r["id"]: r["v"] for r in store.read(spec).collect()}
+    assert out == {1: "a2"}
+
+
+def test_ddl_barrier_mid_batch(spark, engine):
+    """Insert → ADD COLUMN → insert-with-new-column: the second insert must
+    see the evolved schema; the first must not (replay.pl:867-876)."""
+    cat, store, rep = engine
+    spec = cat.get("db1", "public", "items")
+    rows = [
+        make_event(spec, "insert", lsn=1, row={"id": 1, "v": "a"}),
+        ddl_event(2, "ALTER TABLE public.items ADD COLUMN note text"),
+    ]
+    m = rep.apply_batch(bronze_df(spark, rows))
+    assert m.ddl_executed == 1 and m.segments == 2
+
+    spec2 = cat.get("db1", "public", "items")
+    assert spec2.column_names == ["id", "v", "note"]
+
+    rows2 = [
+        make_event(spec2, "insert", lsn=3, row={"id": 3, "v": "c", "note": "hi"}),
+    ]
+    rep.apply_batch(bronze_df(spark, rows2))
+    out = {r["id"]: (r["v"], r["note"]) for r in store.read(spec2).collect()}
+    assert out == {1: ("a", None), 3: ("c", "hi")}
+
+
+def test_create_table_then_insert_same_batch(spark, engine):
+    cat, store, rep = engine
+    new_spec = TableSpec(
+        database="db1", schema="public", table="t_new",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("x", "integer")],
+        pk_cols=["id"],
+    )
+    rows = [
+        ddl_event(1, "CREATE TABLE public.t_new (id bigint PRIMARY KEY, x integer)"),
+        make_event(new_spec, "insert", lsn=2, row={"id": 10, "x": 5}),
+    ]
+    m = rep.apply_batch(bronze_df(spark, rows))
+    assert m.ddl_executed == 1
+    got = cat.get("db1", "public", "t_new")
+    out = {r["id"]: r["x"] for r in store.read(got).collect()}
+    assert out == {10: 5}
+
+
+def test_skip_ddl_and_temp_table_filter(spark, engine):
+    cat, store, rep = engine
+    spec = cat.get("db1", "public", "items")
+    temp_spec = TableSpec(
+        database="db1", schema="public", table="pg_temp_3", columns=list(spec.columns), pk_cols=["id"]
+    )
+    rows = [
+        ddl_event(1, "ALTER TABLE items OWNER TO bob"),
+        make_event(temp_spec, "insert", lsn=2, row={"id": 99, "v": "temp"}),
+        make_event(spec, "insert", lsn=3, row={"id": 5, "v": "e"}),
+    ]
+    m = rep.apply_batch(bronze_df(spark, rows))
+    assert m.ddl_skipped == 1 and m.ddl_executed == 0
+    out = {r["id"] for r in store.read(spec).collect()}
+    assert out == {5}
+
+
+def test_parquet_store_roundtrip(spark, tmp_path, engine):
+    cat, _, _ = engine
+    spec = cat.get("db1", "public", "items")
+    store = ParquetStore(spark, str(tmp_path / "silver"))
+    rep = Replayer(spark, cat, store)
+    rows = [make_event(spec, "insert", lsn=1, row={"id": 1, "v": "a"})]
+    rep.apply_batch(bronze_df(spark, rows))
+    rows2 = [make_event(spec, "update", lsn=2, row={"id": 1, "v": "b"}, old_key={"id": 1})]
+    rep.apply_batch(bronze_df(spark, rows2))
+    out = {r["id"]: r["v"] for r in store.read(spec).collect()}
+    assert out == {1: "b"}
+    # versioned dirs: v1 + v2 present, CURRENT points at v2
+    assert store.current_version(spec.target_name) == 2

@@ -1,0 +1,71 @@
+"""Snapshot bootstrap: parquet import + schema-script restore, then CDC on top."""
+
+from __future__ import annotations
+
+from connemara_spark.catalog import EngineCatalog
+from connemara_spark.events import BRONZE_SCHEMA
+from connemara_spark.pipeline import MemoryStore, Replayer
+from connemara_spark.sources import restore_schema_script, snapshot_from_parquet
+from connemara_spark.streaming.driver import LsnWatermark
+from connemara_spark.testing import make_event
+
+
+def test_snapshot_then_cdc_end_to_end(spark, sf_dir, tmp_path):
+    """The full §3.1→§3.3 lifecycle: basebackup analog then replay on top."""
+    cat = EngineCatalog()
+    store = MemoryStore(spark)
+    wm = LsnWatermark(str(tmp_path / "wm.json"))
+
+    specs = snapshot_from_parquet(
+        spark, cat, store,
+        database="db1", schema="public",
+        tables={"customer": f"{sf_dir}/customer.parquet", "nation": f"{sf_dir}/nation.parquet"},
+        pk_cols={"customer": ["c_custkey"], "nation": ["n_nationkey"]},
+        consistent_lsn=100,
+        watermark=wm,
+    )
+    assert {s.target_name for s in specs} == {"db1_public.customer", "db1_public.nation"}
+    assert wm.get("db1", "slot_db1") == 100
+    spec = cat.get("db1", "public", "customer")
+    assert spec.pk_cols == ["c_custkey"]
+    n0 = store.read(spec).count()
+    assert n0 > 0
+
+    rep = Replayer(spark, cat, store)
+    rows = [
+        make_event(spec, "insert", lsn=101, row={
+            "c_custkey": 999999, "c_name": "Post-snapshot", "c_nationkey": 1,
+            "c_acctbal": 1.0, "c_mktsegment": "AUTO",
+        }),
+        make_event(spec, "delete", lsn=102, old_key={"c_custkey": 1}),
+    ]
+    bronze = spark.createDataFrame(
+        [tuple(r[f.name] for f in BRONZE_SCHEMA.fields) for r in rows], schema=BRONZE_SCHEMA
+    )
+    rep.apply_batch(bronze)
+    assert store.read(spec).count() == n0  # +1 insert −1 delete
+
+
+def test_restore_schema_script(spark):
+    script = """
+    -- a dump header comment
+    SET statement_timeout = 0;
+    CREATE TABLE public.accounts (id bigint PRIMARY KEY, email text UNIQUE, bal numeric(10,2));
+    CREATE SEQUENCE public.accounts_id_seq;
+    CREATE INDEX idx_email ON public.accounts (email);
+    ALTER TABLE public.accounts OWNER TO admin;
+    GRANT SELECT ON public.accounts TO readonly;
+    COMMENT ON TABLE public.accounts IS 'the accounts';
+    CREATE FUNCTION public.f() RETURNS int AS $$ SELECT 1 $$ LANGUAGE sql;
+    CREATE TABLE _timescaledb_internal.chunk_1 (x int);
+    \\connect otherdb
+    """
+    cat = EngineCatalog()
+    counts = restore_schema_script(script, "db1", cat)
+    spec = cat.get("db1", "public", "accounts")
+    assert spec.pk_cols == ["id"]
+    assert spec.has_extra_unique  # UNIQUE(email) recorded for routing F8
+    assert [c.pg_type for c in spec.columns] == ["bigint", "text", "numeric(10,2)"]
+    assert counts["executed"] == 2  # table + sequence
+    assert counts["ignored_schema"] == 1
+    assert counts["skipped"] >= 5
