@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns (array<float>).
+
+- dot / cosine column expressions — native zip_with + sequential aggregate
+  (deterministic left-to-right double accumulation, oracle-reproducible)
+- brute_force_topk — exact cosine top-k (the correctness baseline)
+- srp_lsh_topk    — signed-random-projection LSH bucketing → intra-bucket
+  exact rerank (the scale path: shuffles on bucket signature, never
+  all-pairs)
+- numpy_topk      — Arrow-batched mapInPandas with a broadcast matrix:
+  vectorized BLAS for the "one node has the whole index" regime
+
+At 100 TB / billions of vectors the SRP variant is the template: signature
+length tunes bucket sizes; multiple hash tables (``n_tables``) recover
+recall; each bucket reranks exactly. IVF would replace the random
+hyperplanes with k-means centroids — same plumbing.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double dot product: float*float products are
+    exact in double (24+24 < 53 mantissa bits), then folded in order —
+    bit-reproducible across engines that fold left-to-right."""
+    prods = F.zip_with(a, b, lambda x, y: (x * y).cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: (x * x).cast("double")), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector (default: every
+    vector, excluding self). Output: (query_id, neighbor_id, cosine, rank).
+
+    O(|Q|·|N|) — the correctness baseline. Use srp_lsh_topk at scale.
+    """
+    from pyspark.sql.window import Window
+
+    base = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    q = (queries or emb).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    pairs = q.crossJoin(base).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("cosine", cosine_expr(F.col("qvec"), F.col("nvec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (driver-side constants,
+    broadcast as literals — no data skew, no RNG on executors)."""
+    import random
+
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_bits):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def srp_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection signature as a bigint (≤ 63 planes)."""
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot_expr(vec_col, p) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseXOR(F.shiftleft(bit, j))
+    return sig
+
+
+def srp_lsh_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: SRP bucket join + exact intra-bucket rerank.
+
+    Each of ``n_tables`` signature functions buckets the vectors; candidate
+    pairs share a bucket in ≥1 table. Shuffles on (table, signature) — bucket
+    size ≈ N/2^n_bits tunes the cost. Output like brute_force_topk (rank
+    within retrieved candidates).
+    """
+    from pyspark.sql.window import Window
+
+    dim = len(emb.select(vec_col).first()[0])
+    tagged = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    sigs = tagged.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        srp_signature(F.col("vec"), _hyperplanes(dim, n_bits, seed + t)).alias("sig"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "vec", F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig"))
+
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+            F.col("a.vec").alias("qvec"),
+            F.col("b.vec").alias("nvec"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine", cosine_expr(F.col("qvec"), F.col("nvec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def numpy_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Vectorized exact top-k: broadcast the full (id, matrix) index to every
+    task; each Arrow batch of queries does one BLAS matmul.
+
+    Right regime: index fits in executor memory (≤ ~10M × 64 floats ≈ 2.5 GB).
+    Beyond that, shard the index (crossJoin of query batches × index shards →
+    per-shard top-k → global top-k via window) or use srp_lsh_topk.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float32)
+    norms = np.linalg.norm(mat, axis=1)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    schema = "query_id long, neighbor_id long, cosine double, rank int"
+
+    def compute(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            q = np.array(list(pdf[vec_col]), dtype=np.float32)
+            qn = np.linalg.norm(q, axis=1)
+            sims = (q @ b_mat.T) / (qn[:, None] * b_norms[None, :])
+            out = []
+            for qi, qid in enumerate(pdf[id_col]):
+                row = sims[qi]
+                mask = b_ids != qid
+                order = np.argsort(-row)
+                taken = 0
+                for j in order:
+                    if not mask[j]:
+                        continue
+                    out.append((int(qid), int(b_ids[j]), float(row[j]), taken + 1))
+                    taken += 1
+                    if taken >= k:
+                        break
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine", "rank"])
+
+    return emb.select(id_col, vec_col).mapInPandas(compute, schema=schema)

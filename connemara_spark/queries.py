@@ -542,6 +542,220 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops (dedup / similarity / text) — full slice
+# ---------------------------------------------------------------------------
+
+@register(
+    "near_dup_ngram_jaccard",
+    """
+    WITH d AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shs
+        FROM documents
+    ),
+    sh AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / (len(da.shs) + len(db.shs) - n_inter) AS jaccard
+    FROM inter JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (len(da.shs) + len(db.shs) - n_inter) >= 0.5
+    """,
+    "exact near-dup: 5-gram shingle blocking + exact Jaccard",
+)
+def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
+
+
+@register(
+    "minhash_lsh_dedup",
+    None,  # sketch-based candidate generation is not SQL-expressible;
+           # rows-only check (exactness is tested against ngram_jaccard in
+           # tests/test_dedup.py::test_minhash_recall)
+    "MinHash(64) + 32-band LSH near-dup with exact verification",
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
+
+
+@register(
+    "simhash_dedup",
+    None,  # xxhash64-based sketch — not SQL-expressible; structural checks
+           # in tests/test_dedup.py
+    "64-bit SimHash near-dup pairs (hamming <= 3, banded)",
+)
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.dedup import simhash_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "embedding_topk_cosine",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 50),
+    n AS (SELECT vec_id AS neighbor_id, embedding AS nvec FROM embeddings),
+    dots AS (
+        SELECT query_id, neighbor_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> CAST(qvec[i] * nvec[i] AS DOUBLE))),
+                   (a, b) -> a + b) AS dot,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> CAST(qvec[i] * qvec[i] AS DOUBLE))),
+                   (a, b) -> a + b)) AS qn,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> CAST(nvec[i] * nvec[i] AS DOUBLE))),
+                   (a, b) -> a + b)) AS nn
+        FROM q CROSS JOIN n WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, dot / (qn * nn) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot / (qn * nn) DESC, neighbor_id) AS rank
+        FROM dots
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    "brute-force cosine top-5 (exact ANN baseline)",
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    return brute_force_topk(emb, k=5, queries=queries_df)
+
+
+@register(
+    "embedding_ann_lsh",
+    None,  # approximate: recall measured against the exact baseline in
+           # tests/test_similarity.py
+    "SRP-LSH bucketed approximate top-k (the at-scale ANN path)",
+)
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.similarity import srp_lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return srp_lsh_topk(emb, k=5, n_bits=8, n_tables=6)
+
+
+@register(
+    "language_id",
+    """
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> list_contains(['der','die','und','das','von','zu','mit','den','ist','im'], w))) AS hits_de,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> list_contains(['the','and','of','to','in','is','that','with','for','on'], w))) AS hits_en,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> list_contains(['el','la','de','que','y','en','los','se','del','las'], w))) AS hits_es,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> list_contains(['le','la','de','et','les','des','en','un','du','une'], w))) AS hits_fr
+        FROM documents
+    )
+    SELECT doc_id, lang, hits_de, hits_en, hits_es, hits_fr,
+           CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scored
+    """,
+    "stopword-profile language identification",
+)
+def language_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.text import language_id
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return language_id(docs, "text").drop("text")
+
+
+@register(
+    "doc_quality_scores",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1), 6) AS distinct_ratio,
+           ROUND(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.25
+                 + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1)) * 0.25
+                 + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1)) * 0.15
+                 + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1)) * 0.15
+                 + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / greatest(len(string_split(text, ' ')), 1)) * 0.20, 6) AS quality_score
+    FROM documents
+    """,
+    "corpus quality scoring (length/alpha/digit/punct/distinct blend)",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.text import quality_features
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(docs, "text").select(
+        "doc_id", "n_words", F.round("distinct_ratio", 6).alias("distinct_ratio"), "quality_score"
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    WITH d AS (
+        SELECT doc_id, text, list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shs
+        FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(shs, s -> md5(s))) AS fingerprint,
+           md5(text) AS exact_fingerprint
+    FROM d
+    """,
+    "min-shingle document fingerprinting (winnowing-style)",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.text import fingerprint_docs
+
+    docs = load(spark, sf_dir, "documents")
+    return fingerprint_docs(docs, "doc_id", "text", k=5)
+
+
+@register(
+    "bpe_token_counts",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+    "BPE-style pre-tokenization counting",
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.text import token_count, whitespace_token_count
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_bpe_tokens"),
+        whitespace_token_count("text").alias("n_ws_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,83 @@
+"""Dedup operators: exactness of blocking, sketch recall vs exact ground truth."""
+
+from __future__ import annotations
+
+import pytest
+
+from connemara_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup of 1
+        (4, "completely different content about spark engines and distributed query processing"),
+        (5, "another unrelated document mentioning databases and storage layers briefly"),
+        (6, base + " extra tail words appended here"),  # near dup, longer
+        (7, "short doc"),  # shorter than shingle size
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    out = df.select(word_shingles("text", 5).alias("s")).first()["s"]
+    assert out == ["a b c"]
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "doc_id", "text").collect()
+    groups = {r["canonical_id"]: r["n_copies"] for r in out}
+    assert groups[1] == 2  # docs 1+2
+    assert sum(r["n_copies"] for r in out) == 7
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert (1, 6) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_recall(spark, docs):
+    """LSH candidates must recover every exact pair at this tiny scale, and
+    verified jaccards must equal the exact computation."""
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["jaccard"] for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert set(exact) == set(lsh)
+    for k in exact:
+        assert abs(exact[k] - lsh[k]) < 1e-12
+
+
+def test_simhash_identical_docs_same_hash(spark, docs):
+    out = {r["id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    assert out[1] == out[2]
+
+
+def test_simhash_pairs_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs, "doc_id", "text", max_hamming=8, bands=16).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # single word change → small hamming distance
+    assert not any((4, 5) == p for p in pairs)
+
+
+def test_frequent_shingle_cap(spark):
+    # a shingle shared by every doc would create a quadratic bucket; the cap
+    # drops it from blocking
+    rows = [(i, "common phrase shared by every document here " + f"unique{i} a b c d") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0, max_shingle_freq=5).collect()
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    assert len(uncapped) == 45  # all pairs share the common prefix
+    assert len(capped) < 45

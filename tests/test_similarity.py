@@ -1,0 +1,64 @@
+"""Similarity search: exact baseline, LSH recall, numpy parity."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from connemara_spark.operators.similarity import (
+    brute_force_topk,
+    numpy_topk,
+    srp_lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = random.Random(0)
+    dim = 16
+    # 3 tight clusters + noise so top-k has structure
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(3)]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_structure(spark, emb):
+    out = brute_force_topk(emb, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 60
+    for q, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+        # nearest neighbors of i share its cluster (i % 3)
+        for r in rows:
+            assert r["neighbor_id"] % 3 == q % 3
+            assert r["cosine"] > 0.9
+
+
+def test_srp_lsh_recall(spark, emb):
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, k=3).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in srp_lsh_topk(emb, k=3, n_bits=6, n_tables=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.9, f"LSH recall too low: {recall}"
+
+
+def test_numpy_topk_matches_exact(spark, emb):
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in brute_force_topk(emb, k=3).collect()}
+    vec = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in numpy_topk(emb, k=3).collect()}
+    # ties could order differently between float32 numpy and double Spark —
+    # compare the neighbor SETS per query
+    from collections import defaultdict
+
+    e, v = defaultdict(set), defaultdict(set)
+    for (q, _), n in exact.items():
+        e[q].add(n)
+    for (q, _), n in vec.items():
+        v[q].add(n)
+    agree = sum(1 for q in e if e[q] == v[q])
+    assert agree >= len(e) * 0.95
