@@ -31,6 +31,9 @@ def main() -> None:
         n = len(df.collect())
         times[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # Operators persist() intra-query intermediates (LSH postings,
+        # signatures); free them so 22 queries don't accumulate cached blocks.
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

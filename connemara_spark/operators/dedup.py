@@ -11,11 +11,15 @@ All native Catalyst (higher-order functions, no Python UDFs):
 - simhash, simhash_pairs — 64-bit SimHash + banded Hamming candidate pairs
 
 Scale notes (100 TB): every operator shuffles on content-derived keys
-(shingle, band-hash) — never all-pairs. Ultra-frequent shingles are capped
-(``max_shingle_freq``) so a boilerplate phrase cannot create a quadratic
-bucket; AQE skew-join handles residual imbalance. Signatures are fixed-width
-arrays (64×8 bytes/doc) — 1 PB of text → ~60 GB of signatures, fine to
-shuffle.
+(shingle hash, band hash) — never all-pairs. All blocking joins use 8-byte
+xxhash64 shingle keys, not shingle strings, so shuffle volume is bounded by
+#shingles × 16 bytes regardless of document length. Self-joined
+intermediates (shingle postings, signatures) are persisted so the sketch
+pipeline runs once, not once per join side. Ultra-frequent shingles are
+capped (``max_shingle_freq``) so a boilerplate phrase cannot create a
+quadratic bucket; AQE skew-join handles residual imbalance. Signatures are
+fixed-width arrays (64×8 bytes/doc) — 1 PB of text → ~60 GB of signatures,
+fine to shuffle.
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # deterministic affine-hash constants for minhash (public "universal hashing"
-# construction: h_i(x) = a_i*x + b_i over Z/2^64, min over shingles)
+# construction: h_i(x) = a_i*x + b_i over Z/p, min over shingles)
 _MERSENNE = (1 << 61) - 1
 
 
@@ -51,6 +55,15 @@ def word_shingles(text_col: str | Column, k: int = 5) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )
+
+
+def word_shingle_hashes(text_col: str | Column, k: int = 5) -> Column:
+    """Distinct xxhash64 shingle hashes as array<bigint> — the 8-byte join
+    keys all blocking/verification below runs on. Collisions across a corpus
+    are ~#shingles²/2⁶⁴ (negligible) and deterministic."""
+    return F.array_distinct(
+        F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s))
     )
 
 
@@ -85,14 +98,20 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs.
 
-    Candidates = pairs sharing ≥1 shingle (blocked self-join on the shingle —
-    never all-pairs); Jaccard computed exactly from intersection counts and
-    per-doc shingle counts. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    Candidates = pairs sharing ≥1 shingle (blocked self-join on the hashed
+    shingle — never all-pairs); Jaccard computed exactly from intersection
+    counts and per-doc shingle counts. Output: (id_a, id_b, jaccard) with
+    id_a < id_b.
     """
-    shingled = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shs"))
-    sizes = shingled.select("id", F.size("shs").alias("n_sh"))
-    sh = shingled.select("id", F.explode("shs").alias("sh"))
-    sh = _cap_frequent_shingles(sh, max_shingle_freq)
+    hashed = df.select(
+        F.col(id_col).alias("id"), word_shingle_hashes(text_col, k).alias("hs")
+    )
+    sizes = hashed.select("id", F.size("hs").alias("n_sh"))
+    # Posting list (id, shingle-hash): persisted — feeds both sides of the
+    # blocking self-join and the frequency cap without recomputing shingling.
+    sh = _cap_frequent_shingles(
+        hashed.select("id", F.explode("hs").alias("sh")), max_shingle_freq
+    ).persist()
 
     a = sh.alias("a")
     b = sh.alias("b")
@@ -125,14 +144,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: base shingle hash = xxhash64, then ``num_hashes``
     affine permutations folded with a single groupBy (one shuffle).
-    Output: (id, sig array<bigint>, shs array<string>)."""
+    Output: (id, sig array<bigint>)."""
     params = _affine_params(num_hashes, seed)
-    shingled = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shs"))
-    exploded = shingled.select("id", "shs", F.explode("shs").alias("sh")).withColumn(
-        "h", F.xxhash64("sh").bitwiseAND(F.lit(0xFFFFFFFF))
-    )
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingle_hashes(text_col, k)).alias("sh"),
+    ).withColumn("h", F.col("sh").bitwiseAND(F.lit(0xFFFFFFFF)))
     mins = exploded.groupBy("id").agg(
-        F.first("shs").alias("shs"),
         # pmod by a Mersenne prime makes each affine map a genuine
         # pseudo-permutation — without it a*h+b is monotone in h and every
         # "permutation" would pick the same argmin shingle
@@ -141,9 +159,7 @@ def minhash_signatures(
             for i, (a, b) in enumerate(params)
         ],
     )
-    return mins.select(
-        "id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"), "shs"
-    )
+    return mins.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -161,37 +177,36 @@ def minhash_lsh_pairs(
     """MinHash + banded LSH near-dup pairs — the at-scale dedup path.
 
     sig → ``bands`` band-hashes → docs sharing a band bucket are candidates
-    → (optional) exact-Jaccard verification on the shingle sets. Default
-    b=32, r=2: P(candidate) = 1-(1-s^2)^32 ≈ 0.9999 at s=0.5 — near-perfect
-    recall at the threshold; the surplus candidates below threshold are
-    removed by exact verification. Output: (id_a, id_b, jaccard).
+    → (optional) exact-Jaccard verification on the hashed shingle sets.
+    Default b=32, r=2: P(candidate) = 1-(1-s^2)^32 ≈ 0.9999 at s=0.5 —
+    near-perfect recall at the threshold; surplus candidates below threshold
+    are removed by exact verification. Output: (id_a, id_b, jaccard).
+
+    The band shuffle carries only (id, band, bh) — 20 bytes/row; shingle
+    sets are joined back ONLY for verified candidate pairs.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, k=k, num_hashes=num_hashes, seed=seed)
 
     band_rows = sigs.select(
         "id",
-        "shs",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", bi * rows_per_band + ri + 1).cast("string")
-                                    for ri in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.element_at("sig", bi * rows_per_band + ri + 1)
+                                for ri in range(rows_per_band)
+                            ]
                         ).alias("bh"),
                     )
                     for bi in range(bands)
                 ]
             )
         ).alias("b"),
-    ).select("id", "shs", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")).persist()
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -202,20 +217,22 @@ def minhash_lsh_pairs(
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shs").alias("shs_a"),
-            F.col("b.shs").alias("shs_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if not verify:
-        return cand.select("id_a", "id_b")
-    inter = F.size(F.array_intersect("shs_a", "shs_b"))
-    union = F.size("shs_a") + F.size("shs_b") - inter
+        return cand
+
+    shsets = df.select(
+        F.col(id_col).alias("id"), word_shingle_hashes(text_col, k).alias("hs")
+    ).persist()
+    paired = cand.join(
+        shsets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+    ).join(shsets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
     return (
-        cand.withColumn("jaccard", inter / union)
+        paired.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -271,7 +288,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("c"),
-    ).select("id", "simhash", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk"))
+    ).select("id", "simhash", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk")).persist()
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

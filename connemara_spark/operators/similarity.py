@@ -81,15 +81,18 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
 
 
 def srp_signature(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Signed-random-projection signature as a bigint (≤ 63 planes)."""
-    sig = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot_expr(vec_col, p) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = sig.bitwiseXOR(F.shiftleft(bit, j))
-    return sig
+    """Signed-random-projection signature as a bigint (≤ 63 planes).
+
+    One fold over a 2-D plane literal (acc*2 + sign-bit) — a single compact
+    expression tree instead of one dot-product tree per bit, so Catalyst
+    compile time stays flat as n_bits grows."""
+    planes_lit = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    return F.aggregate(
+        planes_lit,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc * 2
+        + F.when(dot_expr(vec_col, p) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
 
 
 def srp_lsh_topk(
@@ -127,7 +130,7 @@ def srp_lsh_topk(
                 ]
             )
         ).alias("s"),
-    ).select("id", "vec", F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig"))
+    ).select("id", "vec", F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig")).persist()
 
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
