@@ -1,0 +1,77 @@
+"""Scale-readiness plan tests: pushdown, pruning, broadcast, codegen.
+
+These are the CI encoding of 'would this plan survive 100×': every headline
+query's physical plan is asserted, not eyeballed. A regression that drops a
+pushed filter, widens a scan, or degrades a broadcast join to shuffle fails
+here long before a benchmark run would notice.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from connemara_spark import plans
+from connemara_spark.queries import REGISTRY, load
+
+
+def q(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_q6_filters_pushed_and_pruned(spark, sf_dir):
+    df = q("q6_forecast_revenue", spark, sf_dir)
+    # date + quantity predicates must reach the parquet scan
+    plans.assert_filter_pushed(df, "l_shipdate")
+    plans.assert_filter_pushed(df, "l_quantity")
+    # q6 touches 4 lineitem columns; the scan must not read more
+    plans.assert_columns_pruned(df, 4)
+    plans.assert_no_python_udf(df)
+
+
+def test_q3_broadcasts_customer_side_joins(spark, sf_dir):
+    df = q("q3_shipping_priority", spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_filter_pushed(df, "c_mktsegment")
+    plans.assert_no_python_udf(df)
+
+
+def test_q5_region_nation_broadcast(spark, sf_dir):
+    df = q("q5_local_supplier_volume", spark, sf_dir)
+    # region (5 rows) and nation (25 rows) must broadcast, never shuffle
+    plans.assert_broadcast_join(df)
+    plans.assert_no_python_udf(df)
+
+
+def test_cdc_apply_has_no_python_and_bounded_shuffles(spark, sf_dir):
+    df = q("cdc_apply_customer", spark, sf_dir)
+    plans.assert_no_python_udf(df)
+    plans.assert_no_cartesian(df)
+
+
+def test_dedup_paths_stay_jvm_side(spark, sf_dir):
+    for name in ("exact_dedup_documents", "near_dup_ngram_jaccard", "minhash_lsh_dedup", "simhash_dedup"):
+        df = q(name, spark, sf_dir)
+        plans.assert_no_python_udf(df)
+
+
+def test_scan_pruning_on_projection(spark, sf_dir):
+    # a 2-column projection over lineitem must scan exactly 2 columns
+    df = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plans.assert_columns_pruned(df, 2)
+    schemas = plans.scan_schemas(df)
+    assert schemas and all("l_orderkey" in s for s in schemas)
+
+
+def test_exchange_counting_sane(spark, sf_dir):
+    one_shuffle = load(spark, sf_dir, "orders").groupBy("o_custkey").count()
+    assert plans.exchange_count(one_shuffle) == 1
+    no_shuffle = load(spark, sf_dir, "orders").select("o_orderkey")
+    assert plans.exchange_count(no_shuffle) == 0
+
+
+def test_latest_wins_single_shuffle(spark, sf_dir):
+    # the core CDC reduction must cost exactly one shuffle (window by key)
+    df = q("cdc_latest_wins", spark, sf_dir)
+    assert plans.exchange_count(df) <= 2  # key window + optional final agg
+    plans.assert_no_python_udf(df)
