@@ -215,6 +215,7 @@ class Replayer:
         allowed_slots: list[tuple[str, str]] | None = None,
         md5_blocklist: set[str] | None = None,
         dml_hook=None,
+        archive=None,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -226,9 +227,14 @@ class Replayer:
         # fix_object_dml analog (D14, connemara_rewrite.pm:136-140):
         # callable(db, schema, table) -> bool keep
         self.dml_hook = dml_hook
+        # keep_data audit sink (S9, replay.pl:505-531): applied spool rows
+        # are appended to an archive zone when enabled.
+        self.archive = archive
 
     def apply_batch(self, bronze: DataFrame) -> BatchMetrics:
         metrics = BatchMetrics()
+        if self.archive is not None:
+            self.archive.append(bronze)
         events = standard_filters(parse_events(bronze))
         if self.excluded_databases or self.allowed_slots:
             events = slot_restriction(events, self.excluded_databases, self.allowed_slots)
