@@ -66,6 +66,40 @@ def brute_force_topk(
     )
 
 
+def cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs above ``threshold``
+    (id_a < id_b, rounded cos_sim) — the brute-force correctness baseline
+    for embedding dedup; ``srp_lsh_topk`` is the at-scale path.
+
+    Norms are computed once per row before the self-join, so the O(n²/2)
+    candidate stage evaluates only the dot product.
+    """
+    normed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "cos", dot_expr(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+        )
+        .filter(F.col("cos") > threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cos", 4).alias("cos_sim"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (driver-side constants,
     broadcast as literals — no data skew, no RNG on executors)."""

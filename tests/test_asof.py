@@ -1,0 +1,63 @@
+"""As-of join operator: backward semantics, ties, unmatched rows, plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from connemara_spark import plans
+from connemara_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-10 00:00:00")),
+            (2, "k1", _ts("2024-01-20 00:00:00")),
+            (3, "k2", _ts("2024-01-05 00:00:00")),
+            (4, "k3", _ts("2024-01-05 00:00:00")),  # key with no right rows
+        ],
+        ["lid", "k", "lts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-08 00:00:00"), "a"),
+            ("k1", _ts("2024-01-15 00:00:00"), "b"),
+            ("k2", _ts("2024-01-05 00:00:00"), "c"),  # exact tie: at-or-before matches
+            ("k2", _ts("2024-01-06 00:00:00"), "d"),  # after left ts: excluded
+        ],
+        ["k", "rts", "v"],
+    )
+
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts", how="left")
+    got = {r.lid: (r.v, r.rts) for r in out.collect()}
+    assert got[1] == ("a", _ts("2024-01-08 00:00:00"))
+    assert got[2] == ("b", _ts("2024-01-15 00:00:00"))
+    assert got[3] == ("c", _ts("2024-01-05 00:00:00"))
+    assert got[4] == (None, None)
+
+    inner = asof_join(left, right, on="k", left_ts="lts", right_ts="rts", how="inner")
+    assert sorted(r.lid for r in inner.collect()) == [1, 2, 3]
+
+
+def test_asof_single_shuffle_no_python(spark):
+    left = spark.range(100).select(
+        F.col("id").alias("lid"),
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("lts"),
+    )
+    right = spark.range(20).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_micros(F.col("id") * 7_000_000).alias("rts"),
+        F.col("id").alias("payload"),
+    )
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts")
+    # union+window ⇒ exactly one hash shuffle on the key, no join explosion
+    assert plans.exchange_count(out) == 1
+    plans.assert_no_python_udf(out)
+    assert out.count() == 100
