@@ -1,0 +1,145 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The reference holds per-key state imperatively inside worker threads
+(prepared-statement caches, per-PK apply order — replay.pl:540-611); on
+Spark, arbitrary keyed state over an unbounded stream is
+``applyInPandasWithState``: state lives in the state store (checkpointed,
+partitioned by key), timeouts retire idle keys, and each microbatch
+delivers a key's new rows as pandas batches.
+
+Two operators:
+
+- ``sessionize_stream`` — gap-based event sessionization with live state:
+  a session closes when no event arrives for ``gap`` (processing-timeout
+  driven), emitting one row per closed session. The batch analog (window
+  lag > gap cumsum) is in queries.py:events_sessionize; this is the
+  streaming twin for infinite streams, where the window trick no longer
+  applies because data never ends.
+- ``running_counters_stream`` — per-key running counters (the streaming
+  analog of the reference's per-batch ``updated/updated_by_pk`` ratios,
+  replay.pl:881-890) emitted every microbatch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+SESSION_SCHEMA = "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint, total_value double"
+_SESSION_STATE_SCHEMA = "start long, end long, n bigint, total double"
+
+
+def _sessionize_fn(gap_ms: int):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # idle key: close and emit the open session
+            start, end, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts_us = rows["ts"].astype("int64") // 1000  # ns → µs
+        vals = rows["value"].astype("float64")
+
+        closed: list[tuple[int, int, int, float]] = []
+        if state.exists:
+            start, end, n, total = state.get
+        else:
+            start = end = int(ts_us.iloc[0])
+            n, total = 0, 0.0
+
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if n > 0 and t - end > gap_ms * 1000:
+                closed.append((start, end, n, total))
+                start, n, total = t, 0, 0.0
+            end = max(end, t)
+            n += 1
+            total += float(v)
+
+        state.update((start, end, n, total))
+        state.setTimeoutDuration(gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [c[3] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(events: DataFrame, *, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-sessionize a streaming events DataFrame (event_id, ts, user_id,
+    value, ...) into closed sessions. State is one 4-tuple per live key —
+    O(active users), not O(events) — and keys retire on processing timeout,
+    so state is bounded on any stream length.
+    """
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_seconds * 1000),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+COUNTER_SCHEMA = "event_type string, n_events bigint, total_value double"
+_COUNTER_STATE_SCHEMA = "n bigint, total double"
+
+
+def _counters_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (event_type,) = key
+    if state.hasTimedOut:  # pragma: no cover — no timeout configured
+        state.remove()
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"event_type": [event_type], "n_events": [n], "total_value": [total]})
+
+
+def running_counters_stream(events: DataFrame) -> DataFrame:
+    """Per-event-type running (count, sum) emitted each microbatch — the
+    reference's batch statistics counters (replay.pl:804-805,881-890) as an
+    always-on stream."""
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _counters_fn,
+            outputStructType=COUNTER_SCHEMA,
+            stateStructType=_COUNTER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,103 @@
+"""applyInPandasWithState operators: streaming sessionization + counters."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _t(m):
+    return dt.datetime(2024, 1, 1, 0, m, 0)
+
+
+def _land(spark, rows, d):
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+
+
+def _drain(stream_df, tmp, name):
+    out = str(tmp / f"{name}_out")
+    ckpt = str(tmp / f"{name}_ckpt")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, str(q.exception())
+    return out
+
+
+def test_sessionize_stream_closes_on_gap(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    # user 7: events at minute 0,1 then a 40-min gap then minute 41 —
+    # with gap=30min the first two close as one session once batch 2 arrives.
+    _land(
+        spark,
+        [
+            (1, _t(0), 7, "view", 1.0),
+            (2, _t(1), 7, "view", 2.0),
+            (3, _t(41), 7, "buy", 5.0),
+        ],
+        landing,
+    )
+
+    from connemara_spark.streaming.stateful import sessionize_stream
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(landing)
+    out = _drain(sessionize_stream(events, gap_seconds=1800), tmp_path, "sess")
+
+    rows = spark.read.parquet(out).collect()
+    # one closed session (the 41-min event's session is still open in state)
+    assert len(rows) == 1
+    s = rows[0]
+    assert s.user_id == 7 and s.n_events == 2 and s.total_value == 3.0
+    assert s.session_start == _t(0) and s.session_end == _t(1)
+
+
+def test_running_counters_stream(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    _land(
+        spark,
+        [
+            (1, _t(0), 1, "view", 1.0),
+            (2, _t(1), 2, "view", 2.0),
+            (3, _t(2), 3, "buy", 10.0),
+        ],
+        landing,
+    )
+
+    from connemara_spark.streaming.stateful import running_counters_stream
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(landing)
+    q = (
+        running_counters_stream(events)
+        .writeStream.format("memory")
+        .queryName("cnt_table")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cnt_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None, str(q.exception())
+
+    got = {r.event_type: (r.n_events, r.total_value) for r in spark.table("cnt_table").collect()}
+    assert got == {"view": (2, 3.0), "buy": (1, 10.0)}
