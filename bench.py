@@ -19,13 +19,24 @@ def main() -> None:
     from connemara_spark.queries import REGISTRY
     from connemara_spark.session import get_spark
 
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+
     spark = get_spark("connemara-bench")
-    # Warm the JVM + parquet footers once so per-query times measure the
-    # queries, not session startup.
+    # Warm the JVM once so the first query doesn't pay session startup.
     spark.range(1).collect()
 
     times: dict[str, float] = {}
     for name, q in REGISTRY.items():
+        # Untimed warmup at the smallest SF: compiles this query's codegen /
+        # JIT paths so the timed run below measures steady-state execution
+        # (the regime that matters at scale), not one-time Janino compiles.
+        if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+            try:
+                q.fn(spark, warm_dir).collect()
+                spark.catalog.clearCache()
+            except Exception as exc:  # warmup must never sink the bench
+                print(f"# {name}: warmup failed: {exc}", file=sys.stderr)
+
         t0 = time.monotonic()
         df = q.fn(spark, sf_dir)
         n = len(df.collect())

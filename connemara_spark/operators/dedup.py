@@ -142,24 +142,41 @@ def minhash_signatures(
     num_hashes: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signatures: base shingle hash = xxhash64, then ``num_hashes``
-    affine permutations folded with a single groupBy (one shuffle).
+    """MinHash signatures computed entirely per-row: each of the
+    ``num_hashes`` affine permutations is an ``array_min(transform(...))``
+    over the document's in-row shingle-hash array — NO explode, NO shuffle.
+    A sketch is a per-document map-side computation; keeping it row-local
+    means signature cost scales embarrassingly with executors and the only
+    shuffle in an LSH pipeline is the band bucket join.
     Output: (id, sig array<bigint>)."""
-    params = _affine_params(num_hashes, seed)
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingle_hashes(text_col, k)).alias("sh"),
-    ).withColumn("h", F.col("sh").bitwiseAND(F.lit(0xFFFFFFFF)))
-    mins = exploded.groupBy("id").agg(
-        # pmod by a Mersenne prime makes each affine map a genuine
-        # pseudo-permutation — without it a*h+b is monotone in h and every
-        # "permutation" would pick the same argmin shingle
-        *[
-            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
-            for i, (a, b) in enumerate(params)
-        ],
+    hashed = df.select(
+        F.col(id_col).alias("id"), word_shingle_hashes(text_col, k).alias("hs")
     )
-    return mins.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+    return hashed.select("id", minhash_sig_expr("hs", num_hashes=num_hashes, seed=seed).alias("sig"))
+
+
+def minhash_sig_expr(hs_col: str | Column, *, num_hashes: int = 64, seed: int = 42) -> Column:
+    """Signature expression over an array<bigint> shingle-hash column.
+
+    pmod by a Mersenne prime makes each affine map a genuine
+    pseudo-permutation — without it a*h+b is monotone in h and every
+    "permutation" would pick the same argmin shingle.
+    """
+    params = _affine_params(num_hashes, seed)
+    hs = F.col(hs_col) if isinstance(hs_col, str) else hs_col
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hs,
+                    lambda s: F.pmod(
+                        s.bitwiseAND(F.lit(0xFFFFFFFF)) * F.lit(a) + F.lit(b), F.lit(_MERSENNE)
+                    ),
+                )
+            )
+            for a, b in params
+        ]
+    )
 
 
 def minhash_lsh_pairs(
@@ -186,7 +203,14 @@ def minhash_lsh_pairs(
     sets are joined back ONLY for verified candidate pairs.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k=k, num_hashes=num_hashes, seed=seed)
+    # Shingle ONCE: the hashed shingle sets feed both the per-row signature
+    # expression and (if verifying) the exact-Jaccard check.
+    shsets = df.select(
+        F.col(id_col).alias("id"), word_shingle_hashes(text_col, k).alias("hs")
+    ).persist()
+    sigs = shsets.select(
+        "id", minhash_sig_expr("hs", num_hashes=num_hashes, seed=seed).alias("sig")
+    )
 
     band_rows = sigs.select(
         "id",
@@ -223,9 +247,6 @@ def minhash_lsh_pairs(
     if not verify:
         return cand
 
-    shsets = df.select(
-        F.col(id_col).alias("id"), word_shingle_hashes(text_col, k).alias("hs")
-    ).persist()
     paired = cand.join(
         shsets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
     ).join(shsets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
@@ -239,25 +260,26 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document (token-hash bit voting), one shuffle.
-    Output: (id, simhash bigint)."""
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    votes = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(64)
-        ]
+    """64-bit SimHash per document (token-hash bit voting), computed
+    entirely per-row — zero shuffle. Output: (id, simhash bigint).
+
+    Per bit j the vote is 2·|{h : bit_j(h)=1}| > |tokens| over the in-row
+    token-hash array; 64 size(filter(...)) expressions stay inside
+    whole-stage codegen and distribute with the scan."""
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.split(F.col(text_col), r"\s+"), lambda t: F.xxhash64(t)).alias("ths"),
     )
+    n = F.size("ths")
     sim = None
     for j in range(64):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        ones = F.size(
+            F.filter("ths", lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1)
+        )
+        bit = F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, j)
         sim = term if sim is None else sim.bitwiseXOR(term)
-    return votes.select("id", sim.alias("simhash"))
+    return hashed.select("id", sim.alias("simhash"))
 
 
 def simhash_pairs(

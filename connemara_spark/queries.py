@@ -37,6 +37,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure expression-heavy per-row work parallelizes: repartition ONLY
+    when the scan yields fewer partitions than cores (single small parquet
+    file in local tests). At production scale files outnumber cores and this
+    is a no-op — no shuffle is added."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 # Oracle-side prelude matching the loader's ns→us conversion.
 EVENTS_CTE = (
     "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
@@ -513,7 +524,7 @@ def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact dedup: hash-groupBy fingerprinting",
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return (
         docs.groupBy(F.md5(F.col("text")).alias("fingerprint"))
         .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -532,7 +543,7 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text analysis: whitespace token counting",
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
@@ -571,7 +582,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
 
 
@@ -585,7 +596,7 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
 
 
@@ -598,7 +609,7 @@ def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.dedup import simhash_pairs
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
@@ -633,7 +644,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.similarity import brute_force_topk
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 50)
     return brute_force_topk(emb, k=5, queries=queries_df)
 
@@ -647,7 +658,7 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.similarity import srp_lsh_topk
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     return srp_lsh_topk(emb, k=5, n_bits=8, n_tables=6)
 
 
@@ -679,7 +690,7 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def language_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.text import language_id
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "lang", "text")
     return language_id(docs, "text").drop("text")
 
 
@@ -706,7 +717,7 @@ def language_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.text import quality_features
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
     return quality_features(docs, "text").select(
         "doc_id", "n_words", F.round("distinct_ratio", 6).alias("distinct_ratio"), "quality_score"
     )
@@ -731,7 +742,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.text import fingerprint_docs
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return fingerprint_docs(docs, "doc_id", "text", k=5)
 
 
@@ -748,7 +759,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.text import token_count, whitespace_token_count
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         token_count("text").alias("n_bpe_tokens"),
@@ -1001,7 +1012,7 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.similarity import cosine_pairs_blocked
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     return cosine_pairs_blocked(emb, "vec_id", "embedding", threshold=0.95)
 
 
