@@ -89,29 +89,48 @@ def events_for_table(events: DataFrame, spec: TableSpec) -> DataFrame:
     null_vals = F.struct(*[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns])
     false_has = F.struct(*[F.lit(False).alias(c.name) for c in spec.columns])
 
-    pk_changed = (F.col("op") == "update") & F.col("oldkeys").isNotNull() & (old_key != new_key)
+    # STAGE 1 (whole-stage-codegen'd Project, CSE applies): every expensive
+    # expression — the names→values maps, typed cast struct, presence struct,
+    # both key structs — is evaluated exactly once per event here. Without
+    # this split the whole tree ends up inlined (repeatedly!) inside the
+    # Generate node below, which Spark evaluates in interpreted mode.
+    pre = ev.select(
+        "insert_timestamp",
+        "lsn_start",
+        F.col("op").alias("__op"),
+        ((F.col("op") == "update") & F.col("oldkeys").isNotNull() & (old_key != new_key)).alias("__pk_changed"),
+        old_key.alias("__old_key"),
+        new_key.alias("__new_key"),
+        vals.alias("__vals"),
+        has.alias("__has"),
+    )
 
-    # Each source event becomes 1 or 2 (op, key, vals, has, sub_ord) parts.
+    # STAGE 2 (Generate): the exploded array only assembles the precomputed
+    # attribute references — 1 part for plain ops, delete(old)+insert(new)
+    # for PK-change updates.
+    part = lambda sub, op, key, v, h: F.struct(
+        F.lit(sub).alias("sub_ord"), op.alias("op"), key.alias("__pk"), v.alias("vals"), h.alias("has")
+    )
     parts = (
         F.when(
-            pk_changed,
+            F.col("__pk_changed"),
             F.array(
-                F.struct(F.lit(0).alias("sub_ord"), F.lit("delete").alias("op"), old_key.alias("__pk"), null_vals.alias("vals"), false_has.alias("has")),
-                F.struct(F.lit(1).alias("sub_ord"), F.lit("insert").alias("op"), new_key.alias("__pk"), vals.alias("vals"), has.alias("has")),
+                part(0, F.lit("delete"), F.col("__old_key"), null_vals, false_has),
+                part(1, F.lit("insert"), F.col("__new_key"), F.col("__vals"), F.col("__has")),
             ),
         )
         .when(
-            F.col("op") == "insert",
-            F.array(F.struct(F.lit(0).alias("sub_ord"), F.col("op").alias("op"), new_key.alias("__pk"), vals.alias("vals"), has.alias("has"))),
+            F.col("__op") == "insert",
+            F.array(part(0, F.col("__op"), F.col("__new_key"), F.col("__vals"), F.col("__has"))),
         )
         .otherwise(
             # update (same key) / delete: key from oldkeys
-            F.array(F.struct(F.lit(0).alias("sub_ord"), F.col("op").alias("op"), old_key.alias("__pk"), vals.alias("vals"), has.alias("has"))),
+            F.array(part(0, F.col("__op"), F.col("__old_key"), F.col("__vals"), F.col("__has"))),
         )
     )
 
     return (
-        ev.select("insert_timestamp", "lsn_start", F.explode(parts).alias("p"))
+        pre.select("insert_timestamp", "lsn_start", F.explode(parts).alias("p"))
         .select(
             "insert_timestamp",
             "lsn_start",

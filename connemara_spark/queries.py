@@ -360,7 +360,7 @@ def _customer_cdc_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a deterministic wal2json CDC stream from the events table:
     error → delete, signup → insert, other → full-row update, keyed into a
     custkey space that overlaps the snapshot (mix of updates + new keys)."""
-    ev = load(spark, sf_dir, "events")
+    ev = spread(load(spark, sf_dir, "events"))
     key = ((F.col("user_id") * 31 + F.col("event_id") % 100) % 200 + 1).cast("long")
     kind = (
         F.when(F.col("event_type") == "error", "delete")
@@ -435,7 +435,10 @@ def _customer_cdc_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot = load(spark, sf_dir, "customer")
-    bronze = _customer_cdc_bronze(spark, sf_dir)
+    # Materialize the synthetic bronze (a real landing zone is materialized
+    # files): without the persist barrier Catalyst pushes the parse-heavy
+    # table filter below the repartition into the single-file scan task.
+    bronze = _customer_cdc_bronze(spark, sf_dir).persist()
     events = parse_events(bronze)
     return apply_changes(snapshot, events, CUSTOMER_SPEC)
 
