@@ -89,6 +89,15 @@ def events_for_table(events: DataFrame, spec: TableSpec) -> DataFrame:
     null_vals = F.struct(*[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns])
     false_has = F.struct(*[F.lit(False).alias(c.name) for c in spec.columns])
 
+    # A PK change requires every PK column PRESENT in columnnames (wal2json
+    # always ships changed PK columns; an absent PK column is an untouched
+    # TOAST-style omission, NOT a change to NULL — comparing against the
+    # absent key would misread every partial update as a key change).
+    pk_present = None
+    for pk in spec.pk_cols:
+        c = F.array_contains(F.coalesce("columnnames", F.array()), pk)
+        pk_present = c if pk_present is None else (pk_present & c)
+
     # STAGE 1 (whole-stage-codegen'd Project, CSE applies): every expensive
     # expression — the names→values maps, typed cast struct, presence struct,
     # both key structs — is evaluated exactly once per event here. Without
@@ -98,7 +107,12 @@ def events_for_table(events: DataFrame, spec: TableSpec) -> DataFrame:
         "insert_timestamp",
         "lsn_start",
         F.col("op").alias("__op"),
-        ((F.col("op") == "update") & F.col("oldkeys").isNotNull() & (old_key != new_key)).alias("__pk_changed"),
+        (
+            (F.col("op") == "update")
+            & F.col("oldkeys").isNotNull()
+            & pk_present
+            & ~old_key.eqNullSafe(new_key)
+        ).alias("__pk_changed"),
         old_key.alias("__old_key"),
         new_key.alias("__new_key"),
         vals.alias("__vals"),

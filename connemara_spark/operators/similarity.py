@@ -9,10 +9,14 @@
 - numpy_topk      — Arrow-batched mapInPandas with a broadcast matrix:
   vectorized BLAS for the "one node has the whole index" regime
 
-At 100 TB / billions of vectors the SRP variant is the template: signature
-length tunes bucket sizes; multiple hash tables (``n_tables``) recover
-recall; each bucket reranks exactly. IVF would replace the random
-hyperplanes with k-means centroids — same plumbing.
+At 100 TB / billions of vectors the SRP and IVF variants are the scale
+paths: signature length / cell count tune bucket sizes; multiple hash
+tables (``n_tables``) or probes (``n_probe``) recover recall; each bucket
+reranks exactly.
+
+- ivf_cells / ivf_topk — inverted-file ANN: deterministic centroid sample,
+  per-row nearest-cell assignment (zero shuffle), probe-cell ⋈
+  inverted-list candidate join on an int key.
 """
 
 from __future__ import annotations
@@ -285,3 +289,94 @@ def numpy_topk(
             yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine", "rank"])
 
     return emb.select(id_col, vec_col).mapInPandas(compute, schema=schema)
+
+
+def ivf_cells(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantization: deterministic centroid sample + per-row
+    nearest-centroid assignment, all native expressions.
+
+    Centroids are the ``n_cells`` rows with the smallest
+    ``xxhash64(id, seed)`` — a deterministic uniform sample (no RNG on
+    executors, reproducible across runs). They broadcast as a 2-D literal;
+    assignment is ``argmax(transform(centroids, c -> <v,c>/|v||c|))`` —
+    per-row, zero shuffle, distributes with the scan.
+
+    Returns (assigned DataFrame with a ``cell`` column, centroids).
+    """
+    sampled = (
+        emb.select(id_col, vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"))
+        .orderBy("__h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = []
+    for r in sampled:
+        v = list(r[vec_col])
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        centroids.append([float(x) / n for x in v])
+
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    dots = F.transform(cents, lambda c: dot_expr(F.col(vec_col), c) / norm_expr(F.col(vec_col)))
+    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    return emb.withColumn("cell", cell), centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k cosine neighbors — the clustered scale path
+    (complement of the hash-based ``srp_lsh_topk``).
+
+    Index side: each vector lands in its nearest-centroid cell (inverted
+    list). Query side: each vector probes its ``n_probe`` nearest cells.
+    Candidates = probe-cell ⋈ inverted-list on ``cell`` — a hash join on an
+    int key whose build side is 1/n_cells of the data per cell; skewed cells
+    are split by AQE. Output: (query_id, neighbor_id, cosine, rank).
+
+    Expected work per query ≈ n_probe/n_cells of brute force; recall
+    degrades only for queries whose true neighbors straddle cell borders —
+    raise ``n_probe`` to trade compute for recall.
+    """
+    from pyspark.sql.window import Window
+
+    assigned, centroids = ivf_cells(emb, id_col, vec_col, n_cells=n_cells, seed=seed)
+    index = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"), "cell"
+    )
+
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    dots = F.transform(cents, lambda c: dot_expr(F.col(vec_col), c) / norm_expr(F.col(vec_col)))
+    # n_probe nearest cells: argsort via (dot, index) struct sort descending.
+    ranked = F.reverse(
+        F.array_sort(
+            F.zip_with(dots, F.sequence(F.lit(0), F.lit(len(centroids) - 1)), lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"].cast("int"))
+
+    queries = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.explode(probes).alias("cell")
+    )
+
+    cand = queries.join(index, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.withColumn("cosine", cosine_expr(F.col("qvec"), F.col("nvec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

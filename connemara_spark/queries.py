@@ -443,6 +443,88 @@ def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(snapshot, events, CUSTOMER_SPEC)
 
 
+def _customer_partial_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wal2json update stream with PARTIAL column lists (J2): every event
+    sets c_acctbal; only 'signup' events also carry c_name — other columns
+    are absent (the TOAST-omission case, replay.pl:186-194) and must keep
+    their snapshot values through the apply fold."""
+    ev = spread(load(spark, sf_dir, "events"))
+    key = ((F.col("user_id") * 31 + F.col("event_id")) % 100 + 1).cast("long")
+    is_signup = F.col("event_type") == "signup"
+    names = F.when(
+        is_signup, F.array(F.lit("c_acctbal"), F.lit("c_name"))
+    ).otherwise(F.array(F.lit("c_acctbal")))
+    vals = F.when(
+        is_signup,
+        F.array(
+            F.col("value").cast("string"),
+            F.concat(F.lit("cdc#"), F.col("event_id").cast("string")),
+        ),
+    ).otherwise(F.array(F.col("value").cast("string")))
+    payload = F.to_json(
+        F.struct(
+            F.lit("update").alias("kind"),
+            F.lit("public").alias("schema"),
+            F.lit("customer").alias("table"),
+            names.alias("columnnames"),
+            vals.alias("columnvalues"),
+            F.struct(
+                F.array(F.lit("c_custkey")).alias("keynames"),
+                F.array(key.cast("string")).alias("keyvalues"),
+            ).alias("oldkeys"),
+        )
+    )
+    return ev.select(
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("insert_timestamp"),
+        F.lit("db1").alias("database"),
+        F.lit("slot_db1").alias("source_slotname"),
+        F.col("event_id").alias("lsn_start"),
+        (F.col("event_id") + 1000).alias("xid"),
+        F.col("ts").alias("xid_timestamp"),
+        payload.alias("payload"),
+    )
+
+
+@register(
+    "cdc_partial_updates",
+    f"""
+    {EVENTS_CTE},
+    chg AS (
+        SELECT CAST((user_id * 31 + event_id) % 100 + 1 AS BIGINT) AS c_custkey,
+               event_id, value,
+               CASE WHEN event_type = 'signup'
+                    THEN 'cdc#' || CAST(event_id AS VARCHAR) END AS new_name
+        FROM ev
+    ),
+    lb AS (
+        SELECT c_custkey, value FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg
+        ) WHERE rn = 1
+    ),
+    ln AS (
+        SELECT c_custkey, new_name FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg WHERE new_name IS NOT NULL
+        ) WHERE rn = 1
+    )
+    SELECT c.c_custkey,
+           COALESCE(ln.new_name, c.c_name) AS c_name,
+           c.c_nationkey,
+           COALESCE(lb.value, c.c_acctbal) AS c_acctbal,
+           c.c_mktsegment
+    FROM customer c
+    LEFT JOIN lb ON c.c_custkey = lb.c_custkey
+    LEFT JOIN ln ON c.c_custkey = ln.c_custkey
+    """,
+    "J2 partial-column updates: absent (TOAST'd) columns keep prior values through the fold",
+)
+def cdc_partial_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_partial_bronze(spark, sf_dir).persist()
+    return apply_changes(snapshot, parse_events(bronze), CUSTOMER_SPEC)
+
+
 @register(
     "events_sessionize",
     EVENTS_CTE + """
@@ -977,6 +1059,18 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         ev, ord_, on="user_id", left_ts="ts", right_ts="o_orderdate", how="left"
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "embedding_ann_ivf",
+    None,  # approximate by construction — rows-only driver check
+    "IVF approximate nearest neighbors: nearest-cell inverted lists + n_probe cell search",
+)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.similarity import ivf_topk
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    return ivf_topk(emb, "vec_id", "embedding", k=10, n_cells=16, n_probe=2)
 
 
 @register(

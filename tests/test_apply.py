@@ -189,3 +189,42 @@ def test_upsert_full_rows(spark):
     )
     out = {r["k"]: r["v"] for r in upsert_full_rows(snap, chg, ["k"], ["lsn"]).collect()}
     assert out == {2: "b2", 3: "c"}
+
+
+def test_partial_update_with_absent_pk_is_not_a_pk_change(spark):
+    """An update whose columnnames omit the PK (TOAST-style omission) must
+    overlay the present columns in place — NOT be split into
+    delete(old)+insert(null-key) as a PK change."""
+    base = [
+        {"c_custkey": 1, "c_name": "a", "c_nationkey": 1, "c_acctbal": 10.0, "c_mktsegment": "M"},
+        {"c_custkey": 2, "c_name": "b", "c_nationkey": 2, "c_acctbal": 20.0, "c_mktsegment": "M"},
+    ]
+    evs = [
+        make_event(
+            CUST, "update", lsn=1,
+            row={"c_acctbal": 99.5},
+            old_key={"c_custkey": 1},
+            present=["c_acctbal"],  # PK column absent from columnnames
+        )
+    ]
+    rows = {r["c_custkey"]: r.asDict() for r in _run_apply(spark, CUST, base, evs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["c_acctbal"] == 99.5
+    assert rows[1]["c_name"] == "a"  # untouched columns keep prior values
+    assert rows[2]["c_acctbal"] == 20.0
+
+
+def test_real_pk_change_still_splits(spark):
+    base = [
+        {"c_custkey": 1, "c_name": "a", "c_nationkey": 1, "c_acctbal": 10.0, "c_mktsegment": "M"},
+    ]
+    evs = [
+        make_event(
+            CUST, "update", lsn=1,
+            row={"c_custkey": 7, "c_name": "a2", "c_nationkey": 1, "c_acctbal": 11.0, "c_mktsegment": "M"},
+            old_key={"c_custkey": 1},
+        )
+    ]
+    rows = {r["c_custkey"]: r.asDict() for r in _run_apply(spark, CUST, base, evs).collect()}
+    assert set(rows) == {7}
+    assert rows[7]["c_name"] == "a2" and rows[7]["c_acctbal"] == 11.0

@@ -62,3 +62,38 @@ def test_numpy_topk_matches_exact(spark, emb):
         v[q].add(n)
     agree = sum(1 for q in e if e[q] == v[q])
     assert agree >= len(e) * 0.95
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from connemara_spark.operators.similarity import brute_force_topk, ivf_topk
+    from connemara_spark.queries import load, spread
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, id_col="vec_id", vec_col="embedding", k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, "vec_id", "embedding", k=5, n_cells=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # the testdata embeddings are near-uniform (no cluster structure), the
+    # worst case for IVF: recall must still clearly beat the random-probe
+    # baseline of n_probe/n_cells = 0.5
+    assert recall > 0.6, f"IVF recall too low: {recall:.3f}"
+
+
+def test_ivf_cells_partition_all_rows(spark, sf_dir):
+    from connemara_spark.operators.similarity import ivf_cells
+    from connemara_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, cents = ivf_cells(emb, "vec_id", "embedding", n_cells=8)
+    assert len(cents) == 8
+    rows = assigned.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in rows) == emb.count()
+    assert all(0 <= r.cell < 8 for r in rows)
+    # deterministic: same seed -> same assignment
+    again, _ = ivf_cells(emb, "vec_id", "embedding", n_cells=8)
+    assert assigned.select("vec_id", "cell").exceptAll(again.select("vec_id", "cell")).count() == 0
