@@ -6,6 +6,7 @@ Prints ONE JSON line:
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -43,8 +44,13 @@ def main() -> None:
         times[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
         # Operators persist() intra-query intermediates (LSH postings,
-        # signatures); free them so 22 queries don't accumulate cached blocks.
+        # signatures); free them so the queries don't accumulate cached
+        # blocks. Then collect Python garbage NOW: releasing accumulated
+        # py4j proxies is a synchronous per-object gateway call, and letting
+        # the GC fire mid-query shows up as multi-second stalls inside a
+        # timed section.
         spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(times.values()), 3)
     print(

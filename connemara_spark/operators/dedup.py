@@ -331,3 +331,86 @@ def simhash_pairs(
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with an md5-string hash family — the
+    ORACLE-CHECKABLE twin of ``minhash_lsh_pairs``.
+
+    The hash family is ``h_i(s) = md5(i || '|' || s)`` with lexicographic
+    string min — every step (shingle, signature, band hash, candidate join,
+    exact-Jaccard verify) is expressible in portable SQL, so a DuckDB oracle
+    reproduces the pipeline bit-for-bit (same candidates, same survivors).
+    Use the xxhash64 variant at scale (8-byte keys, ~10× cheaper hashing);
+    this one exists so the sketch path itself sits behind the value-hash
+    correctness gate rather than a rows-only check.
+    """
+    rows_per_band = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shs")
+    ).persist()
+
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("shs", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    sigs = shingled.select("id", "shs", sig.alias("sig"))
+
+    band_rows = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", bi * rows_per_band + ri + 1)
+                                    for ri in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    paired = cand.join(
+        shingled.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a")), "id_a"
+    ).join(shingled.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b")), "id_b")
+    inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("double")
+    union = F.size("shs_a") + F.size("shs_b") - F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        paired.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

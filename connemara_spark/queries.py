@@ -673,16 +673,58 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_dedup",
-    None,  # sketch-based candidate generation is not SQL-expressible;
-           # rows-only check (exactness is tested against ngram_jaccard in
-           # tests/test_dedup.py::test_minhash_recall)
-    "MinHash(64) + 32-band LSH near-dup with exact verification",
+    None,  # the xxhash64 family is not SQL-expressible; rows-only check.
+           # minhash_lsh_dedup_md5 below runs the SAME pipeline with a
+           # portable md5 family under the full value-hash gate, and
+           # tests/test_dedup.py::test_minhash_recall checks recall vs the
+           # exact ngram_jaccard ground truth.
+    "MinHash(64) + 32-band LSH near-dup with exact verification (xxhash64 family, the scale path)",
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spread(load(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
+
+
+@register(
+    "minhash_lsh_dedup_md5",
+    """
+    WITH d AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shs
+        FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id, shs,
+               list_transform(range(0, 16),
+                   i -> list_min(list_transform(shs, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+        FROM d
+    ),
+    bands AS (
+        SELECT doc_id, t.band AS band,
+               md5(sig[2*t.band + 1] || '|' || sig[2*t.band + 2]) AS bh
+        FROM sigs, (SELECT unnest(range(0, 8)) AS band) t
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+             / (len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs))) AS jaccard
+    FROM cand JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b
+    WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+             / (len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs))) >= 0.5
+    """,
+    "MinHash(16)+8-band LSH with a portable md5 hash family — the sketch pipeline itself under the value-hash gate",
+)
+def minhash_lsh_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs_md5(docs, "doc_id", "text", k=5, num_hashes=16, bands=8, threshold=0.5)
 
 
 @register(
