@@ -1104,6 +1104,54 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_range_join_pairs",
+    f"""
+    {EVENTS_CTE}
+    SELECT a.user_id AS user_id,
+           a.event_id AS id_a, b.event_id AS id_b,
+           a.ts AS ts_a, b.ts AS ts_b,
+           ROUND(abs(epoch(a.ts) - epoch(b.ts)), 6) AS gap_seconds
+    FROM ev a JOIN ev b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch(a.ts) - epoch(b.ts)) <= 300
+    """,
+    "range (interval) self-join via time-bucket blocking — hash join on (key, bucket), never a cartesian",
+)
+def events_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.rangejoin import range_self_join
+
+    ev = spread(load(spark, sf_dir, "events")).select("event_id", "user_id", "ts")
+    return range_self_join(
+        ev, key_cols=["user_id"], ts_col="ts", max_gap_seconds=300, id_col="event_id"
+    )
+
+
+@register(
+    "events_rollup_cube",
+    f"""
+    {EVENTS_CTE}
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(value) AS DOUBLE) AS total_value
+    FROM ev
+    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+    """,
+    "multi-level ROLLUP aggregation (grouping sets)",
+)
+def events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.to_date("ts").alias("day"), "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
     "embedding_ann_ivf",
     None,  # approximate by construction — rows-only driver check
     "IVF approximate nearest neighbors: nearest-cell inverted lists + n_probe cell search",

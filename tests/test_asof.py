@@ -61,3 +61,26 @@ def test_asof_single_shuffle_no_python(spark):
     assert plans.exchange_count(out) == 1
     plans.assert_no_python_udf(out)
     assert out.count() == 100
+
+
+def test_range_self_join_blocks_not_cartesian(spark):
+    import datetime as dt
+
+    from connemara_spark.operators.rangejoin import range_self_join
+
+    rows = [
+        (1, 7, dt.datetime(2024, 1, 1, 0, 0, 0)),
+        (2, 7, dt.datetime(2024, 1, 1, 0, 0, 30)),   # 30s from id 1 — pair
+        (3, 7, dt.datetime(2024, 1, 1, 0, 2, 0)),    # 90s from id 2 — no pair (gap=60)
+        (4, 8, dt.datetime(2024, 1, 1, 0, 0, 10)),   # other key — never pairs with 7s
+        (5, 7, dt.datetime(2024, 1, 1, 0, 2, 59)),   # 59s from id 3 across a bucket edge
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    out = range_self_join(
+        df, key_cols=["user_id"], ts_col="ts", max_gap_seconds=60, id_col="event_id"
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(1, 2), (3, 5)}
+    # the plan must be a hash join on (key, bucket) — never nested-loop
+    plans.assert_no_cartesian(out)
+    plans.assert_no_python_udf(out)
