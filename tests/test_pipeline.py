@@ -151,3 +151,76 @@ def test_parquet_store_roundtrip(spark, tmp_path, engine):
     assert out == {1: "b"}
     # versioned dirs: v1 + v2 present, CURRENT points at v2
     assert store.current_version(spec.target_name) == 2
+
+
+def _spec_for(db):
+    return TableSpec(
+        database=db, schema="public", table="items",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text")],
+        pk_cols=["id"],
+    )
+
+
+def _ins(spec, lsn, id_, v):
+    return make_event(spec, "insert", lsn=lsn, row={"id": id_, "v": v})
+
+
+def test_multi_source_consolidation(spark):
+    """The reference's raison d'être (docs/index.rst:9-12): N source
+    databases land in one store, same-named tables kept apart by the
+    <db>_<schema> namespace map."""
+    cat = EngineCatalog()
+    s1, s2 = _spec_for("db1"), _spec_for("db2")
+    cat.register(s1)
+    cat.register(s2)
+    store = MemoryStore(spark)
+    rep = Replayer(spark, cat, store)
+
+    rep.apply_batch(
+        bronze_df(
+            spark,
+            [
+                _ins(s1, 1, 1, "from-db1"),
+                _ins(s2, 1, 1, "from-db2"),   # same lsn, same pk, other source
+                _ins(s2, 2, 2, "db2-only"),
+            ],
+        )
+    )
+
+    t1 = {r.id: r.v for r in store.read(s1).collect()}
+    t2 = {r.id: r.v for r in store.read(s2).collect()}
+    assert t1 == {1: "from-db1"}
+    assert t2 == {1: "from-db2", 2: "db2-only"}
+    assert s1.target_name == "db1_public.items" and s2.target_name == "db2_public.items"
+
+
+def test_slot_restriction_filters(spark):
+    """F2 (replay.pl:726-736): excluded databases are dropped unless their
+    (database, slot) pair is explicitly allowed."""
+    cat = EngineCatalog()
+    s1, s2 = _spec_for("db1"), _spec_for("db2")
+    cat.register(s1)
+    cat.register(s2)
+    store = MemoryStore(spark)
+    rep = Replayer(
+        spark, cat, store,
+        excluded_databases=["db2"],
+        allowed_slots=[("db2", "slot_db2_extra")],
+    )
+
+    ev_allowed = _ins(s2, 3, 7, "via-allowed-slot")
+    ev_allowed["source_slotname"] = "slot_db2_extra"
+    rep.apply_batch(
+        bronze_df(spark, [_ins(s1, 1, 1, "a"), _ins(s2, 2, 6, "blocked"), ev_allowed])
+    )
+
+    assert {r.id: r.v for r in store.read(s1).collect()} == {1: "a"}
+    assert {r.id: r.v for r in store.read(s2).collect()} == {7: "via-allowed-slot"}
+
+
+def test_dml_hook_drops_events(spark, engine):
+    """D14 fix_object_dml analog: returning falsy drops the table's events."""
+    cat, store, _ = engine
+    rep = Replayer(spark, cat, store, dml_hook=lambda db, sch, tbl: tbl != "items")
+    rep.apply_batch(bronze_df(spark, [_ins(SPEC, 1, 1, "x")]))
+    assert store.read(SPEC).count() == 0

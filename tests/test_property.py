@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis): the distributed apply fold must match
+serial per-event application for ANY event stream, and the two text-array
+parsers (driver-side Python vs Catalyst expression) must agree."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from connemara_spark.catalog import ColumnSpec, TableSpec
+from connemara_spark.events import BRONZE_SCHEMA, parse_events
+from connemara_spark.functions import parse_pg_text_array
+from connemara_spark.operators.apply import apply_changes
+from connemara_spark.pipeline import parse_command_tags
+from connemara_spark.testing import SequentialOracle, random_event_stream
+
+SPEC = TableSpec(
+    database="db1",
+    schema="public",
+    table="t",
+    columns=[
+        ColumnSpec("id", "bigint"),
+        ColumnSpec("name", "text"),
+        ColumnSpec("qty", "integer"),
+        ColumnSpec("price", "double precision"),
+    ],
+    pk_cols=["id"],
+)
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from connemara_spark.session import get_spark
+
+        _spark = get_spark("connemara-tests", shuffle_partitions=4)
+    return _spark
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_events=st.integers(min_value=1, max_value=120),
+    pk_change_prob=st.sampled_from([0.0, 0.1, 0.3]),
+    partial_update_prob=st.sampled_from([0.0, 0.4, 0.9]),
+)
+def test_distributed_apply_equals_serial_apply(seed, n_events, pk_change_prob, partial_update_prob):
+    spark = _get_spark()
+    base = [
+        {"id": i, "name": f"n{i}", "qty": i * 2, "price": float(i) + 0.25}
+        for i in range(1, 8)
+    ]
+    evs = random_event_stream(
+        SPEC,
+        base,
+        n_events=n_events,
+        seed=seed,
+        pk_change_prob=pk_change_prob,
+        partial_update_prob=partial_update_prob,
+    )
+    oracle = SequentialOracle(SPEC, base)
+    oracle.apply(evs)
+
+    snapshot = spark.createDataFrame(
+        [tuple(r[c.name] for c in SPEC.columns) for r in base], schema=SPEC.spark_schema()
+    )
+    bronze = spark.createDataFrame(
+        [tuple(r[f.name] for f in BRONZE_SCHEMA.fields) for r in evs], schema=BRONZE_SCHEMA
+    )
+    got = {
+        tuple(r[k] for k in SPEC.pk_cols): {c.name: r[c.name] for c in SPEC.columns}
+        for r in apply_changes(snapshot, parse_events(bronze), SPEC).collect()
+    }
+    want = oracle.rows_by_key() if hasattr(oracle, "rows_by_key") else {
+        k: dict(v) for k, v in oracle.state.items()
+    }
+    assert got.keys() == want.keys(), f"key sets differ: extra={got.keys()-want.keys()} missing={want.keys()-got.keys()}"
+    for k, row in want.items():
+        for c in SPEC.columns:
+            g, w = got[k][c.name], row.get(c.name)
+            if isinstance(w, float):
+                assert g == pytest.approx(w), (k, c.name, g, w)
+            else:
+                assert g == w, (k, c.name, g, w)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    tags=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_characters='{}\\"', exclude_categories=("Cc",)
+            ),
+            min_size=1,
+            max_size=20,
+        ).map(str.strip).filter(bool).filter(lambda s: "," not in s),
+        min_size=0,
+        max_size=5,
+    )
+)
+def test_text_array_parsers_agree(tags):
+    literal = "{" + ",".join(tags) + "}"
+    py = parse_command_tags(literal)
+    assert py == tags
+
+    spark = _get_spark()
+    row = spark.createDataFrame([(literal,)], ["a"]).select(
+        parse_pg_text_array("a").alias("v")
+    ).collect()[0]
+    assert row.v == tags
