@@ -200,16 +200,24 @@ def srp_lsh_topk(
 
     dim = len(emb.select(vec_col).first()[0])
     tagged = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    sigs = tagged.select(
+    # Signatures computed in a codegen'd Project (one column per table);
+    # the explode below only assembles attribute references — expression
+    # trees inlined into a Generate node evaluate interpreted.
+    with_sigs = tagged.select(
+        "id",
+        "vec",
+        *[
+            srp_signature(F.col("vec"), _hyperplanes(dim, n_bits, seed + t)).alias(f"__sig{t}")
+            for t in range(n_tables)
+        ],
+    )
+    sigs = with_sigs.select(
         "id",
         "vec",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        srp_signature(F.col("vec"), _hyperplanes(dim, n_bits, seed + t)).alias("sig"),
-                    )
+                    F.struct(F.lit(t).alias("tbl"), F.col(f"__sig{t}").alias("sig"))
                     for t in range(n_tables)
                 ]
             )

@@ -1104,6 +1104,74 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_transitions",
+    f"""
+    {EVENTS_CTE}
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions,
+           CAST(AVG(epoch(ts) - epoch(prev_ts)) AS DOUBLE) AS avg_gap_seconds
+    FROM (
+        SELECT user_id, ts, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM ev
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+    "funnel transition matrix via lag() window navigation",
+)
+def events_funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).filter(F.col("prev_type").isNotNull())
+    return stepped.groupBy(F.col("prev_type"), F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.avg(F.col("ts").cast("double") - F.col("prev_ts").cast("double"))
+        .cast("double")
+        .alias("avg_gap_seconds"),
+    )
+
+
+@register(
+    "q2_cheapest_supplier_per_part",
+    """
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+    FROM (
+        SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY p.p_partkey
+                                  ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ) WHERE rn = 1
+    """,
+    "per-group argmin over a join (TPC-H q2 shape): cheapest known supplier per part",
+)
+def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").dropDuplicates()
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    w = Window.partitionBy("p_partkey").orderBy("s_acctbal", "s_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@register(
     "events_range_join_pairs",
     f"""
     {EVENTS_CTE}
