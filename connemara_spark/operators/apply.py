@@ -67,7 +67,26 @@ def _new_key(spec: TableSpec) -> list[Column]:
     return [_typed_value(spec, pk) for pk in spec.pk_cols]
 
 
+def _effective_spec(spec: TableSpec) -> tuple[TableSpec, bool]:
+    """No-PK fallback (SURVEY §7 hard-point 6; the reference dies at
+    replay.pl:96): key on the WHOLE ROW — PostgreSQL logical replication of
+    a PK-less table requires REPLICA IDENTITY FULL, so oldkeys carries every
+    column. Updates become delete(old row)+insert(new row); duplicate
+    identical rows collapse to set semantics (documented divergence — the
+    reference's one-row assertion would abort on them anyway)."""
+    if spec.pk_cols:
+        return spec, False
+    from dataclasses import replace
+
+    return replace(spec, pk_cols=[c.name for c in spec.columns]), True
+
+
 def events_for_table(events: DataFrame, spec: TableSpec) -> DataFrame:
+    spec, whole_row = _effective_spec(spec)
+    return _events_for_table(events, spec, whole_row)
+
+
+def _events_for_table(events: DataFrame, spec: TableSpec, whole_row: bool = False) -> DataFrame:
     """Filter + project the parsed event stream for one table.
 
     Output: ``insert_timestamp, lsn_start, sub_ord, op, __pk (struct),
@@ -103,16 +122,19 @@ def events_for_table(events: DataFrame, spec: TableSpec) -> DataFrame:
     # both key structs — is evaluated exactly once per event here. Without
     # this split the whole tree ends up inlined (repeatedly!) inside the
     # Generate node below, which Spark evaluates in interpreted mode.
+    pk_changed = (
+        (F.col("op") == "update") & F.col("oldkeys").isNotNull() & pk_present
+    )
+    if not whole_row:
+        pk_changed = pk_changed & ~old_key.eqNullSafe(new_key)
+    # whole-row keys: EVERY full update is delete(old)+insert(new) — any
+    # value change IS a key change when the key is the row.
+
     pre = ev.select(
         "insert_timestamp",
         "lsn_start",
         F.col("op").alias("__op"),
-        (
-            (F.col("op") == "update")
-            & F.col("oldkeys").isNotNull()
-            & pk_present
-            & ~old_key.eqNullSafe(new_key)
-        ).alias("__pk_changed"),
+        pk_changed.alias("__pk_changed"),
         old_key.alias("__old_key"),
         new_key.alias("__new_key"),
         vals.alias("__vals"),
@@ -219,6 +241,7 @@ def apply_changes(
     — usable identically from batch jobs and from ``foreachBatch`` (SURVEY §7
     design stance).
     """
+    spec, _whole_row = _effective_spec(spec)
     ev = events_for_table(events, spec)
 
     # One shuffle: group per key, events sorted by (ts, lsn, sub_ord) via

@@ -228,3 +228,26 @@ def test_real_pk_change_still_splits(spark):
     rows = {r["c_custkey"]: r.asDict() for r in _run_apply(spark, CUST, base, evs).collect()}
     assert set(rows) == {7}
     assert rows[7]["c_name"] == "a2" and rows[7]["c_acctbal"] == 11.0
+
+
+NOPK = TableSpec(
+    database="db1", schema="public", table="nopk",
+    columns=[ColumnSpec("a", "integer"), ColumnSpec("b", "text")],
+    pk_cols=[],  # REPLICA IDENTITY FULL fallback: whole-row keys
+)
+
+
+def test_no_pk_table_whole_row_fallback(spark):
+    """SURVEY hard-point 6: the reference dies on PK-less tables; this
+    engine falls back to whole-row keys (oldkeys = all columns)."""
+    base = [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+    evs = [
+        make_event(NOPK, "insert", lsn=1, row={"a": 3, "b": "z"}),
+        make_event(NOPK, "delete", lsn=2, old_key={"a": 1, "b": "x"}),
+        make_event(
+            NOPK, "update", lsn=3,
+            row={"a": 2, "b": "y2"}, old_key={"a": 2, "b": "y"},
+        ),
+    ]
+    got = sorted((r.a, r.b) for r in _run_apply(spark, NOPK, base, evs).collect())
+    assert got == [(2, "y2"), (3, "z")]
