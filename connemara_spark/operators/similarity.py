@@ -179,6 +179,41 @@ def srp_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     )
 
 
+def unit_expr(a: Column) -> Column:
+    """L2-normalized copy of the vector. Normalizing ONCE per row turns every
+    downstream cosine into a single dot fold — at rerank time each candidate
+    pair costs one array aggregate instead of three (dot + 2 norms)."""
+    nrm = norm_expr(a)
+    return F.transform(a, lambda x: x.cast("double") / nrm)
+
+
+def _srp_signatures_udf(dim: int, n_bits: int, n_tables: int, seed: int):
+    """Arrow-batched SRP signatures: one ``batch @ planes.T`` matmul yields
+    the sign bits for ALL tables at once, packed big-endian to match the
+    native ``srp_signature`` fold (``acc*2 + bit``).
+
+    The native expression's nested fold (aggregate over planes, dot fold per
+    plane) is interpreted row-at-a-time and its 2-D literal tree is
+    expensive to even compile; dense fixed-width linear algebra is the one
+    place a Pandas UDF beats Catalyst by an order of magnitude."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = np.array(
+        [_hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)], dtype=np.float64
+    ).reshape(n_tables * n_bits, dim)
+    weights = (1 << np.arange(n_bits - 1, -1, -1)).astype(np.int64)
+
+    def sigs(v):
+        mat = np.array(v.tolist(), dtype=np.float64)
+        bits = (mat @ planes.T >= 0).reshape(len(mat), -1, len(weights))
+        return pd.Series(list((bits * weights).sum(axis=2).astype(np.int64)))
+
+    sigs.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(sigs, "array<long>")
+
+
 def srp_lsh_topk(
     emb: DataFrame,
     *,
@@ -194,35 +229,28 @@ def srp_lsh_topk(
     Each of ``n_tables`` signature functions buckets the vectors; candidate
     pairs share a bucket in ≥1 table. Shuffles on (table, signature) — bucket
     size ≈ N/2^n_bits tunes the cost. Output like brute_force_topk (rank
-    within retrieved candidates).
+    within retrieved candidates). Vectors are unit-normalized before the
+    bucket join (sign of <v,p> is scale-invariant), so the rerank cosine is
+    one dot fold per candidate pair.
     """
     from pyspark.sql.window import Window
 
     dim = len(emb.select(vec_col).first()[0])
-    tagged = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    # Signatures computed in a codegen'd Project (one column per table);
-    # the explode below only assembles attribute references — expression
-    # trees inlined into a Generate node evaluate interpreted.
-    with_sigs = tagged.select(
-        "id",
-        "vec",
-        *[
-            srp_signature(F.col("vec"), _hyperplanes(dim, n_bits, seed + t)).alias(f"__sig{t}")
-            for t in range(n_tables)
-        ],
+    # Signatures for all tables in one vectorized matmul (sign of <v,p> is
+    # scale-invariant, so they hash the raw vector); the unit vector is a
+    # sibling column computed once per row so the rerank below is a single
+    # dot fold per candidate pair.
+    sig_fn = _srp_signatures_udf(dim, n_bits, n_tables, seed)
+    with_sigs = emb.select(
+        F.col(id_col).alias("id"),
+        unit_expr(F.col(vec_col)).alias("vec"),
+        sig_fn(F.col(vec_col)).alias("__sigs"),
     )
-    sigs = with_sigs.select(
-        "id",
-        "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), F.col(f"__sig{t}").alias("sig"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("s"),
-    ).select("id", "vec", F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig")).persist()
+    sigs = (
+        with_sigs.select("id", "vec", F.posexplode("__sigs").alias("tbl", "sig"))
+        .select("id", "vec", "tbl", "sig")
+        .persist()
+    )
 
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
@@ -240,7 +268,7 @@ def srp_lsh_topk(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cosine", cosine_expr(F.col("qvec"), F.col("nvec")))
+    scored = cand.withColumn("cosine", dot_expr(F.col("qvec"), F.col("nvec")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -331,9 +359,28 @@ def ivf_cells(
         centroids.append([float(x) / n for x in v])
 
     cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
-    dots = F.transform(cents, lambda c: dot_expr(F.col(vec_col), c) / norm_expr(F.col(vec_col)))
+    # argmax of <v,c>/|v| == argmax of <v,c> (|v| is a positive per-row
+    # constant) — the norm division is dropped entirely.
+    dots = F.transform(cents, lambda c: dot_expr(F.col(vec_col), c))
     cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
     return emb.withColumn("cell", cell), centroids
+
+
+def _centroid_sample(
+    emb: DataFrame, id_col: str, vec_col: str, n_cells: int, seed: int
+) -> list[list[float]]:
+    sampled = (
+        emb.select(id_col, vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"))
+        .orderBy("__h")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = []
+    for r in sampled:
+        v = list(r[vec_col])
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        centroids.append([float(x) / n for x in v])
+    return centroids
 
 
 def ivf_topk(
@@ -361,27 +408,40 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    assigned, centroids = ivf_cells(emb, id_col, vec_col, n_cells=n_cells, seed=seed)
-    index = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"), "cell"
-    )
-
+    centroids = _centroid_sample(emb, id_col, vec_col, n_cells, seed)
     cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
-    dots = F.transform(cents, lambda c: dot_expr(F.col(vec_col), c) / norm_expr(F.col(vec_col)))
-    # n_probe nearest cells: argsort via (dot, index) struct sort descending.
+
+    # One per-row prep shared by BOTH sides of the candidate join: the unit
+    # vector (so the rerank cosine is a single dot fold) and the
+    # probe-ordered cell ranking (cell ordering by <v,c> is scale-invariant,
+    # so it is computed from the raw vector without any norm division).
+    dots = F.transform(cents, lambda c: dot_expr(F.col(vec_col), c))
     ranked = F.reverse(
         F.array_sort(
-            F.zip_with(dots, F.sequence(F.lit(0), F.lit(len(centroids) - 1)), lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+            F.zip_with(
+                dots,
+                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
         )
     )
-    probes = F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"].cast("int"))
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        unit_expr(F.col(vec_col)).alias("uvec"),
+        F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"].cast("int")).alias("probes"),
+    ).persist()
 
-    queries = emb.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), F.explode(probes).alias("cell")
+    index = base.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("uvec").alias("nvec"),
+        F.element_at("probes", 1).alias("cell"),  # nearest cell = inverted list
+    )
+    queries = base.select(
+        F.col("id").alias("query_id"), F.col("uvec").alias("qvec"), F.explode("probes").alias("cell")
     )
 
     cand = queries.join(index, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.withColumn("cosine", cosine_expr(F.col("qvec"), F.col("nvec")))
+    scored = cand.withColumn("cosine", dot_expr(F.col("qvec"), F.col("nvec")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
