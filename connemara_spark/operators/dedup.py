@@ -171,28 +171,24 @@ def minhash_signatures(
     return hashed.select("id", minhash_sig_expr("hs", num_hashes=num_hashes, seed=seed).alias("sig"))
 
 
-def minhash_sig_expr(hs_col: str | Column, *, num_hashes: int = 64, seed: int = 42) -> Column:
+def minhash_sig_expr(hs_col: str, *, num_hashes: int = 64, seed: int = 42) -> Column:
     """Signature expression over an array<bigint> shingle-hash column.
 
     pmod by a Mersenne prime makes each affine map a genuine
     pseudo-permutation — without it a*h+b is monotone in h and every
     "permutation" would pick the same argmin shingle.
+
+    Assembled as ONE SQL string parsed JVM-side: building 64 lambda-bearing
+    Column trees through py4j costs ~1.5 s of driver time per query; one
+    ``expr()`` parse costs milliseconds. Driver-side plan-construction
+    latency is pure serial overhead on a 1000-executor cluster.
     """
     params = _affine_params(num_hashes, seed)
-    hs = F.col(hs_col) if isinstance(hs_col, str) else hs_col
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    hs,
-                    lambda s: F.pmod(
-                        s.bitwiseAND(F.lit(0xFFFFFFFF)) * F.lit(a) + F.lit(b), F.lit(_MERSENNE)
-                    ),
-                )
-            )
-            for a, b in params
-        ]
+    mins = ", ".join(
+        f"array_min(transform({hs_col}, s -> pmod((s & 4294967295L) * {a}L + {b}L, {_MERSENNE}L)))"
+        for a, b in params
     )
+    return F.expr(f"array({mins})")
 
 
 def minhash_lsh_pairs(
@@ -228,25 +224,20 @@ def minhash_lsh_pairs(
         "id", minhash_sig_expr("hs", num_hashes=num_hashes, seed=seed).alias("sig")
     )
 
-    band_rows = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", bi * rows_per_band + ri + 1)
-                                for ri in range(rows_per_band)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")).persist()
+    band_structs = ", ".join(
+        "named_struct('band', {bi}, 'bh', xxhash64({cols}))".format(
+            bi=bi,
+            cols=", ".join(
+                f"element_at(sig, {bi * rows_per_band + ri + 1})" for ri in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    band_rows = (
+        sigs.select("id", F.expr(f"explode(array({band_structs}))").alias("b"))
+        .select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        .persist()
+    )
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -286,16 +277,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         F.transform(F.split(F.col(text_col), r"\s+"), lambda t: F.xxhash64(t)).alias("ths"),
     )
-    n = F.size("ths")
-    sim = None
-    for j in range(64):
-        ones = F.size(
-            F.filter("ths", lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1)
-        )
-        bit = F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        sim = term if sim is None else sim.bitwiseXOR(term)
-    return hashed.select("id", sim.alias("simhash"))
+    # One SQL string parsed JVM-side (vs 64 py4j-built filter trees, which
+    # cost ~2 s of driver time per query). Bit j's majority vote is
+    # 2·|{h : bit_j(h)=1}| > |tokens|.
+    terms = " ^ ".join(
+        f"shiftleft(if(2 * size(filter(ths, h -> (shiftright(h, {j}) & 1) = 1)) > size(ths), 1L, 0L), {j})"
+        for j in range(64)
+    )
+    return hashed.select("id", F.expr(terms).alias("simhash"))
 
 
 def simhash_pairs(
@@ -375,38 +364,23 @@ def minhash_lsh_pairs_md5(
         F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shs")
     ).persist()
 
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform("shs", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
-            )
-            for i in range(num_hashes)
-        ]
+    mins = ", ".join(
+        f"array_min(transform(shs, s -> md5(concat('{i}|', s))))" for i in range(num_hashes)
     )
-    sigs = shingled.select("id", "shs", sig.alias("sig"))
+    sigs = shingled.select("id", "shs", F.expr(f"array({mins})").alias("sig"))
 
-    band_rows = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.element_at("sig", bi * rows_per_band + ri + 1)
-                                    for ri in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    band_structs = ", ".join(
+        "named_struct('band', {bi}, 'bh', md5(concat_ws('|', {cols})))".format(
+            bi=bi,
+            cols=", ".join(
+                f"element_at(sig, {bi * rows_per_band + ri + 1})" for ri in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    band_rows = sigs.select("id", F.expr(f"explode(array({band_structs}))").alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
 
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (

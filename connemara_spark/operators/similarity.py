@@ -358,12 +358,23 @@ def ivf_cells(
         n = math.sqrt(sum(x * x for x in v)) or 1.0
         centroids.append([float(x) / n for x in v])
 
-    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    cents = _centroid_lit(centroids)
     # argmax of <v,c>/|v| == argmax of <v,c> (|v| is a positive per-row
     # constant) — the norm division is dropped entirely.
     dots = F.transform(cents, lambda c: dot_expr(F.col(vec_col), c))
     cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
     return emb.withColumn("cell", cell), centroids
+
+
+def _centroid_lit(centroids: list[list[float]]) -> Column:
+    """2-D centroid literal built as ONE SQL string parsed JVM-side —
+    ``F.array(*[F.array(*[F.lit(x) ...])])`` costs a py4j round-trip per
+    element (n_cells × dim of them), which is ~1 s of serial driver time
+    per query; one ``expr()`` parse is milliseconds."""
+    rows = ", ".join(
+        "array({})".format(", ".join(f"{x!r}D" for x in c)) for c in centroids
+    )
+    return F.expr(f"array({rows})")
 
 
 def _centroid_sample(
@@ -409,7 +420,7 @@ def ivf_topk(
     from pyspark.sql.window import Window
 
     centroids = _centroid_sample(emb, id_col, vec_col, n_cells, seed)
-    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    cents = _centroid_lit(centroids)
 
     # One per-row prep shared by BOTH sides of the candidate join: the unit
     # vector (so the rerank cosine is a single dot fold) and the
