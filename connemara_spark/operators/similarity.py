@@ -187,7 +187,7 @@ def unit_expr(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double") / nrm)
 
 
-def _srp_signatures_udf(dim: int, n_bits: int, n_tables: int, seed: int):
+def _srp_signatures_udf(n_bits: int, n_tables: int, seed: int):
     """Arrow-batched SRP signatures: one ``batch @ planes.T`` matmul yields
     the sign bits for ALL tables at once, packed big-endian to match the
     native ``srp_signature`` fold (``acc*2 + bit``).
@@ -195,19 +195,31 @@ def _srp_signatures_udf(dim: int, n_bits: int, n_tables: int, seed: int):
     The native expression's nested fold (aggregate over planes, dot fold per
     plane) is interpreted row-at-a-time and its 2-D literal tree is
     expensive to even compile; dense fixed-width linear algebra is the one
-    place a Pandas UDF beats Catalyst by an order of magnitude."""
+    place a Pandas UDF beats Catalyst by an order of magnitude.
+
+    The vector dimension is inferred from the first Arrow batch on each
+    worker — ``_hyperplanes`` is a seeded deterministic generator, so every
+    worker derives identical planes and the driver never runs a ``first()``
+    job just to learn ``dim``."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
-    planes = np.array(
-        [_hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)], dtype=np.float64
-    ).reshape(n_tables * n_bits, dim)
+    cache: dict[int, np.ndarray] = {}
+
+    def planes_for(dim: int) -> np.ndarray:
+        if dim not in cache:
+            cache[dim] = np.array(
+                [_hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)],
+                dtype=np.float64,
+            ).reshape(n_tables * n_bits, dim)
+        return cache[dim]
+
     weights = (1 << np.arange(n_bits - 1, -1, -1)).astype(np.int64)
 
     def sigs(v):
         mat = np.array(v.tolist(), dtype=np.float64)
-        bits = (mat @ planes.T >= 0).reshape(len(mat), -1, len(weights))
+        bits = (mat @ planes_for(mat.shape[1]).T >= 0).reshape(len(mat), -1, len(weights))
         return pd.Series(list((bits * weights).sum(axis=2).astype(np.int64)))
 
     sigs.__annotations__ = {"v": pd.Series, "return": pd.Series}
@@ -235,12 +247,11 @@ def srp_lsh_topk(
     """
     from pyspark.sql.window import Window
 
-    dim = len(emb.select(vec_col).first()[0])
     # Signatures for all tables in one vectorized matmul (sign of <v,p> is
     # scale-invariant, so they hash the raw vector); the unit vector is a
     # sibling column computed once per row so the rerank below is a single
     # dot fold per candidate pair.
-    sig_fn = _srp_signatures_udf(dim, n_bits, n_tables, seed)
+    sig_fn = _srp_signatures_udf(n_bits, n_tables, seed)
     with_sigs = emb.select(
         F.col(id_col).alias("id"),
         unit_expr(F.col(vec_col)).alias("vec"),
