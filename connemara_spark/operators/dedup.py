@@ -338,6 +338,78 @@ def simhash_pairs(
     )
 
 
+def simhash_md5(df: DataFrame, id_col: str, text_col: str, *, n_bits: int = 60) -> DataFrame:
+    """60-bit SimHash with an md5 token-hash family — the ORACLE-CHECKABLE
+    twin of ``simhash`` (same shape as ``minhash_lsh_pairs_md5`` vs the
+    xxhash64 variant).
+
+    Token hash = the low 15 hex nibbles of ``md5(token)``; bit j of a token
+    is bit ``j%4`` of nibble ``j//4`` (counting from the least-significant
+    hex char), decoded via ``instr('0123456789abcdef', char)`` — portable
+    arithmetic every SQL engine reproduces bit-for-bit. 60 bits keeps all
+    shift/sum arithmetic inside a signed 64-bit integer in BOTH engines (no
+    sign-bit or overflow divergence). Output: (id, simhash bigint).
+    """
+    assert n_bits <= 60 and n_bits % 4 == 0
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform(split({text_col}, ' '), t -> substring(md5(t), 18, {n_bits // 4}))"
+        ).alias("ths"),
+    )
+    terms = " ^ ".join(
+        "shiftleft(if(2 * size(filter(ths, h -> "
+        f"shiftright(instr('0123456789abcdef', substring(h, {n_bits // 4 - j // 4}, 1)) - 1, {j % 4}) & 1 = 1"
+        f")) > size(ths), 1L, 0L), {j})"
+        for j in range(n_bits)
+    )
+    return hashed.select("id", F.expr(terms).alias("simhash"))
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    n_bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs by md5-SimHash Hamming distance — oracle-checkable
+    twin of ``simhash_pairs`` (same pigeonhole banding, same verification).
+    Output: (id_a, id_b, hamming)."""
+    assert bands > max_hamming and n_bits % bands == 0
+    width = n_bits // bands
+    sh = simhash_md5(df, id_col, text_col, n_bits=n_bits)
+    chunk_structs = ", ".join(
+        f"named_struct('band', {bi}, 'chunk', shiftright(simhash, {bi * width}) & {(1 << width) - 1}L)"
+        for bi in range(bands)
+    )
+    chunks = sh.select(
+        "id", "simhash", F.expr(f"explode(array({chunk_structs}))").alias("c")
+    ).select("id", "simhash", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
 def minhash_lsh_pairs_md5(
     df: DataFrame,
     id_col: str,

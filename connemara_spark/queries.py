@@ -730,7 +730,8 @@ def minhash_lsh_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash_dedup",
     None,  # xxhash64-based sketch — not SQL-expressible; structural checks
-           # in tests/test_dedup.py
+           # in tests/test_dedup.py. simhash_dedup_md5 below runs the same
+           # pipeline with a portable md5 family under the value-hash gate.
     "64-bit SimHash near-dup pairs (hamming <= 3, banded)",
 )
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,6 +739,50 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load(spark, sf_dir, "documents"))
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# 60 bit-vote terms of the md5-SimHash oracle: bit j of a token hash is bit
+# j%4 of hex nibble j//4 (from the least-significant char of the low 15
+# nibbles of md5), decoded via strpos — portable integer arithmetic.
+_SIMHASH_MD5_TERMS = " + ".join(
+    "(CASE WHEN 2 * len(list_filter(ths, h -> "
+    "(((strpos('0123456789abcdef', h[{p}:{p}]) - 1) >> {s}) & 1) = 1"
+    ")) > len(ths) THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {j})".format(
+        p=15 - j // 4, s=j % 4, j=j
+    )
+    for j in range(60)
+)
+
+
+@register(
+    "simhash_dedup_md5",
+    f"""
+    WITH d AS (
+        SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)[18:]) AS ths
+        FROM documents
+    ),
+    sims AS (SELECT doc_id, ({_SIMHASH_MD5_TERMS}) AS simhash FROM d),
+    chunks AS (
+        SELECT doc_id, simhash, t.band AS band,
+               (simhash >> (t.band * 15)) & 32767 AS chunk
+        FROM sims, (SELECT unnest(range(0, 4)) AS band) t
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM chunks a
+        JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+    "60-bit md5-SimHash near-dup pairs — the sketch pipeline under the value-hash gate",
+)
+def simhash_dedup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.dedup import simhash_pairs_md5
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    return simhash_pairs_md5(docs, "doc_id", "text", max_hamming=3, bands=4)
 
 
 @register(
