@@ -288,6 +288,111 @@ def srp_lsh_topk(
     )
 
 
+def rademacher_planes(dim: int, n_bits: int, n_tables: int, seed: int) -> list[list[list[int]]]:
+    """Seeded ±1 (Rademacher) projection planes — a valid SRP-LSH family
+    (sign of <v,p> with p uniform on the hypercube) whose projections are
+    EXACT float arithmetic: multiplying by ±1 is negation, so both Spark and
+    any SQL oracle evaluating the same literal chain get bit-identical
+    signs. Shape: [n_tables][n_bits][dim]."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[rng.choice((1, -1)) for _ in range(dim)] for _ in range(n_bits)]
+        for _ in range(n_tables)
+    ]
+
+
+def _rademacher_dot_sql(plane: list[int], elem_fmt: str) -> str:
+    """Flat left-associative ± chain: ``CAST(v[1] AS DOUBLE) + (-CAST(v[2]
+    AS DOUBLE)) + ...`` — textually identical math on both engines (only the
+    element accessor differs via ``elem_fmt``, e.g. ``element_at(embedding,
+    {i})`` vs ``qvec[{i}]``)."""
+    terms = []
+    for i, p in enumerate(plane):
+        cast = f"CAST({elem_fmt.format(i=i + 1)} AS DOUBLE)"
+        terms.append(cast if p > 0 else f"(-{cast})")
+    return " + ".join(terms)
+
+
+def srp_lit_signature_sql(
+    planes_t: list[list[int]], elem_fmt: str, *, dialect: str
+) -> str:
+    """One table's signature as SQL: big-endian fold of the per-plane sign
+    bits. ``dialect`` picks the shift syntax (Spark ``shiftleft``, DuckDB
+    ``<<``)."""
+    n_bits = len(planes_t)
+    bits = []
+    for b, plane in enumerate(planes_t):
+        dot = _rademacher_dot_sql(plane, elem_fmt)
+        shift = n_bits - 1 - b
+        if dialect == "spark":
+            bits.append(f"shiftleft(if(({dot}) >= 0, 1L, 0L), {shift})")
+        else:
+            bits.append(
+                f"(CAST(CASE WHEN ({dot}) >= 0 THEN 1 ELSE 0 END AS BIGINT) << {shift})"
+            )
+    return " + ".join(bits)
+
+
+def srp_lsh_topk_lit(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ORACLE-CHECKABLE twin of ``srp_lsh_topk``: literal Rademacher planes
+    instead of Gaussian ones, rerank cosine via the same dot/(|q||n|) fold
+    the brute-force baseline uses. Every step (signature, bucket join,
+    rerank, rank window) is portable SQL, so a DuckDB oracle reproduces the
+    pipeline bit-for-bit. Same shuffle shape as the xxhash variant: one
+    (table, signature) bucket join, never all-pairs."""
+    from pyspark.sql.window import Window
+
+    planes = rademacher_planes(dim, n_bits, n_tables, seed)
+    sig_arr = ", ".join(
+        srp_lit_signature_sql(planes[t], f"element_at({vec_col}, {{i}})", dialect="spark")
+        for t in range(n_tables)
+    )
+    sigs = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.expr(f"array({sig_arr})").alias("__sigs"),
+        )
+        .select("id", "vec", F.posexplode("__sigs").alias("tbl", "sig"))
+        .persist()
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+            F.col("a.vec").alias("qvec"),
+            F.col("b.vec").alias("nvec"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cosine", cosine_expr(F.col("qvec"), F.col("nvec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def numpy_topk(
     emb: DataFrame,
     *,

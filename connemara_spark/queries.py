@@ -834,6 +834,62 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_lsh_topk(emb, k=5, n_bits=8, n_tables=6)
 
 
+def _srp_lit_oracle() -> str:
+    """DuckDB oracle for the literal-Rademacher SRP twin: the SAME seeded
+    planes render into both engines' SQL (only the element accessor and
+    shift syntax differ), so signatures — and therefore buckets, candidates,
+    and ranks — agree exactly."""
+    from connemara_spark.operators.similarity import (
+        rademacher_planes,
+        srp_lit_signature_sql,
+    )
+
+    planes = rademacher_planes(64, 8, 4, 42)
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, ({srp_lit_signature_sql(planes[t], 'embedding[{i}]', dialect='duckdb')}) AS sig FROM embeddings"
+        for t in range(4)
+    )
+    return f"""
+    WITH sigs AS ({unions}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> CAST(q.embedding[i] * n.embedding[i] AS DOUBLE))),
+                   (a, b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, 65), i -> CAST(q.embedding[i] * q.embedding[i] AS DOUBLE))),
+                      (a, b) -> a + b))
+                  * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, 65), i -> CAST(n.embedding[i] * n.embedding[i] AS DOUBLE))),
+                      (a, b) -> a + b))) AS cosine
+        FROM cand JOIN embeddings q ON q.vec_id = query_id
+                  JOIN embeddings n ON n.vec_id = neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "embedding_ann_lsh_lit",
+    _srp_lit_oracle(),
+    "SRP-LSH top-k with literal Rademacher planes — the bucketed ANN pipeline under the value-hash gate",
+)
+def embedding_ann_lsh_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.similarity import srp_lsh_topk_lit
+
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    return srp_lsh_topk_lit(emb, k=5, n_bits=8, n_tables=4)
+
+
 @register(
     "language_id",
     """
