@@ -172,7 +172,9 @@ class DDLExecutor:
             return "view-dropped"
 
         if re.match(r"create\s+sequence", low):
-            self.sequences.add(sql.split()[2 if "sequence" in low.split()[1] else 2])
+            sm = re.match(r"create\s+sequence\s+(?:if\s+not\s+exists\s+)?(\S+)", low)
+            if sm:
+                self.sequences.add(sm.group(1))
             return "sequence-recorded"
         if re.match(r"(alter|drop)\s+sequence", low):
             return "sequence-noop"
@@ -225,6 +227,30 @@ class DDLExecutor:
             spec = self.catalog.get(database, schema, table)
 
             if verb == "add":
+                # Table-level constraint additions are metadata, not columns:
+                # without this guard the identifier regex below happily parses
+                # "CONSTRAINT t_uq UNIQUE (a)" as a column named CONSTRAINT.
+                km = re.match(
+                    r"(?:constraint\s+(\S+)\s+)?(primary\s+key|foreign\s+key|unique|exclude|check)\b(.*)$",
+                    rest.strip(), re.IGNORECASE | re.DOTALL,
+                )
+                if km:
+                    kind = re.sub(r"\s+", " ", km.group(2).lower())
+                    tail = km.group(3)
+                    if kind == "primary key":
+                        pkm = re.search(r"\(\s*(.*?)\s*\)", tail, re.DOTALL)
+                        if pkm:
+                            spec.pk_cols = [
+                                _unquote(c.strip()) for c in pkm.group(1).split(",")
+                            ]
+                        return "pk-added"
+                    if kind == "unique":
+                        spec.has_extra_unique = True
+                        return "unique-added"
+                    # FK / EXCLUDE / CHECK: no engine-side effect (the store
+                    # has no constraint enforcement; reference replays them
+                    # against PG, replay.pl:270-350)
+                    return "constraint-noop"
                 cm = re.match(rf"(column\s+)?(if\s+not\s+exists\s+)?({_IDENT})\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
                 if not cm:
                     raise ValueError(f"unparsable ADD COLUMN: {rest!r}")

@@ -20,6 +20,14 @@ PK-change updates (replay.pl:905-950) are split into delete(old_pk) +
 insert(new_pk) *before* grouping, preserving intra-event order via a
 sub-ordinal — the same barrier semantics without any barrier.
 
+KNOWN DIVERGENCE (documented): the reference executes PK-change updates as a
+real UPDATE against PostgreSQL, which preserves columns wal2json omitted
+(unchanged TOAST values). Here the old row's values live under a different
+fold key and cannot be carried across the split, so omitted columns of a
+PK-change insert become NULL. Such events are COUNTED as violations (the J4
+drift counter) so the drift is observable, matching the reference's
+assert-and-surface philosophy (replay.pl:416-426).
+
 No Python UDFs anywhere: one shuffle for the groupBy, one sort-merge join
 against the snapshot. Scales to arbitrary table sizes; per-key state is
 bounded by events-per-key-per-batch (same bound as the reference's queues).
@@ -193,8 +201,16 @@ def _fold_expr(spec: TableSpec, events_col: str, init_exists: Column, init_vals:
             *[F.when(e["has"][c], e["vals"][c]).otherwise(acc["vals"][c]).alias(c) for c in cols]
         )
         null_vals = F.struct(*[F.lit(None).cast(s.spark_type).alias(s.name) for s in spec.columns])
+        # Incomplete PK-change insert (sub_ord=1 marks the insert half of a
+        # split PK change): omitted TOAST columns are lost (see module
+        # docstring) — surfaced as a violation, not silently.
+        incomplete = F.lit(False)
+        for c in cols:
+            incomplete = incomplete | ~e["has"][c]
         violation = (
-            F.when((e["op"].isin("update", "delete")) & ~acc["exists"], F.lit(1)).otherwise(F.lit(0))
+            F.when((e["op"].isin("update", "delete")) & ~acc["exists"], F.lit(1))
+            .when((e["op"] == "insert") & (e["sub_ord"] == 1) & incomplete, F.lit(1))
+            .otherwise(F.lit(0))
         )
         return (
             F.when(
@@ -209,7 +225,7 @@ def _fold_expr(spec: TableSpec, events_col: str, init_exists: Column, init_vals:
                 e["op"] == "insert",
                 F.struct(
                     F.lit(True).alias("exists"),
-                    acc["violations"].alias("violations"),
+                    (acc["violations"] + violation).alias("violations"),
                     e["vals"].alias("vals"),
                 ),
             )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from connemara_spark.catalog import EngineCatalog, TableSpec
 from connemara_spark.ddl.executor import DDLExecutor
-from connemara_spark.ddl.rewriter import DDLAction, classify_ddl, fix_search_path
+from connemara_spark.ddl.rewriter import DDLAction, classify_ddl
 from connemara_spark.events import parse_events, slot_restriction, split_ddl_dml, standard_filters
 from connemara_spark.operators.apply import apply_changes
 
@@ -300,7 +300,22 @@ class Replayer:
         if not query:
             metrics.ddl_skipped += 1
             return
-        known = {s.schema for s in self.catalog.tables() if s.database == database} | {"public"}
+        # The event record carries the session's search_path; the reference
+        # applies the rewritten path before replay (connemara_rewrite.pm:
+        # 145-157) so unqualified names resolve in the source session's
+        # schema, not blindly in 'public'.
+        source_schema = "public"
+        raw_path = rec.get("search_path")
+        if raw_path:
+            for p in str(raw_path).split(","):
+                p = p.strip().strip('"')
+                if p and p != "$user":
+                    source_schema = p
+                    break
+        known = {s.schema for s in self.catalog.tables() if s.database == database} | {
+            "public",
+            source_schema,
+        }
         decision = classify_ddl(
             query, database, known_schemas=known, md5_blocklist=self.md5_blocklist
         )
@@ -308,6 +323,6 @@ class Replayer:
             metrics.ddl_skipped += 1
             metrics.actions.append(f"skip:{decision.reason}")
             return
-        tag = self.executor.execute(decision, database)
+        tag = self.executor.execute(decision, database, source_schema=source_schema)
         metrics.ddl_executed += 1
         metrics.actions.append(tag)

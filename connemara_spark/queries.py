@@ -28,6 +28,11 @@ DEC_RATE = "decimal(4,2)"
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # The driver harness builds a bare SparkSession (not our get_spark()), so
+    # the nanos escape hatch must be set here: events.parquet is written as
+    # TIMESTAMP(NANOS) which Spark rejects unless read as raw int64. This is a
+    # runtime-settable SQLConf, safe to set repeatedly.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong conf);
     # floor-convert to micros — identical to DuckDB's CAST(ts AS TIMESTAMP).
@@ -43,7 +48,15 @@ def spread(df: DataFrame) -> DataFrame:
     file in local tests). At production scale files outnumber cores and this
     is a no-op — no shuffle is added."""
     want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    # Avoid df.rdd (forces an RDD conversion plan per query): a single local
+    # parquet file always scans as < `want` partitions, and at production
+    # scale files outnumber cores, so keying off the input file count is an
+    # accurate, plan-free proxy.
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        nfiles = want
+    if nfiles < want:
         return df.repartition(want)
     return df
 
@@ -557,7 +570,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gapped = ev.withColumn(
         "is_new",
         F.when(
-            (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 1800)
+            (F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double") > 1800.0)
             | F.lag(F.col("ts")).over(w).isNull(),
             1,
         ).otherwise(0),

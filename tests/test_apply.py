@@ -251,3 +251,49 @@ def test_no_pk_table_whole_row_fallback(spark):
     ]
     got = sorted((r.a, r.b) for r in _run_apply(spark, NOPK, base, evs).collect())
     assert got == [(2, "y2"), (3, "z")]
+
+
+def test_pk_change_incomplete_columns_counted_as_violation(spark):
+    """PK-change update whose columnnames omit some columns loses the omitted
+    (TOAST) values — a documented divergence from the reference, which runs a
+    real UPDATE against PG. The drift must be COUNTED (J4 counter)."""
+    base = _base_customers(3)
+    evs = [
+        make_event(
+            CUST, "update", lsn=1,
+            row={"c_custkey": 999, "c_acctbal": 5.0},
+            old_key={"c_custkey": 1},
+            present=["c_custkey", "c_acctbal"],
+        )
+    ]
+    snapshot = spark.createDataFrame(
+        [tuple(r[c.name] for c in CUST.columns) for r in base], schema=CUST.spark_schema()
+    )
+    bronze = spark.createDataFrame(
+        [tuple(r[f.name] for f in BRONZE_SCHEMA.fields) for r in evs], schema=BRONZE_SCHEMA
+    )
+    result, metrics = apply_changes(snapshot, parse_events(bronze), CUST, with_metrics=True)
+    rows = {r["c_custkey"]: r.asDict() for r in result.collect()}
+    assert 1 not in rows and 999 in rows
+    assert rows[999]["c_name"] is None  # lost TOAST value — hence the flag
+    assert metrics.collect()[0]["violations"] == 1
+
+
+def test_complete_pk_change_is_not_a_violation(spark):
+    base = _base_customers(3)
+    evs = [
+        make_event(
+            CUST, "update", lsn=1,
+            row={"c_custkey": 555, "c_name": "Customer#1", "c_nationkey": 0,
+                 "c_acctbal": 101.0, "c_mktsegment": "BUILDING"},
+            old_key={"c_custkey": 1},
+        )
+    ]
+    snapshot = spark.createDataFrame(
+        [tuple(r[c.name] for c in CUST.columns) for r in base], schema=CUST.spark_schema()
+    )
+    bronze = spark.createDataFrame(
+        [tuple(r[f.name] for f in BRONZE_SCHEMA.fields) for r in evs], schema=BRONZE_SCHEMA
+    )
+    _result, metrics = apply_changes(snapshot, parse_events(bronze), CUST, with_metrics=True)
+    assert metrics.collect()[0]["violations"] == 0

@@ -186,3 +186,41 @@ def test_executor_lifecycle():
 
     assert run("DROP TABLE public.t3") == "table-dropped"
     assert run("DROP TABLE public.never_existed") == "drop-missing-tolerated"
+
+def test_executor_add_constraint_not_a_column():
+    """ALTER TABLE ADD CONSTRAINT/PRIMARY/FOREIGN/UNIQUE must not be parsed
+    as ADD COLUMN (phantom 'CONSTRAINT' column corrupting later applies)."""
+    cat = EngineCatalog()
+    ex = DDLExecutor(cat)
+
+    def run(sql):
+        return ex.execute(classify_ddl(sql, "db1", known_schemas={"public"}), "db1")
+
+    run("CREATE TABLE public.t4 (id int, v text)")
+    spec = cat.get("db1", "public", "t4")
+    assert spec.pk_cols == []
+
+    assert run("ALTER TABLE public.t4 ADD CONSTRAINT t4_pk PRIMARY KEY (id)") == "pk-added"
+    assert cat.get("db1", "public", "t4").pk_cols == ["id"]
+    assert run("ALTER TABLE public.t4 ADD PRIMARY KEY (id, v)") == "pk-added"
+    assert cat.get("db1", "public", "t4").pk_cols == ["id", "v"]
+    assert run("ALTER TABLE public.t4 ADD CONSTRAINT t4_uq UNIQUE (v)") == "unique-added"
+    assert cat.get("db1", "public", "t4").has_extra_unique
+    assert (
+        run("ALTER TABLE public.t4 ADD CONSTRAINT t4_fk FOREIGN KEY (id) REFERENCES public.t4 (id)")
+        == "constraint-noop"
+    )
+    # no phantom columns appeared
+    assert cat.get("db1", "public", "t4").column_names == ["id", "v"]
+
+
+def test_executor_create_sequence_if_not_exists_name():
+    cat = EngineCatalog()
+    ex = DDLExecutor(cat)
+
+    def run(sql):
+        return ex.execute(classify_ddl(sql, "db1", known_schemas={"public"}), "db1")
+
+    run("CREATE SEQUENCE IF NOT EXISTS public.seq9")
+    assert not any(s in ("if", "IF") for s in ex.sequences)
+    assert any("seq9" in s for s in ex.sequences)

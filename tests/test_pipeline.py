@@ -224,3 +224,37 @@ def test_dml_hook_drops_events(spark, engine):
     rep = Replayer(spark, cat, store, dml_hook=lambda db, sch, tbl: tbl != "items")
     rep.apply_batch(bronze_df(spark, [_ins(SPEC, 1, 1, "x")]))
     assert store.read(SPEC).count() == 0
+
+
+def test_ddl_search_path_resolves_unqualified_names(spark):
+    """Unqualified DDL object names resolve in the event's search_path (the
+    reference applies the rewritten path before replay,
+    connemara_rewrite.pm:145-157), not blindly in 'public'."""
+    import datetime
+
+    cat = EngineCatalog()
+    store = MemoryStore(spark)
+    rep = Replayer(spark, cat, store)
+
+    payload = {
+        "kind": "insert",
+        "schema": "public",
+        "table": "sql_ddl_statements",
+        "columnnames": ["id", "current_query", "search_path", "command_tags"],
+        "columnvalues": ["1", "CREATE TABLE audit_log (id bigint PRIMARY KEY, msg text)",
+                         '"$user", audit', "{DDL}"],
+    }
+    ts = EPOCH + datetime.timedelta(seconds=1)
+    row = {
+        "insert_timestamp": ts,
+        "database": "db1",
+        "source_slotname": "slot_db1",
+        "lsn_start": 1,
+        "xid": 1001,
+        "xid_timestamp": ts,
+        "payload": json.dumps(payload),
+    }
+    m = rep.apply_batch(bronze_df(spark, [row]))
+    assert m.ddl_executed == 1
+    assert cat.maybe_get("db1", "audit", "audit_log") is not None
+    assert cat.maybe_get("db1", "public", "audit_log") is None
