@@ -226,6 +226,21 @@ def _srp_signatures_udf(n_bits: int, n_tables: int, seed: int):
     return pandas_udf(sigs, "array<long>")
 
 
+def unrolled_dot_expr(a_col: str, b_col: str, dim: int) -> Column:
+    """Fixed-width dot product as one flat codegen-friendly sum.
+
+    ``cast(a[1]*b[1] as double) + ...`` — same products and left-to-right
+    addition order as ``dot_expr``'s fold (bit-identical result), but a plain
+    expression tree that stays inside whole-stage codegen instead of an
+    interpreted higher-order ``aggregate``. At 64 terms the generated method
+    is far below Janino's limits; use only for known fixed ``dim``."""
+    terms = " + ".join(
+        f"cast(element_at({a_col}, {i}) * element_at({b_col}, {i}) as double)"
+        for i in range(1, dim + 1)
+    )
+    return F.expr(terms)
+
+
 def srp_lsh_topk(
     emb: DataFrame,
     *,
@@ -235,51 +250,57 @@ def srp_lsh_topk(
     n_bits: int = 12,
     n_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: SRP bucket join + exact intra-bucket rerank.
 
     Each of ``n_tables`` signature functions buckets the vectors; candidate
     pairs share a bucket in ≥1 table. Shuffles on (table, signature) — bucket
     size ≈ N/2^n_bits tunes the cost. Output like brute_force_topk (rank
-    within retrieved candidates). Vectors are unit-normalized before the
-    bucket join (sign of <v,p> is scale-invariant), so the rerank cosine is
-    one dot fold per candidate pair.
+    within retrieved candidates).
+
+    Scale shape: the candidate dedup shuffles ONLY (query_id, neighbor_id)
+    pairs (16 bytes each) — unit vectors are re-joined from the slim
+    per-vector table afterwards, so no shuffle ever carries per-pair vector
+    payloads (at billions of candidates that is the dominant cost). With a
+    known ``dim`` the rerank dot is an unrolled whole-stage-codegen sum;
+    otherwise it falls back to the interpreted fold.
     """
     from pyspark.sql.window import Window
 
     # Signatures for all tables in one vectorized matmul (sign of <v,p> is
     # scale-invariant, so they hash the raw vector); the unit vector is a
     # sibling column computed once per row so the rerank below is a single
-    # dot fold per candidate pair.
+    # dot per candidate pair.
     sig_fn = _srp_signatures_udf(n_bits, n_tables, seed)
     with_sigs = emb.select(
         F.col(id_col).alias("id"),
         unit_expr(F.col(vec_col)).alias("vec"),
         sig_fn(F.col(vec_col)).alias("__sigs"),
-    )
-    sigs = (
-        with_sigs.select("id", "vec", F.posexplode("__sigs").alias("tbl", "sig"))
-        .select("id", "vec", "tbl", "sig")
-        .persist()
-    )
+    ).persist()
+    vecs = with_sigs.select("id", "vec")
+    sigs = with_sigs.select("id", F.posexplode("__sigs").alias("tbl", "sig"))
 
     a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.id") != F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("query_id"),
-            F.col("b.id").alias("neighbor_id"),
-            F.col("a.vec").alias("qvec"),
-            F.col("b.vec").alias("nvec"),
-        )
+        .select(F.col("a.id").alias("query_id"), F.col("b.id").alias("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cosine", dot_expr(F.col("qvec"), F.col("nvec")))
+    cand = cand_ids.join(
+        vecs.select(F.col("id").alias("query_id"), F.col("vec").alias("qvec")), "query_id"
+    ).join(vecs.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("nvec")), "neighbor_id")
+    cosine = (
+        unrolled_dot_expr("qvec", "nvec", dim)
+        if dim is not None
+        else dot_expr(F.col("qvec"), F.col("nvec"))
+    )
+    scored = cand.withColumn("cosine", cosine)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -335,6 +356,26 @@ def srp_lit_signature_sql(
     return " + ".join(bits)
 
 
+def _srp_lit_sig_fold(planes_t: list[list[int]], vec_col: str) -> str:
+    """One table's Rademacher signature as a FOLD over a ±1.0 double-literal
+    plane array — arithmetic bit-identical to the flat ± chain the DuckDB
+    oracle evaluates (x * ±1.0 is exact negation of CAST(x AS DOUBLE); the
+    fold adds products left-to-right from 0.0, and 0.0 + t == t), but the
+    expression tree is ~n_bits nodes instead of n_bits × dim. The flat-chain
+    formulation generated n_tables × n_bits × dim-term methods that took
+    Janino tens of seconds to compile per query (the round-1 bench tail);
+    this compiles in milliseconds and evaluates ~n_bits × dim interpreted
+    flops per row — negligible next to the bucket join."""
+    rows = ", ".join(
+        "array({})".format(", ".join(f"{float(x)!r}D" for x in p)) for p in planes_t
+    )
+    return (
+        f"aggregate(array({rows}), 0L, (acc, p) -> acc * 2 + "
+        f"if(aggregate(zip_with({vec_col}, p, (x, w) -> cast(x * w as double)), "
+        f"cast(0.0 as double), (s, t) -> s + t) >= 0, 1L, 0L))"
+    )
+
+
 def srp_lsh_topk_lit(
     emb: DataFrame,
     *,
@@ -355,10 +396,7 @@ def srp_lsh_topk_lit(
     from pyspark.sql.window import Window
 
     planes = rademacher_planes(dim, n_bits, n_tables, seed)
-    sig_arr = ", ".join(
-        srp_lit_signature_sql(planes[t], f"element_at({vec_col}, {{i}})", dialect="spark")
-        for t in range(n_tables)
-    )
+    sig_arr = ", ".join(_srp_lit_sig_fold(planes[t], vec_col) for t in range(n_tables))
     sigs = (
         emb.select(
             F.col(id_col).alias("id"),

@@ -844,7 +844,7 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.similarity import srp_lsh_topk
 
     emb = spread(load(spark, sf_dir, "embeddings"))
-    return srp_lsh_topk(emb, k=5, n_bits=8, n_tables=6)
+    return srp_lsh_topk(emb, k=5, n_bits=8, n_tables=6, dim=64)
 
 
 def _srp_lit_oracle() -> str:
