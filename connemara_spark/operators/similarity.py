@@ -76,25 +76,45 @@ def cosine_pairs(
     vec_col: str = "embedding",
     *,
     threshold: float = 0.95,
+    dim: int | None = None,
+    side_partitions: int = 16,
 ) -> DataFrame:
     """Exact cosine near-duplicate pairs above ``threshold``
     (id_a < id_b, rounded cos_sim) — the brute-force correctness baseline
     for embedding dedup; ``srp_lsh_topk`` is the at-scale path.
 
-    Norms are computed once per row before the self-join, so the O(n²/2)
-    candidate stage evaluates only the dot product.
+    Fully distributed: the self-join is hinted ``shuffle_replicate_nl`` so
+    Spark executes a shuffle-based cartesian (each task handles one
+    partition-pair) instead of a BroadcastNestedLoopJoin whose build side
+    would be materialized on the DRIVER — nothing here ever collects or
+    broadcasts the table. Norms are computed once per row before the
+    self-join; with a known ``dim`` the per-pair dot is an unrolled
+    whole-stage-codegen sum (products promoted to double — float*float is
+    exact in double). O(n²/2) by construction: a correctness baseline, not
+    the 100 TB path.
     """
     normed = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm_expr(F.col(vec_col)).alias("nrm"),
     )
-    a, b = normed.alias("a"), normed.alias("b")
+    # The cartesian launches left×right tasks; bound each side so the pair
+    # stage is ~side_partitions² tasks of real work, not thousands of
+    # scheduler-overhead slivers. Raise side_partitions for bigger inputs.
+    normed = normed.repartition(side_partitions)
+    a, b = normed.alias("a"), normed.hint("shuffle_replicate_nl").alias("b")
+    if dim is not None:
+        dot = F.expr(
+            " + ".join(
+                f"cast(element_at(a.v, {i}) as double) * cast(element_at(b.v, {i}) as double)"
+                for i in range(1, dim + 1)
+            )
+        )
+    else:
+        dot = dot_expr(F.col("a.v"), F.col("b.v"))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn(
-            "cos", dot_expr(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
-        )
+        .withColumn("cos", dot / (F.col("a.nrm") * F.col("b.nrm")))
         .filter(F.col("cos") > threshold)
         .select(
             F.col("a.id").alias("id_a"),
