@@ -451,6 +451,89 @@ def srp_lsh_topk_lit(
     )
 
 
+def ivf_centroids_lit(dim: int, n_cells: int, seed: int = 42) -> list[list[float]]:
+    """Seeded Gaussian unit-vector centroids for the ORACLE-CHECKABLE IVF
+    twin: no data-dependent sampling, so the same literal values render into
+    both engines' SQL and cell assignment agrees bit-for-bit."""
+    import random
+
+    rng = random.Random(seed)
+    cents = []
+    for _ in range(n_cells):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / n for x in v])
+    return cents
+
+
+def ivf_lit_dot_sql(centroid: list[float], elem_fmt: str) -> str:
+    """One centroid's dot product as a flat left-associative double chain —
+    textually identical math to the Spark-side ``dot_expr`` fold (0.0 + t1
+    == t1 exactly; both engines then add left-to-right in double)."""
+    return " + ".join(
+        f"CAST({elem_fmt.format(i=i + 1)} * {w!r} AS DOUBLE)"
+        for i, w in enumerate(centroid)
+    )
+
+
+def ivf_topk_lit(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """ORACLE-CHECKABLE twin of ``ivf_topk``: literal seeded centroids
+    instead of data-sampled ones, so every step — cell dots, probe ranking
+    (d DESC, cell DESC tie-break), inverted-list join, cosine rerank — is
+    portable SQL a DuckDB oracle reproduces exactly. Same shuffle shape as
+    production: per-row cell assignment with zero shuffle, then one hash
+    join on the int ``cell`` key."""
+    from pyspark.sql.window import Window
+
+    centroids = ivf_centroids_lit(dim, n_cells, seed)
+    cents = _centroid_lit(centroids)
+
+    dots = F.transform(cents, lambda c: dot_expr(F.col(vec_col), c))
+    ranked = F.reverse(
+        F.array_sort(
+            F.zip_with(
+                dots,
+                F.sequence(F.lit(0), F.lit(n_cells - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        )
+    )
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"].cast("int")).alias("probes"),
+    ).persist()
+
+    index = base.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("nvec"),
+        F.element_at("probes", 1).alias("cell"),
+    )
+    queries = base.select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.explode("probes").alias("cell"),
+    )
+    cand = queries.join(index, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.withColumn("cosine", cosine_expr(F.col("qvec"), F.col("nvec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def numpy_topk(
     emb: DataFrame,
     *,

@@ -1345,6 +1345,67 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "vec_id", "embedding", k=10, n_cells=16, n_probe=2)
 
 
+def _ivf_lit_oracle(*, dim: int = 64, k: int = 10, n_cells: int = 16, n_probe: int = 2, seed: int = 42) -> str:
+    """DuckDB oracle for the literal-centroid IVF twin: the SAME seeded
+    centroids render into both engines' SQL (flat double chain ≡ Spark's
+    dot fold), probe ranking uses the identical (d DESC, cell DESC)
+    tie-break, so cells, candidates, and ranks agree exactly."""
+    from connemara_spark.operators.similarity import ivf_centroids_lit, ivf_lit_dot_sql
+
+    cents = ivf_centroids_lit(dim, n_cells, seed)
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, {c} AS cell, ({ivf_lit_dot_sql(cents[c], 'embedding[{i}]')}) AS d FROM embeddings"
+        for c in range(n_cells)
+    )
+    return f"""
+    WITH dots AS ({unions}),
+    ranked_cells AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS cr
+        FROM dots
+    ),
+    idx AS (SELECT vec_id AS neighbor_id, cell FROM ranked_cells WHERE cr = 1),
+    probes AS (SELECT vec_id AS query_id, cell FROM ranked_cells WHERE cr <= {n_probe}),
+    cand AS (
+        SELECT query_id, neighbor_id
+        FROM probes JOIN idx USING (cell)
+        WHERE query_id <> neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, {dim + 1}), i -> CAST(q.embedding[i] * n.embedding[i] AS DOUBLE))),
+                   (a, b) -> a + b)
+               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, {dim + 1}), i -> CAST(q.embedding[i] * q.embedding[i] AS DOUBLE))),
+                      (a, b) -> a + b))
+                  * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, {dim + 1}), i -> CAST(n.embedding[i] * n.embedding[i] AS DOUBLE))),
+                      (a, b) -> a + b))) AS cosine
+        FROM cand JOIN embeddings q ON q.vec_id = query_id
+                  JOIN embeddings n ON n.vec_id = neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@register(
+    "embedding_ann_ivf_lit",
+    _ivf_lit_oracle(),
+    "IVF top-k with literal seeded centroids — the inverted-list ANN pipeline under the value-hash gate",
+)
+def embedding_ann_ivf_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.similarity import ivf_topk_lit
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    return ivf_topk_lit(emb, k=10, n_cells=16, n_probe=2)
+
+
 @register(
     "events_props_json",
     f"""
