@@ -2,16 +2,18 @@
 processing plumbing.
 
 Media are opaque ``binary`` columns with a typed metadata struct — the
-pattern a 100 TB multimodal pipeline needs: the *plumbing* (schema,
-partition sizing, Arrow batch shape, UDF signatures) is real and tested;
-the codec itself is STUBBED because image/audio libraries are not available
-in this environment:
+pattern a 100 TB multimodal pipeline needs. Two codec paths are REAL,
+pure-python (``struct``-based, no external libraries):
 
-- ``decode_images(df, fake=False)`` raises NotImplementedError at the codec
-  boundary unless ``fake=True``, which runs a deterministic header parser
-  (our own 16-byte fake format) exercising the identical mapInPandas path.
-- ``sample_frames`` — video frame sampling: emits one row per sampled frame
-  index (the explode-shaped output real frame extraction has).
+- ``bmp`` — uncompressed 24-bpp Windows BMP: full header parse (pixel-array
+  offset, signed dims, bpp/compression validation) and a real pixel-array
+  walk honoring the 4-byte row stride and bottom-up row order.
+- ``wav`` — RIFF/WAVE PCM-16: chunk iteration (fmt / data in any order,
+  odd-size chunk padding), sample decode, duration/amplitude stats.
+
+Formats that genuinely need an image/audio library (JPEG, PNG, MP3, ...)
+raise NotImplementedError at the codec boundary; ``fake=True`` keeps the
+deterministic 16-byte-header stub for plumbing tests.
 
 Scale notes: media bytes dominate row size, so operators repartition by
 byte budget (``target_partition_bytes``) before the Python stage, keeping
@@ -68,17 +70,120 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
-def decode_images(df: DataFrame, *, fake: bool = False, target_partition_bytes: int = 128 << 20) -> DataFrame:
+# --------------------------------------------------------------------------
+# Real pure-python codecs (struct only — no external libraries)
+# --------------------------------------------------------------------------
+
+_BMP_HEADER_SIZE = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
+
+
+def bmp_stride(width: int) -> int:
+    """BMP rows are padded to 4-byte boundaries."""
+    return (width * 3 + 3) // 4 * 4
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode 24-bpp uncompressed BMP. ``pixels`` is top-down row-major
+    BGR (width*height*3 bytes); rows are written bottom-up with stride
+    padding, per the format."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    stride = bmp_stride(width)
+    size = _BMP_HEADER_SIZE + stride * height
+    out = bytearray()
+    out += b"BM" + struct.pack("<IHHI", size, 0, 0, _BMP_HEADER_SIZE)
+    out += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height, 2835, 2835, 0, 0)
+    pad = b"\x00" * (stride - width * 3)
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = pixels[y * width * 3 : (y + 1) * width * 3]
+        out += row + pad
+    return bytes(out)
+
+
+def decode_bmp(raw: bytes) -> tuple[int, int, bytes]:
+    """Parse an uncompressed 24-bpp BMP: returns (width, height, pixels)
+    with pixels top-down row-major BGR, stride padding removed. Raises
+    ValueError on malformed input, NotImplementedError on unsupported
+    bpp/compression (a real library would handle those)."""
+    if len(raw) < _BMP_HEADER_SIZE or raw[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack_from("<I", raw, 10)
+    hdr_sz, width, height = struct.unpack_from("<Iii", raw, 14)
+    if hdr_sz < 40:
+        raise ValueError("ancient BMP header")
+    (bpp,) = struct.unpack_from("<H", raw, 28)
+    (compression,) = struct.unpack_from("<I", raw, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = height < 0
+    height = abs(height)
+    stride = bmp_stride(width)
+    if len(raw) < pix_off + stride * height:
+        raise ValueError("truncated BMP pixel array")
+    rows = []
+    for r in range(height):
+        src_row = r if top_down else height - 1 - r
+        start = pix_off + src_row * stride
+        rows.append(raw[start : start + width * 3])
+    return width, height, b"".join(rows)
+
+
+def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
+    """Encode PCM-16 mono/interleaved WAV (RIFF little-endian)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(raw: bytes) -> tuple[int, int, list[int]]:
+    """Parse RIFF/WAVE PCM-16: returns (sample_rate, channels, samples).
+    Iterates chunks in any order, honors odd-size chunk padding; raises
+    NotImplementedError for non-PCM / non-16-bit encodings."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (csz,) = struct.unpack_from("<I", raw, pos + 4)
+        body = raw[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate = fmt[0], fmt[1], fmt[2]
+    bits = fmt[5]
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(f"unsupported WAV: format={audio_format} bits={bits}")
+    n = len(data) // 2
+    return sample_rate, channels, list(struct.unpack(f"<{n}h", data[: n * 2]))
+
+
+def decode_images(
+    df: DataFrame,
+    *,
+    codec: str = "bmp",
+    fake: bool = False,
+    target_partition_bytes: int = 128 << 20,
+) -> DataFrame:
     """Decode + feature-extract images via Arrow-batched mapInPandas.
 
-    Real decoding requires an image library not present in this container —
-    the codec boundary raises NotImplementedError unless ``fake=True``
-    (deterministic 16-byte header parser over the same plumbing).
+    ``codec='bmp'`` is a REAL pure-python decoder (full header parse +
+    stride-aware bottom-up pixel walk); ``mean_byte``/``checksum`` are
+    computed over the DECODED pixel bytes (padding excluded), so a stride
+    or row-order bug shows up in the value-hash oracle. ``fake=True``
+    selects the deterministic 16-byte-header stub; other codecs (JPEG,
+    PNG, ...) need an image library and raise NotImplementedError.
     """
-    if not fake:
+    if fake:
+        codec = "cnmr"
+    if codec not in ("bmp", "cnmr"):
         raise NotImplementedError(
-            "image codec not available in this environment; pass fake=True "
-            "for the deterministic stub (plumbing is identical)"
+            f"codec {codec!r} requires an image library not available in "
+            "this environment (bmp is implemented pure-python)"
         )
     n_parts = estimate_partitions(df, target_partition_bytes=target_partition_bytes)
     src = df.select("media_id", "payload").repartition(n_parts)
@@ -90,13 +195,22 @@ def decode_images(df: DataFrame, *, fake: bool = False, target_partition_bytes: 
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
-                if not raw.startswith(_FAKE_MAGIC):
-                    continue  # undecodable → dropped (real pipeline: quarantine)
-                w, h, dur, blen = struct.unpack("<HHII", raw[4:16])
-                body = raw[16 : 16 + blen]
-                mean = sum(body) / len(body) if body else 0.0
-                checksum = sum(body) % (1 << 31)
-                out.append((int(mid), w, h, len(raw), float(mean), int(checksum)))
+                if codec == "bmp":
+                    try:
+                        w, h, px = decode_bmp(raw)
+                    except (ValueError, NotImplementedError):
+                        continue  # undecodable → dropped (real pipeline: quarantine)
+                    mean = sum(px) / len(px) if px else 0.0
+                    checksum = sum(px) % (1 << 31)
+                    out.append((int(mid), w, h, len(raw), float(mean), int(checksum)))
+                else:
+                    if not raw.startswith(_FAKE_MAGIC):
+                        continue
+                    w, h, dur, blen = struct.unpack("<HHII", raw[4:16])
+                    body = raw[16 : 16 + blen]
+                    mean = sum(body) / len(body) if body else 0.0
+                    checksum = sum(body) % (1 << 31)
+                    out.append((int(mid), w, h, len(raw), float(mean), int(checksum)))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "n_bytes", "mean_byte", "checksum"]
             )
@@ -104,11 +218,66 @@ def decode_images(df: DataFrame, *, fake: bool = False, target_partition_bytes: 
     return src.mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def resize_images(df: DataFrame, *, width: int, height: int, fake: bool = False) -> DataFrame:
-    """Resize stub: real implementation would decode→resize→re-encode in the
-    same mapInPandas shape; fake mode rewrites the header dims only."""
-    if not fake:
-        raise NotImplementedError("image codec not available; pass fake=True")
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, channels int, n_samples int, "
+    "duration_ms int, mean_abs double, checksum long"
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    *,
+    codec: str = "wav",
+    target_partition_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Decode + feature-extract audio via Arrow-batched mapInPandas.
+    ``codec='wav'`` is a REAL pure-python RIFF/PCM-16 parser; compressed
+    codecs raise NotImplementedError at the boundary."""
+    if codec != "wav":
+        raise NotImplementedError(
+            f"codec {codec!r} requires an audio library not available in "
+            "this environment (wav is implemented pure-python)"
+        )
+    n_parts = estimate_partitions(df, target_partition_bytes=target_partition_bytes)
+    src = df.select("media_id", "payload").repartition(n_parts)
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                try:
+                    rate, ch, samples = decode_wav(raw)
+                except (ValueError, NotImplementedError):
+                    continue
+                n = len(samples)
+                dur_ms = n * 1000 // (rate * ch) if rate else 0
+                mean_abs = sum(abs(s) for s in samples) / n if n else 0.0
+                checksum = sum(samples)
+                out.append((int(mid), rate, ch, n, dur_ms, float(mean_abs), int(checksum)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "channels", "n_samples",
+                    "duration_ms", "mean_abs", "checksum",
+                ],
+            )
+
+    return src.mapInPandas(decode, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, *, width: int, height: int, codec: str = "bmp", fake: bool = False
+) -> DataFrame:
+    """Resize: for ``codec='bmp'`` a REAL decode → nearest-neighbor sample →
+    re-encode in the same mapInPandas shape; fake mode rewrites the stub
+    header dims only."""
+    if fake:
+        codec = "cnmr"
+    if codec not in ("bmp", "cnmr"):
+        raise NotImplementedError(f"codec {codec!r} requires an image library")
 
     def resize(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -117,13 +286,78 @@ def resize_images(df: DataFrame, *, width: int, height: int, fake: bool = False)
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
-                if not raw.startswith(_FAKE_MAGIC):
-                    continue
-                _, _, dur, blen = struct.unpack("<HHII", raw[4:16])
-                rows.append((int(mid), _FAKE_MAGIC + struct.pack("<HHII", width, height, dur, blen) + raw[16:]))
+                if codec == "bmp":
+                    try:
+                        w, h, px = decode_bmp(raw)
+                    except (ValueError, NotImplementedError):
+                        continue
+                    out = bytearray()
+                    for y in range(height):
+                        sy = y * h // height
+                        for x in range(width):
+                            sx = x * w // width
+                            off = (sy * w + sx) * 3
+                            out += px[off : off + 3]
+                    rows.append((int(mid), encode_bmp(width, height, bytes(out))))
+                else:
+                    if not raw.startswith(_FAKE_MAGIC):
+                        continue
+                    _, _, dur, blen = struct.unpack("<HHII", raw[4:16])
+                    rows.append((int(mid), _FAKE_MAGIC + struct.pack("<HHII", width, height, dur, blen) + raw[16:]))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return df.select("media_id", "payload").mapInPandas(resize, schema="media_id long, payload binary")
+
+
+# --------------------------------------------------------------------------
+# Deterministic fixtures: closed-form payloads keyed by an id column, so a
+# DuckDB oracle can recompute the decoded stats without running the codec —
+# which makes the REAL decoders value-hash checkable.
+# --------------------------------------------------------------------------
+
+
+def bmp_fixture(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) of real 24-bpp BMPs: width = 3 + id%5, height =
+    2 + id%4, pixel byte v(x,y,c) = (id*31 + y*7 + x*3 + c*11) % 256
+    (top-down BGR)."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 3 + did % 5, 2 + did % 4
+                px = bytes(
+                    (did * 31 + y * 7 + x * 3 + c * 11) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                rows.append((did, encode_bmp(w, h, px)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return ids.select(id_col).mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def wav_fixture(ids: DataFrame, id_col: str = "doc_id", sample_rate: int = 8000) -> DataFrame:
+    """(media_id, payload) of real PCM-16 mono WAVs: n = 50 + id%30 samples,
+    s(i) = ((id*13 + i*7) % 2048) - 1024."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 50 + did % 30
+                samples = [((did * 13 + i * 7) % 2048) - 1024 for i in range(n)]
+                rows.append((did, encode_wav(sample_rate, samples)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return ids.select(id_col).mapInPandas(gen, schema="media_id long, payload binary")
 
 
 def sample_frames(df: DataFrame, *, every_ms: int = 1000, fake: bool = False) -> DataFrame:

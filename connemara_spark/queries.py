@@ -1345,6 +1345,66 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "vec_id", "embedding", k=10, n_cells=16, n_probe=2)
 
 
+@register(
+    "multimodal_bmp_decode",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS w, CAST(2 + doc_id % 4 AS INT) AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.w, d.h,
+               ((d.doc_id * 31 + ys.y * 7 + xs.x * 3 + cs.c * 11) % 256) AS v
+        FROM dims d, range(0, 6) ys(y), range(0, 8) xs(x), range(0, 3) cs(c)
+        WHERE ys.y < d.h AND xs.x < d.w
+    )
+    SELECT doc_id AS media_id, w AS width, h AS height,
+           CAST(54 + ((w * 3 + 3) // 4 * 4) * h AS INT) AS n_bytes,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_byte,
+           CAST(SUM(v) % 2147483648 AS BIGINT) AS checksum
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+    "REAL pure-python BMP decode (stride-aware pixel walk) over Arrow-batched mapInPandas; oracle recomputes decoded stats in closed form",
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.multimodal import bmp_fixture, decode_images
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    return decode_images(bmp_fixture(docs), codec="bmp")
+
+
+@register(
+    "multimodal_wav_decode",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(50 + doc_id % 30 AS INT) AS n FROM documents
+    ),
+    smp AS (
+        SELECT d.doc_id, d.n,
+               (((d.doc_id * 13 + ts.i * 7) % 2048) - 1024) AS s
+        FROM dims d, range(0, 80) ts(i)
+        WHERE ts.i < d.n
+    )
+    SELECT doc_id AS media_id,
+           8000 AS sample_rate,
+           1 AS channels,
+           n AS n_samples,
+           CAST(n * 1000 // 8000 AS INT) AS duration_ms,
+           CAST(SUM(ABS(s)) AS DOUBLE) / COUNT(*) AS mean_abs,
+           CAST(SUM(s) AS BIGINT) AS checksum
+    FROM smp
+    GROUP BY doc_id, n
+    """,
+    "REAL pure-python RIFF/WAVE PCM-16 decode (chunk iteration) over Arrow-batched mapInPandas; oracle recomputes decoded stats in closed form",
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.multimodal import decode_audio, wav_fixture
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    return decode_audio(wav_fixture(docs), codec="wav")
+
+
 def _ivf_lit_oracle(*, dim: int = 64, k: int = 10, n_cells: int = 16, n_probe: int = 2, seed: int = 42) -> str:
     """DuckDB oracle for the literal-centroid IVF twin: the SAME seeded
     centroids render into both engines' SQL (flat double chain ≡ Spark's

@@ -1,16 +1,159 @@
-"""Multimodal plumbing: fake-codec decode/resize/frame-sample via mapInPandas."""
+"""Multimodal: REAL pure-python BMP/WAV codecs + fake-codec plumbing via
+mapInPandas."""
 
 from __future__ import annotations
+
+import struct
 
 import pytest
 
 from connemara_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    bmp_fixture,
+    bmp_stride,
+    decode_audio,
+    decode_bmp,
     decode_images,
+    decode_wav,
+    encode_bmp,
     encode_fake_media,
+    encode_wav,
     resize_images,
     sample_frames,
+    wav_fixture,
 )
+
+
+# ---------------------------------------------------------------------------
+# Pure-python codec units (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_with_stride_padding():
+    # width 3 → row 9 bytes → stride 12: padding must be added and stripped
+    px = bytes(range(3 * 2 * 3))
+    raw = encode_bmp(3, 2, px)
+    assert bmp_stride(3) == 12
+    assert len(raw) == 54 + 12 * 2
+    w, h, decoded = decode_bmp(raw)
+    assert (w, h) == (3, 2)
+    assert decoded == px  # bottom-up storage undone, padding removed
+
+
+def test_bmp_top_down_negative_height():
+    px = bytes(range(3 * 2 * 3))
+    raw = bytearray(encode_bmp(3, 2, px))
+    # flip to top-down: negate height, reorder rows accordingly
+    struct.pack_into("<i", raw, 22, -2)
+    stride = bmp_stride(3)
+    r0 = bytes(raw[54 : 54 + stride])
+    r1 = bytes(raw[54 + stride : 54 + 2 * stride])
+    raw[54 : 54 + stride] = r1
+    raw[54 + stride : 54 + 2 * stride] = r0
+    _, h, decoded = decode_bmp(bytes(raw))
+    assert h == 2 and decoded == px
+
+
+def test_bmp_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    raw = bytearray(encode_bmp(2, 2, bytes(2 * 2 * 3)))
+    struct.pack_into("<H", raw, 28, 8)  # 8-bpp → needs palette support
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(raw))
+
+
+def test_wav_roundtrip_and_chunk_order():
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    raw = encode_wav(8000, samples)
+    rate, ch, out = decode_wav(raw)
+    assert (rate, ch, out) == (8000, 1, samples)
+    # tolerate an unknown odd-sized chunk before fmt/data (word-aligned skip)
+    chunks = raw[12:]  # fmt + data chunks
+    padded = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + 9 + 1 + len(chunks))
+        + b"WAVE"
+        + b"LIST" + struct.pack("<I", 9) + b"x" * 9 + b"\x00"
+        + chunks
+    )
+    rate2, ch2, out2 = decode_wav(padded)
+    assert out2 == samples
+
+
+def test_wav_rejects_non_pcm():
+    raw = bytearray(encode_wav(8000, [1, 2, 3]))
+    struct.pack_into("<H", raw, 20, 85)  # mp3 format tag inside fmt chunk
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(raw))
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing over the real codecs
+# ---------------------------------------------------------------------------
+
+
+def test_real_bmp_decode_features(spark):
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    out = {r["media_id"]: r for r in decode_images(bmp_fixture(ids), codec="bmp").collect()}
+    assert len(out) == 20
+    r7 = out[7]
+    w, h = 3 + 7 % 5, 2 + 7 % 4
+    assert (r7["width"], r7["height"]) == (w, h)
+    expected = [(7 * 31 + y * 7 + x * 3 + c * 11) % 256 for y in range(h) for x in range(w) for c in range(3)]
+    assert r7["checksum"] == sum(expected) % (1 << 31)
+    assert r7["mean_byte"] == pytest.approx(sum(expected) / len(expected))
+    assert r7["n_bytes"] == 54 + bmp_stride(w) * h
+
+
+def test_real_bmp_resize_nearest_neighbor(spark):
+    ids = spark.createDataFrame([(4,)], "doc_id long")
+    resized = resize_images(bmp_fixture(ids), width=2, height=2, codec="bmp")
+    raw = bytes(resized.collect()[0]["payload"])
+    w0, h0 = 3 + 4 % 5, 2 + 4 % 4
+    w, h, px = decode_bmp(raw)
+    assert (w, h) == (2, 2)
+    # nearest-neighbor: out(x,y) = src(x*w0//2, y*h0//2)
+    src = bytes((4 * 31 + y * 7 + x * 3 + c * 11) % 256 for y in range(h0) for x in range(w0) for c in range(3))
+    for y in range(2):
+        for x in range(2):
+            sx, sy = x * w0 // 2, y * h0 // 2
+            assert px[(y * 2 + x) * 3 : (y * 2 + x) * 3 + 3] == src[(sy * w0 + sx) * 3 : (sy * w0 + sx) * 3 + 3]
+
+
+def test_real_wav_decode_features(spark):
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    out = {r["media_id"]: r for r in decode_audio(wav_fixture(ids), codec="wav").collect()}
+    assert len(out) == 20
+    r9 = out[9]
+    n = 50 + 9 % 30
+    samples = [((9 * 13 + i * 7) % 2048) - 1024 for i in range(n)]
+    assert r9["n_samples"] == n
+    assert r9["sample_rate"] == 8000 and r9["channels"] == 1
+    assert r9["duration_ms"] == n * 1000 // 8000
+    assert r9["checksum"] == sum(samples)
+    assert r9["mean_abs"] == pytest.approx(sum(abs(s) for s in samples) / n)
+
+
+def test_undecodable_payloads_are_dropped(spark):
+    df = spark.createDataFrame([(1, b"not-a-bmp"), (2, b"RIFFgarbage")], "media_id long, payload binary")
+    assert decode_images(df, codec="bmp").count() == 0
+    assert decode_audio(df, codec="wav").count() == 0
+
+
+def test_unavailable_codecs_raise(spark):
+    df = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+    with pytest.raises(NotImplementedError):
+        decode_images(df, codec="png")
+    with pytest.raises(NotImplementedError):
+        decode_audio(df, codec="mp3")
+    with pytest.raises(NotImplementedError):
+        resize_images(df, width=2, height=2, codec="jpeg")
+
+
+# ---------------------------------------------------------------------------
+# Fake-codec plumbing (formats that genuinely need external libraries)
+# ---------------------------------------------------------------------------
 
 
 @pytest.fixture(scope="module")
@@ -23,11 +166,6 @@ def media(spark):
     rows.append((100, "video", encode_fake_media(100, "video", 1920, 1080, 5500, b"vv"), ("video/fake", 1920, 1080, 5500)))
     rows.append((101, "image", b"GARBAGE-not-decodable", ("image/fake", 0, 0, None)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
-
-
-def test_decode_requires_explicit_fake(media):
-    with pytest.raises(NotImplementedError):
-        decode_images(media)
 
 
 def test_fake_decode_features(media):
