@@ -53,17 +53,34 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
+
+    # Round-over-round honesty: flag queries absent from the latest BENCH_r*
+    # snapshot so a total inflated by NEW queries isn't read as a regression,
+    # and publish the comparable subtotal over the shared set.
+    prev_queries: set[str] = set()
+    try:
+        import glob
+
+        prior = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
+        if prior:
+            with open(prior[-1]) as fh:
+                prev_queries = set(json.load(fh).get("queries", {}))
+    except Exception:
+        pass
+    payload = {
+        "metric": "total_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if prev_queries:
+        new = sorted(set(times) - prev_queries)
+        payload["new_queries"] = new
+        payload["comparable_total"] = round(
+            sum(t for n, t in times.items() if n in prev_queries), 3
         )
-    )
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -25,8 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+import re
+
 from connemara_spark.catalog import SPARK_TYPE_TO_PG, ColumnSpec, EngineCatalog, TableSpec
 from connemara_spark.ddl.executor import DDLExecutor
+from connemara_spark.ddl.remap import remap_statement
 from connemara_spark.ddl.rewriter import DDLAction, UnknownStatementError, classify_ddl
 from connemara_spark.ddl.splitter import split_statements
 
@@ -145,11 +148,30 @@ def restore_schema_script(
     basebackup filters (F5/F6); psql commands are ignored; unknown
     statements in a *restore* context are skipped rather than fatal (the
     reference wraps failable objects in savepoints, __init__.py:264-277).
+
+    Rewriting on this path is TOKEN-GRADE (ddl/remap.py — the basebackup
+    analog of the reference's AST remapper): unlike the replay path's regex
+    rewrite, it also remaps regclass literals inside sequence DEFAULTs
+    (``nextval('public.seq'::regclass)``), the first thing a real pg_dump
+    hits. The schema map covers schemas declared by CREATE SCHEMA in the
+    script plus ``public``.
     """
     ignored = set(ignored_schemas or []) | {"_timescaledb_internal"}
     executor = DDLExecutor(catalog, store)
     counts = {"executed": 0, "skipped": 0, "ignored_schema": 0, "unknown": 0}
-    for st in split_statements(script):
+    statements = [st for st in split_statements(script)]
+    schemas = {"public"}
+    for st in statements:
+        m = re.match(
+            r'\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?("(?:[^"]|"")+"|[\w$]+)',
+            st.stripped(),
+            re.IGNORECASE,
+        )
+        if m:
+            name = m.group(1)
+            schemas.add(name[1:-1].replace('""', '"') if name.startswith('"') else name)
+    schema_map: dict[str, str | None] = {s: f"{database}_{s}" for s in schemas}
+    for st in statements:
         if st.is_psql:
             counts["skipped"] += 1
             continue
@@ -164,10 +186,20 @@ def restore_schema_script(
         if decision.action != DDLAction.EXECUTE:
             counts["skipped"] += 1
             continue
-        # ignored-schema filter (F5, basebackup.py:108-116)
-        if any(f" {database}_{s}." in decision.sql or decision.sql.startswith(f"{database}_{s}.") for s in ignored):
+        # ignored-schema filter on the ORIGINAL qualifiers, before remap
+        # (F5, basebackup.py:108-116)
+        if any(re.search(rf"(^|[\s(]){re.escape(s)}\s*\.", sql) for s in ignored):
             counts["ignored_schema"] += 1
             continue
+        # token-grade rewrite replaces the classifier's regex rewrite on
+        # this path (regclass literals, quoted qualifiers, comment safety)
+        remapped = remap_statement(sql, schema_map, default_schema="public")
+        decision.sql = re.sub(
+            r"(DROP\s+CONSTRAINT\s+)(?!IF\s+EXISTS)",
+            r"\1IF EXISTS ",
+            remapped,
+            flags=re.IGNORECASE,
+        )
         executor.execute(decision, database)
         counts["executed"] += 1
     return counts

@@ -69,3 +69,25 @@ def test_restore_schema_script(spark):
     assert counts["executed"] == 2  # table + sequence
     assert counts["ignored_schema"] == 1
     assert counts["skipped"] >= 5
+
+
+def test_restore_remaps_regclass_sequence_defaults(spark):
+    """The verdict's pg_dump case: a serial column's DEFAULT carries a
+    regclass literal that the replay-path regex rewrite cannot reach; the
+    restore path's token-grade remapper must rewrite it."""
+    script = """
+    CREATE SCHEMA app;
+    CREATE SEQUENCE app.items_id_seq;
+    CREATE TABLE app.items (
+        id integer DEFAULT nextval('app.items_id_seq'::regclass) NOT NULL,
+        label text
+    );
+    ALTER SEQUENCE app.items_id_seq OWNED BY app.items.id;
+    """
+    cat = EngineCatalog()
+    counts = restore_schema_script(script, "db1", cat)
+    spec = cat.get("db1", "app", "items")
+    assert [c.name for c in spec.columns] == ["id", "label"]
+    # CREATE SCHEMA is skip-classified; seq + table + alterseq execute
+    assert counts["executed"] == 3
+    assert counts["unknown"] == 0
