@@ -111,11 +111,13 @@ def snapshot_from_jdbc(
                 f"(SELECT min({pks[0]}) lo, max({pks[0]}) hi FROM {fq}) b",
                 properties=props,
             ).collect()[0]
-            if bounds["lo"] is not None:
+            # positional access: dialects disagree on alias case folding
+            # (Derby uppercases unquoted aliases, PG lowercases)
+            if bounds[0] is not None:
                 reader_kwargs = dict(
                     column=pks[0],
-                    lowerBound=int(bounds["lo"]),
-                    upperBound=int(bounds["hi"]) + 1,
+                    lowerBound=int(bounds[0]),
+                    upperBound=int(bounds[1]) + 1,
                     numPartitions=num_partitions,
                 )
         df = spark.read.jdbc(url, fq, properties=props, **reader_kwargs)
