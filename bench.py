@@ -64,7 +64,15 @@ def main() -> None:
         prior = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
         if prior:
             with open(prior[-1]) as fh:
-                prev_queries = set(json.load(fh).get("queries", {}))
+                doc = json.load(fh)
+            if "queries" not in doc and "tail" in doc:
+                # driver wrapper: the bench JSON line is embedded in "tail"
+                import re as _re
+
+                m = _re.search(r'\{"metric".*\}', doc["tail"])
+                if m:
+                    doc = json.loads(m.group(0))
+            prev_queries = set(doc.get("queries", {}))
     except Exception:
         pass
     payload = {

@@ -1,0 +1,162 @@
+"""Dataset-curation operators for training-data pipelines.
+
+- hash_bucket / hash_sample / dataset_split — DETERMINISTIC selection keyed
+  on content ids, not ``rand()``: reproducible across runs, engines, and
+  cluster sizes, and stable under re-partitioning — the property a 100 TB
+  corpus snapshot needs (re-running the pipeline must pick the same rows).
+  Two hash families: ``xxhash64`` (8-byte JVM hash, the scale path) and
+  ``md5`` (hex-string comparisons, portable SQL → DuckDB value-hash gate).
+- neardup_clusters — connected components over a near-duplicate pair graph
+  via Pregel-style min-label propagation: per iteration one hash-join on
+  the edge list + a groupBy-min, converging in O(cluster diameter)
+  iterations (near-dup clusters are shallow — boilerplate families rarely
+  chain far). The driver-side loop checks a changed-count per iteration
+  (an aggregate, not a data collect). At extreme skew the large-star /
+  small-star variant halves rounds; the edge-join shape is identical.
+- keep_canonical — one representative per cluster (smallest id wins, the
+  reference dedup convention), everything else flagged as a duplicate.
+
+Selection thresholds compare the FIRST 8 HEX CHARS of the hash as strings:
+lowercase-hex ordering is numeric ordering, so ``substr(md5(x),1,8) <
+'1999999a'`` keeps ~10% — identically in Spark and any SQL engine, with no
+integer-conversion dialect traps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_hex8(id_col: Column, seed: int, family: str) -> Column:
+    """First 8 hex chars of the keyed hash, lowercase — the comparison key
+    for all selection operators."""
+    if family == "md5":
+        return F.substring(F.md5(F.concat(F.lit(f"{seed}|"), id_col.cast("string"))), 1, 8)
+    if family == "xxhash64":
+        # bucket on the hash's top 32 bits, rendered as zero-padded hex so
+        # the same string-comparison contract holds
+        h = F.shiftrightunsigned(F.xxhash64(id_col, F.lit(seed)), 32)
+        return F.lpad(F.lower(F.hex(h)), 8, "0")
+    raise ValueError(f"unknown hash family {family!r}")
+
+
+def fraction_threshold_hex(fraction: float) -> str:
+    """Hex threshold t such that P[hex8 < t] == fraction for a uniform
+    32-bit hash."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return format(int(round(fraction * 0x100000000)), "09x")[-9:].rjust(8, "0") if fraction < 1.0 else "g" * 8
+    # note: 'g' > 'f' in ASCII, so threshold 'gggggggg' keeps everything
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    *,
+    seed: int = 42,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic ``fraction`` sample keyed on ``id_col``. Unlike
+    ``df.sample()``, membership is a pure function of the id — stable
+    across runs, partitionings, and engines."""
+    t = fraction_threshold_hex(fraction)
+    return df.filter(_hash_hex8(F.col(id_col), seed, family) < F.lit(t))
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Assign each row a deterministic ``split`` label (train/val/test by
+    default) by cumulative hash-threshold ranges. Weights must sum to 1."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    hx = _hash_hex8(F.col(id_col), seed, family)
+    expr: Column | None = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        t = fraction_threshold_hex(acc)
+        cond = hx < F.lit(t)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    split = (expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)).alias("split")
+    return df.withColumn("split", split)
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 15,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id),
+    cluster_id = smallest doc id in the component. Covers only nodes that
+    appear in at least one pair (singletons are trivially their own
+    cluster and are left to the caller).
+
+    Pregel-style min-label propagation: labels(v) ← min(labels(v),
+    min over neighbors); one shuffle-join + one groupBy per iteration,
+    O(diameter) iterations with a driver-side convergence check (a count
+    aggregate per iteration — no data ever collects to the driver).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.col("label").alias("__old"),
+            )
+        ).persist()
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+        labels.unpersist()
+        labels = new_labels.select("node", "label").persist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    *,
+    cluster_node: str = "doc_id",
+    cluster_id: str = "cluster_id",
+) -> DataFrame:
+    """Join cluster assignments back and keep one representative per
+    cluster: the smallest id (== the cluster id, by construction of
+    ``neardup_clusters``). Rows outside any cluster are kept."""
+    cl = clusters.select(
+        F.col(cluster_node).alias("__node"), F.col(cluster_id).alias("__cid")
+    )
+    joined = df.join(cl, df[id_col] == cl["__node"], "left")
+    return (
+        joined.filter(F.col("__cid").isNull() | (F.col(id_col) == F.col("__cid")))
+        .drop("__node", "__cid")
+    )
