@@ -46,8 +46,10 @@ def fraction_threshold_hex(fraction: float) -> str:
     32-bit hash."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    return format(int(round(fraction * 0x100000000)), "09x")[-9:].rjust(8, "0") if fraction < 1.0 else "g" * 8
-    # note: 'g' > 'f' in ASCII, so threshold 'gggggggg' keeps everything
+    v = int(round(fraction * 0x100000000))
+    if v >= 0x100000000:
+        return "g" * 8  # 'g' > 'f' in ASCII: keeps everything
+    return format(v, "08x")
 
 
 def hash_sample(
@@ -104,10 +106,12 @@ def neardup_clusters(
     appear in at least one pair (singletons are trivially their own
     cluster and are left to the caller).
 
-    Pregel-style min-label propagation: labels(v) ← min(labels(v),
-    min over neighbors); one shuffle-join + one groupBy per iteration,
-    O(diameter) iterations with a driver-side convergence check (a count
-    aggregate per iteration — no data ever collects to the driver).
+    Pregel-style min-label propagation WITH path halving: each iteration
+    (a) takes the min over neighbors' labels (one hash-join + groupBy-min)
+    and (b) pointer-jumps ``label ← label(label)`` (one more hash-join), so
+    convergence is O(log diameter) iterations, not O(diameter). The
+    driver-side loop checks a changed-count per iteration (an aggregate,
+    never a data collect).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -115,23 +119,42 @@ def neardup_clusters(
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
     for _ in range(max_iters):
+        # (a) min over neighbors
         nbr_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("dlabel")),
+                "dst",
+            )
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+            .agg(F.min("dlabel").alias("nbr"))
+            .withColumnRenamed("src", "node")
+        )
+        step1 = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr", "label")).alias("label"),
+            F.col("label").alias("__old"),
+        )
+        # (b) pointer jump: label ← label(label) (labels always hold node
+        # ids present in the graph, so the self-join hits)
+        parents = step1.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            step1.join(parents, step1.label == parents.pnode, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                F.col("label").alias("__old"),
+                F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
+                "__old",
             )
-        ).persist()
+            .persist()
+        )
         changed = new_labels.filter(F.col("label") != F.col("__old")).count()
         labels.unpersist()
         labels = new_labels.select("node", "label").persist()

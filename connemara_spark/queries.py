@@ -1345,6 +1345,99 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "vec_id", "embedding", k=10, n_cells=16, n_probe=2)
 
 
+def _split_oracle() -> str:
+    from connemara_spark.operators.curation import fraction_threshold_hex
+
+    t_train = fraction_threshold_hex(0.8)
+    t_val = fraction_threshold_hex(0.9)
+    return f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t_train}' THEN 'train'
+                WHEN substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t_val}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+@register(
+    "dataset_split_md5",
+    _split_oracle(),
+    "deterministic hash-bucketed train/val/test assignment (md5 family twin; xxhash64 is the scale path)",
+)
+def dataset_split_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.curation import dataset_split
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    return dataset_split(docs, "doc_id", family="md5")
+
+
+def _sample_oracle() -> str:
+    from connemara_spark.operators.curation import fraction_threshold_hex
+
+    t = fraction_threshold_hex(0.1)
+    return f"""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t}'
+    """
+
+
+@register(
+    "doc_hash_sample_md5",
+    _sample_oracle(),
+    "deterministic 10% corpus sample keyed on doc_id (reproducible across runs/engines, unlike rand())",
+)
+def doc_hash_sample_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.curation import hash_sample
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+    return hash_sample(docs, "doc_id", 0.1, family="md5")
+
+
+_NGRAM_PAIRS_CTES = """
+    d AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shs
+        FROM documents
+    ),
+    sh AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT id_a, id_b
+        FROM inter JOIN d da ON da.doc_id = id_a JOIN d db ON db.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (len(da.shs) + len(db.shs) - n_inter) >= 0.5
+    )
+"""
+
+
+@register(
+    "neardup_clusters_ngram",
+    f"""
+    WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+    edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+    reach AS (
+        SELECT a AS src, a AS dst FROM edges
+        UNION
+        SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    """,
+    "connected components over near-dup pairs (Pregel-style min-label propagation; oracle = recursive-CTE transitive closure)",
+)
+def neardup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.curation import neardup_clusters
+    from connemara_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
+    return neardup_clusters(pairs)
+
+
 @register(
     "multimodal_bmp_decode",
     """

@@ -1,0 +1,102 @@
+"""Dataset-curation operators: deterministic sampling/splits + near-dup
+connected components."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from connemara_spark.operators.curation import (
+    dataset_split,
+    fraction_threshold_hex,
+    hash_sample,
+    keep_canonical,
+    neardup_clusters,
+)
+
+
+def test_fraction_threshold_hex():
+    assert fraction_threshold_hex(0.0) == "00000000"
+    assert fraction_threshold_hex(1.0) == "gggggggg"
+    # the >= 0.5 regime must still be 8 chars (string-comparison contract)
+    assert len(fraction_threshold_hex(0.9)) == 8
+    assert fraction_threshold_hex(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        fraction_threshold_hex(1.5)
+
+
+def _md5_hex8(i: int, seed: int = 42) -> str:
+    return hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8]
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.createDataFrame([(i,) for i in range(1000)], "doc_id long").persist()
+
+
+def test_hash_sample_matches_reference_hash(ids):
+    got = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.1, family="md5").collect()}
+    t = fraction_threshold_hex(0.1)
+    expected = {i for i in range(1000) if _md5_hex8(i) < t}
+    assert got == expected
+    assert 50 <= len(got) <= 150  # ~10% of 1000
+
+
+def test_hash_sample_deterministic_and_family_variants(ids):
+    a = set(r["doc_id"] for r in hash_sample(ids, "doc_id", 0.2, family="xxhash64").collect())
+    b = set(r["doc_id"] for r in hash_sample(ids, "doc_id", 0.2, family="xxhash64").collect())
+    assert a == b  # pure function of id, not rand()
+    assert 120 <= len(a) <= 280
+    with pytest.raises(ValueError):
+        hash_sample(ids, "doc_id", 0.1, family="sha9000").collect()
+
+
+def test_dataset_split_partitions_everything(ids):
+    out = dataset_split(ids, "doc_id", family="md5").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "val", "test"}
+    assert sum(len(v) for v in by.values()) == 1000
+    # disjoint
+    assert not (by["train"] & by["val"]) and not (by["val"] & by["test"])
+    # roughly 80/10/10
+    assert 700 <= len(by["train"]) <= 900
+    assert 50 <= len(by["val"]) <= 160
+    assert 50 <= len(by["test"]) <= 160
+    with pytest.raises(ValueError):
+        dataset_split(ids, "doc_id", weights={"a": 0.5, "b": 0.4})
+
+
+def test_split_nests_within_sample(ids):
+    """The cumulative-threshold property: a 10% sample is exactly the head
+    of the 80% train range under the same seed/family."""
+    sample = {r["doc_id"] for r in hash_sample(ids, "doc_id", 0.1, family="md5").collect()}
+    split = {r["doc_id"]: r["split"] for r in dataset_split(ids, "doc_id", family="md5").collect()}
+    assert all(split[i] == "train" for i in sample)
+
+
+def test_neardup_clusters_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_neardup_clusters_long_chain_converges(spark):
+    # a 13-node path: min label must walk the full diameter
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 13)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 14)}
+
+
+def test_keep_canonical(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(1, 7)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    clusters = neardup_clusters(pairs)
+    kept = sorted(r["doc_id"] for r in keep_canonical(docs, clusters, "doc_id").collect())
+    # 2,3 fold into 1; 6 folds into 5; 4 untouched (no cluster)
+    assert kept == [1, 4, 5]
