@@ -170,6 +170,90 @@ def cosine_pairs_blocked(
     return emb.select(id_col).mapInPandas(compute, "id_a long, id_b long, cos_sim double")
 
 
+def cosine_pairs_gemm(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact cosine near-dup pairs as a DISTRIBUTED blocked GEMM — the
+    all-pairs baseline that actually scales out.
+
+    Rows hash into ``n_blocks`` blocks on the id; every unordered block
+    pair (ba ≤ bb) becomes one cogroup key, and each task runs one
+    vectorized ``L @ R.T`` over its two Arrow-delivered blocks. Nothing is
+    collected or broadcast: data motion is one shuffle where each row is
+    replicated ``n_blocks + 1`` times (its row of block-pairs plus its
+    column). Pick ``n_blocks ≈ n·dim·8 / block_bytes`` so a block pair
+    (two float64 matrices + the sims block) fits a task's memory; the
+    O(n²/2) FLOP count is intrinsic to the exact baseline — the win over
+    ``cosine_pairs`` is BLAS instead of per-pair interpreted expressions,
+    and even work units instead of a skewed cartesian.
+
+    Float64 normalize + matmul, matching the sequential-fold oracle within
+    the 4-decimal rounding.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
+    blk_pairs = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)], "ba int, bb int"
+        )
+    )
+    left = (
+        rows.alias("lr")
+        .join(blk_pairs.alias("lp"), F.col("lr.blk") == F.col("lp.ba"))
+        .select("lp.ba", "lp.bb", "lr.id", "lr.v")
+    )
+    # Alias every right-side column: Alias mints fresh attribute ids, which
+    # the cogroup needs — both sides descend from the same `rows` plan and
+    # identical ids would be ambiguous.
+    right = (
+        rows.alias("rr")
+        .join(blk_pairs.alias("rp"), F.col("rr.blk") == F.col("rp.bb"))
+        .select(
+            F.col("rp.ba").alias("ba"),
+            F.col("rp.bb").alias("bb"),
+            F.col("rr.id").alias("id"),
+            F.col("rr.v").alias("v"),
+        )
+    )
+
+    def gemm(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame):
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        lid = lpdf["id"].to_numpy(dtype=np.int64)
+        rid = rpdf["id"].to_numpy(dtype=np.int64)
+        lm = np.array(lpdf["v"].tolist(), dtype=np.float64)
+        rm = np.array(rpdf["v"].tolist(), dtype=np.float64)
+        lm /= np.linalg.norm(lm, axis=1)[:, None]
+        rm /= np.linalg.norm(rm, axis=1)[:, None]
+        sims = lm @ rm.T
+        hot = sims > threshold
+        if key[0] == key[1]:
+            # diagonal block: same rows on both sides — id_a < id_b dedups
+            # the mirrored pairs and drops self-pairs
+            hot &= lid[:, None] < rid[None, :]
+        li, ri = np.nonzero(hot)
+        # off-diagonal pairs appear exactly once but in arbitrary id order
+        ia, ib = np.minimum(lid[li], rid[ri]), np.maximum(lid[li], rid[ri])
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_sim": np.round(sims[li, ri], 4)})
+
+    return (
+        left.groupby("ba", "bb")
+        .cogroup(right.groupby("ba", "bb"))
+        .applyInPandas(gemm, "id_a long, id_b long, cos_sim double")
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (driver-side constants,
     broadcast as literals — no data skew, no RNG on executors)."""

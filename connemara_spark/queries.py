@@ -1593,13 +1593,14 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact embedding-cosine near-duplicate pairs (brute-force correctness baseline; LSH variant is the scale path)",
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The distributed exact path (shuffle-based cartesian, no driver collect
-    # or broadcast anywhere in the lineage); cosine_pairs_blocked remains
-    # available as a documented small-regime BLAS tool.
-    from connemara_spark.operators.similarity import cosine_pairs
+    # The distributed exact path: blocked GEMM over cogrouped Arrow blocks —
+    # no driver collect or broadcast anywhere in the lineage, vectorized BLAS
+    # per block pair. cosine_pairs (codegen cartesian) and
+    # cosine_pairs_blocked (single-node BLAS) remain documented baselines.
+    from connemara_spark.operators.similarity import cosine_pairs_gemm
 
     emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    return cosine_pairs(emb, "vec_id", "embedding", threshold=0.95, dim=64)
+    return cosine_pairs_gemm(emb, "vec_id", "embedding", threshold=0.95, n_blocks=8)
 
 
 # ---------------------------------------------------------------------------
