@@ -94,6 +94,125 @@ def dataset_split(
     return df.withColumn("split", split)
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    *,
+    n_per_stratum: int,
+    seed: int = 42,
+    family: str = "md5",
+) -> DataFrame:
+    """Balanced per-stratum sample: the first ``n_per_stratum`` rows of each
+    stratum in deterministic hash order (same reproducible-selection
+    contract as ``hash_sample`` — re-runs pick identical rows). One
+    partitioned window per stratum; no global sort, no single-task funnel.
+    Emits ``sample_rank`` (1-based within the stratum)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_hex8(F.col(id_col), seed, family), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 13,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination detection: (train_doc, bench_doc) pairs
+    sharing ≥ ``min_shared`` distinct word ``k``-grams — the standard
+    13-gram overlap test run before training on a scraped corpus.
+
+    Shape: explode each side's DISTINCT shingles, hash-join on the gram,
+    count per pair. The benchmark side is the small one by construction
+    (evaluation suites are tiny next to a 100 TB corpus), so the gram join
+    broadcasts or AQE-coalesces; counts aggregate with map-side partials.
+    Same-document pairs are excluded (a benchmark doc trivially overlaps
+    itself if it also appears in train)."""
+    from connemara_spark.operators.dedup import word_shingles
+
+    t = train.select(
+        F.col(id_col).alias("train_doc_id"),
+        F.explode(word_shingles(text_col, k)).alias("gram"),
+    )
+    b = bench.select(
+        F.col(id_col).alias("bench_doc_id"),
+        F.explode(word_shingles(text_col, k)).alias("gram"),
+    )
+    return (
+        t.join(b, "gram")
+        .filter(F.col("train_doc_id") != F.col("bench_doc_id"))
+        .groupBy("train_doc_id", "bench_doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    budget: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins: documents are
+    laid out in a deterministic shuffled order (md5 of the id — the same
+    reproducible-selection contract as ``hash_sample``) and ``bin_id`` is
+    the bin in which each document STARTS (cumulative tokens // budget).
+
+    The global running sum is computed as a DISTRIBUTED prefix-sum, not one
+    giant unpartitioned window (which would funnel 100 TB through a single
+    task): the hash's first two hex chars shard the order into 256 ranges;
+    each shard does a partitioned window cumsum, and a 256-row shard-total
+    table (broadcast) supplies each shard's global offset. Because the
+    shard key is a PREFIX of the order key, shard-then-offset order equals
+    global hash order exactly — an oracle can verify with a naive global
+    window and match bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    t = df.select(
+        F.col(id_col),
+        F.col(tokens_col).alias("n_tokens"),
+        h.alias("__h"),
+        F.substring(h, 1, 2).alias("__shard"),
+    )
+    w_in = (
+        Window.partitionBy("__shard")
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("__cum_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+    totals = t.groupBy("__shard").agg(F.sum("n_tokens").alias("__tot"))
+    w_off = (
+        Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    )  # 256 rows: the one tiny single-partition window, by design
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
+    ).select("__shard", "__off")
+    return (
+        t.join(F.broadcast(offsets), "__shard")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.floor((F.col("__off") + F.col("__cum_in")) / F.lit(float(budget)))
+            .cast("long")
+            .alias("bin_id"),
+        )
+    )
+
+
 def neardup_clusters(
     pairs: DataFrame,
     *,

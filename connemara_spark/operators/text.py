@@ -95,6 +95,105 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 6))
 
 
+def _dup_gram_frac(words: Column, n: int) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram —
+    the Gopher-style repetition signal. One O(len) pass: build the gram
+    array once, compare total vs distinct counts (never per-gram rescans)."""
+    cnt = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(
+        cnt > 0,
+        (cnt - F.size(F.array_distinct(grams))).cast("double") / cnt,
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_word_max: float = 0.20,
+    dup_2gram_max: float = 0.35,
+) -> DataFrame:
+    """Repetition-based quality filters in the style of the Gopher /
+    MassiveText rules: documents dominated by one word or by repeated
+    phrases are low-quality (boilerplate, spam, generator loops).
+
+    - ``top_word_frac``  — occurrences of the most frequent word / n_words,
+      computed by explode → (doc, word) count → per-doc max: two partial-
+      aggregated shuffles on the doc key, the scalable idiom (no O(n·d)
+      per-row HOF rescans).
+    - ``dup_2gram_frac`` / ``dup_3gram_frac`` — fraction of word n-grams
+      that repeat, one array pass each.
+    - ``repetition_flag`` — true when either signal crosses its threshold.
+    """
+    words = F.split(F.col(text_col), " ")
+    ex = df.select(F.col(id_col).alias("__id"), F.explode(words).alias("w"))
+    top = (
+        ex.groupBy("__id", "w")
+        .count()
+        .groupBy("__id")
+        .agg(F.max("count").alias("__max_c"), F.sum("count").alias("__n_words"))
+    )
+    base = df.select(
+        "*",
+        (F.size(words)).alias("n_words"),
+        F.round(_dup_gram_frac(words, 2), 6).alias("dup_2gram_frac"),
+        F.round(_dup_gram_frac(words, 3), 6).alias("dup_3gram_frac"),
+    )
+    out = base.join(top, base[id_col] == top["__id"], "left").select(
+        base["*"],
+        F.round(
+            F.coalesce(F.col("__max_c").cast("double") / F.col("__n_words"), F.lit(0.0)), 6
+        ).alias("top_word_frac"),
+    )
+    return out.withColumn(
+        "repetition_flag",
+        (F.col("top_word_frac") > top_word_max) | (F.col("dup_2gram_frac") > dup_2gram_max),
+    )
+
+
+# PII redaction patterns. Deliberately restricted to the regex subset that
+# behaves identically in Java regex (Spark) and RE2 (DuckDB/Go tooling):
+# no lookaround, no backrefs, character classes + bounded repetition only —
+# so the redaction a 100 TB Spark job applies is reproducible by any
+# RE2-based auditor. Order matters: emails before URLs before IPs before
+# bare digit runs (each later pattern could partially match an earlier
+# category's text).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^ ]+", "<URL>"),
+    ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("digit_run", r"[0-9]{7,}", "<NUM>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Redact common PII shapes (emails, URLs, IPv4s, long digit runs) with
+    typed placeholder tokens, plus per-category match counts taken on the
+    ORIGINAL text (categories may overlap; counts are independent signals).
+
+    All native ``regexp_replace`` / ``regexp_extract_all`` — JVM-side,
+    codegen-friendly, no UDFs in the redaction hot path.
+    """
+    cleaned = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, pat, token)
+    return df.select(
+        "*",
+        cleaned.alias(out_col),
+        *[
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+    )
+
+
 def min_shingle_fingerprint(text_col: str | Column, k: int = 5) -> Column:
     """Document fingerprint: lexicographic min of word-k-gram md5s — a
     winnowing-style content fingerprint stable under local edits outside the

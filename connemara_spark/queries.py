@@ -1008,6 +1008,158 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stratified_oracle() -> str:
+    return """
+    SELECT doc_id, lang, sample_rank FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+                   AS sample_rank
+        FROM documents) s
+    WHERE sample_rank <= 50
+    """
+
+
+@register(
+    "doc_stratified_sample",
+    _stratified_oracle(),
+    "balanced per-language sample: first 50 docs per stratum in deterministic hash order",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.curation import stratified_sample
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "lang")
+    return stratified_sample(docs, "doc_id", "lang", n_per_stratum=50, family="md5")
+
+
+def _contamination_oracle() -> str:
+    from connemara_spark.operators.curation import fraction_threshold_hex
+
+    t = fraction_threshold_hex(0.02)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 12, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+12], ' '))) AS shs
+        FROM documents
+    ),
+    g AS (SELECT doc_id, unnest(shs) AS gram FROM d),
+    bench_ids AS (
+        SELECT doc_id FROM documents
+        WHERE substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t}'
+    ),
+    b AS (SELECT g.doc_id AS bench_doc_id, gram FROM g JOIN bench_ids USING (doc_id))
+    SELECT g.doc_id AS train_doc_id, b.bench_doc_id, COUNT(*) AS n_shared_grams
+    FROM g JOIN b USING (gram)
+    WHERE g.doc_id <> b.bench_doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "doc_contamination_13gram",
+    _contamination_oracle(),
+    "benchmark-contamination detection: 13-gram overlap between the corpus and a deterministic 2% benchmark subset",
+)
+def doc_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.curation import contamination_pairs, hash_sample
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    bench = hash_sample(docs, "doc_id", 0.02, family="md5")
+    return contamination_pairs(docs, bench, id_col="doc_id", text_col="text", k=13)
+
+
+@register(
+    "doc_pack_sequences",
+    """
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER
+               (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 2048.0) AS BIGINT) AS bin_id
+    FROM t
+    """,
+    "fixed-token-budget sequence packing in deterministic shuffle order (distributed sharded prefix-sum; oracle = naive global window)",
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.curation import pack_sequences
+    from connemara_spark.operators.text import whitespace_token_count
+
+    docs = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", whitespace_token_count("text").alias("n_tok")
+    )
+    return pack_sequences(docs, "doc_id", "n_tok", budget=2048)
+
+
+@register(
+    "doc_pii_redaction",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+               '[0-9]{7,}', '<NUM>', 'g') AS clean_text,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_url,
+           len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ip,
+           len(regexp_extract_all(text, '[0-9]{7,}')) AS n_digit_run
+    FROM documents
+    """,
+    "PII redaction with RE2/Java-portable patterns (emails, URLs, IPv4, digit runs) + per-category counts",
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.text import redact_pii
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    return redact_pii(docs, "text").drop("text")
+
+
+@register(
+    "doc_repetition_filters",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    tc AS (
+        SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS twf
+        FROM (SELECT doc_id, w, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(ws) AS w FROM w) GROUP BY doc_id, w)
+        GROUP BY doc_id
+    ),
+    g AS (
+        SELECT w.doc_id, len(ws) AS n_words,
+               ROUND(CASE WHEN len(ws) >= 2 THEN
+                   CAST(len(ws) - 1 - len(list_distinct(list_transform(
+                       range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' ')))) AS DOUBLE)
+                   / (len(ws) - 1) ELSE 0.0 END, 6) AS dup_2gram_frac,
+               ROUND(CASE WHEN len(ws) >= 3 THEN
+                   CAST(len(ws) - 2 - len(list_distinct(list_transform(
+                       range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')))) AS DOUBLE)
+                   / (len(ws) - 2) ELSE 0.0 END, 6) AS dup_3gram_frac,
+               ROUND(COALESCE(twf, 0.0), 6) AS top_word_frac
+        FROM w LEFT JOIN tc USING (doc_id)
+    )
+    SELECT doc_id, n_words, dup_2gram_frac, dup_3gram_frac, top_word_frac,
+           (top_word_frac > 0.20 OR dup_2gram_frac > 0.35) AS repetition_flag
+    FROM g
+    """,
+    "Gopher-style repetition quality filters (top-word fraction, duplicate n-gram fractions)",
+)
+def doc_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.text import repetition_features
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    return repetition_features(docs, "doc_id", "text").select(
+        "doc_id", "n_words", "dup_2gram_frac", "dup_3gram_frac",
+        "top_word_frac", "repetition_flag",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth: semi/anti joins, conditional aggregation, disjunctive
 # pushdown, scalar-subquery filters — the SELECT-side operator vocabulary a
