@@ -168,6 +168,7 @@ def decode_images(
     codec: str = "bmp",
     fake: bool = False,
     target_partition_bytes: int = 128 << 20,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Decode + feature-extract images via Arrow-batched mapInPandas.
 
@@ -185,7 +186,11 @@ def decode_images(
             f"codec {codec!r} requires an image library not available in "
             "this environment (bmp is implemented pure-python)"
         )
-    n_parts = estimate_partitions(df, target_partition_bytes=target_partition_bytes)
+    # estimate_partitions runs a byte-count job over the INPUT — if that
+    # input is itself a generated/transformed chain (fixture → resize),
+    # the count re-materializes the whole chain. Callers that know the
+    # upstream size pass n_partitions to skip the extra pass.
+    n_parts = n_partitions or estimate_partitions(df, target_partition_bytes=target_partition_bytes)
     src = df.select("media_id", "payload").repartition(n_parts)
 
     def decode(batches: Iterator) -> Iterator:
@@ -229,6 +234,7 @@ def decode_audio(
     *,
     codec: str = "wav",
     target_partition_bytes: int = 128 << 20,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Decode + feature-extract audio via Arrow-batched mapInPandas.
     ``codec='wav'`` is a REAL pure-python RIFF/PCM-16 parser; compressed
@@ -238,7 +244,7 @@ def decode_audio(
             f"codec {codec!r} requires an audio library not available in "
             "this environment (wav is implemented pure-python)"
         )
-    n_parts = estimate_partitions(df, target_partition_bytes=target_partition_bytes)
+    n_parts = n_partitions or estimate_partitions(df, target_partition_bytes=target_partition_bytes)
     src = df.select("media_id", "payload").repartition(n_parts)
 
     def decode(batches: Iterator) -> Iterator:
@@ -307,6 +313,40 @@ def resize_images(
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return df.select("media_id", "payload").mapInPandas(resize, schema="media_id long, payload binary")
+
+
+def decimate_audio(df: DataFrame, *, factor: int, codec: str = "wav") -> DataFrame:
+    """REAL audio decimation: decode PCM-16, keep every ``factor``-th
+    sample, re-encode at ``rate // factor`` (duration preserved, bandwidth
+    reduced — the cheap anti-aliasing-free downsample). Mono only; true
+    multi-channel frame decimation and filtered resampling need a DSP
+    library and raise NotImplementedError at the boundary."""
+    if codec != "wav":
+        raise NotImplementedError(f"codec {codec!r} requires an audio library")
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def decimate(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                try:
+                    rate, ch, samples = decode_wav(raw)
+                except (ValueError, NotImplementedError):
+                    continue
+                if ch != 1:
+                    raise NotImplementedError("multi-channel decimation needs frame handling")
+                rows.append(
+                    (int(mid), encode_wav(max(rate // factor, 1), samples[::factor], ch))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        decimate, schema="media_id long, payload binary"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1650,6 +1650,68 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(wav_fixture(docs), codec="wav")
 
 
+@register(
+    "multimodal_bmp_resize",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS w, CAST(2 + doc_id % 4 AS INT) AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id,
+               ((d.doc_id * 31 + ((ys.y * d.h) // 4) * 7
+                 + ((xs.x * d.w) // 4) * 3 + cs.c * 11) % 256) AS v
+        FROM dims d, range(0, 4) ys(y), range(0, 4) xs(x), range(0, 3) cs(c)
+    )
+    SELECT doc_id AS media_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(102 AS INT) AS n_bytes,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_byte,
+           CAST(SUM(v) % 2147483648 AS BIGINT) AS checksum
+    FROM px
+    GROUP BY doc_id
+    """,
+    "REAL BMP nearest-neighbor resize (decode -> NN sample -> re-encode) then decode-stats; oracle composes the NN index map in closed form",
+)
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.multimodal import bmp_fixture, decode_images, resize_images
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    resized = resize_images(bmp_fixture(docs), width=4, height=4, codec="bmp")
+    # n_partitions: skip the byte-count pass — it would re-materialize the
+    # fixture→resize python chain just to size partitions
+    return decode_images(resized, codec="bmp", n_partitions=32)
+
+
+@register(
+    "multimodal_wav_decimate",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(50 + doc_id % 30 AS INT) AS n FROM documents
+    ),
+    smp AS (
+        SELECT d.doc_id, (((d.doc_id * 13 + ts.i * 7) % 2048) - 1024) AS s
+        FROM dims d, range(0, 80) ts(i)
+        WHERE ts.i < d.n AND ts.i % 4 = 0
+    )
+    SELECT doc_id AS media_id,
+           CAST(2000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(COUNT(*) * 1000 // 2000 AS INT) AS duration_ms,
+           CAST(SUM(ABS(s)) AS DOUBLE) / COUNT(*) AS mean_abs,
+           CAST(SUM(s) AS BIGINT) AS checksum
+    FROM smp
+    GROUP BY doc_id
+    """,
+    "REAL PCM-16 decimation (every 4th sample, rate/4) then decode-stats; oracle recomputes the kept-sample stats in closed form",
+)
+def multimodal_wav_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.multimodal import decimate_audio, decode_audio, wav_fixture
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    return decode_audio(decimate_audio(wav_fixture(docs), factor=4), codec="wav", n_partitions=32)
+
+
 def _ivf_lit_oracle(*, dim: int = 64, k: int = 10, n_cells: int = 16, n_probe: int = 2, seed: int = 42) -> str:
     """DuckDB oracle for the literal-centroid IVF twin: the SAME seeded
     centroids render into both engines' SQL (flat double chain ≡ Spark's

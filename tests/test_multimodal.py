@@ -11,6 +11,7 @@ from connemara_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     bmp_fixture,
     bmp_stride,
+    decimate_audio,
     decode_audio,
     decode_bmp,
     decode_images,
@@ -119,6 +120,18 @@ def test_real_bmp_resize_nearest_neighbor(spark):
         for x in range(2):
             sx, sy = x * w0 // 2, y * h0 // 2
             assert px[(y * 2 + x) * 3 : (y * 2 + x) * 3 + 3] == src[(sy * w0 + sx) * 3 : (sy * w0 + sx) * 3 + 3]
+
+
+def test_real_wav_decimation(spark):
+    ids = spark.createDataFrame([(7,)], "doc_id long")
+    out = decimate_audio(wav_fixture(ids), factor=4).collect()
+    rate, ch, samples = decode_wav(bytes(out[0]["payload"]))
+    n0 = 50 + 7 % 30
+    expected = [((7 * 13 + i * 7) % 2048) - 1024 for i in range(0, n0, 4)]
+    assert (rate, ch) == (2000, 1)
+    assert samples == expected
+    with pytest.raises(ValueError):
+        decimate_audio(wav_fixture(ids), factor=0)
 
 
 def test_real_wav_decode_features(spark):
