@@ -291,6 +291,35 @@ def unit_expr(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double") / nrm)
 
 
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q[i] = round(v[i] * 127 /
+    max|v|)`` — the standard memory-footprint cut for billion-vector ANN
+    indexes (4 bytes → 1 byte per dim; dot products stay proportional, so
+    bucketing/rerank order is preserved up to quantization error).
+
+    All native array expressions (two O(dim) passes per row, zero
+    shuffles), computed in float64 so any engine reproduces the quantized
+    codes bit-for-bit: float→double widening is exact and round() ties go
+    away-from-zero in both Spark and DuckDB. Zero vectors quantize to
+    zeros with scale 0."""
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    qvec = F.transform(
+        v,
+        lambda x: F.when(mx > 0, F.round(x.cast("double") * 127.0 / mx))
+        .otherwise(F.lit(0.0))
+        .cast("int"),
+    )
+    return emb.select(
+        F.col(id_col),
+        F.round(mx / 127.0, 9).alias("scale"),
+        qvec.alias("qvec"),
+        F.aggregate(qvec, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("qsum"),
+    )
+
+
 def _srp_signatures_udf(n_bits: int, n_tables: int, seed: int):
     """Arrow-batched SRP signatures: one ``batch @ planes.T`` matmul yields
     the sign bits for ALL tables at once, packed big-endian to match the

@@ -1008,6 +1008,34 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    ),
+    t AS (
+        SELECT vec_id, ROUND(mx / 127.0, 9) AS scale,
+               list_transform(embedding, x -> CAST(
+                   CASE WHEN mx > 0 THEN ROUND(CAST(x AS DOUBLE) * 127.0 / mx)
+                        ELSE 0.0 END AS INT)) AS qvec
+        FROM s
+    )
+    SELECT vec_id, scale, qvec,
+           CAST(list_sum(qvec) AS BIGINT) AS qsum
+    FROM t
+    """,
+    "symmetric per-vector int8 quantization of embeddings (4B->1B per dim; codes reproduce bit-for-bit across engines)",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.similarity import quantize_embeddings
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    return quantize_embeddings(emb, "vec_id", "embedding")
+
+
 def _stratified_oracle() -> str:
     return """
     SELECT doc_id, lang, sample_rank FROM (

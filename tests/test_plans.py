@@ -75,3 +75,32 @@ def test_latest_wins_single_shuffle(spark, sf_dir):
     df = q("cdc_latest_wins", spark, sf_dir)
     assert plans.exchange_count(df) <= 2  # key window + optional final agg
     plans.assert_no_python_udf(df)
+
+
+def test_curation_text_queries_stay_jvm_side(spark, sf_dir):
+    # every non-media curation/text query must be pure Catalyst: no Python
+    # eval nodes, no cartesians — redaction/repetition/packing run on the
+    # 100 TB hot path
+    for name in (
+        "doc_repetition_filters", "doc_pii_redaction", "doc_pack_sequences",
+        "doc_stratified_sample", "doc_contamination_13gram",
+        "dataset_split_md5", "doc_hash_sample_md5",
+    ):
+        df = q(name, spark, sf_dir)
+        plans.assert_no_python_udf(df)
+        plans.assert_no_cartesian(df)
+
+
+def test_pii_redaction_prunes_scan(spark, sf_dir):
+    # doc_id + text only — the regex chain must not widen the scan
+    df = q("doc_pii_redaction", spark, sf_dir)
+    plans.assert_columns_pruned(df, 2)
+
+
+def test_pack_sequences_bounded_shuffles(spark, sf_dir):
+    # sharded prefix-sum: shard window + tiny offset window + broadcast
+    # join back — no global-sort exchange over the full data
+    df = q("doc_pack_sequences", spark, sf_dir)
+    plans.assert_max_exchanges(df, 4)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastExchange" in plan  # the 256-row offset table broadcasts

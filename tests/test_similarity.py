@@ -97,3 +97,21 @@ def test_ivf_cells_partition_all_rows(spark, sf_dir):
     # deterministic: same seed -> same assignment
     again, _ = ivf_cells(emb, "vec_id", "embedding", n_cells=8)
     assert assigned.select("vec_id", "cell").exceptAll(again.select("vec_id", "cell")).count() == 0
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    from connemara_spark.operators.similarity import quantize_embeddings
+
+    rows = [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0]), (3, [-2.0, 2.0, 1.0, -1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r.asDict() for r in quantize_embeddings(df).collect()}
+    assert got[1]["qvec"] == [127, -64, 32, 0]  # round(±k*127) with mx=1
+    assert got[2]["qvec"] == [0, 0, 0, 0] and got[2]["scale"] == 0.0
+    assert got[3]["qvec"] == [-127, 127, 64, -64]
+    # dequantized values stay within scale/2 of the originals (exact scale:
+    # the emitted column is rounded to 9 decimals for the oracle hash)
+    for vid, vec in rows:
+        s = max(abs(x) for x in vec) / 127.0
+        for orig, q in zip(vec, got[vid]["qvec"]):
+            assert abs(orig - q * s) <= (s / 2 if s else 0) + 1e-9
+    assert got[1]["qsum"] == 127 - 64 + 32
