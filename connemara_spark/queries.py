@@ -1009,6 +1009,34 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_stats_by_lang",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS mean_chars,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+    "per-language corpus profile: counts, mean, exact interpolated p50/p90 of doc length, source diversity",
+)
+def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact interpolated percentiles (Spark `percentile` == SQL-standard
+    # quantile_cont); at extreme scale swap for percentile_approx with a
+    # documented accuracy budget — the aggregation shape is identical
+    docs = spread(load(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("mean_chars"),
+        F.round(F.expr("percentile(cast(n_chars as double), 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(cast(n_chars as double), 0.9)"), 6).alias("p90_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
     "embedding_quantize_int8",
     """
     WITH s AS (
