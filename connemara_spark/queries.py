@@ -1009,6 +1009,39 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_dedup_pipeline",
+    """
+    WITH RECURSIVE p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+    reach AS (
+        SELECT a AS src, a AS dst FROM edges
+        UNION
+        SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst
+    ),
+    cl AS (SELECT src AS node, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT e.vec_id FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.node
+    WHERE cl.node IS NULL OR e.vec_id = cl.cluster_id
+    """,
+    "end-to-end embedding dedup: blocked-GEMM cosine pairs -> connected components -> one canonical vector per cluster",
+)
+def embedding_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full dedup composition a training pipeline runs: candidate pairs
+    # (distributed exact GEMM here; swap srp_lsh for the approximate scale
+    # path), min-label clustering, smallest-id canonical keep
+    from connemara_spark.operators.curation import keep_canonical, neardup_clusters
+    from connemara_spark.operators.similarity import cosine_pairs_gemm
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    pairs = cosine_pairs_gemm(emb, "vec_id", "embedding", threshold=0.4, n_blocks=8)
+    clusters = neardup_clusters(pairs)
+    return keep_canonical(emb.select("vec_id"), clusters, "vec_id")
+
+
+@register(
     "corpus_stats_by_lang",
     """
     SELECT lang,
