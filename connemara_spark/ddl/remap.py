@@ -23,6 +23,12 @@ environment), covering the cases the round-1 verdict called out:
 - **CREATE SCHEMA / comma lists / qualified names everywhere** — any
   ``schema.`` qualifier whose schema is in the map is rewritten, outside
   string literals, comments, and dollar-quoted bodies.
+- **DROP/ALTER/COMMENT ON SCHEMA** — bare schema names after the SCHEMA
+  keyword are remapped (list form included); trailing keywords (CASCADE,
+  RENAME TO, OWNER TO, IS) are untouched.
+- **SET search_path** — bare or quoted-string names in the list are
+  remapped, ``"$user"`` and unmapped names pass through
+  (remappers.py:249-257 remap_variable); other SET variables untouched.
 
 Divergence (documented): the reference remaps only AST positions that are
 object references; a token-stream pass also rewrites ``alias.col`` when the
@@ -225,6 +231,24 @@ def remap_statement(
         toks, "create", "schema", "if", "not", "exists"
     )
 
+    # DROP SCHEMA [IF EXISTS] a, b [CASCADE] / ALTER SCHEMA a ... /
+    # COMMENT ON SCHEMA a IS '...': bare schema names follow the SCHEMA
+    # keyword (same shape as the GRANT object list).
+    bare_schema_stmt = (
+        _stmt_is(toks, "drop", "schema")
+        or _stmt_is(toks, "alter", "schema")
+        or _stmt_is(toks, "comment", "on", "schema")
+    )
+
+    # SET [LOCAL|SESSION] search_path =|TO a, b, "$user": bare names (or
+    # single-quoted name strings) in the list are schema references
+    # (reference: remap_variable, remappers.py:249-257).
+    set_search_path = (
+        _stmt_is(toks, "set", "search_path")
+        or _stmt_is(toks, "set", "local", "search_path")
+        or _stmt_is(toks, "set", "session", "search_path")
+    )
+
     i = 0
     n = len(toks)
     in_grant_list = False
@@ -249,6 +273,14 @@ def remap_statement(
                     len(names) == 1 or names[0] == "pg_catalog"
                 ):
                     out.append(_rewrite_string_literal(t.text, schema_map))
+                    i += 1
+                    continue
+            if set_search_path:
+                # SET search_path = 'public', 'other' — each string is a
+                # schema name
+                name = t.text[1:-1].replace("''", "'")
+                if name in schema_map and schema_map[name] is not None:
+                    out.append("'" + schema_map[name].replace("'", "''") + "'")
                     i += 1
                     continue
             out.append(t.text)
@@ -333,6 +365,29 @@ def remap_statement(
                 out.append(_quote_ident(schema_map[name]))
             else:
                 out.append(t.text)
+            i += 1
+            continue
+
+        # --- DROP/ALTER/COMMENT-ON SCHEMA name lists ----------------------
+        # reuses the GRANT bare-name-list handling; trailing keywords
+        # (CASCADE, RENAME, IS, ...) pass through it unmapped
+        if bare_schema_stmt and t.kind == "IDENT" and t.low == "schema":
+            in_grant_list = True
+            out.append(t.text)
+            i += 1
+            continue
+
+        # --- SET search_path = a, b ---------------------------------------
+        if set_search_path and _is_name(t):
+            if t.kind == "IDENT" and t.low in ("set", "local", "session", "search_path", "to", "default"):
+                out.append(t.text)
+                i += 1
+                continue
+            name = _unquote(t.text)
+            if name in schema_map and schema_map[name] is not None:
+                out.append(_quote_ident(schema_map[name]))
+            else:
+                out.append(t.text)  # "$user" and unmapped names pass through
             i += 1
             continue
 

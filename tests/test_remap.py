@@ -221,3 +221,44 @@ def test_dollar_body_delimiter_collision():
     assert "FROM db1_public.t" in out
     # still parses as one statement: tokenize finds exactly one DOLLAR token
     assert sum(1 for t in tokenize(out) if t.kind == "DOLLAR") == 1
+
+
+# ---------------------------------------------------------------------------
+# bare-name schema statements: DROP/ALTER/COMMENT ON SCHEMA, SET search_path
+# (remappers.py:249-257 remap_variable; GrantStmt-adjacent bare-name cases)
+# ---------------------------------------------------------------------------
+
+
+def test_drop_schema_if_exists_list():
+    got = remap_statement("DROP SCHEMA IF EXISTS public, app CASCADE;", MAP)
+    assert got == "DROP SCHEMA IF EXISTS db1_public, db1_app CASCADE;"
+
+
+def test_alter_schema_rename_remaps_only_old_name():
+    got = remap_statement("ALTER SCHEMA app RENAME TO app2;", MAP)
+    assert got == "ALTER SCHEMA db1_app RENAME TO app2;"
+
+
+def test_alter_schema_owner():
+    got = remap_statement("ALTER SCHEMA public OWNER TO admin;", MAP)
+    assert got == "ALTER SCHEMA db1_public OWNER TO admin;"
+
+
+def test_comment_on_schema():
+    got = remap_statement("COMMENT ON SCHEMA public IS 'standard public schema';", MAP)
+    assert got == "COMMENT ON SCHEMA db1_public IS 'standard public schema';"
+
+
+def test_set_search_path_bare_names():
+    got = remap_statement('SET search_path = public, app, "$user";', MAP)
+    assert got == 'SET search_path = db1_public, db1_app, "$user";'
+
+
+def test_set_search_path_to_strings():
+    got = remap_statement("SET LOCAL search_path TO 'public', 'unmapped';", MAP)
+    assert got == "SET LOCAL search_path TO 'db1_public', 'unmapped';"
+
+
+def test_set_other_variable_untouched():
+    sql = "SET statement_timeout = 0;"
+    assert remap_statement(sql, MAP) == sql
