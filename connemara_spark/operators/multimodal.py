@@ -315,6 +315,134 @@ def resize_images(
     return df.select("media_id", "payload").mapInPandas(resize, schema="media_id long, payload binary")
 
 
+def encode_y4m(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    *,
+    fps: tuple[int, int] = (10, 1),
+    colorspace: str = "mono",
+) -> bytes:
+    """Encode YUV4MPEG2 — a REAL public video container with a plain-text
+    header, no compression, no library needed. ``Cmono``: each frame is a
+    bare ``width*height`` luma plane; ``C420``: Y + half-res U,V planes."""
+    plane = width * height
+    frame_size = plane if colorspace == "mono" else plane + 2 * ((width // 2) * (height // 2))
+    for f in frames:
+        if len(f) != frame_size:
+            raise ValueError(f"frame must be {frame_size} bytes for C{colorspace}")
+    head = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 C{colorspace}\n"
+    out = bytearray(head.encode("ascii"))
+    for f in frames:
+        out += b"FRAME\n" + f
+    return bytes(out)
+
+
+def decode_y4m(raw: bytes) -> tuple[int, int, int, int, list[bytes]]:
+    """Parse YUV4MPEG2: returns (width, height, fps_num, fps_den, frames)
+    where each frame is the raw plane bytes (Y first). Supports Cmono and
+    C420; other colorspaces raise NotImplementedError."""
+    nl = raw.find(b"\n")
+    if nl < 0 or not raw.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    colorspace = "420"  # the format's default
+    for tok in raw[:nl].decode("ascii", "replace").split()[1:]:
+        kind, val = tok[0], tok[1:]
+        if kind == "W":
+            width = int(val)
+        elif kind == "H":
+            height = int(val)
+        elif kind == "F":
+            num, den = val.split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif kind == "C":
+            colorspace = val
+    if width is None or height is None:
+        raise ValueError("missing W/H in YUV4MPEG2 header")
+    if colorspace == "mono":
+        frame_size = width * height
+    elif colorspace.startswith("420"):
+        frame_size = width * height + 2 * ((width // 2) * (height // 2))
+    else:
+        raise NotImplementedError(f"unsupported Y4M colorspace C{colorspace}")
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(raw):
+        fnl = raw.find(b"\n", pos)
+        if fnl < 0 or not raw[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed FRAME marker")
+        start = fnl + 1
+        if start + frame_size > len(raw):
+            raise ValueError("truncated Y4M frame")
+        frames.append(raw[start : start + frame_size])
+        pos = start + frame_size
+    return width, height, fps_num, fps_den, frames
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, t_ms int, width int, height int, "
+    "mean_luma double, checksum long"
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    *,
+    every_ms: int = 200,
+    codec: str = "y4m",
+    n_partitions: int | None = None,
+    target_partition_bytes: int = 128 << 20,
+) -> DataFrame:
+    """REAL video frame sampling: decode the container, pick the frame at
+    each ``every_ms`` grid point (``frame = t·fps/1000``, one row per
+    sampled frame), and feature-extract the LUMA plane (mean + checksum —
+    the per-frame stats a filtering pipeline thresholds on). ``y4m`` is a
+    real pure-python container parse; compressed codecs (H.264, VP9, ...)
+    need a decoder library and raise NotImplementedError at the boundary.
+    ``sample_frames`` remains the metadata-only grid for stub payloads."""
+    if codec != "y4m":
+        raise NotImplementedError(f"codec {codec!r} requires a video decoder library")
+    n_parts = n_partitions or estimate_partitions(df, target_partition_bytes=target_partition_bytes)
+    src = df.select("media_id", "payload").repartition(n_parts)
+
+    def sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, num, den, frames = decode_y4m(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                if not frames or num == 0:
+                    continue
+                duration_ms = len(frames) * 1000 * den // num
+                t = 0
+                while t < duration_ms:
+                    fi = t * num // (1000 * den)
+                    luma = frames[fi][: w * h]  # Y plane leads in both Cmono/C420
+                    out.append(
+                        (
+                            int(mid), int(fi), int(t), w, h,
+                            float(sum(luma) / len(luma)) if luma else 0.0,
+                            int(sum(luma) % (1 << 31)),
+                        )
+                    )
+                    t += every_ms
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "t_ms", "width", "height",
+                    "mean_luma", "checksum",
+                ],
+            )
+
+    return src.mapInPandas(sample, schema=VIDEO_FRAME_SCHEMA)
+
+
 def decimate_audio(df: DataFrame, *, factor: int, codec: str = "wav") -> DataFrame:
     """REAL audio decimation: decode PCM-16, keep every ``factor``-th
     sample, re-encode at ``rate // factor`` (duration preserved, bandwidth
@@ -395,6 +523,29 @@ def wav_fixture(ids: DataFrame, id_col: str = "doc_id", sample_rate: int = 8000)
                 n = 50 + did % 30
                 samples = [((did * 13 + i * 7) % 2048) - 1024 for i in range(n)]
                 rows.append((did, encode_wav(sample_rate, samples)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return ids.select(id_col).mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def y4m_fixture(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) of real Cmono YUV4MPEG2 clips at 10 fps:
+    width = 2 + id%3, height = 2 + id%2, n_frames = 3 + id%4, luma byte
+    v(f,y,x) = (id*17 + f*5 + y*3 + x) % 256."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h, nf = 2 + did % 3, 2 + did % 2, 3 + did % 4
+                frames = [
+                    bytes((did * 17 + f * 5 + y * 3 + x) % 256 for y in range(h) for x in range(w))
+                    for f in range(nf)
+                ]
+                rows.append((did, encode_y4m(w, h, frames, fps=(10, 1))))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return ids.select(id_col).mapInPandas(gen, schema="media_id long, payload binary")

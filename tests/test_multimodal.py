@@ -203,3 +203,57 @@ def test_frame_sampling(media):
     frames = sample_frames(media, every_ms=1000, fake=True).collect()
     assert {r["frame_ms"] for r in frames} == {0, 1000, 2000, 3000, 4000, 5000}
     assert all(r["media_id"] == 100 for r in frames)
+
+
+def test_y4m_roundtrip_mono_and_420():
+    from connemara_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    frames = [bytes(range(12)), bytes(range(12, 24))]
+    raw = encode_y4m(4, 3, frames, fps=(30, 1), colorspace="mono")
+    w, h, num, den, got = decode_y4m(raw)
+    assert (w, h, num, den) == (4, 3, 30, 1)
+    assert got == frames
+
+    # C420: Y(4x2) + U(2x1) + V(2x1) = 12 bytes per frame
+    f420 = [bytes(range(12))]
+    raw420 = encode_y4m(4, 2, f420, colorspace="420")
+    w, h, num, den, got = decode_y4m(raw420)
+    assert (w, h) == (4, 2) and got == f420
+
+
+def test_y4m_rejects_malformed():
+    from connemara_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    with pytest.raises(ValueError):
+        decode_y4m(b"NOTY4M W2 H2\n")
+    raw = encode_y4m(2, 2, [bytes(4)])
+    with pytest.raises(ValueError):
+        decode_y4m(raw[:-2])  # truncated frame
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F10:1 C444\n" + b"FRAME\n" + bytes(12))
+    with pytest.raises(ValueError):
+        encode_y4m(2, 2, [bytes(3)])  # wrong frame size
+
+
+def test_real_y4m_frame_sampling(spark):
+    from connemara_spark.operators.multimodal import sample_video_frames, y4m_fixture
+
+    ids = spark.createDataFrame([(5,)], "doc_id long")
+    out = sorted(
+        (r["frame_idx"], r["t_ms"], r["mean_luma"]) for r in
+        sample_video_frames(y4m_fixture(ids), every_ms=200, n_partitions=1).collect()
+    )
+    # id=5: w=4, h=3, nf=4 frames @10fps -> 400ms; grid 0,200 -> frames 0,2
+    def mean_luma(f):
+        vals = [(5 * 17 + f * 5 + y * 3 + x) % 256 for y in range(3) for x in range(4)]
+        return sum(vals) / len(vals)
+
+    assert out == [(0, 0, mean_luma(0)), (2, 200, mean_luma(2))]
+
+
+def test_y4m_unsupported_codec_raises(spark):
+    from connemara_spark.operators.multimodal import sample_video_frames, y4m_fixture
+
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(y4m_fixture(ids), codec="h264")
