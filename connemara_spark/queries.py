@@ -1042,6 +1042,28 @@ def embedding_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_vocabulary_top20",
+    """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT word, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM w GROUP BY word
+    ORDER BY n_occurrences DESC, word
+    LIMIT 20
+    """,
+    "corpus vocabulary head: term + document frequency, top 20 (explode -> map-side-combined agg)",
+)
+def corpus_vocabulary_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_occurrences"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n_occurrences").desc(), "word")
+        .limit(20)
+    )
+
+
+@register(
     "corpus_stats_by_lang",
     """
     SELECT lang,
