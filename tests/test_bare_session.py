@@ -1,0 +1,53 @@
+"""Round-1's costliest bug was queries that only ran under the builder's
+configured session (events.parquet TIMESTAMP(NANOS) needed a session
+conf). The driver harness uses a BARE SparkSession — this test replicates
+that exactly: a subprocess with a default-config session runs the
+risk-profile queries (every events reader + each python-stage family).
+
+Subprocess, not newSession(): any in-process session would inherit the
+test fixture's conf and defeat the point.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+RISKY = [
+    "cdc_apply_customer",       # flagship entry(); events TIMESTAMP(NANOS)
+    "cdc_latest_wins",
+    "events_sessionize",
+    "asof_latest_order_per_event",
+    "multimodal_bmp_resize",    # chained mapInPandas
+    "multimodal_y4m_frame_sample",
+    "embedding_dedup_pipeline",  # cogroup GEMM + localCheckpoint loop
+    "doc_pack_sequences",       # window prefix-sum
+]
+
+SCRIPT = """
+import importlib.util
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master("local[4]").appName("bare-gate").getOrCreate()
+spec = importlib.util.spec_from_file_location("m", "__spark_entry__.py")
+m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m)
+assert len(m.entry(spark).collect()) >= 0
+qs = m.queries()
+for name in {names!r}:
+    n = len(qs[name](spark, "/root/testdata/sf0.001").collect())
+    print("OK", name, n, flush=True)
+print("ALL-OK")
+"""
+
+
+def test_risky_queries_run_under_bare_session():
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT.format(names=RISKY)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, f"bare-session run failed:\n{proc.stderr[-3000:]}"
+    assert "ALL-OK" in proc.stdout
+    for name in RISKY:
+        assert f"OK {name}" in proc.stdout
