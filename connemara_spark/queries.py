@@ -1042,6 +1042,52 @@ def embedding_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_tfidf_top_terms",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS dfreq FROM tok GROUP BY word),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               ROUND(tf.c * ln(CAST(n.nd AS DOUBLE) / df.dfreq), 6) AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, word) AS rk
+        FROM scored) s
+    WHERE rk <= 3
+    """,
+    "TF-IDF top-3 terms per document (term counts x ln(N/df); corpus doc-frequency joined back, broadcast N)",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    dfreq = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("dfreq"))
+    nd = docs.select(F.count("*").alias("nd"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "word",
+            F.round(
+                F.col("c") * F.log(F.col("nd").cast("double") / F.col("dfreq")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "tfidf")
+    )
+
+
+@register(
     "corpus_vocabulary_top20",
     """
     WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
