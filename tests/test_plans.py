@@ -104,3 +104,17 @@ def test_pack_sequences_bounded_shuffles(spark, sf_dir):
     plans.assert_max_exchanges(df, 4)
     plan = plans.formatted_plan(df)
     assert "BroadcastExchange" in plan  # the 256-row offset table broadcasts
+
+
+def test_corpus_analytics_stay_jvm_side(spark, sf_dir):
+    for name in ("doc_tfidf_top_terms", "corpus_vocabulary_top20", "corpus_stats_by_lang",
+                 "embedding_quantize_int8"):
+        df = q(name, spark, sf_dir)
+        plans.assert_no_python_udf(df)
+        plans.assert_no_cartesian(df)
+
+
+def test_tfidf_broadcasts_corpus_count(spark, sf_dir):
+    # the single-row N relation must broadcast, never shuffle the token table
+    df = q("doc_tfidf_top_terms", spark, sf_dir)
+    assert plans.broadcast_count(df) >= 1
