@@ -75,9 +75,16 @@ def routing_hash(*cols: str | Column, buckets: int) -> Column:
 
 
 def extract_epoch(ts: str | Column) -> Column:
-    """``extract(epoch from ts)`` (replay.pl:820) → seconds as double."""
+    """``extract(epoch from ts)`` (replay.pl:820) → seconds as double.
+
+    NTZ-safe: Spark 4 forbids ``CAST(timestamp_ntz AS DOUBLE)`` and the
+    driver's parquet timestamps are naive micros (read as TIMESTAMP_NTZ under
+    a bare session). Route through an LTZ cast (session tz is pinned UTC by
+    the loaders, so naive wall-clock == UTC instant, matching DuckDB's
+    ``epoch(ts)`` on naive timestamps) and take exact microseconds.
+    """
     t = _col(ts)
-    return t.cast("double")
+    return F.unix_micros(t.cast("timestamp")) / F.lit(1_000_000.0)
 
 
 def to_pg_epoch_us(ts: str | Column) -> Column:

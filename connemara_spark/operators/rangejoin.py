@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from connemara_spark.functions.pg import extract_epoch
+
 
 def range_self_join(
     df: DataFrame,
@@ -31,7 +33,7 @@ def range_self_join(
     on (keys…, bucket); the exact predicate filters the candidates. Output:
     (*key_cols, id_a, id_b, ts_a, ts_b, gap_seconds).
     """
-    epoch = F.col(ts_col).cast("double")
+    epoch = extract_epoch(ts_col)
     bucket = F.floor(epoch / max_gap_seconds).cast("long")
 
     base = df.select(
@@ -48,7 +50,7 @@ def range_self_join(
     cond = (F.col("a.__b") == F.col("b.__b")) & (F.col("a.id") < F.col("b.id"))
     for k in key_cols:
         cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-    gap = F.abs(F.col("a.ts").cast("double") - F.col("b.ts").cast("double"))
+    gap = F.abs(extract_epoch(F.col("a.ts")) - extract_epoch(F.col("b.ts")))
     return (
         a.join(b, cond)
         .filter(gap <= max_gap_seconds)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from connemara_spark.catalog import ColumnSpec, TableSpec
 from connemara_spark.events import parse_events
+from connemara_spark.functions.pg import extract_epoch
 from connemara_spark.operators.apply import apply_changes, latest_wins
 
 DEC_PRICE = "decimal(12,2)"
@@ -33,6 +34,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # TIMESTAMP(NANOS) which Spark rejects unless read as raw int64. This is a
     # runtime-settable SQLConf, safe to set repeatedly.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive parquet timestamps arrive as TIMESTAMP_NTZ under a bare session;
+    # pin the session tz so any NTZ→LTZ cast (epoch math) is deterministic
+    # and matches DuckDB's naive-timestamp semantics.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong conf);
     # floor-convert to micros — identical to DuckDB's CAST(ts AS TIMESTAMP).
@@ -570,7 +575,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gapped = ev.withColumn(
         "is_new",
         F.when(
-            (F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double") > 1800.0)
+            (extract_epoch("ts") - extract_epoch(F.lag(F.col("ts")).over(w)) > 1800.0)
             | F.lag(F.col("ts")).over(w).isNull(),
             1,
         ).otherwise(0),
@@ -1068,10 +1073,15 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
     dfreq = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("dfreq"))
-    nd = docs.select(F.count("*").alias("nd"))
+    # Corpus size is a SCALAR: a distributed count whose one-number result is
+    # inlined as a literal. Joining a 1-row aggregate (even broadcast) plans
+    # as BroadcastNestedLoopJoin; a count() action + literal keeps the main
+    # plan join-free and is exactly as scalable (the count is its own tiny
+    # distributed job).
+    nd_val = docs.count()
     scored = (
         tf.join(dfreq, "word")
-        .crossJoin(F.broadcast(nd))
+        .withColumn("nd", F.lit(nd_val))
         .select(
             "doc_id", "word",
             F.round(
@@ -1557,7 +1567,7 @@ def events_funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("prev_type").isNotNull())
     return stepped.groupBy(F.col("prev_type"), F.col("event_type").alias("next_type")).agg(
         F.count(F.lit(1)).alias("n_transitions"),
-        F.avg(F.col("ts").cast("double") - F.col("prev_ts").cast("double"))
+        F.avg(extract_epoch("ts") - extract_epoch("prev_ts"))
         .cast("double")
         .alias("avg_gap_seconds"),
     )

@@ -114,7 +114,11 @@ def test_corpus_analytics_stay_jvm_side(spark, sf_dir):
         plans.assert_no_cartesian(df)
 
 
-def test_tfidf_broadcasts_corpus_count(spark, sf_dir):
-    # the single-row N relation must broadcast, never shuffle the token table
+def test_tfidf_corpus_count_is_literal(spark, sf_dir):
+    # the corpus size N is inlined as a literal scalar (its own tiny count
+    # job), so the scored plan has no 1-row join at all — in particular no
+    # BroadcastNestedLoopJoin — and bounded exchanges (tf agg, dfreq agg +
+    # word join, final per-doc window)
     df = q("doc_tfidf_top_terms", spark, sf_dir)
-    assert plans.broadcast_count(df) >= 1
+    plans.assert_no_cartesian(df)
+    plans.assert_max_exchanges(df, 5)
