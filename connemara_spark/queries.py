@@ -544,6 +544,39 @@ def cdc_partial_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_scd2_customer",
+    """
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               'cdc#' || CAST(event_id AS VARCHAR) AS c_name,
+               CAST(user_id % 25 AS INTEGER) AS c_nationkey,
+               value AS c_acctbal,
+               event_type AS c_mktsegment
+        FROM events
+    ),
+    v AS (
+        SELECT *, LEAD(event_id) OVER (PARTITION BY c_custkey ORDER BY event_id)
+                      AS valid_to_lsn
+        FROM chg
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           event_id AS valid_from_lsn, valid_to_lsn,
+           (valid_to_lsn IS NULL) AS is_current
+    FROM v WHERE op <> 'delete'
+    """,
+    "SCD2 history: every row version with [valid_from, valid_to) LSN intervals "
+    "reconstructed from the CDC stream by the versioned per-key fold",
+)
+def cdc_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.scd2 import scd2_history
+
+    bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    return scd2_history(parse_events(bronze), CUSTOMER_SPEC)
+
+
+@register(
     "events_sessionize",
     EVENTS_CTE + """
     SELECT user_id, session_id,
