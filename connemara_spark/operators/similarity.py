@@ -829,3 +829,241 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ) — the memory-scale ANN path
+# ---------------------------------------------------------------------------
+
+def pq_codebooks_lit(
+    dim: int, m: int, k_cb: int, seed: int = 7
+) -> list[list[list[float]]]:
+    """Seeded per-subspace codebooks ``[m][k_cb][dim/m]`` for product
+    quantization. Real deployments train these offline (k-means over a
+    sample) and ship them to the cluster as constants — literal seeded
+    stand-ins keep that exact execution shape while making every step
+    portable SQL for the DuckDB value-hash gate (same trick as
+    ``ivf_centroids_lit``)."""
+    import random
+
+    rng = random.Random(seed)
+    sd = dim // m
+    return [
+        [[rng.gauss(0.0, 0.35) for _ in range(sd)] for _ in range(k_cb)]
+        for _ in range(m)
+    ]
+
+
+def pq_l2_chain(cent: list[float], elem_fmt: str, base: int) -> str:
+    """One centroid's squared-L2 distance to the subvector starting at
+    element index ``base`` — a flat left-associative double chain.
+
+    Bit-exact cross-engine rule (same as the green dot-product oracles):
+    keep the ELEMENTWISE math in FLOAT on both sides and cast the result to
+    DOUBLE. The codeword is pre-rounded to float32 so ``CAST(w AS FLOAT)``
+    is exact in any correctly-rounding parser; ``(float - float)`` and the
+    square then execute as identical float32 ops in Spark and DuckDB."""
+    import numpy as np
+
+    terms = []
+    for t, w in enumerate(cent):
+        # Route the literal through DOUBLE: a bare decimal literal cast
+        # straight to FLOAT rounds decimal→float differently in Spark vs
+        # DuckDB (observed one-ulp drift); decimal→double→float is correctly
+        # rounded and identical in both.
+        wf = repr(float(np.float32(w)))
+        lit = f"CAST(CAST({wf} AS DOUBLE) AS FLOAT)"
+        e = elem_fmt.format(i=base + t)
+        terms.append(f"CAST(({e} - {lit}) * ({e} - {lit}) AS DOUBLE)")
+    return " + ".join(terms)
+
+
+def pq_tables_sql(
+    codebooks: list[list[list[float]]],
+    elem_fmt: str,
+    *,
+    one_based: bool,
+    arr_fmt: str = "array({})",
+) -> list[str]:
+    """Per-subspace distance-table expressions: for subspace ``j`` an array
+    of ``k_cb`` squared-L2 chains against the row's j-th subvector. These
+    arrays are simultaneously the PQ *encoder* (argmin index) and the ADC
+    *query table* (lookup by a neighbor's code). ``arr_fmt``: ``array({})``
+    for Spark SQL, ``[{}]`` for DuckDB."""
+    sd = len(codebooks[0][0])
+    out = []
+    for j, cb in enumerate(codebooks):
+        base = j * sd + (1 if one_based else 0)
+        chains = ", ".join(pq_l2_chain(c, elem_fmt, base) for c in cb)
+        out.append(arr_fmt.format(chains))
+    return out
+
+
+def _ivfpq_prep_map(
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Arrow-batched per-row IVF-PQ prep (mapInPandas): probe cells, PQ
+    distance tables, PQ codes — one vectorized kernel instead of a ~2k-term
+    SQL expression (which overflows Janino's method limit and falls back to
+    interpreted eval, measured ~10x slower).
+
+    Bit-parity with the DuckDB oracle is preserved by mirroring its float
+    semantics exactly:
+    - cell dots: float32 × float64 products (exact in double), summed
+      left-to-right in float64 — identical to ``dot_expr`` / the oracle's
+      CAST(e * w AS DOUBLE) chains;
+    - PQ terms: (float32 - float32)² in float32, widened to float64, summed
+      left-to-right — identical to the CAST((e - w)*(e - w) AS DOUBLE)
+      chains;
+    - probe ranking (d DESC, cell DESC) and first-min argmin match the
+      oracle's row_number / list_position semantics.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sd = len(codebooks[0][0])
+    cent64 = np.array(centroids, dtype=np.float64)          # (n_cells, dim)
+    cb32 = np.array(codebooks, dtype=np.float32)            # (m, k_cb, sd)
+
+    def prep(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X32 = np.array(list(pdf[vec_col]), dtype=np.float32)   # (n, dim)
+            n = X32.shape[0]
+            # --- cell dots: left-assoc f64 sum of exact f32*f64 products ---
+            prods = X32[:, None, :].astype(np.float64) * cent64[None, :, :]
+            dots = prods[:, :, 0].copy()
+            for t in range(1, prods.shape[2]):
+                dots += prods[:, :, t]                      # (n, n_cells)
+            # rank by (dot DESC, cell DESC) — the oracle's tie-break
+            idx = np.arange(dots.shape[1])
+            keys = np.rec.fromarrays(
+                [-dots, np.broadcast_to(-idx, dots.shape).copy()]
+            )
+            order = np.argsort(keys, axis=1)
+            probes = order[:, :n_probe].astype(np.int32)
+            # --- PQ: (f32 - f32)^2 in f32, widened, left-assoc f64 sum ---
+            sub = X32.reshape(n, m, 1, sd)
+            diff = sub - cb32[None, :, :, :]                # f32 (n,m,k,sd)
+            sq = (diff * diff).astype(np.float64)           # widen exact
+            tab = sq[..., 0].copy()
+            for t in range(1, sd):
+                tab += sq[..., t]                           # (n, m, k_cb)
+            codes = np.argmin(tab, axis=2).astype(np.int32)  # first-min ties
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "probes": list(probes),
+                    "codes": list(codes),
+                    "tables": [[row[j] for j in range(m)] for row in tab],
+                }
+            )
+
+    return prep
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    m: int = 8,
+    k_cb: int = 16,
+    pq_seed: int = 7,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the design that survives 100 TB of vectors.
+
+    IVF prunes the candidate set (probe n_probe/n_cells of the data); PQ
+    compresses every index vector to ``m`` small-int codes (8 bytes here vs
+    256 bytes of raw float32), and candidate scoring becomes ADC — ``m``
+    table lookups + adds per pair instead of a ``dim``-term dot product.
+    At cluster scale the inverted lists of codes fit in a fraction of the
+    memory, and the scoring stage is O(m) per candidate.
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011.)
+
+    Plan shape: ONE Arrow-batched kernel per row (documented §2.9 exception,
+    same rationale as the SRP signature UDF: the equivalent native
+    expression is a ~2k-term codegen bomb) computing probes + codes +
+    distance tables with zero shuffle; then a hash join on the int ``cell``
+    key and one per-query window for top-k — all native.
+
+    Output: (query_id, neighbor_id, adc_dist, rank); adc_dist ascending.
+    """
+    from pyspark.sql.window import Window
+
+    centroids = ivf_centroids_lit(dim, n_cells, seed)
+    codebooks = pq_codebooks_lit(dim, m, k_cb, pq_seed)
+    prep = _ivfpq_prep_map(centroids, codebooks, n_probe, id_col, vec_col)
+
+    base = emb.select(id_col, vec_col).mapInPandas(
+        prep,
+        "id long, probes array<int>, codes array<int>, tables array<array<double>>",
+    ).persist()
+    # Materialize the cache NOW: the candidate join reads base from BOTH
+    # sides, and concurrent first-touch stages would each recompute it.
+    base.count()
+
+    index = base.select(
+        F.col("id").alias("neighbor_id"),
+        F.element_at("probes", 1).alias("cell"),
+        "codes",
+    )
+    queries = base.select(
+        F.col("id").alias("query_id"),
+        F.explode("probes").alias("cell"),
+        F.col("tables").alias("qt"),
+    )
+
+    cand = queries.join(index, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    # ADC: m array lookups + a flat left-assoc double chain — the same text
+    # as the oracle's q.l{j}[c{j}+1] chain (Spark arrays are 0-based).
+    adc = F.round(
+        F.expr(" + ".join(f"qt[{j}][codes[{j}]]" for j in range(m))), 6
+    )
+    # Project the wide table/code columns away BEFORE the top-k window: the
+    # window's sort shuffle must move (query_id, neighbor_id, adc_dist)
+    # triples, not 128-double rows.
+    scored = cand.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def pq_recon_error(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_cb: int = 16,
+    pq_seed: int = 7,
+) -> DataFrame:
+    """Per-vector PQ reconstruction error (sum of per-subspace min squared-L2
+    to the codebook) — the compression-quality metric you monitor when
+    shipping quantized indexes. Pure per-row map: zero shuffles."""
+    codebooks = pq_codebooks_lit(dim, m, k_cb, pq_seed)
+    tables = pq_tables_sql(codebooks, f"{vec_col}[{{i}}]", one_based=False)
+    err = F.round(F.expr(" + ".join(f"array_min(l{j})" for j in range(m))), 6)
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            *[F.expr(t).alias(f"l{j}") for j, t in enumerate(tables)],
+        )
+        .select("vec_id", err.alias("recon_err"))
+    )

@@ -2006,6 +2006,103 @@ def embedding_ann_ivf_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_lit(emb, k=10, n_cells=16, n_probe=2)
 
 
+def _ivfpq_lit_oracle(
+    *, dim: int = 64, k: int = 10, n_cells: int = 32, n_probe: int = 2,
+    seed: int = 42, m: int = 8, k_cb: int = 16, pq_seed: int = 7,
+) -> str:
+    """DuckDB oracle for IVF-PQ: the same literal IVF centroids + PQ
+    codebooks render into both engines. Distance tables are computed once per
+    row (CTE ``dls``), serving as both the encoder (list_position of
+    list_min, matching Spark's array_position/array_min first-min tie-break)
+    and the ADC lookup table; the ADC sum is the identical left-associative
+    double chain."""
+    from connemara_spark.operators.similarity import (
+        ivf_centroids_lit, ivf_lit_dot_sql, pq_codebooks_lit, pq_tables_sql,
+    )
+
+    cents = ivf_centroids_lit(dim, n_cells, seed)
+    tables = pq_tables_sql(
+        pq_codebooks_lit(dim, m, k_cb, pq_seed), "embedding[{i}]",
+        one_based=True, arr_fmt="[{}]",
+    )
+    dls_cols = ", ".join(f"{t} AS l{j}" for j, t in enumerate(tables))
+    code_cols = ", ".join(
+        f"list_position(l{j}, list_min(l{j})) - 1 AS c{j}" for j in range(m)
+    )
+    adc_chain = " + ".join(f"q.l{j}[i.c{j} + 1]" for j in range(m))
+    cell_unions = " UNION ALL ".join(
+        f"SELECT vec_id, {c} AS cell, ({ivf_lit_dot_sql(cents[c], 'embedding[{i}]')}) AS d FROM embeddings"
+        for c in range(n_cells)
+    )
+    return f"""
+    WITH dls AS (SELECT vec_id, {dls_cols} FROM embeddings),
+    codes AS (SELECT vec_id, {code_cols} FROM dls),
+    dots AS ({cell_unions}),
+    ranked_cells AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS cr
+        FROM dots
+    ),
+    idx AS (SELECT vec_id AS neighbor_id, cell FROM ranked_cells WHERE cr = 1),
+    probes AS (SELECT vec_id AS query_id, cell FROM ranked_cells WHERE cr <= {n_probe}),
+    cand AS (
+        SELECT query_id, neighbor_id
+        FROM probes JOIN idx USING (cell)
+        WHERE query_id <> neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, ROUND({adc_chain}, 6) AS adc_dist
+        FROM cand JOIN dls q ON q.vec_id = query_id
+                  JOIN codes i ON i.vec_id = neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@register(
+    "embedding_ann_ivfpq",
+    _ivfpq_lit_oracle(),
+    "IVF-PQ top-k: inverted-list pruning + 8-byte product-quantized codes with ADC scoring — the memory-scale ANN path, fully under the value-hash gate",
+)
+def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.similarity import ivfpq_topk
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    return ivfpq_topk(emb, k=10, n_cells=32, n_probe=2)
+
+
+def _pq_recon_oracle(*, dim: int = 64, m: int = 8, k_cb: int = 16, pq_seed: int = 7) -> str:
+    from connemara_spark.operators.similarity import pq_codebooks_lit, pq_tables_sql
+
+    tables = pq_tables_sql(
+        pq_codebooks_lit(dim, m, k_cb, pq_seed), "embedding[{i}]",
+        one_based=True, arr_fmt="[{}]",
+    )
+    dls_cols = ", ".join(f"{t} AS l{j}" for j, t in enumerate(tables))
+    err_chain = " + ".join(f"list_min(l{j})" for j in range(m))
+    return f"""
+    WITH dls AS (SELECT vec_id, {dls_cols} FROM embeddings)
+    SELECT vec_id, ROUND({err_chain}, 6) AS recon_err FROM dls
+    """
+
+
+@register(
+    "embedding_pq_recon_error",
+    _pq_recon_oracle(),
+    "PQ reconstruction error per vector — compression-quality metric for quantized indexes (zero-shuffle per-row map)",
+)
+def embedding_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.similarity import pq_recon_error
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    return pq_recon_error(emb)
+
+
 @register(
     "events_props_json",
     f"""

@@ -114,6 +114,25 @@ def test_corpus_analytics_stay_jvm_side(spark, sf_dir):
         plans.assert_no_cartesian(df)
 
 
+def test_ivfpq_plan_hash_join_no_cartesian(spark, sf_dir):
+    # IVF-PQ: per-row prep is ONE documented Arrow-batched mapInPandas stage
+    # (§2.9 exception — the native equivalent is a ~2k-term codegen bomb);
+    # everything after is native: hash join on the int cell key, one window
+    # for top-k, never a cartesian
+    df = q("embedding_ann_ivfpq", spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plan = plans.simple_plan(df)
+    # the one prep stage prints once per cached-plan reference (both join
+    # sides + AQE sections) — just require it present and the join keyed
+    assert "MapInPandas" in plan
+
+
+def test_pq_recon_error_zero_shuffle(spark, sf_dir):
+    df = q("embedding_pq_recon_error", spark, sf_dir)
+    plans.assert_no_python_udf(df)
+    plans.assert_max_exchanges(df, 1)  # only the loader's spread() repartition
+
+
 def test_tfidf_corpus_count_is_literal(spark, sf_dir):
     # the corpus size N is inlined as a literal scalar (its own tiny count
     # job), so the scored plan has no 1-row join at all — in particular no
