@@ -490,3 +490,65 @@ def minhash_lsh_pairs_md5(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_copies: int = 2,
+    hashed: bool = False,
+) -> DataFrame:
+    """Substring-level duplicate-span detection (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the suffix-array
+    pass re-expressed as distributed n-gram fingerprinting).
+
+    Every word ``n``-gram occurring ≥ ``min_copies`` times ANYWHERE in the
+    corpus (across or within documents) marks its positions; overlapping
+    marked positions merge into maximal spans per document. Output one row
+    per span: ``(doc_id, span_start, span_end, n_dup_grams)`` with token
+    half-open ``[start, end)`` indices — the spans a cleaning pass would cut.
+
+    Shape: posexplode n-grams (map-side), one groupBy on the gram to count
+    corpus frequency, one join back, one per-doc window to merge intervals.
+    With ``hashed=True`` the shuffle/join key is the 8-byte xxhash64 of the
+    gram instead of the string — the 100 TB setting; raw strings keep the
+    DuckDB oracle exact at the gate.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    g = docs.select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gram"))
+    if hashed:
+        g = g.select("doc_id", "pos", F.xxhash64("gram").alias("gram"))
+
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__copies"))
+        .filter(F.col("__copies") >= min_copies)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram").select("doc_id", "pos")
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # fixed-length intervals sorted by start: a hit starts a new span iff it
+    # begins at or after the previous hit's end (pos - lag >= n)
+    marked = hits.withColumn(
+        "__new",
+        F.when(
+            F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) >= n),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    spans = marked.withColumn(
+        "__span", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return spans.groupBy("doc_id", "__span").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(n)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_dup_grams"),
+    ).select("doc_id", "span_start", "span_end", "n_dup_grams")

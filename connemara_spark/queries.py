@@ -1270,6 +1270,46 @@ def doc_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_duplicate_spans",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    gs AS (
+        SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(toks) - 12, 1) + 1),
+                   i -> {'pos': i - 1,
+                         'gram': array_to_string(toks[i:i+12], ' ')})) AS u
+        FROM d
+    ),
+    g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM gs),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    h AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+    marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                         OR pos - lag(pos) OVER w >= 13
+                    THEN 1 ELSE 0 END AS is_new
+        FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    s AS (
+        SELECT doc_id, pos,
+               SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM marked
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 13 AS span_end,
+           COUNT(*) AS n_dup_grams
+    FROM s GROUP BY doc_id, span_id
+    """,
+    "substring-level duplicate spans: corpus-frequent 13-grams merged into maximal per-doc [start,end) token spans (Lee et al. 2022 suffix-array pass, distributed)",
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.dedup import duplicate_spans
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    return duplicate_spans(docs, n=13, min_copies=2)
+
+
+@register(
     "doc_pack_sequences",
     """
     WITH t AS (

@@ -81,3 +81,51 @@ def test_frequent_shingle_cap(spark):
     uncapped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()
     assert len(uncapped) == 45  # all pairs share the common prefix
     assert len(capped) < 45
+
+
+def test_duplicate_spans_merges_overlaps(spark):
+    from connemara_spark.operators.dedup import duplicate_spans
+
+    # doc 1 and 2 share a 6-word passage -> with n=3 the four shared 3-gram
+    # positions overlap and must merge into ONE span per doc
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"{shared} unique tail one two"),
+        (2, f"prefix words here {shared} ending"),
+        (3, "completely different text with no repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_spans(df, n=3, min_copies=2).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: shared passage at tokens [0, 6) -> grams at 0..3 merge
+    assert (out[1]["span_start"], out[1]["span_end"], out[1]["n_dup_grams"]) == (0, 6, 4)
+    # doc 2: shared passage at tokens [3, 9)
+    assert (out[2]["span_start"], out[2]["span_end"], out[2]["n_dup_grams"]) == (3, 9, 4)
+
+
+def test_duplicate_spans_within_doc_and_separate_spans(spark):
+    from connemara_spark.operators.dedup import duplicate_spans
+
+    # the same trigram repeated twice INSIDE one doc, far apart -> two spans
+    df = spark.createDataFrame(
+        [(7, "x y z a b c d e f x y z")], "doc_id long, text string"
+    )
+    out = sorted(
+        duplicate_spans(df, n=3, min_copies=2).collect(),
+        key=lambda r: r["span_start"],
+    )
+    assert [(r["span_start"], r["span_end"]) for r in out] == [(0, 3), (9, 12)]
+
+
+def test_duplicate_spans_hashed_variant_agrees(spark):
+    from connemara_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        (1, "one two three four five six seven"),
+        (2, "zero one two three four five ten"),
+        (3, "nothing in common whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = sorted(map(tuple, duplicate_spans(df, n=3, min_copies=2).collect()))
+    hashed = sorted(map(tuple, duplicate_spans(df, n=3, min_copies=2, hashed=True).collect()))
+    assert raw == hashed and raw
