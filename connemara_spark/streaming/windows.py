@@ -1,0 +1,113 @@
+"""Event-time windowed rollup with watermarked late-data handling (W7).
+
+The CDC replication stream is WAL-ordered, so the reference never needs
+event-time watermarks — but the analytics side of the engine (events /
+document ingest) does: out-of-order arrivals are the norm for landed
+telemetry. This is the Structured Streaming face of the batch
+``events_daily_rollup`` query:
+
+    readStream(landing) → withWatermark(ts) → groupBy(window(ts), type)
+    → append-mode parquet of FINALIZED windows only
+
+Semantics (and what the tests pin down):
+- a window row is emitted exactly once, when the watermark passes its end —
+  downstream readers never see partial counts (the batch-table analog is an
+  idempotent append);
+- events up to the watermark delay late are still aggregated (allowed
+  lateness); once the watermark passes a window's end its state is evicted
+  and later arrivals for it are DROPPED — state stays bounded at (open
+  windows × event types), independent of stream length;
+- the watermark survives restarts via the checkpoint, so a crashed/resumed
+  query neither re-emits finalized windows nor resurrects dropped lates.
+
+Scale: groupBy(window, type) shuffles once on (window, type); state store
+size is bounded by the watermark horizon. ``maxFilesPerTrigger`` is the
+backpressure bound, as in the ingest pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+class WindowedEventRollup:
+    """Watermarked tumbling-window rollup over a parquet landing zone."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        landing_dir: str,
+        out_dir: str,
+        checkpoint_dir: str,
+        window: str = "1 hour",
+        watermark: str = "30 minutes",
+        max_files_per_trigger: int = 1,
+    ):
+        self.spark = spark
+        self.landing_dir = landing_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.window = window
+        self.watermark = watermark
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def aggregated(self, stream: DataFrame) -> DataFrame:
+        """The rollup plan — identical for the stream and any batch backfill
+        (pass a batch DF: window() and the aggregation are the same; only
+        the watermark clause is stream-specific)."""
+        if stream.isStreaming:
+            stream = stream.withWatermark("ts", self.watermark)
+        return (
+            stream.groupBy(F.window("ts", self.window).alias("w"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    def start(self, *, available_now: bool = True):
+        stream = (
+            self.spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.landing_dir)
+        )
+        writer = (
+            self.aggregated(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", self.out_dir)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_until_drained(self, timeout_s: int = 120) -> None:
+        q = self.start(available_now=True)
+        try:
+            if not q.awaitTermination(timeout_s):
+                raise TimeoutError(f"stream did not drain within {timeout_s}s")
+            if q.exception() is not None:
+                raise q.exception()
+        finally:
+            q.stop()
