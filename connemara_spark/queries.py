@@ -544,6 +544,51 @@ def cdc_partial_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_apply_metrics",
+    """
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete'
+                    WHEN event_type = 'signup' THEN 'insert'
+                    ELSE 'update' END AS op
+        FROM events
+    ),
+    ord AS (
+        SELECT c_custkey, op,
+               LAG(op) OVER (PARTITION BY c_custkey ORDER BY event_id) AS prev_op
+        FROM chg
+    ),
+    v AS (
+        SELECT CASE WHEN op IN ('update', 'delete')
+                    AND CASE WHEN prev_op IS NULL
+                             THEN c_custkey NOT IN (SELECT c_custkey FROM customer)
+                             ELSE prev_op = 'delete' END
+               THEN 1 ELSE 0 END AS viol
+        FROM ord
+    )
+    SELECT (SELECT COUNT(*) FROM
+               (SELECT c_custkey FROM customer UNION SELECT c_custkey FROM chg))
+               AS keys_seen,
+           CAST(COALESCE(SUM(viol), 0) AS BIGINT) AS violations
+    FROM v
+    """,
+    "J4 drift metrics under the gate: keys touched + update/delete-on-missing-row "
+    "violations; oracle reconstructs running existence via LAG over the change stream",
+)
+def cdc_apply_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    _, metrics = apply_changes(
+        snapshot, parse_events(bronze), CUSTOMER_SPEC, with_metrics=True
+    )
+    return metrics.select(
+        F.col("keys_seen").cast("bigint").alias("keys_seen"),
+        F.col("violations").cast("bigint").alias("violations"),
+    )
+
+
+@register(
     "cdc_scd2_customer",
     """
     WITH chg AS (
