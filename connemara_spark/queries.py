@@ -1315,6 +1315,43 @@ def doc_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mixture_weights",
+    """
+    WITH g AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    p AS (
+        SELECT lang, n_docs,
+               CAST(n_docs AS DOUBLE) / SUM(CAST(n_docs AS DOUBLE)) OVER () AS nat_frac,
+               exp(0.7 * ln(CAST(n_docs AS DOUBLE)))
+                   / SUM(exp(0.7 * ln(CAST(n_docs AS DOUBLE)))) OVER () AS adj_frac
+        FROM g
+    )
+    SELECT lang, n_docs, ROUND(nat_frac, 6) AS nat_frac, ROUND(adj_frac, 6) AS adj_frac,
+           ROUND(adj_frac / nat_frac, 6) AS sample_weight
+    FROM p
+    """,
+    "temperature-based corpus mixture weights (alpha=0.7 upsampling, the multilingual LM standard): per-language natural vs adjusted sampling fractions",
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spread(load(spark, sf_dir, "documents")).select("lang")
+    g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # The unpartitioned windows run over the LANGUAGE aggregate — bounded
+    # cardinality (dozens of rows at any corpus size), not the data.
+    w = Window.partitionBy()
+    nat = F.col("n_docs").cast("double") / F.sum(F.col("n_docs").cast("double")).over(w)
+    pw = F.exp(F.lit(0.7) * F.log(F.col("n_docs").cast("double")))
+    adj = pw / F.sum(pw).over(w)
+    return g.select(
+        "lang",
+        "n_docs",
+        F.round(nat, 6).alias("nat_frac"),
+        F.round(adj, 6).alias("adj_frac"),
+        F.round(adj / nat, 6).alias("sample_weight"),
+    )
+
+
+@register(
     "doc_duplicate_spans",
     """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
