@@ -329,6 +329,108 @@ def apply_changes(
     return result, metrics
 
 
+def apply_delta(snapshot: DataFrame, events: DataFrame, spec: TableSpec) -> DataFrame:
+    """Per-TOUCHED-key before/after states — the change-data view of the
+    apply fold, for downstream incremental maintenance (aggregates, indexes,
+    notifications) that must never rescan the base table.
+
+    Returns one row per key that has events:
+    ``__pk struct, old_exists, old_vals struct, new_exists, new_vals struct``.
+    Untouched keys don't appear (their contribution to any maintained
+    structure is unchanged), so the output size is O(touched keys) — at
+    100 TB that's the event batch's key set, not the table.
+    """
+    spec, _whole_row = _effective_spec(spec)
+    ev = events_for_table(events, spec)
+    ev_struct = F.struct(
+        F.col("insert_timestamp").alias("insert_timestamp"),
+        F.col("lsn_start").alias("lsn_start"),
+        F.col("sub_ord").alias("sub_ord"),
+        F.col("op").alias("op"),
+        F.col("vals").alias("vals"),
+        F.col("has").alias("has"),
+    )
+    per_key = ev.groupBy("__pk").agg(F.sort_array(F.collect_list(ev_struct)).alias("__evs"))
+
+    snap_key = F.struct(*[F.col(k).alias(k) for k in spec.pk_cols])
+    snap = snapshot.select(
+        snap_key.alias("__pk"),
+        F.struct(*[F.col(c.name).alias(c.name) for c in spec.columns]).alias("__snap_vals"),
+    )
+    # LEFT join from the event keys: only touched keys matter here (the
+    # full-outer join in apply_changes exists to carry untouched rows).
+    joined = per_key.join(snap, on="__pk", how="left")
+    null_vals = F.struct(*[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns])
+    folded = joined.select(
+        "__pk",
+        F.col("__snap_vals").isNotNull().alias("old_exists"),
+        F.coalesce(F.col("__snap_vals"), null_vals).alias("old_vals"),
+        _fold_expr(
+            spec,
+            "__evs",
+            init_exists=F.col("__snap_vals").isNotNull(),
+            init_vals=F.coalesce(F.col("__snap_vals"), null_vals),
+        ).alias("__state"),
+    )
+    return folded.select(
+        "__pk",
+        "old_exists",
+        "old_vals",
+        F.col("__state.exists").alias("new_exists"),
+        F.col("__state.vals").alias("new_vals"),
+    )
+
+
+def incremental_group_agg(
+    base_agg: DataFrame,
+    delta: DataFrame,
+    *,
+    group_col: str,
+    sum_col: str,
+    sum_type: str = "decimal(12,2)",
+) -> DataFrame:
+    """Maintain a ``(group, n_rows, total)`` aggregate under CDC WITHOUT
+    rescanning the base table: each touched key contributes -old/+new to its
+    (old and new) groups; net deltas merge into the base aggregate with one
+    join on the group key.
+
+    ``base_agg`` schema: (``group_col``, n_rows long, total ``sum_type``).
+    Sums are maintained in DECIMAL so incremental addition is exactly
+    associative — the maintained aggregate is bit-identical to a full
+    recompute, which is the correctness statement tested at the gate.
+    Groups whose row count reaches 0 are dropped (never retained as
+    zero-rows ghosts). Cost: the delta is O(touched keys); the merge join
+    touches only affected groups.
+    """
+    minus = delta.filter(F.col("old_exists")).select(
+        F.col(f"old_vals.{group_col}").alias(group_col),
+        F.lit(-1).cast("long").alias("__dn"),
+        (-F.col(f"old_vals.{sum_col}").cast(sum_type)).alias("__dt"),
+    )
+    plus = delta.filter(F.col("new_exists")).select(
+        F.col(f"new_vals.{group_col}").alias(group_col),
+        F.lit(1).cast("long").alias("__dn"),
+        F.col(f"new_vals.{sum_col}").cast(sum_type).alias("__dt"),
+    )
+    net = (
+        minus.unionByName(plus)
+        .groupBy(group_col)
+        .agg(F.sum("__dn").alias("__dn"), F.sum("__dt").alias("__dt"))
+    )
+    merged = base_agg.join(net, on=group_col, how="full_outer")
+    return (
+        merged.select(
+            group_col,
+            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))).alias("n_rows"),
+            (
+                F.coalesce(F.col("total"), F.lit(0).cast(sum_type))
+                + F.coalesce(F.col("__dt"), F.lit(0).cast(sum_type))
+            ).cast(sum_type).alias("total"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+
+
 def latest_wins(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
     """A5 — the core batch-CDC reduction: keep the last event per key.
 

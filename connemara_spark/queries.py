@@ -589,6 +589,58 @@ def cdc_apply_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_incremental_rollup",
+    """
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               value AS c_acctbal,
+               event_type AS c_mktsegment
+        FROM events
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg
+        ) t WHERE rn = 1
+    ),
+    state AS (
+        SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS c_acctbal,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_mktsegment ELSE l.c_mktsegment END AS c_mktsegment
+        FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.c_custkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+    FROM state GROUP BY c_mktsegment
+    """,
+    "incremental materialized-rollup maintenance: the per-segment aggregate is "
+    "updated from apply_delta's -old/+new contributions only (no base rescan); "
+    "the oracle recomputes from scratch — equality IS the correctness claim",
+)
+def cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.apply import apply_delta, incremental_group_agg
+
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    base_agg = snapshot.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("c_acctbal")).alias("total"),
+    )
+    delta = apply_delta(snapshot, parse_events(bronze), CUSTOMER_SPEC)
+    out = incremental_group_agg(
+        base_agg, delta, group_col="c_mktsegment", sum_col="c_acctbal"
+    )
+    return out.select(
+        "c_mktsegment",
+        "n_rows",
+        F.col("total").cast("double").alias("total_acctbal"),
+    )
+
+
+@register(
     "cdc_scd2_customer",
     """
     WITH chg AS (

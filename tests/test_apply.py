@@ -297,3 +297,94 @@ def test_complete_pk_change_is_not_a_violation(spark):
     )
     _result, metrics = apply_changes(snapshot, parse_events(bronze), CUST, with_metrics=True)
     assert metrics.collect()[0]["violations"] == 0
+
+
+def _dfify(spark, spec, base_rows, bronze_rows):
+    snapshot = spark.createDataFrame(
+        [tuple(r[c.name] for c in spec.columns) for r in base_rows], schema=spec.spark_schema()
+    )
+    bronze = spark.createDataFrame(
+        [tuple(r[f.name] for f in BRONZE_SCHEMA.fields) for r in bronze_rows], schema=BRONZE_SCHEMA
+    )
+    return snapshot, parse_events(bronze)
+
+
+def test_apply_delta_reports_before_after(spark):
+    from connemara_spark.operators.apply import apply_delta
+
+    base = _base_customers(5)
+    evs = [
+        make_event(CUST, "update", lsn=1,
+                   row={"c_custkey": 2, "c_acctbal": 999.0},
+                   present=["c_custkey", "c_acctbal"]),
+        make_event(CUST, "delete", lsn=2, old_key={"c_custkey": 3}),
+        make_event(CUST, "insert", lsn=3,
+                   row={"c_custkey": 100, "c_name": "New", "c_nationkey": 1,
+                        "c_acctbal": 5.0, "c_mktsegment": "AUTO"}),
+    ]
+    snapshot, events = _dfify(spark, CUST, base, evs)
+    d = {r["__pk"]["c_custkey"]: r.asDict() for r in apply_delta(snapshot, events, CUST).collect()}
+    assert set(d) == {2, 3, 100}  # untouched keys absent
+    assert d[2]["old_exists"] and d[2]["new_exists"]
+    assert d[2]["old_vals"]["c_acctbal"] == 102.0 and d[2]["new_vals"]["c_acctbal"] == 999.0
+    assert d[2]["new_vals"]["c_name"] == "Customer#2"  # partial update kept name
+    assert d[3]["old_exists"] and not d[3]["new_exists"]  # deleted
+    assert not d[100]["old_exists"] and d[100]["new_exists"]  # inserted
+
+
+def test_incremental_agg_matches_full_recompute_on_random_stream(spark):
+    import pyspark.sql.functions as F
+
+    from connemara_spark.operators.apply import (
+        apply_delta, incremental_group_agg,
+    )
+
+    base = _base_customers(50)
+    evs = random_event_stream(CUST, base, n_events=300, seed=23)
+    snapshot, events = _dfify(spark, CUST, base, evs)
+
+    base_agg = snapshot.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("total"),
+    )
+    delta = apply_delta(snapshot, events, CUST)
+    maintained = incremental_group_agg(
+        base_agg, delta, group_col="c_mktsegment", sum_col="c_acctbal"
+    )
+
+    final = apply_changes(snapshot, events, CUST)
+    recomputed = final.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("total"),
+    )
+    m = {r["c_mktsegment"]: (r["n_rows"], r["total"]) for r in maintained.collect()}
+    r = {r["c_mktsegment"]: (r["n_rows"], r["total"]) for r in recomputed.collect()}
+    assert m == r  # DECIMAL: bit-identical, not just close
+
+
+def test_incremental_agg_drops_emptied_groups_and_migrates(spark):
+    import pyspark.sql.functions as F
+
+    from connemara_spark.operators.apply import (
+        apply_delta, incremental_group_agg,
+    )
+
+    # one-row group 'SOLO'; the update moves the row to 'AUTO' -> SOLO drops
+    base = _base_customers(3)
+    base[0]["c_mktsegment"] = "SOLO"
+    evs = [
+        make_event(CUST, "update", lsn=1,
+                   row={"c_custkey": 1, "c_mktsegment": "AUTO"},
+                   present=["c_custkey", "c_mktsegment"]),
+    ]
+    snapshot, events = _dfify(spark, CUST, base, evs)
+    base_agg = snapshot.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("total"),
+    )
+    out = {r["c_mktsegment"]: r["n_rows"] for r in incremental_group_agg(
+        base_agg, apply_delta(snapshot, events, CUST),
+        group_col="c_mktsegment", sum_col="c_acctbal",
+    ).collect()}
+    assert "SOLO" not in out
+    assert out["AUTO"] == 2  # customer 1 joined customer 3's segment... see base
