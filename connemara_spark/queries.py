@@ -589,6 +589,44 @@ def cdc_apply_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_state_at_lsn",
+    """
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               'cdc#' || CAST(event_id AS VARCHAR) AS c_name,
+               CAST(user_id % 25 AS INTEGER) AS c_nationkey,
+               value AS c_acctbal,
+               event_type AS c_mktsegment
+        FROM events
+        WHERE event_id <= 500
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg
+        ) t WHERE rn = 1
+    )
+    SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_name ELSE l.c_name END AS c_name,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_nationkey ELSE l.c_nationkey END AS c_nationkey,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS c_acctbal,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_mktsegment ELSE l.c_mktsegment END AS c_mktsegment
+    FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.c_custkey
+    WHERE COALESCE(l.op, '') <> 'delete'
+    """,
+    "point-in-time state reconstruction (time travel): snapshot + events folded "
+    "only up to a pinned LSN — the A3 lookahead bound as a queryable surface",
+)
+def cdc_state_at_lsn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    upto = parse_events(bronze).filter(F.col("lsn_start") <= 500)
+    return apply_changes(snapshot, upto, CUSTOMER_SPEC)
+
+
+@register(
     "cdc_incremental_rollup",
     """
     WITH chg AS (
