@@ -2338,6 +2338,71 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    from connemara_spark.operators.layout import morton_key_sql
+
+    chain = morton_key_sql("x", "y", bits=16)
+    return f"""
+    WITH b AS (
+        SELECT event_id,
+               user_id % 65536 AS x,
+               CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 60) AS BIGINT) % 65536 AS y
+        FROM events
+    )
+    SELECT event_id, CAST({chain} AS BIGINT) AS z_key FROM b
+    """
+
+
+@register(
+    "events_zorder_keys",
+    _zorder_oracle(),
+    "Z-order (Morton) clustering keys over (user, minute) — the multi-dimensional layout primitive behind OPTIMIZE ZORDER BY; pure per-row bit math",
+)
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.layout import morton_key
+
+    ev = load(spark, sf_dir, "events")
+    x = (F.col("user_id") % 65536).alias("x")
+    y = (F.floor(extract_epoch("ts") / 60).cast("bigint") % 65536).alias("y")
+    return ev.select("event_id", x, y).select(
+        "event_id", morton_key("x", "y", bits=16).cast("bigint").alias("z_key")
+    )
+
+
+@register(
+    "events_pivot_types",
+    EVENTS_CTE + """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (event_type = 'purchase') AS DOUBLE)
+               AS purchase_value
+    FROM ev GROUP BY user_id
+    """,
+    "pivot: per-user event-type matrix via .pivot() (compiled to one-pass conditional aggregation — no extra shuffle vs plain groupBy)",
+)
+def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    # Explicit pivot values: with them Spark skips the distinct-values job
+    # and compiles the pivot to a single-pass conditional aggregation —
+    # same shuffle count as an ordinary groupBy.
+    counted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("value")).alias("v"))
+    )
+    out = counted.select(
+        "user_id",
+        *[F.coalesce(F.col(f"{k}_n"), F.lit(0)).cast("bigint").alias(f"n_{k}") for k in kinds],
+        F.col("purchase_v").cast("double").alias("purchase_value"),
+    )
+    return out
+
+
 @register(
     "embedding_cosine_neardup",
     """
