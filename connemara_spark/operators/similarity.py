@@ -848,8 +848,11 @@ def pq_codebooks_lit(
 
     rng = random.Random(seed)
     sd = dim // m
+    # sigma = 1/sqrt(dim): matches the per-component scale of unit vectors,
+    # so seeded codewords live in the data's range
+    sigma = 1.0 / (dim ** 0.5)
     return [
-        [[rng.gauss(0.0, 0.35) for _ in range(sd)] for _ in range(k_cb)]
+        [[rng.gauss(0.0, sigma) for _ in range(sd)] for _ in range(k_cb)]
         for _ in range(m)
     ]
 
@@ -968,6 +971,47 @@ def _ivfpq_prep_map(
     return prep
 
 
+def pq_train_codebooks(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_cb: int = 16,
+    sample_n: int = 20000,
+    iters: int = 12,
+    seed: int = 3,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks with Lloyd's k-means on a bounded,
+    deterministic sample (xxhash64-ordered, like ``_centroid_sample``) — the
+    offline training step every real PQ deployment runs. The returned
+    literals feed ``ivfpq_topk`` exactly like the seeded gate-twin books."""
+    import numpy as np
+
+    sampled = (
+        emb.select(vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"))
+        .orderBy("__h")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.array([r[0] for r in sampled], dtype=np.float64)
+    sd = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        sub = X[:, j * sd : (j + 1) * sd]
+        C = sub[rng.choice(len(sub), min(k_cb, len(sub)), replace=False)].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(2)
+            a = d.argmin(1)
+            for c in range(len(C)):
+                if (a == c).any():
+                    C[c] = sub[a == c].mean(0)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
 def ivfpq_topk(
     emb: DataFrame,
     *,
@@ -981,6 +1025,8 @@ def ivfpq_topk(
     m: int = 8,
     k_cb: int = 16,
     pq_seed: int = 7,
+    codebooks: list[list[list[float]]] | None = None,
+    rerank: int = 0,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the design that survives 100 TB of vectors.
 
@@ -1004,7 +1050,8 @@ def ivfpq_topk(
     from pyspark.sql.window import Window
 
     centroids = ivf_centroids_lit(dim, n_cells, seed)
-    codebooks = pq_codebooks_lit(dim, m, k_cb, pq_seed)
+    if codebooks is None:
+        codebooks = pq_codebooks_lit(dim, m, k_cb, pq_seed)
     prep = _ivfpq_prep_map(centroids, codebooks, n_probe, id_col, vec_col)
 
     base = emb.select(id_col, vec_col).mapInPandas(
@@ -1037,10 +1084,38 @@ def ivfpq_topk(
     # triples, not 128-double rows.
     scored = cand.select("query_id", "neighbor_id", adc.alias("adc_dist"))
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
-    return (
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc_dist", "rank")
+        )
+    # Production shape: ADC selects a shortlist; the final top-k reranks it
+    # with EXACT dots on the raw vectors (shortlist×dim work, not index×dim).
+    # Codegen'd unrolled chain — the SRP-rerank lesson applied. The "cosine"
+    # column is the raw dot: testdata embeddings are unit vectors (dot ≡
+    # cosine); pre-normalize with unit_expr otherwise.
+    shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(rerank, k))
+        .select("query_id", "neighbor_id")
+    )
+    vecs = emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("v"))
+    paired = (
+        shortlist.join(vecs.withColumnRenamed("__id", "query_id").withColumnRenamed("v", "qv"), "query_id")
+        .join(vecs.withColumnRenamed("__id", "neighbor_id").withColumnRenamed("v", "nv"), "neighbor_id")
+    )
+    cos = F.expr(
+        " + ".join(
+            f"cast(qv[{i}] as double) * cast(nv[{i}] as double)" for i in range(dim)
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        paired.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adc_dist", "rank")
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

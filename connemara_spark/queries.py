@@ -2288,6 +2288,19 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, k=10, n_cells=32, n_probe=2)
 
 
+@register(
+    "embedding_ann_ivfpq_trained",
+    None,
+    "IVF-PQ with k-means-trained codebooks + exact shortlist rerank — the production configuration (recall-tested vs brute force; approx by construction, rows-only check)",
+)
+def embedding_ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.similarity import ivfpq_topk, pq_train_codebooks
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    books = pq_train_codebooks(emb, k_cb=16)
+    return ivfpq_topk(emb, k=10, n_cells=32, n_probe=4, codebooks=books, rerank=50)
+
+
 def _pq_recon_oracle(*, dim: int = 64, m: int = 8, k_cb: int = 16, pq_seed: int = 7) -> str:
     from connemara_spark.operators.similarity import pq_codebooks_lit, pq_tables_sql
 

@@ -115,3 +115,54 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
         for orig, q in zip(vec, got[vid]["qvec"]):
             assert abs(orig - q * s) <= (s / 2 if s else 0) + 1e-9
     assert got[1]["qsum"] == 127 - 64 + 32
+
+
+def test_ivfpq_trained_rerank_recall(spark, sf_dir):
+    from connemara_spark.operators.similarity import (
+        brute_force_topk, ivfpq_topk, pq_train_codebooks,
+    )
+    from connemara_spark.queries import load, spread
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, id_col="vec_id", vec_col="embedding", k=5).collect()
+    }
+    books = pq_train_codebooks(emb, k_cb=16)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(
+            emb, k=5, n_cells=8, n_probe=4, codebooks=books, rerank=50
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # testdata embeddings are random unit vectors — clusterless, the PQ
+    # adversarial case — so recall is bounded by IVF probe coverage (the
+    # same bound as test_ivf_topk_recall_vs_brute_force). The exact-rerank
+    # shortlist must recover essentially everything ADC+IVF retain.
+    assert recall > 0.5, f"IVF-PQ rerank recall too low: {recall:.3f}"
+
+
+def test_ivfpq_rerank_beats_pure_adc(spark, sf_dir):
+    from connemara_spark.operators.similarity import (
+        brute_force_topk, ivfpq_topk, pq_train_codebooks,
+    )
+    from connemara_spark.queries import load, spread
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, id_col="vec_id", vec_col="embedding", k=5).collect()
+    }
+    books = pq_train_codebooks(emb, k_cb=16)
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(emb, k=5, n_cells=8, n_probe=4, codebooks=books).collect()
+    }
+    rr = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(
+            emb, k=5, n_cells=8, n_probe=4, codebooks=books, rerank=50
+        ).collect()
+    }
+    assert len(exact & rr) > len(exact & adc)  # rerank strictly helps here
