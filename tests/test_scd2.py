@@ -120,3 +120,87 @@ def test_scd2_plan_single_shuffle_no_udf(spark):
     plans.assert_no_cartesian(df)
     # one hash shuffle for the per-key groupBy (+ none for the explode)
     plans.assert_max_exchanges(df, 1)
+
+
+def test_scd2_randomized_stream_matches_sequential_reference(spark):
+    """The fold must equal a plain sequential replay on an arbitrary mixed
+    stream — including partial-column updates and PK-change splits."""
+    from connemara_spark.operators.apply import events_for_table
+    from connemara_spark.testing import random_event_stream
+
+    CUST5 = TableSpec(
+        database="db1",
+        schema="public",
+        table="customer",
+        columns=[
+            ColumnSpec("c_custkey", "bigint"),
+            ColumnSpec("c_name", "text"),
+            ColumnSpec("c_acctbal", "double precision"),
+        ],
+        pk_cols=["c_custkey"],
+    )
+    base = [
+        {"c_custkey": i, "c_name": f"c{i}", "c_acctbal": float(i)} for i in range(1, 21)
+    ]
+    # seed the stream with explicit inserts for the base rows so history
+    # starts in-stream (scd2 is events-only), then run the random mix
+    evs = [
+        make_event(CUST5, "insert", lsn=i, row=r) for i, r in enumerate(base, start=1)
+    ]
+    evs += random_event_stream(CUST5, base, n_events=300, seed=31, start_lsn=100)
+
+    bronze = spark.createDataFrame(evs, BRONZE_SCHEMA)
+    events = parse_events(bronze)
+
+    # ---- sequential reference over the SAME projected event parts ----
+    parts = [
+        r.asDict(recursive=True)
+        for r in events_for_table(events, CUST5)
+        .orderBy("insert_timestamp", "lsn_start", "sub_ord")
+        .collect()
+    ]
+    cols = ["c_custkey", "c_name", "c_acctbal"]
+    state: dict = {}
+    versions: list = []
+
+    def close(key, lsn):
+        st = state.get(key)
+        if st and st["exists"]:
+            versions.append((key, st["from"], lsn, tuple(st["vals"][c] for c in cols)))
+
+    for p in parts:
+        key = tuple(p["__pk"].values())
+        lsn = p["lsn_start"]
+        close(key, lsn)
+        if p["op"] == "delete":
+            state[key] = {"exists": False, "vals": {c: None for c in cols}, "from": None}
+        elif p["op"] == "insert":
+            state[key] = {"exists": True, "vals": dict(p["vals"]), "from": lsn}
+        else:  # update: overlay present columns over current values
+            cur = state.get(key, {"vals": {c: None for c in cols}})["vals"]
+            vals = {c: (p["vals"][c] if p["has"][c] else cur[c]) for c in cols}
+            state[key] = {"exists": True, "vals": vals, "from": lsn}
+    for key, st in state.items():
+        if st["exists"]:
+            versions.append((key, st["from"], None, tuple(st["vals"][c] for c in cols)))
+
+    expected = sorted(
+        ((k[0], f, t) + v for k, f, t, v in versions),
+        key=lambda r: (r[0], r[1]),
+    )
+
+    got = sorted(
+        (
+            (r["c_custkey"], r["valid_from_lsn"], r["valid_to_lsn"],
+             r["c_custkey"], r["c_name"], r["c_acctbal"])
+            for r in scd2_history(events, CUST5).collect()
+        ),
+        key=lambda r: (r[0], r[1]),
+    )
+    expect_rows = [
+        (k, f, t, k, name, bal) for (k, f, t, k2, name, bal) in
+        [(r[0], r[1], r[2], r[0], r[4], r[5]) for r in expected]
+    ]
+    assert len(got) == len(expect_rows)
+    for g, e in zip(got, expect_rows):
+        assert g == e, (g, e)
