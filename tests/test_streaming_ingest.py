@@ -70,3 +70,58 @@ def test_ingest_checkpoint_makes_replay_idempotent(spark, tmp_path):
     ing.run_until_drained()
     got = spark.read.parquet(str(tmp_path / "corpus")).collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Re-arrivals of the same doc within the watermark horizon are dropped
+    with bounded state; each key emits exactly once."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from connemara_spark.streaming.ingest import streaming_dedup_within_watermark
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(landing)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = (
+            streaming_dedup_within_watermark(stream, keys=["doc_id"], delay="30 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    t1 = datetime(2024, 3, 1, 10, 10, 0)
+    land([(1, t0, "a"), (2, t0, "b"), (1, t0, "a-dup-same-batch")])
+    drain()
+    # second query run, same checkpoint: a re-arrival of doc 1 within the
+    # horizon plus a genuinely new doc
+    land([(1, t1, "a-dup-next-batch"), (3, t1, "c")])
+    drain()
+
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [1, 2, 3]  # every key exactly once
