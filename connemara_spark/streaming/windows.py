@@ -111,3 +111,29 @@ class WindowedEventRollup:
                 raise q.exception()
         finally:
             q.stop()
+
+
+def interval_join_streams(
+    left, right, *, key: str, left_ts: str = "ts", right_ts: str = "ts",
+    watermark: str = "30 minutes", max_gap: str = "10 minutes",
+):
+    """Stream-stream inner join within a bounded event-time interval.
+
+    The canonical "attribute conversions to impressions" shape: rows join
+    when keys match AND ``right_ts`` lies within ``[left_ts, left_ts +
+    max_gap]``. Both sides carry watermarks, so Spark bounds the join state
+    to the watermark + gap horizon per side — without them a stream-stream
+    join would buffer forever. Matches emit once both sides' watermarks pass
+    the candidate window (appearance can lag the later input by the
+    watermark delay, the price of exactly-once append output).
+    """
+    from pyspark.sql import functions as F
+
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return l.join(r, cond, "inner")

@@ -113,3 +113,64 @@ def test_batch_backfill_uses_same_plan(spark, tmp_path):
         for r in ru.aggregated(batch).collect()
     )
     assert rows == [(_ts(10, 0), "click", 2, 3.0), (_ts(11, 0), "view", 1, 4.0)]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Impression->conversion attribution: conversions join the matching
+    impression when they land within the gap; outside-gap pairs never emit."""
+    from pyspark.sql import types as T
+
+    from connemara_spark.streaming.windows import interval_join_streams
+
+    imp_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("imp_id", T.LongType()),
+        ]
+    )
+    conv_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("conv_id", T.LongType()),
+        ]
+    )
+    imp_dir, conv_dir = str(tmp_path / "imp"), str(tmp_path / "conv")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    # impressions at 10:00; conversions at 10:05 (in gap), 10:30 (out of
+    # gap), plus a far-future row on each side to advance both watermarks
+    spark.createDataFrame(
+        [(1, _ts(10, 0), 100), (2, _ts(10, 0), 200), (9, _ts(13, 0), 900)],
+        imp_schema,
+    ).coalesce(1).write.mode("append").parquet(imp_dir)
+    spark.createDataFrame(
+        [(1, _ts(10, 5), 1000), (2, _ts(10, 30), 2000), (9, _ts(13, 0), 9000)],
+        conv_schema,
+    ).coalesce(1).write.mode("append").parquet(conv_dir)
+
+    left = spark.readStream.schema(imp_schema).parquet(imp_dir)
+    right = spark.readStream.schema(conv_schema).parquet(conv_dir)
+    joined = interval_join_streams(
+        left, right, key="user_id", watermark="30 minutes", max_gap="10 minutes"
+    ).select("l.user_id", "imp_id", "conv_id")
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+
+    rows = sorted(
+        (r["user_id"], r["imp_id"], r["conv_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # only the in-gap pair (user 1) and the co-timestamped sentinel join;
+    # user 2's conversion at +30m is outside the 10m gap
+    assert rows == [(1, 100, 1000), (9, 900, 9000)]
