@@ -14,14 +14,19 @@ import subprocess
 import sys
 
 RISKY = [
-    "cdc_apply_customer",       # flagship entry(); events TIMESTAMP(NANOS)
+    "cdc_apply_customer",       # flagship entry(); naive-micros timestamps
     "cdc_latest_wins",
-    "events_sessionize",
+    "events_sessionize",        # NTZ epoch math (extract_epoch)
     "asof_latest_order_per_event",
     "multimodal_bmp_resize",    # chained mapInPandas
     "multimodal_y4m_frame_sample",
     "embedding_dedup_pipeline",  # cogroup GEMM + localCheckpoint loop
     "doc_pack_sequences",       # window prefix-sum
+    "embedding_ann_ivfpq",      # Arrow prep stage + cached-base join
+    "embedding_ann_ivfpq_trained",  # driver k-means sample + rerank join
+    "cdc_scd2_customer",        # versioned fold + array-state explode
+    "cdc_incremental_rollup",   # apply_delta + decimal merge
+    "events_zorder_keys",       # NTZ epoch math inside bit chains
 ]
 
 SCRIPT = """
