@@ -1132,13 +1132,37 @@ def pq_recon_error(
     """Per-vector PQ reconstruction error (sum of per-subspace min squared-L2
     to the codebook) — the compression-quality metric you monitor when
     shipping quantized indexes. Pure per-row map: zero shuffles."""
+    import numpy as np
+    import pandas as pd
+
     codebooks = pq_codebooks_lit(dim, m, k_cb, pq_seed)
-    tables = pq_tables_sql(codebooks, f"{vec_col}[{{i}}]", one_based=False)
-    err = F.round(F.expr(" + ".join(f"array_min(l{j})" for j in range(m))), 6)
+    sd = len(codebooks[0][0])
+    cb32 = np.array(codebooks, dtype=np.float32)
+
+    # Arrow kernel, not native chains: the m x k_cb x sd expression tree
+    # overflows Janino's method limit (codegen falls back to interpreted,
+    # measured ~3x slower). Float semantics mirror the oracle exactly — see
+    # _ivfpq_prep_map. Rounding stays Spark-side (F.round = HALF_UP, the
+    # convention every oracle shares).
+    def recon(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X32 = np.array(list(pdf[vec_col]), dtype=np.float32)
+            n = X32.shape[0]
+            diff = X32.reshape(n, m, 1, sd) - cb32[None, :, :, :]
+            sq = (diff * diff).astype(np.float64)
+            tab = sq[..., 0].copy()
+            for t in range(1, sd):
+                tab += sq[..., t]
+            mins = tab.min(axis=2)                   # (n, m)
+            err = mins[:, 0].copy()
+            for j in range(1, m):
+                err += mins[:, j]                    # left-assoc f64 sum
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "raw_err": err})
+
     return (
-        emb.select(
-            F.col(id_col).alias("vec_id"),
-            *[F.expr(t).alias(f"l{j}") for j, t in enumerate(tables)],
-        )
-        .select("vec_id", err.alias("recon_err"))
+        emb.select(id_col, vec_col)
+        .mapInPandas(recon, "vec_id long, raw_err double")
+        .select("vec_id", F.round(F.col("raw_err"), 6).alias("recon_err"))
     )

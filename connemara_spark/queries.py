@@ -1478,7 +1478,11 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.dedup import duplicate_spans
 
     docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
-    return duplicate_spans(docs, n=13, min_copies=2)
+    # hashed=True: the count/join key is xxhash64(gram) — an 8-byte shuffle
+    # instead of ~80-byte strings. Output spans are identical unless two
+    # distinct grams collide (P ~ n^2/2^65; a collision would fail this
+    # query's value-hash gate, and the raw/hashed agreement is unit-tested).
+    return duplicate_spans(docs, n=13, min_copies=2, hashed=True)
 
 
 @register(
