@@ -624,21 +624,29 @@ def ivf_topk_lit(
     base = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
         F.transform(F.slice(ranked, 1, n_probe), lambda s: s["i"].cast("int")).alias("probes"),
     ).persist()
 
     index = base.select(
         F.col("id").alias("neighbor_id"),
         F.col("vec").alias("nvec"),
+        F.col("nrm").alias("nnrm"),
         F.element_at("probes", 1).alias("cell"),
     )
     queries = base.select(
         F.col("id").alias("query_id"),
         F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
         F.explode("probes").alias("cell"),
     )
     cand = queries.join(index, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.withColumn("cosine", cosine_expr(F.col("qvec"), F.col("nvec")))
+    # norms were computed once per row in base; the per-pair work is one
+    # unrolled codegen dot — same doubles as cosine_expr's three folds
+    scored = cand.withColumn(
+        "cosine",
+        unrolled_dot_expr("qvec", "nvec", dim) / (F.col("qnrm") * F.col("nnrm")),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -822,7 +830,10 @@ def ivf_topk(
     )
 
     cand = queries.join(index, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.withColumn("cosine", dot_expr(F.col("qvec"), F.col("nvec")))
+    # unrolled codegen chain, not the interpreted fold: identical doubles
+    # (same products, same order) at JIT speed over the candidate pairs
+    ndim = len(centroids[0])
+    scored = cand.withColumn("cosine", unrolled_dot_expr("qvec", "nvec", ndim))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
