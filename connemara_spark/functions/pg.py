@@ -89,9 +89,13 @@ def extract_epoch(ts: str | Column) -> Column:
 
 def to_pg_epoch_us(ts: str | Column) -> Column:
     """Unix timestamp → PostgreSQL-epoch microseconds
-    (connemara_replication.h:19-22, connemara_replication.c:140-157)."""
+    (connemara_replication.h:19-22, connemara_replication.c:140-157).
+
+    NTZ-safe like ``extract_epoch``: exact micros via unix_micros on an LTZ
+    cast, never a direct timestamp→decimal cast (illegal for TIMESTAMP_NTZ).
+    """
     t = _col(ts)
-    return (t.cast("decimal(26,6)") * 1_000_000).cast("bigint") - F.lit(PG_EPOCH_OFFSET_US)
+    return F.unix_micros(t.cast("timestamp")) - F.lit(PG_EPOCH_OFFSET_US)
 
 
 def from_pg_epoch_us(us: str | Column) -> Column:

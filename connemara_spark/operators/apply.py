@@ -187,6 +187,24 @@ def _events_for_table(events: DataFrame, spec: TableSpec, whole_row: bool = Fals
     )
 
 
+
+def _events_per_key(ev: DataFrame) -> DataFrame:
+    """Group projected events per PK with the sort_array ordering contract:
+    the struct's LEADING fields are the order columns (insert_timestamp,
+    lsn_start, sub_ord), so sort_array yields exact apply order. Shared by
+    apply_changes / apply_delta / scd2_history — the one place the ordering
+    contract is encoded."""
+    ev_struct = F.struct(
+        F.col("insert_timestamp").alias("insert_timestamp"),
+        F.col("lsn_start").alias("lsn_start"),
+        F.col("sub_ord").alias("sub_ord"),
+        F.col("op").alias("op"),
+        F.col("vals").alias("vals"),
+        F.col("has").alias("has"),
+    )
+    return ev.groupBy("__pk").agg(F.sort_array(F.collect_list(ev_struct)).alias("__evs"))
+
+
 def _fold_expr(spec: TableSpec, events_col: str, init_exists: Column, init_vals: Column) -> Column:
     """The per-key ordered fold: F.aggregate over the sorted event array.
 
@@ -260,17 +278,9 @@ def apply_changes(
     spec, _whole_row = _effective_spec(spec)
     ev = events_for_table(events, spec)
 
-    # One shuffle: group per key, events sorted by (ts, lsn, sub_ord) via
-    # sort_array on a struct whose leading fields are the order columns.
-    ev_struct = F.struct(
-        F.col("insert_timestamp").alias("insert_timestamp"),
-        F.col("lsn_start").alias("lsn_start"),
-        F.col("sub_ord").alias("sub_ord"),
-        F.col("op").alias("op"),
-        F.col("vals").alias("vals"),
-        F.col("has").alias("has"),
-    )
-    per_key = ev.groupBy("__pk").agg(F.sort_array(F.collect_list(ev_struct)).alias("__evs"))
+    # One shuffle: group per key, events in exact apply order (the ordering
+    # contract lives in _events_per_key).
+    per_key = _events_per_key(ev)
 
     snap_key = F.struct(*[F.col(k).alias(k) for k in spec.pk_cols])
     snap = snapshot.select(
@@ -342,15 +352,7 @@ def apply_delta(snapshot: DataFrame, events: DataFrame, spec: TableSpec) -> Data
     """
     spec, _whole_row = _effective_spec(spec)
     ev = events_for_table(events, spec)
-    ev_struct = F.struct(
-        F.col("insert_timestamp").alias("insert_timestamp"),
-        F.col("lsn_start").alias("lsn_start"),
-        F.col("sub_ord").alias("sub_ord"),
-        F.col("op").alias("op"),
-        F.col("vals").alias("vals"),
-        F.col("has").alias("has"),
-    )
-    per_key = ev.groupBy("__pk").agg(F.sort_array(F.collect_list(ev_struct)).alias("__evs"))
+    per_key = _events_per_key(ev)
 
     snap_key = F.struct(*[F.col(k).alias(k) for k in spec.pk_cols])
     snap = snapshot.select(
@@ -417,14 +419,20 @@ def incremental_group_agg(
         .groupBy(group_col)
         .agg(F.sum("__dn").alias("__dn"), F.sum("__dt").alias("__dt"))
     )
-    merged = base_agg.join(net, on=group_col, how="full_outer")
+    # NULL-safe equality: a NULL group key must merge with the base row,
+    # not duplicate beside it (plain equi-join never matches NULL = NULL)
+    b = base_agg.alias("b")
+    n = net.alias("n")
+    merged = b.join(
+        n, F.col(f"b.{group_col}").eqNullSafe(F.col(f"n.{group_col}")), "full_outer"
+    )
     return (
         merged.select(
-            group_col,
-            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))).alias("n_rows"),
+            F.coalesce(F.col(f"b.{group_col}"), F.col(f"n.{group_col}")).alias(group_col),
+            (F.coalesce(F.col("b.n_rows"), F.lit(0)) + F.coalesce(F.col("n.__dn"), F.lit(0))).alias("n_rows"),
             (
-                F.coalesce(F.col("total"), F.lit(0).cast(sum_type))
-                + F.coalesce(F.col("__dt"), F.lit(0).cast(sum_type))
+                F.coalesce(F.col("b.total"), F.lit(0).cast(sum_type))
+                + F.coalesce(F.col("n.__dt"), F.lit(0).cast(sum_type))
             ).cast(sum_type).alias("total"),
         )
         .filter(F.col("n_rows") > 0)

@@ -520,7 +520,13 @@ def duplicate_spans(
     from pyspark.sql.window import Window
 
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0)))
+    # docs shorter than n tokens emit NO grams: span output is positional,
+    # so a truncated whole-doc "gram" would mark spans past the doc end
+    # (unlike word_shingles, where the whole-doc shingle is correct for
+    # set-similarity semantics)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     g = docs.select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gram"))
     if hashed:

@@ -36,8 +36,10 @@ def morton_key_sql(x: str, y: str, *, bits: int = 16, shift_fmt: str = "({c} >> 
 def morton_key(x: Column | str, y: Column | str, *, bits: int = 16) -> Column:
     """Morton (Z-order) key of two non-negative ints with ``bits`` bits each
     — native Catalyst bit ops, whole-stage codegen'd."""
-    xc = F.col(x) if isinstance(x, str) else x
-    yc = F.col(y) if isinstance(y, str) else y
+    xc = (F.col(x) if isinstance(x, str) else x).cast("bigint")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("bigint")
+    # bigint cast is load-bearing: shiftleft on an int column masks the
+    # shift distance mod 32, silently corrupting keys for bits >= 16
     out = F.lit(0).cast("bigint")
     for b in range(bits):
         out = out + F.shiftleft(F.shiftright(xc, b).bitwiseAND(F.lit(1)), 2 * b)

@@ -27,7 +27,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from connemara_spark.catalog import TableSpec
-from connemara_spark.operators.apply import _effective_spec, events_for_table
+from connemara_spark.operators.apply import (
+    _effective_spec,
+    _events_per_key,
+    events_for_table,
+)
 
 
 def scd2_history(events: DataFrame, spec: TableSpec) -> DataFrame:
@@ -45,15 +49,7 @@ def scd2_history(events: DataFrame, spec: TableSpec) -> DataFrame:
     cols = [c.name for c in spec.columns]
     non_pk = [c for c in cols if c not in spec.pk_cols]
 
-    ev_struct = F.struct(
-        F.col("insert_timestamp").alias("insert_timestamp"),
-        F.col("lsn_start").alias("lsn_start"),
-        F.col("sub_ord").alias("sub_ord"),
-        F.col("op").alias("op"),
-        F.col("vals").alias("vals"),
-        F.col("has").alias("has"),
-    )
-    per_key = ev.groupBy("__pk").agg(F.sort_array(F.collect_list(ev_struct)).alias("__evs"))
+    per_key = _events_per_key(ev)
 
     null_vals = F.struct(*[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns])
     ver_type = "array<struct<valid_from_lsn:bigint,valid_to_lsn:bigint,vals:struct<{}>>>".format(

@@ -1071,6 +1071,9 @@ def ivfpq_topk(
     ).persist()
     # Materialize the cache NOW: the candidate join reads base from BOTH
     # sides, and concurrent first-touch stages would each recompute it.
+    # Deliberate trade: construction runs the prep job eagerly (plan-only
+    # callers pay it too) and the cache lives until session/cache cleanup —
+    # the index IS the long-lived artifact in any real ANN deployment.
     base.count()
 
     index = base.select(
@@ -1170,10 +1173,10 @@ def pq_recon_error(
             err = mins[:, 0].copy()
             for j in range(1, m):
                 err += mins[:, j]                    # left-assoc f64 sum
-            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "raw_err": err})
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "raw_err": err})
 
     return (
         emb.select(id_col, vec_col)
-        .mapInPandas(recon, "vec_id long, raw_err double")
-        .select("vec_id", F.round(F.col("raw_err"), 6).alias("recon_err"))
+        .mapInPandas(recon, f"{id_col} long, raw_err double")
+        .select(id_col, F.round(F.col("raw_err"), 6).alias("recon_err"))
     )

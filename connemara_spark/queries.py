@@ -1447,7 +1447,8 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     gs AS (
         SELECT doc_id, unnest(list_transform(
-                   range(1, greatest(len(toks) - 12, 1) + 1),
+                   CASE WHEN len(toks) >= 13
+                        THEN range(1, len(toks) - 12 + 1) ELSE [] END,
                    i -> {'pos': i - 1,
                          'gram': array_to_string(toks[i:i+12], ' ')})) AS u
         FROM d

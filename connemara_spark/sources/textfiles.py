@@ -34,6 +34,11 @@ def read_jsonl_docs(
 ) -> tuple[DataFrame, DataFrame]:
     """Read line-delimited JSON documents. Returns ``(good, quarantine)``:
     rows failing the schema land in quarantine with the offending raw line.
+
+    Cache lifetime: the parsed load stays cached for the session (both
+    outputs read it). Long-lived drivers ingesting many drops should write
+    the splits out and then ``spark.catalog.clearCache()`` — or stage the
+    parsed load to a table, which is the cluster-scale recipe anyway.
     """
     full = T.StructType(list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())])
     df = (

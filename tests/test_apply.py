@@ -388,3 +388,29 @@ def test_incremental_agg_drops_emptied_groups_and_migrates(spark):
     ).collect()}
     assert "SOLO" not in out
     assert out["AUTO"] == 2  # customer 1 joined customer 3's segment... see base
+
+
+def test_incremental_agg_merges_null_group(spark):
+    import pyspark.sql.functions as F
+
+    from connemara_spark.operators.apply import (
+        apply_delta, incremental_group_agg,
+    )
+
+    # NULL segment group must MERGE with the base aggregate row, not
+    # duplicate beside it (eqNullSafe join)
+    base = _base_customers(4)
+    base[0]["c_mktsegment"] = None
+    base[1]["c_mktsegment"] = None
+    evs = [make_event(CUST, "delete", lsn=1, old_key={"c_custkey": 1})]
+    snapshot, events = _dfify(spark, CUST, base, evs)
+    base_agg = snapshot.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("total"),
+    )
+    out = {r["c_mktsegment"]: r["n_rows"] for r in incremental_group_agg(
+        base_agg, apply_delta(snapshot, events, CUST),
+        group_col="c_mktsegment", sum_col="c_acctbal",
+    ).collect()}
+    assert out[None] == 1  # 2 - 1, merged into ONE row
+    assert sum(out.values()) == 3

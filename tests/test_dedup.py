@@ -129,3 +129,14 @@ def test_duplicate_spans_hashed_variant_agrees(spark):
     raw = sorted(map(tuple, duplicate_spans(df, n=3, min_copies=2).collect()))
     hashed = sorted(map(tuple, duplicate_spans(df, n=3, min_copies=2, hashed=True).collect()))
     assert raw == hashed and raw
+
+
+def test_duplicate_spans_short_docs_emit_no_grams(spark):
+    from connemara_spark.operators.dedup import duplicate_spans
+
+    # identical docs SHORTER than n: no n-gram exists, so no span — and
+    # certainly not one indexing past the document end
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "too short"), (3, "")], "doc_id long, text string"
+    )
+    assert duplicate_spans(df, n=13, min_copies=2).collect() == []

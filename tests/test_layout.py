@@ -58,3 +58,14 @@ def test_zorder_plan_one_shuffle_no_udf(spark):
     plans.assert_no_python_udf(laid)
     plan = plans.simple_plan(laid)
     assert "rangepartitioning" in plan  # the single clustering shuffle
+
+
+def test_morton_key_int_columns_not_wrapped(spark):
+    # IntegerType inputs: shiftleft on raw int masks shift distance mod 32;
+    # the bigint cast inside morton_key must keep high bits correct
+    df = spark.createDataFrame([(40000, 40000)], "x int, y int")
+    z = df.select(morton_key("x", "y", bits=16).alias("z")).collect()[0]["z"]
+    expect = sum(((40000 >> b) & 1) << (2 * b) for b in range(16)) + sum(
+        ((40000 >> b) & 1) << (2 * b + 1) for b in range(16)
+    )
+    assert z == expect
