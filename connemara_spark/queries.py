@@ -2388,6 +2388,44 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_retention_cohorts",
+    EVENTS_CTE + """
+    , first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        FROM ev GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+        FROM ev
+    )
+    SELECT f.cohort_week,
+           CAST(FLOOR(epoch(a.active_week - f.cohort_week) / 604800) AS BIGINT) AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    "cohort retention matrix: per signup-week cohort, distinct users active k weeks later (first-touch window + distinct-activity self-join)",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    week = 604800.0
+    offset = F.floor(
+        (extract_epoch("active_week") - extract_epoch("cohort_week")) / week
+    ).cast("bigint")
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@register(
     "events_pivot_types",
     EVENTS_CTE + """
     SELECT user_id,
