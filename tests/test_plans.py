@@ -128,9 +128,12 @@ def test_ivfpq_plan_hash_join_no_cartesian(spark, sf_dir):
 
 
 def test_pq_recon_error_zero_shuffle(spark, sf_dir):
+    # one documented Arrow kernel (the native chain overflows Janino and
+    # runs interpreted), still zero shuffles beyond the loader's spread()
     df = q("embedding_pq_recon_error", spark, sf_dir)
-    plans.assert_no_python_udf(df)
-    plans.assert_max_exchanges(df, 1)  # only the loader's spread() repartition
+    plan = plans.simple_plan(df)
+    assert "MapInPandas" in plan
+    plans.assert_max_exchanges(df, 1)
 
 
 def test_tfidf_corpus_count_is_literal(spark, sf_dir):
