@@ -2100,6 +2100,40 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_features",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(50 + doc_id % 30 AS INT) AS n FROM documents
+    ),
+    smp AS (
+        SELECT d.doc_id, ts.i,
+               (((d.doc_id * 13 + ts.i * 7) % 2048) - 1024) AS s,
+               CAST(ts.i // 16 AS INT) AS frame_idx
+        FROM dims d, range(0, 80) ts(i)
+        WHERE ts.i < (d.n // 16) * 16
+    ),
+    lagged AS (
+        SELECT doc_id, frame_idx, s,
+               lag(s) OVER (PARTITION BY doc_id, frame_idx ORDER BY i) AS prev
+        FROM smp
+    )
+    SELECT doc_id AS media_id, frame_idx,
+           SQRT(SUM(CAST(s AS BIGINT) * s) / 16.0) AS rms,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> 0
+                              AND ((prev < 0) <> (s < 0))
+                    THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+    FROM lagged GROUP BY doc_id, frame_idx
+    """,
+    "frame-level audio features (RMS energy + zero-crossing count) over the REAL WAV decode; oracle recomputes per-frame features from the synthetic waveform in closed form",
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.multimodal import audio_frame_features, wav_fixture
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    return audio_frame_features(wav_fixture(docs), frame=16, codec="wav", n_partitions=32)
+
+
+@register(
     "multimodal_wav_decimate",
     """
     WITH dims AS (
