@@ -616,3 +616,53 @@ def audio_frame_features(
     return src.mapInPandas(
         feats, "media_id long, frame_idx int, rms double, zero_crossings int"
     )
+
+
+def image_stats_features(
+    df: DataFrame,
+    *,
+    codec: str = "bmp",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Per-image curation features over the REAL BMP decode path: green-
+    channel mean and variance (exposure / flatness proxies) and the global
+    dynamic range (max - min byte) — the cheap gates an image-curation pass
+    applies before any model scoring (all-black/all-white/flat detection).
+
+    Exactness: byte sums and squared sums are exact integers; the two
+    divisions and one subtraction are each correctly-rounded double ops in
+    the same order as the SQL oracle."""
+    if codec != "bmp":
+        raise NotImplementedError(
+            f"codec {codec!r} requires an image library not available in "
+            "this environment (bmp is implemented pure-python)"
+        )
+    n_parts = n_partitions or estimate_partitions(df)
+    src = df.select("media_id", "payload").repartition(n_parts)
+
+    def feats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, px = decode_bmp(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                greens = px[1::3]  # BGR triplets -> channel index 1
+                n = len(greens)
+                sm = sum(greens)
+                sq = sum(v * v for v in greens)
+                mean_g = sm / n
+                var_g = sq / n - (sm / n) * (sm / n)
+                out.append(
+                    (int(mid), float(mean_g), float(var_g), int(max(px) - min(px)))
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "mean_g", "var_g", "dyn_range"]
+            )
+
+    return src.mapInPandas(
+        feats, "media_id long, mean_g double, var_g double, dyn_range int"
+    )

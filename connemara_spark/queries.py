@@ -2100,6 +2100,40 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_bmp_features",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS w, CAST(2 + doc_id % 4 AS INT) AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, cs.c,
+               ((d.doc_id * 31 + ys.y * 7 + xs.x * 3 + cs.c * 11) % 256) AS v
+        FROM dims d, range(0, 6) ys(y), range(0, 8) xs(x), range(0, 3) cs(c)
+        WHERE ys.y < d.h AND xs.x < d.w
+    ),
+    g AS (SELECT doc_id, v FROM px WHERE c = 1),
+    a AS (
+        SELECT doc_id,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_g,
+               CAST(SUM(v*v) AS DOUBLE) / COUNT(*)
+                   - (CAST(SUM(v) AS DOUBLE) / COUNT(*)) * (CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS var_g
+        FROM g GROUP BY doc_id
+    ),
+    r AS (SELECT doc_id, CAST(MAX(v) - MIN(v) AS INT) AS dyn_range FROM px GROUP BY doc_id)
+    SELECT a.doc_id AS media_id, mean_g, var_g, dyn_range
+    FROM a JOIN r ON a.doc_id = r.doc_id
+    """,
+    "per-image curation features (green-channel mean/variance + dynamic range) over the REAL BMP decode; closed-form oracle",
+)
+def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.multimodal import bmp_fixture, image_stats_features
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    return image_stats_features(bmp_fixture(docs), codec="bmp", n_partitions=32)
+
+
+@register(
     "multimodal_wav_features",
     """
     WITH dims AS (
