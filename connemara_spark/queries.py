@@ -627,6 +627,50 @@ def cdc_state_at_lsn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_changefeed_customer",
+    """
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               value AS c_acctbal,
+               event_type AS c_mktsegment
+        FROM events
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg
+        ) t WHERE rn = 1
+    )
+    SELECT l.c_custkey,
+           (c.c_custkey IS NOT NULL) AS old_exists,
+           c.c_acctbal AS old_acctbal,
+           (l.op <> 'delete') AS new_exists,
+           CASE WHEN l.op <> 'delete' THEN l.c_acctbal END AS new_acctbal,
+           CASE WHEN l.op <> 'delete' THEN l.c_mktsegment END AS new_mktsegment
+    FROM last l LEFT JOIN customer c ON c.c_custkey = l.c_custkey
+    """,
+    "change-data-feed surface: per-touched-key before/after row states from "
+    "apply_delta — what incremental consumers (aggregates, indexes, notifications) subscribe to",
+)
+def cdc_changefeed_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.apply import apply_delta
+
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    delta = apply_delta(snapshot, parse_events(bronze), CUSTOMER_SPEC)
+    return delta.select(
+        F.col("__pk.c_custkey").alias("c_custkey"),
+        "old_exists",
+        F.col("old_vals.c_acctbal").alias("old_acctbal"),
+        "new_exists",
+        F.col("new_vals.c_acctbal").alias("new_acctbal"),
+        F.col("new_vals.c_mktsegment").alias("new_mktsegment"),
+    )
+
+
+@register(
     "cdc_incremental_rollup",
     """
     WITH chg AS (
