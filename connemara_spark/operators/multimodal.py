@@ -569,6 +569,7 @@ def audio_frame_features(
     *,
     frame: int = 16,
     codec: str = "wav",
+    target_partition_bytes: int = 128 << 20,
     n_partitions: int | None = None,
 ) -> DataFrame:
     """Frame-level audio features over the REAL WAV decode path: per full
@@ -586,7 +587,7 @@ def audio_frame_features(
             f"codec {codec!r} requires an audio library not available in "
             "this environment (wav is implemented pure-python)"
         )
-    n_parts = n_partitions or estimate_partitions(df)
+    n_parts = n_partitions or estimate_partitions(df, target_partition_bytes=target_partition_bytes)
     src = df.select("media_id", "payload").repartition(n_parts)
 
     def feats(batches: Iterator) -> Iterator:
@@ -601,6 +602,14 @@ def audio_frame_features(
                     rate, ch, samples = decode_wav(bytes(payload))
                 except (ValueError, NotImplementedError):
                     continue
+                if ch != 1:
+                    # interleaved multi-channel frames would mix channels in
+                    # RMS and count L/R transitions as zero crossings —
+                    # refuse loudly, matching decimate_audio's boundary
+                    raise NotImplementedError(
+                        "audio_frame_features supports mono PCM only "
+                        f"(got {ch} channels for media_id={int(mid)})"
+                    )
                 for f in range(len(samples) // frame):
                     w = samples[f * frame : (f + 1) * frame]
                     sq = sum(s * s for s in w)          # exact in int64
@@ -622,6 +631,7 @@ def image_stats_features(
     df: DataFrame,
     *,
     codec: str = "bmp",
+    target_partition_bytes: int = 128 << 20,
     n_partitions: int | None = None,
 ) -> DataFrame:
     """Per-image curation features over the REAL BMP decode path: green-
@@ -637,7 +647,7 @@ def image_stats_features(
             f"codec {codec!r} requires an image library not available in "
             "this environment (bmp is implemented pure-python)"
         )
-    n_parts = n_partitions or estimate_partitions(df)
+    n_parts = n_partitions or estimate_partitions(df, target_partition_bytes=target_partition_bytes)
     src = df.select("media_id", "payload").repartition(n_parts)
 
     def feats(batches: Iterator) -> Iterator:
@@ -649,6 +659,10 @@ def image_stats_features(
                 try:
                     w, h, px = decode_bmp(bytes(payload))
                 except (ValueError, NotImplementedError):
+                    continue
+                if not px:
+                    # zero-area BMP: quarantine (skip) like decode_images,
+                    # never a ZeroDivisionError that sinks the whole task
                     continue
                 greens = px[1::3]  # BGR triplets -> channel index 1
                 n = len(greens)
