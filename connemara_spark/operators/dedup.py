@@ -558,3 +558,62 @@ def duplicate_spans(
         (F.max("pos") + F.lit(n)).alias("span_end"),
         F.count(F.lit(1)).alias("n_dup_grams"),
     ).select("doc_id", "span_start", "span_end", "n_dup_grams")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs — the asymmetric near-subset detector
+    Jaccard misses: ``|A∩B| / |A| >= t`` flags documents mostly contained in
+    another (quotes, excerpts, boilerplate-wrapped copies) even when the
+    container is much larger, where Jaccard dilutes below any threshold.
+
+    Prefix filtering stays lossless for containment: ``|A∩B| >= ceil(t|A|)``
+    forces B to hit one of A's ``|A| - ceil(t|A|) + 1`` globally-rarest
+    shingles (pigeonhole on A alone), so only the PROBE side is pruned; the
+    index side keeps full postings. Verification is exact on full shingle
+    sets. Output: ordered (id_a, id_b, containment) — a pair can appear in
+    both directions with different scores.
+    """
+    from pyspark.sql.window import Window
+
+    hashed = df.select(
+        F.col(id_col).alias("id"), word_shingle_hashes(text_col, k).alias("hs")
+    ).persist()
+    postings = _cap_frequent_shingles(
+        hashed.select("id", F.explode("hs").alias("sh")), max_shingle_freq
+    )
+
+    freq = postings.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    by_doc = Window.partitionBy("id").orderBy("df", "sh")
+    prefix = (
+        postings.join(freq, "sh")
+        .withColumn("__r", F.row_number().over(by_doc))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
+        .filter(F.col("__r") <= F.col("__n") - F.ceil(F.col("__n") * F.lit(threshold)) + 1)
+        .select("id", "sh")
+    )
+
+    cand = (
+        prefix.alias("a")
+        .join(postings.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    paired = cand.join(
+        hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a"
+    ).join(hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b")
+    containment = (
+        F.size(F.array_intersect("hs_a", "hs_b")).cast("double") / F.size("hs_a")
+    )
+    return (
+        paired.withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

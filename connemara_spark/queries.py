@@ -902,6 +902,35 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_ngram_containment",
+    """
+    WITH d AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shs
+        FROM documents
+    ),
+    sh AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / len(da.shs) AS containment
+    FROM inter JOIN d da ON da.doc_id = id_a
+    WHERE CAST(n_inter AS DOUBLE) / len(da.shs) >= 0.8
+    """,
+    "asymmetric near-subset detection: |A∩B|/|A| — catches excerpts/quoted copies Jaccard dilutes; probe-side prefix filtering (pigeonhole on A alone)",
+)
+def near_dup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.dedup import ngram_containment_pairs
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    return ngram_containment_pairs(docs, "doc_id", "text", k=5, threshold=0.8)
+
+
+@register(
     "minhash_lsh_dedup",
     None,  # the xxhash64 family is not SQL-expressible; rows-only check.
            # minhash_lsh_dedup_md5 below runs the SAME pipeline with a

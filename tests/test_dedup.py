@@ -140,3 +140,28 @@ def test_duplicate_spans_short_docs_emit_no_grams(spark):
         [(1, "too short"), (2, "too short"), (3, "")], "doc_id long, text string"
     )
     assert duplicate_spans(df, n=13, min_copies=2).collect() == []
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from connemara_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"filler{i}" for i in range(60))
+    rows = [
+        (1, quote),                      # the excerpt
+        (2, f"{filler} {quote}"),        # a long doc containing it verbatim
+        (3, "totally unrelated content with none of those words at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(df, "doc_id", "text", k=3, threshold=0.8).collect()
+    }
+    # doc 1's shingles are fully inside doc 2 -> containment 1.0 (directed)
+    assert cont[(1, 2)] == 1.0
+    assert (2, 1) not in cont  # the container is NOT contained in the excerpt
+    # Jaccard at the same bar misses the pair entirely (dilution)
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.8).collect()
+    assert not [r for r in jac if {r["id_a"], r["id_b"]} == {1, 2}]
