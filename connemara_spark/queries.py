@@ -902,6 +902,33 @@ def near_dup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_dedup_report",
+    """
+    WITH h AS (SELECT md5(text) AS fp, COUNT(*) AS n FROM documents GROUP BY md5(text))
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_unique,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_exact_dups,
+           ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_rate,
+           CAST(MAX(n) AS BIGINT) AS largest_group
+    FROM h
+    """,
+    "corpus dedup dashboard row: exact-duplicate rate + largest duplicate group (the number a curation run reports before/after)",
+)
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents")).select("text")
+    h = docs.groupBy(F.md5("text").alias("fp")).agg(F.count(F.lit(1)).alias("n"))
+    return h.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_exact_dups"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("n"), 6
+        ).alias("dup_rate"),
+        F.max("n").cast("bigint").alias("largest_group"),
+    )
+
+
+@register(
     "near_dup_ngram_containment",
     """
     WITH d AS (

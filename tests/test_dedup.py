@@ -165,3 +165,60 @@ def test_containment_catches_subset_jaccard_misses(spark):
     # Jaccard at the same bar misses the pair entirely (dilution)
     jac = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.8).collect()
     assert not [r for r in jac if {r["id_a"], r["id_b"]} == {1, 2}]
+
+
+def test_duplicate_spans_randomized_matches_python_reference(spark):
+    """Randomized corpus vs a direct python replay of the span semantics."""
+    import random
+
+    from connemara_spark.operators.dedup import duplicate_spans
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    passages = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 8))) for _ in range(5)
+    ]
+    docs = []
+    for did in range(1, 26):
+        parts = [rng.choice(vocab) for _ in range(rng.randint(0, 6))]
+        if rng.random() < 0.7:
+            parts.append(rng.choice(passages))
+        parts += [rng.choice(vocab) for _ in range(rng.randint(0, 6))]
+        docs.append((did, " ".join(parts)))
+
+    n = 4
+    # python reference: count gram occurrences corpus-wide, mark positions,
+    # merge fixed-length intervals per doc
+    from collections import Counter, defaultdict
+
+    gram_count: Counter = Counter()
+    positions: dict = defaultdict(list)
+    for did, text in docs:
+        toks = text.split(" ")
+        if len(toks) < n:
+            continue
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            gram_count[g] += 1
+            positions[did].append((i, g))
+    expected = set()
+    for did, pos_grams in positions.items():
+        hits = sorted(i for i, g in pos_grams if gram_count[g] >= 2)
+        if not hits:
+            continue
+        start = prev = hits[0]
+        cnt = 1
+        for p in hits[1:]:
+            if p - prev >= n:
+                expected.add((did, start, prev + n, cnt))
+                start, cnt = p, 0
+            prev = p
+            cnt += 1
+        expected.add((did, start, prev + n, cnt))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in duplicate_spans(df, n=n, min_copies=2).collect()
+    }
+    assert got == expected
