@@ -764,8 +764,12 @@ def cdc_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(ts) AS session_end
     FROM (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               -- CAST: DuckDB's SUM over integers yields HUGEINT, which the
+               -- driver's pandas canonicalizer maps to float64 while Spark
+               -- emits bigint; values are identical, the hash is not.
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
         FROM (
             SELECT user_id, ts, event_id,
                    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1430,17 +1434,28 @@ def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE 0.0 END AS INT)) AS qvec
         FROM s
     )
-    SELECT vec_id, scale, qvec,
+    SELECT vec_id, scale,
+           md5(array_to_string(qvec, ',')) AS qdigest,
            CAST(list_sum(qvec) AS BIGINT) AS qsum
     FROM t
     """,
-    "symmetric per-vector int8 quantization of embeddings (4B->1B per dim; codes reproduce bit-for-bit across engines)",
+    "symmetric per-vector int8 quantization of embeddings (4B->1B per dim; codes reproduce "
+    "bit-for-bit across engines, checked through an md5 digest of the code array — the raw "
+    "array<int> column is unhashable for the driver's pandas canonicalizer)",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.similarity import quantize_embeddings
 
     emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    return quantize_embeddings(emb, "vec_id", "embedding")
+    q = quantize_embeddings(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.md5(F.array_join(F.transform(F.col("qvec"), lambda x: x.cast("string")), ",")).alias(
+            "qdigest"
+        ),
+        "qsum",
+    )
 
 
 def _stratified_oracle() -> str:
