@@ -412,7 +412,7 @@ def srp_lsh_topk(
         sig_fn(F.col(vec_col)).alias("__sigs"),
     ).persist()
     vecs = with_sigs.select("id", "vec")
-    sigs = with_sigs.select("id", F.posexplode("__sigs").alias("tbl", "sig"))
+    sigs = with_sigs.select("id", "__sigs", F.posexplode("__sigs").alias("tbl", "sig"))
 
     a, b = sigs.alias("a"), sigs.alias("b")
     cand_ids = (
@@ -422,8 +422,15 @@ def srp_lsh_topk(
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.id") != F.col("b.id")),
         )
+        # First-collision dedup: every row carries the full signature array,
+        # so a pair is emitted ONLY from the first table where it collides
+        # (no earlier table has equal sigs). Candidates are unique by
+        # construction — this replaces a global dropDuplicates shuffle over
+        # ~|cand| pairs with an O(n_tables) array predicate evaluated inside
+        # the bucket join, which is the difference between two shuffle
+        # rounds and one at any scale.
+        .filter(_first_collision_pred())
         .select(F.col("a.id").alias("query_id"), F.col("b.id").alias("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     cand = cand_ids.join(
         vecs.select(F.col("id").alias("query_id"), F.col("vec").alias("qvec")), "query_id"
@@ -509,6 +516,18 @@ def _srp_lit_sig_fold(planes_t: list[list[int]], vec_col: str) -> str:
     )
 
 
+def _first_collision_pred() -> Column:
+    """Predicate for the SRP bucket self-join (aliases ``a``/``b``, columns
+    ``__sigs``/``tbl``): true iff no table BEFORE the joined one also
+    collides. Each (query, neighbor) pair therefore survives exactly once —
+    at its first colliding table — making candidates unique without a
+    dedup shuffle. ``slice(sigs, 1, tbl)`` is the (0-based) prefix of
+    earlier tables; empty at tbl=0, so first-table collisions always pass."""
+    prior_a = F.slice(F.col("a.__sigs"), F.lit(1), F.col("a.tbl"))
+    prior_b = F.slice(F.col("b.__sigs"), F.lit(1), F.col("b.tbl"))
+    return ~F.exists(F.zip_with(prior_a, prior_b, lambda x, y: x == y), lambda p: p)
+
+
 def srp_lsh_topk_lit(
     emb: DataFrame,
     *,
@@ -536,10 +555,13 @@ def srp_lsh_topk_lit(
             F.col(vec_col).alias("vec"),
             F.expr(f"array({sig_arr})").alias("__sigs"),
         )
-        .select("id", "vec", F.posexplode("__sigs").alias("tbl", "sig"))
+        .select("id", "vec", "__sigs", F.posexplode("__sigs").alias("tbl", "sig"))
         .persist()
     )
     a, b = sigs.alias("a"), sigs.alias("b")
+    # Same first-collision dedup as srp_lsh_topk — and here it additionally
+    # keeps the two 64-float vectors out of a dedup shuffle (the old
+    # dropDuplicates carried ~1KB per candidate pair).
     cand = (
         a.join(
             b,
@@ -547,13 +569,13 @@ def srp_lsh_topk_lit(
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.id") != F.col("b.id")),
         )
+        .filter(_first_collision_pred())
         .select(
             F.col("a.id").alias("query_id"),
             F.col("b.id").alias("neighbor_id"),
             F.col("a.vec").alias("qvec"),
             F.col("b.vec").alias("nvec"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.withColumn("cosine", cosine_expr(F.col("qvec"), F.col("nvec")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
