@@ -22,6 +22,7 @@ reranks exactly.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1004,6 +1005,32 @@ def _ivfpq_prep_map(
     return prep
 
 
+def _lloyd_books(
+    X, *, dim: int, m: int, k_cb: int, iters: int, seed: int
+) -> list[list[list[float]]]:
+    """Lloyd's k-means per subspace over a (n, dim) float64 sample. Shared by
+    the Spark-side and offline trainers so that, given the SAME sample in
+    the SAME order, both produce bit-identical books. Codewords are rounded
+    to the float32 grid at return — the precondition for the bit-exact
+    cross-engine ADC chains (see ``pq_l2_chain``)."""
+    import numpy as np
+
+    sd = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        sub = X[:, j * sd : (j + 1) * sd]
+        C = sub[rng.choice(len(sub), min(k_cb, len(sub)), replace=False)].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(2)
+            a = d.argmin(1)
+            for c in range(len(C)):
+                if (a == c).any():
+                    C[c] = sub[a == c].mean(0)
+        books.append([[float(np.float32(x)) for x in c] for c in C])
+    return books
+
+
 def pq_train_codebooks(
     emb: DataFrame,
     *,
@@ -1017,31 +1044,73 @@ def pq_train_codebooks(
     seed: int = 3,
 ) -> list[list[list[float]]]:
     """Train per-subspace PQ codebooks with Lloyd's k-means on a bounded,
-    deterministic sample (xxhash64-ordered, like ``_centroid_sample``) — the
-    offline training step every real PQ deployment runs. The returned
-    literals feed ``ivfpq_topk`` exactly like the seeded gate-twin books."""
+    deterministic sample — the offline training step every real PQ
+    deployment runs. The returned literals feed ``ivfpq_topk`` exactly like
+    the seeded gate-twin books.
+
+    The sample order is md5-based (engine-independent, unlike xxhash64), so
+    ``train_books_offline`` — which reads the same parquet without Spark —
+    reproduces the books bit-for-bit. That equality is itself under the
+    value-hash gate (``embedding_pq_train``)."""
     import numpy as np
 
+    h = F.md5(F.concat_ws("|", F.lit(seed).cast("string"), F.col(id_col).cast("string")))
     sampled = (
-        emb.select(vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"))
-        .orderBy("__h")
+        emb.select(vec_col, h.alias("__h"), F.col(id_col).alias("__id"))
+        .orderBy("__h", "__id")
         .limit(sample_n)
         .collect()
     )
     X = np.array([r[0] for r in sampled], dtype=np.float64)
-    sd = dim // m
-    rng = np.random.RandomState(seed)
-    books = []
-    for j in range(m):
-        sub = X[:, j * sd : (j + 1) * sd]
-        C = sub[rng.choice(len(sub), min(k_cb, len(sub)), replace=False)].copy()
-        for _ in range(iters):
-            d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(2)
-            a = d.argmin(1)
-            for c in range(len(C)):
-                if (a == c).any():
-                    C[c] = sub[a == c].mean(0)
-        books.append([[float(x) for x in c] for c in C])
+    return _lloyd_books(X, dim=dim, m=m, k_cb=k_cb, iters=iters, seed=seed)
+
+
+# Default for ivfpq_topk(materialize=None): eager index materialization.
+# Plan-only tools (plans/audit.py, plan tests) set this False so EXPLAIN
+# doesn't execute the Arrow prep job.
+EAGER_INDEX_CACHE = True
+
+_OFFLINE_BOOKS: dict[tuple, list[list[list[float]]]] = {}
+
+
+def train_books_offline(
+    sf_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k_cb: int = 16,
+    sample_n: int = 20000,
+    iters: int = 12,
+    seed: int = 3,
+) -> list[list[list[float]]]:
+    """Spark-free replica of ``pq_train_codebooks`` over
+    ``{sf_dir}/embeddings.parquet`` (pyarrow + hashlib + the shared Lloyd's
+    kernel). Exists so the DuckDB oracle for the TRAINED IVF-PQ variant can
+    render data-trained books as literals without a SparkSession — the gate
+    then checks a real cross-engine claim: two independent trainer
+    implementations agree bit-for-bit, and so does everything downstream.
+    Memoized per (sf_dir, params): training is an offline index-build step,
+    not per-query work."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    key = (os.path.normpath(sf_dir), dim, m, k_cb, sample_n, iters, seed)
+    if key in _OFFLINE_BOOKS:
+        return _OFFLINE_BOOKS[key]
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=[id_col, vec_col])
+    ids = tbl[id_col].to_pylist()
+    vecs = tbl[vec_col].to_pylist()
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(f"{seed}|{ids[i]}".encode()).hexdigest(), ids[i]),
+    )[:sample_n]
+    X = np.array([vecs[i] for i in order], dtype=np.float64)
+    books = _lloyd_books(X, dim=dim, m=m, k_cb=k_cb, iters=iters, seed=seed)
+    _OFFLINE_BOOKS[key] = books
     return books
 
 
@@ -1060,6 +1129,7 @@ def ivfpq_topk(
     pq_seed: int = 7,
     codebooks: list[list[list[float]]] | None = None,
     rerank: int = 0,
+    materialize: bool | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the design that survives 100 TB of vectors.
 
@@ -1093,10 +1163,15 @@ def ivfpq_topk(
     ).persist()
     # Materialize the cache NOW: the candidate join reads base from BOTH
     # sides, and concurrent first-touch stages would each recompute it.
-    # Deliberate trade: construction runs the prep job eagerly (plan-only
-    # callers pay it too) and the cache lives until session/cache cleanup —
-    # the index IS the long-lived artifact in any real ANN deployment.
-    base.count()
+    # Deliberate trade: construction runs the prep job eagerly and the cache
+    # lives until session/cache cleanup — the index IS the long-lived
+    # artifact in any real ANN deployment. Plan-only callers (EXPLAIN
+    # audits, plan tests) pass materialize=False — or flip the module
+    # default EAGER_INDEX_CACHE, which registry-built queries inherit — to
+    # skip the job; the persist still guards against double recomputation
+    # if they do execute.
+    if materialize if materialize is not None else EAGER_INDEX_CACHE:
+        base.count()
 
     index = base.select(
         F.col("id").alias("neighbor_id"),

@@ -39,14 +39,16 @@ def _normalize(rows, colnames):
     return sorted(out)
 
 
-@pytest.mark.parametrize("name", [n for n, q in REGISTRY.items() if q.oracle])
+@pytest.mark.parametrize(
+    "name", [n for n, q in REGISTRY.items() if q.oracle or q.oracle_fn]
+)
 def test_query_matches_oracle(spark, sf_dir, duck, name):
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_dir)
     spark_rows = [r.asDict() for r in sdf.collect()]
     spark_cols = list(sdf.columns)
 
-    res = duck.execute(q.oracle)
+    res = duck.execute(q.resolve_oracle(sf_dir))
     duck_cols = [d[0] for d in res.description]
     duck_rows = [dict(zip(duck_cols, row)) for row in res.fetchall()]
 

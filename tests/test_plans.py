@@ -118,8 +118,14 @@ def test_ivfpq_plan_hash_join_no_cartesian(spark, sf_dir):
     # IVF-PQ: per-row prep is ONE documented Arrow-batched mapInPandas stage
     # (§2.9 exception — the native equivalent is a ~2k-term codegen bomb);
     # everything after is native: hash join on the int cell key, one window
-    # for top-k, never a cartesian
-    df = q("embedding_ann_ivfpq", spark, sf_dir)
+    # for top-k, never a cartesian. Plan-only: skip the eager index build.
+    from connemara_spark.operators import similarity
+
+    similarity.EAGER_INDEX_CACHE = False
+    try:
+        df = q("embedding_ann_ivfpq", spark, sf_dir)
+    finally:
+        similarity.EAGER_INDEX_CACHE = True
     plans.assert_no_cartesian(df)
     plan = plans.simple_plan(df)
     # the one prep stage prints once per cached-plan reference (both join
