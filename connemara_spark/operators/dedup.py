@@ -574,12 +574,24 @@ def ngram_containment_pairs(
     another (quotes, excerpts, boilerplate-wrapped copies) even when the
     container is much larger, where Jaccard dilutes below any threshold.
 
-    Prefix filtering stays lossless for containment: ``|A∩B| >= ceil(t|A|)``
-    forces B to hit one of A's ``|A| - ceil(t|A|) + 1`` globally-rarest
-    shingles (pigeonhole on A alone), so only the PROBE side is pruned; the
-    index side keeps full postings. Verification is exact on full shingle
-    sets. Output: ordered (id_a, id_b, containment) — a pair can appear in
-    both directions with different scores.
+    Prefix filtering is lossless for containment given the postings it sees:
+    ``|A∩B| >= ceil(t|A|)`` forces B to hit one of A's ``|A| - ceil(t|A|) +
+    1`` globally-rarest shingles (pigeonhole on A alone), so only the PROBE
+    side is pruned; the index side keeps full postings. ``|A|`` here is the
+    UNCAPPED per-doc shingle count — the same denominator verification uses
+    — so the bound stays valid when ``max_shingle_freq`` drops frequent
+    shingles from the postings. The cap itself remains the documented
+    approximation: a pair whose qualifying overlap rides ONLY on capped
+    (corpus-frequent) shingles can be missed, both here and at candidate
+    time. Verification is exact on full shingle sets. Output: ordered
+    (id_a, id_b, containment) — a pair can appear in both directions with
+    different scores.
+
+    Cache lifetime: ``hashed`` (the per-doc shingle arrays) is persisted for
+    the duration of the returned DataFrame's evaluation — the candidate join
+    and the verification join both read it. Like ``ivfpq_topk``'s index
+    cache, it lives until ``spark.catalog.clearCache()`` / unpersist; in a
+    long-lived session call ``clearCache()`` after materializing the result.
     """
     from pyspark.sql.window import Window
 
@@ -592,10 +604,11 @@ def ngram_containment_pairs(
 
     freq = postings.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     by_doc = Window.partitionBy("id").orderBy("df", "sh")
+    sizes = hashed.select("id", F.size("hs").alias("__n"))
     prefix = (
         postings.join(freq, "sh")
+        .join(sizes, "id")
         .withColumn("__r", F.row_number().over(by_doc))
-        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("id")))
         .filter(F.col("__r") <= F.col("__n") - F.ceil(F.col("__n") * F.lit(threshold)) + 1)
         .select("id", "sh")
     )

@@ -604,12 +604,14 @@ def audio_frame_features(
                     continue
                 if ch != 1:
                     # interleaved multi-channel frames would mix channels in
-                    # RMS and count L/R transitions as zero crossings —
-                    # refuse loudly, matching decimate_audio's boundary
-                    raise NotImplementedError(
-                        "audio_frame_features supports mono PCM only "
-                        f"(got {ch} channels for media_id={int(mid)})"
-                    )
+                    # RMS and count L/R transitions as zero crossings.
+                    # Quarantine-skip like corrupt payloads: in a curation
+                    # pass one unsupported row must not fail the whole job
+                    # (a poison-row NotImplementedError inside mapInPandas
+                    # kills every task that retries it). Hard failure is
+                    # reserved for configuration errors (unsupported codec,
+                    # checked on the driver above).
+                    continue
                 for f in range(len(samples) // frame):
                     w = samples[f * frame : (f + 1) * frame]
                     sq = sum(s * s for s in w)          # exact in int64

@@ -48,4 +48,11 @@ def get_spark(app_name: str = "connemara-spark", *, shuffle_partitions: int | No
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Builder configs are ignored when getOrCreate() returns a PRE-EXISTING
+    # session (e.g. one a test or notebook built bare), but NTZ epoch math
+    # (functions/pg.extract_epoch) silently depends on session tz = UTC —
+    # a non-UTC session with DST transitions would skew gap/sessionization
+    # arithmetic by the offset change. Pin it at runtime too.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
