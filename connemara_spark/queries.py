@@ -2018,18 +2018,22 @@ def events_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     {EVENTS_CTE}
     SELECT event_type,
-           CAST(ts AS DATE) AS day,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            COUNT(*) AS n_events,
            CAST(SUM(value) AS DOUBLE) AS total_value
     FROM ev
-    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+    GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
     """,
-    "multi-level ROLLUP aggregation (grouping sets)",
+    "multi-level ROLLUP aggregation (grouping sets). Day key is a TIMESTAMP "
+    "on both sides (the events_daily_rollup convention): Spark DateType maps "
+    "to pandas object-of-date while DuckDB DATE maps to datetime64, so a "
+    "DATE-typed key hash-mismatches in the driver's canonicalizer even when "
+    "values agree",
 )
 def events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return (
-        ev.select("event_type", F.to_date("ts").alias("day"), "value")
+        ev.select("event_type", F.date_trunc("day", F.col("ts")).alias("day"), "value")
         .rollup("event_type", "day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
