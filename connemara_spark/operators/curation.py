@@ -213,6 +213,183 @@ def pack_sequences(
     )
 
 
+def bloom_positions(gram: Column, *, n_hashes: int = 3, prefix_len: int = 5) -> Column:
+    """The ``n_hashes`` Bloom-slot keys of one shingle: hex-string prefixes
+    of seeded md5, so slot identity is portable SQL (no integer-conversion
+    dialect traps — same contract as ``_hash_hex8``). ``prefix_len`` hex
+    chars give a 16^prefix_len-slot filter (5 → ~1M slots)."""
+    return F.array(
+        *[
+            F.substring(F.md5(F.concat(F.lit(f"{s}#"), gram)), 1, prefix_len)
+            for s in range(n_hashes)
+        ]
+    )
+
+
+def bloom_bits(
+    bench: DataFrame,
+    *,
+    text_col: str = "text",
+    k_gram: int = 13,
+    n_hashes: int = 3,
+    prefix_len: int = 5,
+) -> DataFrame:
+    """Build the benchmark side of a Bloom-filter decontamination pass: the
+    DISTINCT set of occupied slots over every benchmark ``k_gram``. The
+    result is bounded by min(#grams·n_hashes, 16^prefix_len) rows — small
+    enough to broadcast however large the training corpus is, which is the
+    entire point: the 100 TB side is probed with a map-side broadcast join,
+    never shuffled on gram text."""
+    from connemara_spark.operators.dedup import word_shingles
+
+    grams = bench.select(
+        F.explode(F.array_distinct(word_shingles(text_col, k_gram))).alias("gram")
+    )
+    return grams.select(
+        F.explode(bloom_positions(F.col("gram"), n_hashes=n_hashes, prefix_len=prefix_len)).alias("pos")
+    ).distinct()
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    bits: DataFrame,
+    bench_grams: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_gram: int = 13,
+    n_hashes: int = 3,
+    prefix_len: int = 5,
+) -> DataFrame:
+    """Probe every training document's distinct ``k_gram``s against a Bloom
+    slot set built by ``bloom_bits``: a gram is a BLOOM HIT when all
+    ``n_hashes`` of its slots are occupied (one-sided error — no false
+    negatives, deterministic false positives since the hashes are md5).
+
+    When ``bench_grams`` (one ``gram`` column) is given, each bloom hit is
+    also confirmed exactly, surfacing the filter's realized false-positive
+    rate — the confirm join only sees the bloom-surviving sliver, which is
+    the standard two-stage shape at scale.
+
+    Output per train doc: (id, n_grams, n_bloom_hits, n_exact_hits).
+    """
+    from connemara_spark.operators.dedup import word_shingles
+
+    g = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, k_gram))).alias("gram"),
+    )
+    probes = g.select(
+        id_col,
+        "gram",
+        F.explode(bloom_positions(F.col("gram"), n_hashes=n_hashes, prefix_len=prefix_len)).alias("pos"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("n_slot_hits"))
+        .filter(F.col("n_slot_hits") == n_hashes)
+        .select(id_col, "gram")
+    )
+    per_doc_bloom = hits.groupBy(id_col).agg(F.count("*").alias("n_bloom_hits"))
+    totals = g.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    out = totals.join(per_doc_bloom, id_col, "left")
+    if bench_grams is not None:
+        exact = (
+            hits.join(F.broadcast(bench_grams.select("gram").distinct()), "gram")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_exact_hits"))
+        )
+        out = out.join(exact, id_col, "left")
+    else:
+        out = out.withColumn("n_exact_hits", F.lit(None).cast("long"))
+    return out.select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+        F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
+    )
+
+
+def dsir_features(df: DataFrame, id_col: str, text_col: str, *, prefix_len: int = 4) -> DataFrame:
+    """Hashed n-gram features (unigrams + bigrams → 16^prefix_len buckets),
+    one row per feature OCCURRENCE — the DSIR (Data Selection via
+    Importance Resampling) feature map. Bucket keys are md5 hex prefixes:
+    portable across engines, no integer conversions."""
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    uni = toks.select(
+        id_col, F.explode(F.transform(F.col("__t"), lambda w: F.concat(F.lit("u#"), w))).alias("feat")
+    )
+    big = toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                lambda a, b: F.concat(F.lit("b#"), a, F.lit(" "), b),
+            )
+        ).alias("feat"),
+    )
+    return uni.union(big).select(
+        id_col, F.substring(F.md5(F.col("feat")), 1, prefix_len).alias("bucket")
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 4,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """DSIR importance log-weights: per-document Σ over hashed-n-gram
+    feature occurrences of ln(p_target(bucket) / p_raw(bucket)), with
+    add-``smoothing`` estimates over ``16^prefix_len`` buckets. Documents
+    that look like the target corpus score high; used to importance-sample
+    a raw crawl toward a quality/domain target.
+
+    Scale shape: the bucket-stat table is bounded (≤ 16^prefix_len rows) —
+    it aggregates with map-side partials and broadcasts back; the corpus is
+    never shuffled except by bucket id for the counts. The per-bucket log
+    ratio is rounded to DECIMAL(16,6) BEFORE the per-doc sum, so the sum is
+    exact decimal addition — order-independent, hence reproducible across
+    partitionings and engines (a raw double Σ would depend on reduce
+    order)."""
+    from pyspark.sql.window import Window
+
+    n_buckets = 16 ** prefix_len
+    raw_feats = dsir_features(df, id_col, text_col, prefix_len=prefix_len)
+    tgt_feats = dsir_features(target, id_col, text_col, prefix_len=prefix_len)
+    raw_counts = raw_feats.groupBy("bucket").agg(F.count("*").alias("c_r"))
+    tgt_counts = tgt_feats.groupBy("bucket").agg(F.count("*").alias("c_t"))
+    stats = raw_counts.join(tgt_counts, "bucket", "left").select(
+        "bucket", "c_r", F.coalesce("c_t", F.lit(0)).alias("c_t")
+    )
+    # Totals via unpartitioned windows over the BUCKET AGGREGATE — bounded
+    # cardinality (≤ n_buckets rows) at any corpus size, same pattern as
+    # corpus_mixture_weights.
+    w = Window.partitionBy()
+    tot_r = F.sum("c_r").over(w).cast("double")
+    tot_t = F.sum("c_t").over(w).cast("double")
+    lr = (
+        F.log((F.col("c_t") + F.lit(smoothing)) / (tot_t + F.lit(smoothing * n_buckets)))
+        - F.log((F.col("c_r") + F.lit(smoothing)) / (tot_r + F.lit(smoothing * n_buckets)))
+    )
+    ratios = stats.select(
+        "bucket", F.round(lr, 6).cast("decimal(16,6)").alias("log_ratio")
+    )
+    return (
+        raw_feats.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("log_ratio").cast("double").alias("dsir_logweight"),
+        )
+    )
+
+
 def neardup_clusters(
     pairs: DataFrame,
     *,

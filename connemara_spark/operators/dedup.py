@@ -630,3 +630,74 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def doc_chunks(text_col: str | Column, *, chunk_words: int = 16) -> Column:
+    """Split a document into NON-OVERLAPPING ``chunk_words``-word chunks
+    (the 'paragraph' unit for flat word-stream corpora; swap the tokenizer
+    for a newline split when documents carry real paragraph breaks). Tail
+    chunks may be shorter. Returns array<string> of chunk texts."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ")
+    # split() never yields an empty array, so n_chunks >= 1; greatest guards
+    # degenerate inputs from producing a descending sequence()
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int"), F.lit(1)
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * chunk_words + 1, chunk_words), " "),
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_words: int = 16,
+) -> DataFrame:
+    """Sub-document (CCNet-style paragraph) deduplication: every chunk
+    occurrence whose text already appeared at an earlier position — earlier
+    document id, or earlier chunk index within the same document — is
+    dropped; first occurrences survive.
+
+    Shape at 100 TB: one shuffle on the 16-byte chunk hash (md5 of chunk
+    text) for the first-occurrence window, then one shuffle back on the doc
+    id to reassemble — both on bounded keys, never all-pairs. Corpus-scale
+    boilerplate (headers, license blocks) collapses to one retained copy.
+
+    Output per doc: (id, n_chunks, n_dropped, kept_digest) where
+    kept_digest = md5 of the surviving chunks joined in order ('' digest
+    when everything was dropped) — a value-checkable fingerprint of the
+    cleaned document without shipping the text twice.
+    """
+    from pyspark.sql.window import Window
+
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(doc_chunks(text_col, chunk_words=chunk_words)).alias(
+            "chunk_idx", "chunk"
+        ),
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("id", "chunk_idx")
+    marked = chunks.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("kept") == 1, F.struct("chunk_idx", "chunk"))
+            )
+        ),
+        lambda s: s["chunk"],
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.lit(1) - F.col("kept")).cast("bigint").alias("n_dropped"),
+            F.md5(F.array_join(kept_sorted, " ")).alias("kept_digest"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

@@ -1277,3 +1277,78 @@ def pq_recon_error(
         .mapInPandas(recon, f"{id_col} long, raw_err double")
         .select(id_col, F.round(F.col("raw_err"), 6).alias("recon_err"))
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 32,
+    threshold: float = 0.3,
+    seed: int = 42,
+) -> DataFrame:
+    """Cluster-scoped semantic deduplication (the SemDeDup algorithm shape:
+    coarse k-means clustering, then pairwise cosine only WITHIN each
+    cluster; a vector is dropped when a same-cluster vector with a smaller
+    id exceeds ``threshold`` cosine similarity).
+
+    Why this survives 100 TB where all-pairs cosine cannot: the quadratic
+    term is bounded per cluster — candidate generation is a single hash
+    join on the int ``cell`` key, so total pair work is Σ|cell|², not N².
+    Cell count scales with N to keep cells bounded; skewed cells are
+    handled by AQE skew-join splitting.
+
+    Cell assignment uses the seeded literal centroids of the oracle-
+    checkable IVF family (``ivf_centroids_lit``) — per-row argmax over a
+    broadcast 2-D literal, zero shuffle, reproducible across engines.
+    Tie-break matches the IVF oracles: highest dot, then HIGHER cell index.
+
+    Output: (vec_id, cell, kept) for every input row, kept ∈ {0, 1}.
+    """
+    centroids = ivf_centroids_lit(dim, n_cells, seed)
+    cents = _centroid_lit(centroids)
+    dots = F.transform(cents, lambda c: dot_expr(F.col(vec_col), c))
+    ranked = F.reverse(
+        F.array_sort(
+            F.zip_with(
+                dots,
+                F.sequence(F.lit(0), F.lit(n_cells - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        )
+    )
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm_expr(F.col(vec_col)).alias("nrm"),
+        F.element_at(ranked, 1)["i"].cast("int").alias("cell"),
+    ).persist()
+
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), "cell",
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), "cell",
+    )
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            unrolled_dot_expr("va", "vb", dim) / (F.col("na") * F.col("nb"))
+            > threshold
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        base.join(dup.withColumn("__dup", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.when(F.col("__dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+        )
+    )

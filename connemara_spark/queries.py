@@ -3211,6 +3211,217 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-3 curation additions: cluster-scoped semantic dedup (SemDeDup shape),
+# Bloom-filter decontamination, DSIR importance weights, sub-document chunk
+# dedup — each a standard large-corpus training-data pass, each value-hash
+# gated against a DuckDB twin.
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_oracle(*, dim: int = 64, n_cells: int = 32, seed: int = 42,
+                     threshold: float = 0.3) -> str:
+    from connemara_spark.operators.similarity import ivf_centroids_lit, ivf_lit_dot_sql
+
+    cents = ivf_centroids_lit(dim, n_cells, seed)
+    cell_unions = " UNION ALL ".join(
+        f"SELECT vec_id, {c} AS cell, ({ivf_lit_dot_sql(cents[c], 'embedding[{i}]')}) AS d FROM embeddings"
+        for c in range(n_cells)
+    )
+    return f"""
+    WITH dots AS ({cell_unions}),
+    ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS cr
+        FROM dots),
+    cells AS (SELECT vec_id, cell FROM ranked WHERE cr = 1),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(ea.embedding, eb.embedding) > {threshold}
+    )
+    SELECT c.vec_id, c.cell,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
+    """
+
+
+@register(
+    "embedding_semdedup",
+    _semdedup_oracle(),
+    "SemDeDup-shaped semantic dedup: coarse clustering bounds the quadratic — "
+    "pairwise cosine runs only within a cluster; one hash join on the int cell key",
+)
+def embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.similarity import semdedup
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    return semdedup(emb, n_cells=32, threshold=0.3)
+
+
+def _bloom_oracle(*, bench_frac: float = 0.02, n_hashes: int = 3, prefix_len: int = 5) -> str:
+    from connemara_spark.operators.curation import fraction_threshold_hex
+
+    t = fraction_threshold_hex(bench_frac)
+    pos_list = ", ".join(
+        f"substr(md5('{s}#' || gram), 1, {prefix_len})" for s in range(n_hashes)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 12, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+12], ' '))) AS shs
+        FROM documents
+    ),
+    g AS (SELECT doc_id, unnest(shs) AS gram FROM d),
+    bench_ids AS (
+        SELECT doc_id FROM documents
+        WHERE substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) < '{t}'
+    ),
+    bg AS (SELECT DISTINCT gram FROM g JOIN bench_ids USING (doc_id)),
+    bits AS (SELECT DISTINCT unnest([{pos_list}]) AS pos FROM bg),
+    train AS (
+        SELECT g.* FROM g
+        WHERE substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8) >= '{t}'
+    ),
+    probes AS (SELECT doc_id, gram, unnest([{pos_list}]) AS pos FROM train),
+    hits AS (
+        SELECT doc_id, gram FROM probes JOIN bits USING (pos)
+        GROUP BY doc_id, gram HAVING COUNT(*) = {n_hashes}
+    ),
+    bloomed AS (SELECT doc_id, COUNT(*) AS n_bloom_hits FROM hits GROUP BY doc_id),
+    exact AS (
+        SELECT h.doc_id, COUNT(*) AS n_exact_hits
+        FROM hits h JOIN bg USING (gram) GROUP BY h.doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id)
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(b.n_bloom_hits, 0) AS n_bloom_hits,
+           COALESCE(e.n_exact_hits, 0) AS n_exact_hits
+    FROM totals t
+    LEFT JOIN bloomed b USING (doc_id)
+    LEFT JOIN exact e USING (doc_id)
+    """
+
+
+@register(
+    "doc_bloom_decontam",
+    _bloom_oracle(),
+    "Bloom-filter benchmark decontamination: the tiny benchmark side renders to a "
+    "broadcastable slot set; the corpus is probed map-side (no gram shuffle); hits are "
+    "exact-confirmed, surfacing the realized false-positive rate",
+)
+def doc_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.curation import (
+        _hash_hex8, bloom_bits, bloom_decontaminate, fraction_threshold_hex, hash_sample,
+    )
+    from connemara_spark.operators.dedup import word_shingles
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    bench = hash_sample(docs, "doc_id", 0.02, family="md5")
+    t = fraction_threshold_hex(0.02)
+    train = docs.filter(_hash_hex8(F.col("doc_id"), 42, "md5") >= F.lit(t))
+    bits = bloom_bits(bench, text_col="text", k_gram=13)
+    bench_grams = bench.select(
+        F.explode(F.array_distinct(word_shingles("text", 13))).alias("gram")
+    ).distinct()
+    return bloom_decontaminate(
+        train, bits, bench_grams, id_col="doc_id", text_col="text", k_gram=13
+    )
+
+
+def _dsir_oracle(*, prefix_len: int = 4, smoothing: float = 0.5) -> str:
+    n_buckets = 16 ** prefix_len
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT doc_id, 'u#' || unnest(t) AS feat FROM toks),
+    big AS (
+        SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> 'b#' || t[i] || ' ' || t[i+1])) AS feat
+        FROM toks
+    ),
+    feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+    f AS (SELECT doc_id, substr(md5(feat), 1, {prefix_len}) AS bucket FROM feats),
+    tgt_ids AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+    cr AS (SELECT bucket, COUNT(*) AS c_r FROM f GROUP BY bucket),
+    ct AS (
+        SELECT bucket, COUNT(*) AS c_t
+        FROM f JOIN tgt_ids USING (doc_id) GROUP BY bucket
+    ),
+    stats AS (
+        SELECT cr.bucket, c_r, COALESCE(c_t, 0) AS c_t
+        FROM cr LEFT JOIN ct USING (bucket)
+    ),
+    tot AS (SELECT SUM(c_r) AS tr, SUM(c_t) AS tt FROM stats),
+    ratios AS (
+        SELECT bucket,
+               CAST(ROUND(
+                   ln((c_t + {smoothing}) / (tt + {smoothing} * {n_buckets}))
+                 - ln((c_r + {smoothing}) / (tr + {smoothing} * {n_buckets})), 6)
+                 AS DECIMAL(16,6)) AS log_ratio
+        FROM stats CROSS JOIN tot
+    )
+    SELECT f.doc_id, COUNT(*) AS n_features,
+           CAST(SUM(log_ratio) AS DOUBLE) AS dsir_logweight
+    FROM f JOIN ratios USING (bucket)
+    GROUP BY f.doc_id
+    """
+
+
+@register(
+    "doc_dsir_weights",
+    _dsir_oracle(),
+    "DSIR importance log-weights (hashed unigram+bigram features, target = English "
+    "subset): bounded bucket-stat table broadcasts back; per-bucket log-ratios are "
+    "rounded to DECIMAL before the per-doc sum so the reduction is order-independent",
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.curation import dsir_log_weights
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text", "lang")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_log_weights(
+        docs.select("doc_id", "text"), target, id_col="doc_id", text_col="text"
+    )
+
+
+@register(
+    "doc_chunk_dedup",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ch AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(t[i*16+1 : i*16+16], ' ') AS chunk
+        FROM (SELECT doc_id, t,
+                     unnest(range(0, greatest(CAST(ceil(len(t) / 16.0) AS INT), 1))) AS i
+              FROM toks)
+    ),
+    marked AS (
+        SELECT doc_id, chunk_idx, chunk,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) = 1
+                    THEN 1 ELSE 0 END AS kept
+        FROM ch
+    )
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(1 - kept) AS BIGINT) AS n_dropped,
+           md5(COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (kept = 1), ''))
+               AS kept_digest
+    FROM marked GROUP BY doc_id
+    """,
+    "sub-document (CCNet-style paragraph) dedup over 16-word chunks: first occurrence "
+    "wins corpus-wide; one shuffle on the chunk hash, one back on the doc id",
+)
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.dedup import chunk_dedup
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    return chunk_dedup(docs, "doc_id", "text", chunk_words=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
