@@ -100,3 +100,64 @@ def test_keep_canonical(spark):
     kept = sorted(r["doc_id"] for r in keep_canonical(docs, clusters, "doc_id").collect())
     # 2,3 fold into 1; 6 folds into 5; 4 untouched (no cluster)
     assert kept == [1, 4, 5]
+
+
+def test_bloom_no_false_negatives_and_exact_subset(spark):
+    """Bloom-filter contract: every gram actually present in the benchmark
+    MUST bloom-hit (no false negatives), and exact hits are a subset of
+    bloom hits per doc."""
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.curation import bloom_bits, bloom_decontaminate
+    from connemara_spark.operators.dedup import word_shingles
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            # doc 1 contains a benchmark 3-gram verbatim -> must be flagged
+            (1, "alpha beta gamma unrelated words here"),
+            # doc 2 shares no 3-gram with the benchmark
+            (2, "totally different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bits = bloom_bits(bench, text_col="text", k_gram=3)
+    bench_grams = bench.select(
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("gram")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bloom_decontaminate(
+            train, bits, bench_grams, id_col="doc_id", text_col="text", k_gram=3
+        ).collect()
+    }
+    assert out[1]["n_exact_hits"] >= 1          # no false negative
+    assert out[1]["n_bloom_hits"] >= out[1]["n_exact_hits"]
+    assert out[2]["n_exact_hits"] == 0
+    for r in out.values():
+        assert r["n_bloom_hits"] <= r["n_grams"]
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """A document drawn from the target distribution must outscore one from
+    a disjoint vocabulary."""
+    from connemara_spark.operators.curation import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(i, "science method data theory result evidence") for i in range(10, 20)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "science method data theory result evidence"),
+            (2, "buy cheap pills casino winner click now"),
+        ],
+        "doc_id long, text string",
+    ).union(target)
+    w = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in dsir_log_weights(raw, target, id_col="doc_id", text_col="text").collect()
+    }
+    assert w[1] > w[2]

@@ -222,3 +222,40 @@ def test_duplicate_spans_randomized_matches_python_reference(spark):
         for r in duplicate_spans(df, n=n, min_copies=2).collect()
     }
     assert got == expected
+
+
+def test_chunk_dedup_drops_repeated_chunk_keeps_first(spark):
+    from connemara_spark.operators.dedup import chunk_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(16))      # one full 16-word chunk
+    uniq_a = " ".join(f"a{i}" for i in range(16))
+    uniq_c = " ".join(f"c{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq_a}"),    # first occurrence of boiler: kept
+            (2, f"{boiler} {uniq_c}"),    # later doc: boiler chunk dropped
+            (3, uniq_c),                  # whole doc already seen in doc 2
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dropped"] == 0
+    assert out[2]["n_chunks"] == 2 and out[2]["n_dropped"] == 1
+    assert out[3]["n_chunks"] == 1 and out[3]["n_dropped"] == 1
+    # all-dropped doc digests the empty string
+    import hashlib
+
+    assert out[3]["kept_digest"] == hashlib.md5(b"").hexdigest()
+    # doc 2's kept text is exactly its unique chunk
+    assert out[2]["kept_digest"] == hashlib.md5(uniq_c.encode()).hexdigest()
+
+
+def test_chunk_dedup_within_doc_repeat(spark):
+    from connemara_spark.operators.dedup import chunk_dedup
+
+    chunk = " ".join(f"w{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(7, f"{chunk} {chunk}")], "doc_id long, text string"
+    )
+    out = chunk_dedup(df, "doc_id", "text").collect()[0]
+    assert out["n_chunks"] == 2 and out["n_dropped"] == 1

@@ -150,3 +150,36 @@ def test_tfidf_corpus_count_is_literal(spark, sf_dir):
     df = q("doc_tfidf_top_terms", spark, sf_dir)
     plans.assert_no_cartesian(df)
     plans.assert_max_exchanges(df, 5)
+
+
+def test_semdedup_single_cell_join_no_cartesian(spark, sf_dir):
+    # cell assignment is per-row (literal centroid argmax); the only data
+    # joins are the cell-keyed self-join and the dup anti-mark join
+    df = q("embedding_semdedup", spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_no_python_udf(df)
+
+
+def test_bloom_probe_broadcasts_bits(spark, sf_dir):
+    # the slot set and bench-gram confirm table are broadcast — the corpus
+    # side is probed map-side, never shuffled on gram text
+    df = q("doc_bloom_decontam", spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_broadcast_join(df)
+    plans.assert_no_python_udf(df)
+
+
+def test_dsir_ratio_table_broadcast_back(spark, sf_dir):
+    df = q("doc_dsir_weights", spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_broadcast_join(df)
+    plans.assert_no_python_udf(df)
+
+
+def test_chunk_dedup_two_data_shuffles(spark, sf_dir):
+    # one shuffle on the chunk hash (first-occurrence window), one back on
+    # the doc id (reassembly agg) + spread()'s repartition at test scale
+    df = q("doc_chunk_dedup", spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_no_python_udf(df)
+    plans.assert_max_exchanges(df, 3)

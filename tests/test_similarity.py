@@ -166,3 +166,25 @@ def test_ivfpq_rerank_beats_pure_adc(spark, sf_dir):
         ).collect()
     }
     assert len(exact & rr) > len(exact & adc)  # rerank strictly helps here
+
+
+def test_semdedup_drops_within_cell_duplicate(spark):
+    """A vector and its near-copy land in the same cell; the larger id is
+    dropped, the smaller kept; an orthogonal-ish vector survives."""
+    import random
+
+    from connemara_spark.operators.similarity import semdedup
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.01) for x in base]     # cosine ~ 1
+    other = [rng.gauss(0, 1) for _ in range(64)]      # cosine ~ 0 vs base
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in semdedup(df, threshold=0.9).collect()}
+    assert out[1]["kept"] == 1
+    assert out[2]["kept"] == 0
+    assert out[2]["cell"] == out[1]["cell"]
+    assert out[3]["kept"] == 1
