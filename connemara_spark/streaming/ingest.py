@@ -125,6 +125,145 @@ class StreamingCorpusIngest:
             raise q.exception()
 
 
+class StreamingNearDupIngest(StreamingCorpusIngest):
+    """Streaming ingest with cross-batch NEAR-duplicate suppression: the
+    streaming face of ``minhash_lsh_pairs``.
+
+    Alongside the silver corpus it maintains an LSH INDEX sidecar:
+
+    - ``<index_dir>/bands`` — (doc_id, band, bh): 32 band-bucket keys per
+      corpus document (~16 bytes each), the join surface new batches probe;
+    - ``<index_dir>/sigs`` — (doc_id, sig array<bigint>): the 64-component
+      MinHash signature, used to estimate Jaccard for candidate pairs
+      WITHOUT re-reading corpus text.
+
+    Per micro-batch: exact dedup (parent behavior) → in-batch near-dup
+    (full ``minhash_lsh_pairs``, smallest id wins) → cross-batch probe
+    (batch band keys ⋈ index bands on (band, bh), then signature-agreement
+    estimate ≥ ``jaccard_threshold`` drops the batch doc) → survivors
+    append to corpus AND to both index sidecars.
+
+    Scale shape: the only per-batch work proportional to corpus size is
+    the pruned (band, bh, doc_id) scan — ~50 bytes/doc, hash-joined on the
+    band key. Signatures join back only for the candidate sliver. Estimated
+    (not exact) Jaccard cross-batch is the deliberate trade: exact would
+    need corpus shingle sets (a text re-scan per batch); the estimator's
+    error is O(1/√num_hashes), the standard MinHash deployment choice.
+    Replays after checkpoint rollback stay idempotent through the exact
+    content-hash anti-join (parent) — a replayed batch's docs are already
+    in the corpus and drop before the near-dup stage.
+    """
+
+    def __init__(self, *args, index_dir: str, jaccard_threshold: float = 0.5,
+                 k: int = 5, num_hashes: int = 64, bands: int = 32, seed: int = 42,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.index_dir = index_dir
+        self.jaccard_threshold = jaccard_threshold
+        self.k = k
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.seed = seed
+
+    def _bands_dir(self) -> str:
+        return os.path.join(self.index_dir, "bands")
+
+    def _sigs_dir(self) -> str:
+        return os.path.join(self.index_dir, "sigs")
+
+    def _read_side(self, path: str) -> DataFrame | None:
+        if not os.path.isdir(path) or not any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            return None
+        return self.spark.read.parquet(path)
+
+    def _band_rows(self, sigs: DataFrame) -> DataFrame:
+        rows_per_band = self.num_hashes // self.bands
+        band_structs = ", ".join(
+            "named_struct('band', {bi}, 'bh', xxhash64({cols}))".format(
+                bi=bi,
+                cols=", ".join(
+                    f"element_at(sig, {bi * rows_per_band + ri + 1})"
+                    for ri in range(rows_per_band)
+                ),
+            )
+            for bi in range(self.bands)
+        )
+        return sigs.select(
+            "doc_id", F.expr(f"explode(array({band_structs}))").alias("b")
+        ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+    def process_batch(self, batch: DataFrame) -> DataFrame:
+        from connemara_spark.operators.dedup import minhash_lsh_pairs, minhash_sig_expr, word_shingle_hashes
+
+        keep = super().process_batch(batch)
+
+        # in-batch near-dup: exact-verified LSH pairs, smallest id survives
+        pairs = minhash_lsh_pairs(
+            keep, "doc_id", "text",
+            k=self.k, num_hashes=self.num_hashes, bands=self.bands,
+            threshold=self.jaccard_threshold, seed=self.seed,
+        )
+        in_batch_drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        keep = keep.join(in_batch_drops, "doc_id", "left_anti")
+
+        sigs = keep.select(
+            "doc_id", word_shingle_hashes("text", self.k).alias("hs")
+        ).select(
+            "doc_id",
+            minhash_sig_expr("hs", num_hashes=self.num_hashes, seed=self.seed).alias("sig"),
+        )
+
+        idx_bands = self._read_side(self._bands_dir())
+        idx_sigs = self._read_side(self._sigs_dir())
+        if idx_bands is not None and idx_sigs is not None:
+            batch_bands = self._band_rows(sigs)
+            cand = (
+                batch_bands.alias("n")
+                .join(
+                    idx_bands.alias("o"),
+                    (F.col("n.band") == F.col("o.band")) & (F.col("n.bh") == F.col("o.bh")),
+                )
+                .select(
+                    F.col("n.doc_id").alias("new_id"),
+                    F.col("o.doc_id").alias("old_id"),
+                )
+                .dropDuplicates(["new_id", "old_id"])
+            )
+            est = (
+                cand.join(sigs.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sa")), "new_id")
+                .join(idx_sigs.select(F.col("doc_id").alias("old_id"), F.col("sig").alias("sb")), "old_id")
+                .withColumn(
+                    "est_jaccard",
+                    F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m))
+                    / F.lit(float(self.num_hashes)),
+                )
+            )
+            cross_drops = (
+                est.filter(F.col("est_jaccard") >= self.jaccard_threshold)
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            keep = keep.join(cross_drops, "doc_id", "left_anti")
+            sigs = sigs.join(cross_drops, "doc_id", "left_anti")
+        return keep, sigs
+
+    def _foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
+        keep, sigs = self.process_batch(batch)
+        # BOTH plans embed scans of the corpus/index dirs this method is
+        # about to append to (the anti-join and band probe); materialize and
+        # TRUNCATE LINEAGE before any write, or the later writes would
+        # re-evaluate against the already-updated corpus and drop the
+        # batch's own docs. localCheckpoint is the local-mode form; against
+        # a real cluster use checkpoint() on a reliable dir (same shape).
+        keep = keep.localCheckpoint(eager=True)
+        sigs = sigs.localCheckpoint(eager=True)
+        keep.write.mode("append").parquet(self.corpus_dir)
+        sigs.write.mode("append").parquet(self._sigs_dir())
+        self._band_rows(sigs).write.mode("append").parquet(self._bands_dir())
+
+
 def streaming_dedup_within_watermark(
     stream: DataFrame,
     *,

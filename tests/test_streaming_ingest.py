@@ -125,3 +125,53 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     ids = sorted(r["doc_id"] for r in rows)
     assert ids == [1, 2, 3]  # every key exactly once
+
+
+def test_streaming_neardup_cross_batch(spark, tmp_path):
+    """Near-copies (edited re-crawls) are suppressed across micro-batches
+    via the persisted LSH band index; genuinely new docs append, and the
+    index sidecars track exactly the corpus contents."""
+    from connemara_spark.streaming.ingest import StreamingNearDupIngest
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four five"
+    )
+    near = base.replace("zulu", "edited") + " six"          # high jaccard vs base
+    distinct_doc = (
+        "completely different content talking about spark shuffles and "
+        "parquet footers with no overlapping shingles at all in any window "
+        "of five consecutive words anywhere across this entire document"
+    )
+
+    ing = StreamingNearDupIngest(
+        spark,
+        landing_dir=str(tmp_path / "landing"),
+        corpus_dir=str(tmp_path / "corpus"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_dir=str(tmp_path / "lsh"),
+        jaccard_threshold=0.5,
+    )
+    landing = str(tmp_path / "landing")
+
+    # batch 1: base + an in-batch near-copy -> smallest id survives
+    _land(spark, [(1, base, "en", "s"), (2, near, "en", "s")], landing)
+    ing.run_until_drained()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect())
+    assert got == [1]
+
+    # batch 2: a cross-batch near-copy of doc 1 + a genuinely new doc
+    _land(spark, [(10, near, "en", "s"), (11, distinct_doc, "en", "s")], landing)
+    ing.run_until_drained()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus")).collect())
+    assert got == [1, 11]
+
+    # index sidecars cover exactly the corpus docs
+    sig_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "lsh/sigs")).collect()
+    )
+    assert sig_ids == [1, 11]
+    bands = spark.read.parquet(str(tmp_path / "lsh/bands"))
+    assert sorted(set(r["doc_id"] for r in bands.collect())) == [1, 11]
+    assert bands.count() == 2 * 32  # 32 band keys per doc
