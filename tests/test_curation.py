@@ -161,3 +161,62 @@ def test_dsir_weights_prefer_target_like_docs(spark):
         for r in dsir_log_weights(raw, target, id_col="doc_id", text_col="text").collect()
     }
     assert w[1] > w[2]
+
+
+def test_bloom_decontaminate_randomized_matches_python_reference(spark):
+    """Randomized corpus vs a direct python replay of the md5-slot Bloom
+    semantics (including deterministic false positives, if any)."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.curation import bloom_bits, bloom_decontaminate
+    from connemara_spark.operators.dedup import word_shingles
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(25)]
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+    bench_rows = [(100 + i, mk(rng.randint(6, 12))) for i in range(4)]
+    train_rows = []
+    for did in range(1, 16):
+        txt = mk(rng.randint(6, 15))
+        if rng.random() < 0.3:       # splice a benchmark 3-gram in
+            btoks = rng.choice(bench_rows)[1].split(" ")
+            j = rng.randrange(0, len(btoks) - 2)
+            txt += " " + " ".join(btoks[j : j + 3])
+        train_rows.append((did, txt))
+
+    K, NH, PL = 3, 3, 5
+
+    def grams(text):
+        toks = text.split(" ")
+        n = max(len(toks) - K + 1, 1)
+        return {" ".join(toks[i : i + K]) for i in range(n)}
+
+    def slots(gram):
+        return [
+            hashlib.md5(f"{s}#{gram}".encode()).hexdigest()[:PL] for s in range(NH)
+        ]
+
+    bench_grams_py = set().union(*(grams(t) for _, t in bench_rows))
+    bits_py = {p for g in bench_grams_py for p in slots(g)}
+    expected = {}
+    for did, txt in train_rows:
+        gs = grams(txt)
+        bloom = {g for g in gs if all(p in bits_py for p in slots(g))}
+        exact = bloom & bench_grams_py
+        expected[did] = (len(gs), len(bloom), len(exact))
+
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    bits = bloom_bits(bench, text_col="text", k_gram=K, n_hashes=NH, prefix_len=PL)
+    bg = bench.select(F.explode(F.array_distinct(word_shingles("text", K))).alias("gram"))
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_bloom_hits"], r["n_exact_hits"])
+        for r in bloom_decontaminate(
+            train, bits, bg, id_col="doc_id", text_col="text",
+            k_gram=K, n_hashes=NH, prefix_len=PL,
+        ).collect()
+    }
+    assert got == expected

@@ -259,3 +259,57 @@ def test_chunk_dedup_within_doc_repeat(spark):
     )
     out = chunk_dedup(df, "doc_id", "text").collect()[0]
     assert out["n_chunks"] == 2 and out["n_dropped"] == 1
+
+
+def test_chunk_dedup_randomized_matches_python_reference(spark):
+    """Randomized corpus (with seeded repeated chunks) vs a direct python
+    replay of the first-occurrence-wins semantics."""
+    import hashlib
+    import random
+
+    from connemara_spark.operators.dedup import chunk_dedup
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(40)]
+    # a few exact 16-word boilerplate blocks injected across docs
+    blocks = [
+        " ".join(rng.choice(vocab) for _ in range(16)) for _ in range(3)
+    ]
+    docs = []
+    for did in range(1, 31):
+        words = []
+        for _ in range(rng.randint(0, 3)):
+            if rng.random() < 0.4:
+                words += rng.choice(blocks).split(" ")
+            else:
+                words += [rng.choice(vocab) for _ in range(rng.randint(5, 20))]
+        if not words:
+            words = [rng.choice(vocab)]
+        docs.append((did, " ".join(words)))
+
+    cw = 16
+    seen: set = set()
+    expected = {}
+    for did, text in docs:                      # doc order == id order
+        toks = text.split(" ")
+        n_chunks = max((len(toks) + cw - 1) // cw, 1)
+        kept, dropped = [], 0
+        for i in range(n_chunks):
+            chunk = " ".join(toks[i * cw : i * cw + cw])
+            if chunk in seen:
+                dropped += 1
+            else:
+                seen.add(chunk)
+                kept.append(chunk)
+        expected[did] = (
+            n_chunks,
+            dropped,
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dropped"], r["kept_digest"])
+        for r in chunk_dedup(df, "doc_id", "text", chunk_words=cw).collect()
+    }
+    assert got == expected

@@ -188,3 +188,69 @@ def test_semdedup_drops_within_cell_duplicate(spark):
     assert out[2]["kept"] == 0
     assert out[2]["cell"] == out[1]["cell"]
     assert out[3]["kept"] == 1
+
+
+def test_semdedup_randomized_matches_python_reference(spark):
+    """Randomized vectors vs a direct python replay: cell = argmax dot over
+    the seeded literal centroids (ties to the higher cell), drop = any
+    smaller-id same-cell neighbor above threshold."""
+    import math
+    import random
+
+    from connemara_spark.operators.similarity import ivf_centroids_lit, semdedup
+
+    rng = random.Random(31)
+    vecs = {}
+    vid = 1
+    for _ in range(20):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        vecs[vid] = v
+        vid += 1
+        if rng.random() < 0.4:                      # seeded near-copies
+            vecs[vid] = [x + rng.gauss(0, 0.02) for x in v]
+            vid += 1
+
+    # float32 round-trip: Spark stores array<float>
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    vecs = {k: [f32(x) for x in v] for k, v in vecs.items()}
+
+    cents = ivf_centroids_lit(64, 32, 42)
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    def cell_of(v):
+        best = max(range(32), key=lambda c: (dot(v, cents[c]), c))
+        return best
+
+    cells = {k: cell_of(v) for k, v in vecs.items()}
+
+    def cos(a, b):
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(x) * float(x) for x in b))
+        return dot(a, b) / (na * nb)
+
+    thr = 0.9
+    expected = {}
+    for k in vecs:
+        dup = any(
+            j < k and cells[j] == cells[k] and cos(vecs[j], vecs[k]) > thr
+            for j in vecs
+        )
+        expected[k] = (cells[k], 0 if dup else 1)
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semdedup(df, threshold=thr).collect()
+    }
+    assert got == expected
