@@ -3422,6 +3422,124 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dedup(docs, "doc_id", "text", chunk_words=16)
 
 
+@register(
+    "embedding_retrieval_precision",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 50),
+    n AS (SELECT vec_id AS neighbor_id, embedding AS nvec FROM embeddings),
+    dots AS (
+        SELECT query_id, neighbor_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> CAST(qvec[i] * nvec[i] AS DOUBLE))),
+                   (a, b) -> a + b) AS dot,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> CAST(qvec[i] * qvec[i] AS DOUBLE))),
+                   (a, b) -> a + b)) AS qn,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65), i -> CAST(nvec[i] * nvec[i] AS DOUBLE))),
+                   (a, b) -> a + b)) AS nn
+        FROM q CROSS JOIN n WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot / (qn * nn) DESC, neighbor_id) AS rank
+        FROM dots
+    ),
+    topk AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5)
+    SELECT ql.label AS label,
+           COUNT(DISTINCT t.query_id) AS n_queries,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_same_label,
+           ROUND(CAST(SUM(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS p_at_5
+    FROM topk t
+    JOIN embeddings ql ON ql.vec_id = t.query_id
+    JOIN embeddings nl ON nl.vec_id = t.neighbor_id
+    GROUP BY ql.label
+    """,
+    "retrieval diagnostics: label-precision@5 of exact cosine top-k — the eval a "
+    "training pipeline runs to qualify an embedding column before semantic dedup",
+)
+def embedding_retrieval_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.similarity import brute_force_topk
+
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    queries_df = emb.filter(F.col("vec_id") < 50)
+    topk = brute_force_topk(emb, k=5, queries=queries_df).select(
+        "query_id", "neighbor_id"
+    )
+    labels = emb.select("vec_id", "label")
+    same = F.when(F.col("qlabel") == F.col("nlabel"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        topk.join(
+            F.broadcast(labels.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))),
+            "query_id",
+        )
+        .join(
+            F.broadcast(labels.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))),
+            "neighbor_id",
+        )
+        .groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(same).cast("bigint").alias("n_same_label"),
+            F.round(F.sum(same).cast("double") / F.count(F.lit(1)), 6).alias("p_at_5"),
+        )
+    )
+
+
+@register(
+    "events_resample_hourly_ffill",
+    f"""
+    {EVENTS_CTE},
+    b AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+        FROM ev GROUP BY 1, 2
+    ),
+    s AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM b GROUP BY 1),
+    g AS (
+        SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        FROM s
+    ),
+    j AS (
+        SELECT g.user_id, g.bucket, b.n_events, b.sum_value
+        FROM g LEFT JOIN b USING (user_id, bucket)
+    )
+    SELECT user_id, bucket,
+           COALESCE(n_events, 0) AS n_events,
+           CAST(last_value(sum_value IGNORE NULLS) OVER (
+                    PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS filled_value,
+           CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM j
+    """,
+    "per-user hourly resampling with forward-fill: per-key dense grid (sequence from "
+    "each key's own span — no global calendar, no driver loop), gap rows flagged, "
+    "last-known value carried forward by a per-key window",
+)
+def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.timeseries import resample_ffill
+
+    ev = load(spark, sf_dir, "events")
+    out = resample_ffill(
+        ev, "user_id", "ts",
+        step="1 hour", trunc_unit="hour",
+        aggs={"n_events": F.count(F.lit(1)), "sum_value": F.sum(_dec("value"))},
+        fill_cols=["sum_value"],
+    )
+    return out.select(
+        "user_id", "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("sum_value").cast("double").alias("filled_value"),
+        "is_gap",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

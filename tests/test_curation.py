@@ -220,3 +220,34 @@ def test_bloom_decontaminate_randomized_matches_python_reference(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_resample_ffill_gap_semantics(spark):
+    """Crafted series: gaps get is_gap=1, carry the last value forward, and
+    the grid covers exactly each key's own span."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 10.0),
+        (1, datetime(2024, 1, 1, 3, 15), 7.0),    # hours 1,2 are gaps
+        (2, datetime(2024, 1, 1, 5, 0), 1.0),     # single point: 1-row grid
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r["user_id"], r["bucket"].hour): (r["n_events"], r["sum_value"], r["is_gap"])
+        for r in resample_ffill(
+            df, "user_id", "ts",
+            aggs={"n_events": F.count(F.lit(1)), "sum_value": F.sum("value")},
+            fill_cols=["sum_value"],
+        ).collect()
+    }
+    assert out[(1, 0)] == (1, 10.0, 0)
+    assert out[(1, 1)] == (None, 10.0, 1)
+    assert out[(1, 2)] == (None, 10.0, 1)
+    assert out[(1, 3)] == (1, 7.0, 0)
+    assert out[(2, 5)] == (1, 1.0, 0)
+    assert len(out) == 5
