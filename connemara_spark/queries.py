@@ -3540,6 +3540,116 @@ def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_kmv_distinct_shingles",
+    """
+    WITH d AS (
+        SELECT lang, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS sh
+        FROM documents
+    ),
+    h AS (SELECT DISTINCT lang, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS hv FROM d),
+    r AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h),
+    kth AS (SELECT lang, MAX(hv) AS vk, COUNT(*) AS nk FROM r WHERE rn <= 128 GROUP BY lang),
+    ex AS (SELECT lang, COUNT(*) AS n_distinct FROM h GROUP BY lang),
+    est AS (
+        SELECT kth.lang,
+               ROUND(CASE WHEN nk < 128 THEN CAST(nk AS DOUBLE)
+                          ELSE 127.0 / (CAST(vk AS DOUBLE) / 1152921504606846976.0)
+                     END, 4) AS kmv_estimate,
+               n_distinct
+        FROM kth JOIN ex USING (lang)
+    )
+    SELECT lang, kmv_estimate, n_distinct,
+           ROUND(abs(kmv_estimate - n_distinct) / n_distinct, 6) AS rel_error
+    FROM est
+    """,
+    "KMV distinct-count sketch (k=128) of 5-gram shingles per language — a "
+    "deterministic md5-based sketch whose accuracy claim sits under the cross-engine "
+    "value gate; mergeable bounded state, the 100 TB path for cardinality questions",
+)
+def corpus_kmv_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.dedup import word_shingles
+    from connemara_spark.operators.sketch import kmv_distinct
+
+    docs = spread(load(spark, sf_dir, "documents")).select(
+        "lang", F.explode(word_shingles("text", 5)).alias("sh")
+    )
+    return kmv_distinct(docs, ["lang"], "sh", k=128)
+
+
+@register(
+    "corpus_cms_bigram_counts",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    big AS (
+        SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks
+    ),
+    exact AS (SELECT bigram, COUNT(*) AS exact_count FROM big GROUP BY bigram),
+    top AS (
+        SELECT bigram, exact_count FROM exact
+        ORDER BY exact_count DESC, bigram LIMIT 10
+    ),
+    cms AS (
+        SELECT cms_row, bucket, COUNT(*) AS c FROM (
+            SELECT 0 AS cms_row, substr(md5('0#' || bigram), 1, 2) AS bucket FROM big
+            UNION ALL
+            SELECT 1, substr(md5('1#' || bigram), 1, 2) FROM big
+            UNION ALL
+            SELECT 2, substr(md5('2#' || bigram), 1, 2) FROM big
+        ) GROUP BY cms_row, bucket
+    ),
+    probes AS (
+        SELECT bigram, 0 AS cms_row, substr(md5('0#' || bigram), 1, 2) AS bucket FROM top
+        UNION ALL
+        SELECT bigram, 1, substr(md5('1#' || bigram), 1, 2) FROM top
+        UNION ALL
+        SELECT bigram, 2, substr(md5('2#' || bigram), 1, 2) FROM top
+    ),
+    lk AS (
+        SELECT bigram, MIN(c) AS cms_estimate
+        FROM probes JOIN cms USING (cms_row, bucket)
+        GROUP BY bigram
+    )
+    SELECT t.bigram, t.exact_count, lk.cms_estimate,
+           CAST(lk.cms_estimate - t.exact_count AS BIGINT) AS overcount
+    FROM top t JOIN lk USING (bigram)
+    """,
+    "Count-Min sketch (d=3, w=256) frequency estimates for the top-10 exact bigrams — "
+    "integer-only one-sided estimator, counter table is d*w rows (broadcastable at any "
+    "corpus size); overcount column surfaces the collision inflation",
+)
+def corpus_cms_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.sketch import cms_counts, cms_lookup
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram")
+    )
+    exact = big.groupBy("bigram").agg(F.count("*").alias("exact_count"))
+    top = exact.orderBy(F.col("exact_count").desc(), "bigram").limit(10)
+    cms = cms_counts(big, "bigram", d=3, w_hex=2)
+    lk = cms_lookup(cms, top.select("bigram"), "bigram", d=3, w_hex=2)
+    return (
+        top.join(lk, "bigram")
+        .select(
+            "bigram", "exact_count", "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).cast("bigint").alias("overcount"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
