@@ -113,6 +113,45 @@ class WindowedEventRollup:
             q.stop()
 
 
+def session_window_rollup(
+    stream: DataFrame,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Native event-time SESSION windows: per ``key``, a session extends
+    while consecutive events arrive within ``gap`` of each other and closes
+    at the first longer silence — ``F.session_window``, the idiomatic
+    Spark form of the batch ``events_sessionize`` query and the stateful
+    ``sessionize_stream`` (applyInPandasWithState) operator.
+
+    State per key is the OPEN session only (merged on arrival, emitted and
+    evicted once the watermark passes session_end + gap) — bounded by
+    active keys, independent of stream length. Works identically on a
+    batch DataFrame (no watermark clause) for backfills.
+    """
+    if stream.isStreaming:
+        stream = stream.withWatermark(ts_col, watermark)
+    return (
+        stream.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("s"), F.col(key)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col(key),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def interval_join_streams(
     left, right, *, key: str, left_ts: str = "ts", right_ts: str = "ts",
     watermark: str = "30 minutes", max_gap: str = "10 minutes",

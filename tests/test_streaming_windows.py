@@ -174,3 +174,79 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # only the in-gap pair (user 1) and the co-timestamped sentinel join;
     # user 2's conversion at +30m is outside the 10m gap
     assert rows == [(1, 100, 1000), (9, 900, 9000)]
+
+
+def test_session_window_rollup_streaming_merges_and_splits(spark, tmp_path):
+    """Native session windows over a streamed landing zone: events within
+    the gap merge into one session; a longer silence opens a new one.
+    Sessions emit exactly once (append mode), after the watermark passes."""
+    from datetime import datetime
+
+    from connemara_spark.streaming.windows import EVENT_SCHEMA, session_window_rollup
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = (
+            session_window_rollup(stream, gap="10 minutes", watermark="5 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    t = lambda m: datetime(2024, 3, 1, 10, m, 0)
+    # user 1: two events 5 min apart (one session), then a 30-min silence
+    # and one more (second session). user 2: one event.
+    land([(1, t(0), 1, "view", 1.0), (2, t(5), 1, "view", 2.0),
+          (3, t(0), 2, "view", 5.0)])
+    land([(4, t(35), 1, "click", 3.0)])
+    # advance the watermark far enough to finalize everything
+    land([(9, datetime(2024, 3, 1, 12, 0, 0), 9, "view", 0.0)])
+    drain()
+
+    rows = spark.read.parquet(out).collect()
+    sessions = {
+        (r["user_id"], r["session_start"].minute, r["n_events"], r["sum_value"])
+        for r in rows if r["user_id"] in (1, 2)
+    }
+    assert (1, 0, 2, 3.0) in sessions       # merged 10:00+10:05 session
+    assert (1, 35, 1, 3.0) in sessions      # split after the silence
+    assert (2, 0, 1, 5.0) in sessions
+
+
+def test_session_window_rollup_batch_matches_gap_semantics(spark):
+    """Same plan on a batch DataFrame: session boundaries equal the batch
+    sessionize gap rule."""
+    from datetime import datetime
+
+    from connemara_spark.streaming.windows import session_window_rollup
+
+    t = lambda m: datetime(2024, 3, 1, 10, m, 0)
+    df = spark.createDataFrame(
+        [(1, t(0), 7, "view", 1.0), (2, t(9), 7, "view", 1.0),
+         (3, t(25), 7, "view", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = sorted(
+        (r["session_start"].minute, r["session_end"].minute, r["n_events"])
+        for r in session_window_rollup(df, gap="10 minutes").collect()
+    )
+    # session 1: 10:00-10:19 (end = last event + gap); session 2: 10:25-10:35
+    assert got == [(0, 19, 2), (25, 35, 1)]
