@@ -3650,6 +3650,82 @@ def corpus_cms_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_curation_funnel",
+    """
+    WITH q AS (
+        SELECT doc_id,
+               ROUND(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.25
+                     + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                        / greatest(length(text), 1)) * 0.25
+                     + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                        / greatest(length(text), 1)) * 0.15
+                     + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g')) AS DOUBLE)
+                        / greatest(length(text), 1)) * 0.15
+                     + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / greatest(len(string_split(text, ' ')), 1)) * 0.20, 6) AS quality_score
+        FROM documents
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    tc AS (
+        SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS twf
+        FROM (SELECT doc_id, w, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(ws) AS w FROM w) GROUP BY doc_id, w)
+        GROUP BY doc_id
+    ),
+    r AS (
+        SELECT w.doc_id,
+               (ROUND(COALESCE(twf, 0.0), 6) > 0.20 OR
+                ROUND(CASE WHEN len(ws) >= 2 THEN
+                    CAST(len(ws) - 1 - len(list_distinct(list_transform(
+                        range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' ')))) AS DOUBLE)
+                    / (len(ws) - 1) ELSE 0.0 END, 6) > 0.35) AS repetition_flag
+        FROM w LEFT JOIN tc USING (doc_id)
+    ),
+    rk AS (
+        SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    j AS (
+        SELECT d.doc_id, d.lang, q.quality_score, r.repetition_flag, rk.rn
+        FROM documents d
+        JOIN q USING (doc_id) JOIN r USING (doc_id) JOIN rk USING (doc_id)
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN quality_score >= 0.72 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality,
+           CAST(SUM(CASE WHEN quality_score >= 0.72 AND NOT repetition_flag
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN quality_score >= 0.72 AND NOT repetition_flag AND rn = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+    FROM j GROUP BY lang
+    """,
+    "per-language curation funnel: total -> quality gate -> repetition gate -> exact-"
+    "dedup winner — the per-stage retention report a pipeline owner reads before a "
+    "training run (composes the individually-gated quality/repetition/dedup operators)",
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from connemara_spark.operators.text import quality_features, repetition_features
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "lang", "text")
+    scored = quality_features(docs, "text")
+    scored = repetition_features(scored, "doc_id", "text")
+    rn = F.row_number().over(Window.partitionBy(F.md5("text")).orderBy("doc_id"))
+    j = scored.withColumn("rn", rn)
+    qg = F.col("quality_score") >= 0.72
+    cg = qg & ~F.col("repetition_flag")
+    fg = cg & (F.col("rn") == 1)
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(qg.cast("int")).cast("bigint").alias("n_quality"),
+        F.sum(cg.cast("int")).cast("bigint").alias("n_clean"),
+        F.sum(fg.cast("int")).cast("bigint").alias("n_final"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
