@@ -3726,6 +3726,73 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_rolling_zscore",
+    f"""
+    {EVENTS_CTE},
+    r AS (
+        SELECT event_id, user_id, ts, CAST(value AS DECIMAL(12,2)) AS v,
+               SUM(CAST(value AS DECIMAL(12,2))) OVER w AS s1,
+               SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) OVER w AS s2,
+               COUNT(*) OVER w AS n
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+        SELECT event_id, user_id, ts, v, n,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 0)) AS sigma
+        FROM r WHERE n >= 10
+    )
+    SELECT event_id, user_id,
+           CAST(v AS DOUBLE) AS value,
+           ROUND(mu, 6) AS roll_mean,
+           ROUND((CAST(v AS DOUBLE) - mu) / sigma, 6) AS zscore
+    FROM z
+    WHERE sigma > 0 AND abs((CAST(v AS DOUBLE) - mu) / sigma) > 3.0
+    """,
+    "per-user rolling z-score anomaly detection: rolling moments from DECIMAL-exact "
+    "windowed sums (order-independent, engine-identical), anomalies = |z| > 3 over a "
+    "20-event trailing window — the telemetry outlier pass before rate aggregation",
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    v = _dec("value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    r = ev.select(
+        "event_id", "user_id", "ts", v.alias("v"),
+        F.sum(v).over(w).alias("s1"),
+        F.sum(v * v).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter(F.col("n") >= 10)
+    mu = F.col("s1").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n") - mu * mu, F.lit(0.0)
+        )
+    )
+    z = (F.col("v").cast("double") - mu) / sigma
+    return (
+        r.withColumn("mu", mu)
+        .withColumn("sigma", sigma)
+        .filter((F.col("sigma") > 0) & (F.abs((F.col("v").cast("double") - F.col("mu")) / F.col("sigma")) > 3.0))
+        .select(
+            "event_id", "user_id",
+            F.col("v").cast("double").alias("value"),
+            F.round("mu", 6).alias("roll_mean"),
+            F.round((F.col("v").cast("double") - F.col("mu")) / F.col("sigma"), 6).alias("zscore"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
