@@ -3793,6 +3793,67 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_mixture_resample",
+    """
+    WITH g AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    p AS (
+        SELECT lang, n_docs,
+               CAST(n_docs AS DOUBLE) / SUM(CAST(n_docs AS DOUBLE)) OVER () AS nat_frac,
+               exp(0.7 * ln(CAST(n_docs AS DOUBLE)))
+                   / SUM(exp(0.7 * ln(CAST(n_docs AS DOUBLE)))) OVER () AS adj_frac
+        FROM g
+    ),
+    w AS (
+        SELECT lang, n_docs, adj_frac / nat_frac AS wt,
+               MAX(adj_frac / nat_frac) OVER () AS maxw
+        FROM p
+    ),
+    acc AS (SELECT lang, n_docs, wt / maxw AS p_accept FROM w),
+    s AS (
+        SELECT d.lang,
+               CAST(CAST('0x' || substr(md5('77|' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) AS DOUBLE) / 4294967296.0 AS u,
+               a.p_accept
+        FROM documents d JOIN acc a USING (lang)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN u < p_accept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           ROUND(MIN(p_accept), 6) AS p_accept
+    FROM s GROUP BY lang
+    """,
+    "deterministic temperature-mixture resampling: per-language acceptance probability "
+    "(alpha=0.7 weights, scaled so the most-upsampled language keeps everything) applied "
+    "as a pure hash filter — reproducible under retries and re-partitioning, no rand()",
+)
+def doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "lang")
+    g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # windows run over the LANGUAGE aggregate — bounded rows at any scale
+    wall = Window.partitionBy()
+    nat = F.col("n_docs").cast("double") / F.sum(F.col("n_docs").cast("double")).over(wall)
+    pw = F.exp(F.lit(0.7) * F.log(F.col("n_docs").cast("double")))
+    adj = pw / F.sum(pw).over(wall)
+    w = g.select("lang", "n_docs", (adj / nat).alias("wt"))
+    acc = w.select(
+        "lang", "n_docs",
+        (F.col("wt") / F.max("wt").over(wall)).alias("p_accept"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("77|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint").cast("double") / F.lit(4294967296.0)
+    )
+    s = docs.join(F.broadcast(acc.select("lang", "p_accept")), "lang").withColumn("u", u)
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("u") < F.col("p_accept")).cast("int")).cast("bigint").alias("n_sampled"),
+        F.round(F.min("p_accept"), 6).alias("p_accept"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
