@@ -65,15 +65,59 @@ TX_SCHEMA = T.StructType(
 )
 
 
-def parse_events(bronze: DataFrame) -> DataFrame:
+def malformed_payload_pred() -> Column:
+    """A spool row is malformed when it carries a payload that does not
+    parse to a CDC event with a ``kind`` (from_json yields a null-field
+    struct for unparseable or wrong-shape JSON — verified behavior, not
+    a null struct). NULL payloads are not events at all and are left to
+    the caller's filters."""
+    return F.col("payload").isNotNull() & F.from_json(
+        F.col("payload"), PAYLOAD_SCHEMA
+    )["kind"].isNull()
+
+
+def split_malformed(bronze: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Quarantine split: (well-formed spool rows, malformed spool rows).
+    The quarantine side keeps the raw payload for operator inspection —
+    the CDC analog of the corpus readers' corrupt-line quarantine
+    (sources/textfiles.py). Use when a lossy upstream makes fail-fast
+    (the default, W9) operationally wrong."""
+    bad = malformed_payload_pred()
+    return bronze.filter(~bad), bronze.filter(bad)
+
+
+def parse_events(bronze: DataFrame, *, on_malformed: str = "fail") -> DataFrame:
     """Spool rows -> typed CDC events (one row per row-change).
 
     Equivalent of the dispatcher's JSON projections (replay.pl:818-833) plus
     the worker re-fetch (replay.pl:432-444), done once. Output columns:
     transport fields + ``op, schema, table, columnnames, columnvalues,
     oldkeys`` — SURVEY §1.2's event struct, flattened.
+
+    ``on_malformed`` is the corrupt-payload policy:
+    - ``"fail"`` (default): any unparseable payload raises at execution —
+      the reference's fail-fast stance (W9, docs/architecture.rst:185-186):
+      a corrupt spool row means upstream corruption, and silently applying
+      a null-field event would corrupt the target;
+    - ``"ignore"``: malformed rows pass through with null fields (callers
+      pre-splitting with ``split_malformed`` use this on the clean side).
     """
+    if on_malformed not in ("fail", "ignore"):
+        raise ValueError(f"unknown on_malformed policy {on_malformed!r}")
     ev = F.from_json(F.col("payload"), PAYLOAD_SCHEMA).alias("ev")
+    op = F.col("ev.kind")
+    if on_malformed == "fail":
+        # the guard lives INSIDE the always-selected op column so no
+        # projection pruning can optimize it away
+        op = F.when(
+            F.col("payload").isNotNull() & F.col("ev.kind").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("malformed CDC payload (fail-fast, W9): "),
+                    F.substring(F.col("payload"), 1, 120),
+                )
+            ).cast("string"),
+        ).otherwise(F.col("ev.kind"))
     return bronze.select(
         "insert_timestamp",
         "database",
@@ -81,6 +125,7 @@ def parse_events(bronze: DataFrame) -> DataFrame:
         "lsn_start",
         "xid",
         "xid_timestamp",
+        "payload",
         ev,
     ).select(
         "insert_timestamp",
@@ -89,7 +134,7 @@ def parse_events(bronze: DataFrame) -> DataFrame:
         "lsn_start",
         "xid",
         "xid_timestamp",
-        F.col("ev.kind").alias("op"),
+        op.alias("op"),
         F.col("ev.schema").alias("schema"),
         F.col("ev.table").alias("table"),
         F.col("ev.columnnames").alias("columnnames"),

@@ -414,3 +414,31 @@ def test_incremental_agg_merges_null_group(spark):
     ).collect()}
     assert out[None] == 1  # 2 - 1, merged into ONE row
     assert sum(out.values()) == 3
+
+
+def test_parse_events_fail_fast_on_malformed_payload(spark):
+    """W9 fail-fast: a corrupt spool payload must raise at execution, not
+    flow through as a null-field event; the quarantine split isolates it."""
+    import pytest
+
+    from connemara_spark.events import BRONZE_SCHEMA, parse_events, split_malformed
+
+    good = '{"kind":"insert","schema":"s","table":"t","columnnames":["a"],"columnvalues":["1"]}'
+    rows = [
+        (None, "db", "slot", 10, 1, None, good),
+        (None, "db", "slot", 11, 1, None, "{corrupt-not-json"),
+    ]
+    bronze = spark.createDataFrame(
+        [r for r in rows],
+        BRONZE_SCHEMA,
+    )
+    with pytest.raises(Exception, match="malformed CDC payload"):
+        parse_events(bronze).collect()
+
+    ok, bad = split_malformed(bronze)
+    assert parse_events(ok).count() == 1          # clean side parses fine
+    assert [r["lsn_start"] for r in bad.collect()] == [11]
+    # quarantined side keeps the raw payload for inspection
+    assert bad.collect()[0]["payload"].startswith("{corrupt")
+    # pre-split callers opt out of the guard on the clean side
+    assert parse_events(ok, on_malformed="ignore").count() == 1
