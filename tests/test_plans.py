@@ -183,3 +183,38 @@ def test_chunk_dedup_two_data_shuffles(spark, sf_dir):
     plans.assert_no_cartesian(df)
     plans.assert_no_python_udf(df)
     plans.assert_max_exchanges(df, 3)
+
+
+def test_resample_grid_no_cartesian_bounded_exchanges(spark, sf_dir):
+    # per-key sequence+explode grid, one bucket agg shuffle, one grid join,
+    # one fill window — never a calendar cross join
+    df = q("events_resample_hourly_ffill", spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_no_python_udf(df)
+
+
+def test_rolling_zscore_single_window_shuffle(spark, sf_dir):
+    df = q("events_rolling_zscore", spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_no_python_udf(df)
+    plans.assert_max_exchanges(df, 2)   # user_id window (+AQE read)
+
+
+def test_curation_funnel_stays_jvm_side(spark, sf_dir):
+    df = q("corpus_curation_funnel", spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_no_python_udf(df)
+
+
+def test_sketches_no_cartesian_no_python(spark, sf_dir):
+    for name in ("corpus_kmv_distinct_shingles", "corpus_cms_bigram_counts"):
+        df = q(name, spark, sf_dir)
+        plans.assert_no_cartesian(df)
+        plans.assert_no_python_udf(df)
+
+
+def test_mixture_resample_broadcasts_acceptance_table(spark, sf_dir):
+    df = q("doc_mixture_resample", spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_broadcast_join(df)
+    plans.assert_no_python_udf(df)
