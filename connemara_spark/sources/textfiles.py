@@ -114,3 +114,28 @@ def write_corpus(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(path)
+
+
+def write_corpus_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: str | None = "lang",
+    compression: str = "zstd",
+    mode: str = "overwrite",
+) -> None:
+    """ORC variant of ``write_corpus`` for consumers standardized on the
+    ORC stack (Hive/Trino warehouses): same hive partitioning and zstd;
+    ORC's min/max/bloom stripe indexes give the same footer-pruning story
+    as parquet row groups."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.orc(path)
+
+
+def read_orc_docs(spark, path: str) -> DataFrame:
+    """Explicit-schema ORC reader (same no-inference contract as the JSONL/
+    CSV readers: a schema drift fails loudly instead of sampling its way
+    into a wrong plan)."""
+    return spark.read.schema(DOC_SCHEMA).orc(path)

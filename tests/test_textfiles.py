@@ -61,3 +61,29 @@ def test_write_corpus_partitioned_and_zordered(spark, tmp_path):
     assert (tmp_path / "corpus" / "lang=fr").is_dir()
     pruned = back.filter(back.lang == "en")
     assert pruned.count() == 32
+
+
+def test_orc_corpus_roundtrip_partitioned(spark, tmp_path):
+    from connemara_spark.sources.textfiles import read_orc_docs, write_corpus_orc
+
+    rows = [
+        (1, "hello world text", "en", "s1"),
+        (2, "bonjour le monde", "fr", "s1"),
+        (3, "more english words here", "en", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = str(tmp_path / "corpus_orc")
+    write_corpus_orc(df, out, partition_by="lang")
+
+    import os
+
+    assert sorted(d for d in os.listdir(out) if d.startswith("lang=")) == [
+        "lang=en", "lang=fr",
+    ]
+    got = read_orc_docs(spark, out)
+    assert sorted((r["doc_id"], r["lang"]) for r in got.collect()) == [
+        (1, "en"), (2, "fr"), (3, "en"),
+    ]
+    # partition pruning: a lang filter reads only that directory
+    pruned = got.filter(got.lang == "fr")
+    assert [r["doc_id"] for r in pruned.collect()] == [2]
