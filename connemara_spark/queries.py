@@ -3854,6 +3854,161 @@ def doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ACCOUNT_SPEC = TableSpec(
+    database="db1",
+    schema="public",
+    table="account",
+    columns=[
+        ColumnSpec("a_userkey", "bigint"),
+        ColumnSpec("a_last_type", "text"),
+        ColumnSpec("a_balance", "double precision"),
+    ],
+    pk_cols=["a_userkey"],
+)
+
+
+def _account_cdc_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SECOND wal2json stream from the same source (interleaved in the
+    same LSN domain as the customer stream): per-user account upserts —
+    the two-table shape the consistent-cut query needs."""
+    ev = spread(load(spark, sf_dir, "events"))
+    names = F.array(*[F.lit(c) for c in ["a_userkey", "a_last_type", "a_balance"]])
+    vals = F.array(
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("string"),
+    )
+    payload = F.to_json(
+        F.struct(
+            F.lit("insert").alias("kind"),
+            F.lit("public").alias("schema"),
+            F.lit("account").alias("table"),
+            names.alias("columnnames"),
+            vals.alias("columnvalues"),
+        )
+    )
+    return ev.select(
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("insert_timestamp"),
+        F.lit("db1").alias("database"),
+        F.lit("slot_db1").alias("source_slotname"),
+        F.col("event_id").alias("lsn_start"),
+        (F.col("event_id") + 1000).alias("xid"),
+        F.col("ts").alias("xid_timestamp"),
+        payload.alias("payload"),
+    )
+
+
+def _state_checksum(repr_col: F.Column) -> F.Column:
+    """Order-independent content checksum of a table state: SUM of 60-bit
+    md5-derived row hashes in DECIMAL(38,0) — exact (no overflow wrap, no
+    float), identical in any engine, and computable as a map-side partial
+    aggregate at any table size (unlike a sorted digest)."""
+    h = F.conv(F.substring(F.md5(repr_col), 1, 15), 16, 10).cast("bigint")
+    return F.sum(h.cast("decimal(38,0)"))
+
+
+@register(
+    "cdc_consistent_cut",
+    """
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               'cdc#' || CAST(event_id AS VARCHAR) AS c_name,
+               CAST(user_id % 25 AS INTEGER) AS c_nationkey,
+               value AS c_acctbal,
+               event_type AS c_mktsegment
+        FROM events
+        WHERE event_id <= 5000
+    ),
+    lastc AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg) t WHERE rn = 1
+    ),
+    cust AS (
+        SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_name ELSE l.c_name END AS c_name,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_nationkey ELSE l.c_nationkey END AS c_nationkey,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS c_acctbal,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_mktsegment ELSE l.c_mktsegment END AS c_mktsegment
+        FROM customer c FULL OUTER JOIN lastc l ON c.c_custkey = l.c_custkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    ),
+    acct AS (
+        SELECT user_id AS a_userkey, event_type AS a_last_type, value AS a_balance
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_id <= 5000) t
+        WHERE rn = 1
+    ),
+    cs AS (
+        SELECT COUNT(*) AS customer_rows,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS customer_balance_total,
+               CAST(SUM(CAST(CAST('0x' || substr(md5(
+                        CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
+                        CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment), 1, 15)
+                    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS customer_checksum
+        FROM cust
+    ),
+    asum AS (
+        SELECT COUNT(*) AS account_rows,
+               CAST(SUM(CAST(a_balance AS DECIMAL(12,2))) AS DOUBLE) AS account_balance_total,
+               CAST(SUM(CAST(CAST('0x' || substr(md5(
+                        CAST(a_userkey AS VARCHAR) || '|' || a_last_type), 1, 15)
+                    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS account_checksum
+        FROM acct
+    )
+    SELECT 5000 AS lsn_cut, cs.*, asum.* FROM cs CROSS JOIN asum
+    """,
+    "transactionally-consistent cross-table cut: TWO interleaved CDC streams folded to "
+    "the same LSN bound, each table fingerprinted with an order-independent DECIMAL "
+    "row-hash checksum (map-side-aggregable drift detection, the J4 assertion scaled "
+    "to whole-table verification)",
+)
+def cdc_consistent_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    lsn_cut = 5000
+    snapshot = load(spark, sf_dir, "customer")
+    cust_bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    cust = apply_changes(
+        snapshot,
+        parse_events(cust_bronze).filter(F.col("lsn_start") <= lsn_cut),
+        CUSTOMER_SPEC,
+    )
+    acct_schema = T.StructType(
+        [
+            T.StructField("a_userkey", T.LongType()),
+            T.StructField("a_last_type", T.StringType()),
+            T.StructField("a_balance", T.DoubleType()),
+        ]
+    )
+    acct_bronze = _account_cdc_bronze(spark, sf_dir).persist()
+    acct = apply_changes(
+        spark.createDataFrame([], acct_schema),
+        parse_events(acct_bronze).filter(F.col("lsn_start") <= lsn_cut),
+        ACCOUNT_SPEC,
+    )
+    c_repr = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"), "c_name",
+        F.col("c_nationkey").cast("string"), "c_mktsegment",
+    )
+    a_repr = F.concat_ws("|", F.col("a_userkey").cast("string"), "a_last_type")
+    cs = cust.agg(
+        F.count(F.lit(1)).alias("customer_rows"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("customer_balance_total"),
+        _state_checksum(c_repr).cast("string").alias("customer_checksum"),
+    )
+    asum = acct.agg(
+        F.count(F.lit(1)).alias("account_rows"),
+        F.sum(_dec("a_balance")).cast("double").alias("account_balance_total"),
+        _state_checksum(a_repr).cast("string").alias("account_checksum"),
+    )
+    return cs.crossJoin(asum).select(F.lit(lsn_cut).alias("lsn_cut"), "*")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
