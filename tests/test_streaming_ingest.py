@@ -175,3 +175,55 @@ def test_streaming_neardup_cross_batch(spark, tmp_path):
     bands = spark.read.parquet(str(tmp_path / "lsh/bands"))
     assert sorted(set(r["doc_id"] for r in bands.collect())) == [1, 11]
     assert bands.count() == 2 * 32  # 32 band keys per doc
+
+
+def test_streaming_neardup_agrees_with_batch_ground_truth(spark, tmp_path, sf_dir):
+    """Ingest the real documents table in three micro-batches: afterwards no
+    surviving pair may be a batch-LSH near-duplicate (est >= threshold on
+    full signatures), i.e. the streaming path reaches the batch operator's
+    dedup fixpoint for pairs it can see via exact band collisions."""
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.dedup import minhash_sig_expr, word_shingle_hashes
+    from connemara_spark.streaming.ingest import StreamingNearDupIngest
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+        .filter(F.col("doc_id") < 120)
+    )
+    ing = StreamingNearDupIngest(
+        spark,
+        landing_dir=str(tmp_path / "landing"),
+        corpus_dir=str(tmp_path / "corpus"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_dir=str(tmp_path / "lsh"),
+        jaccard_threshold=0.5,
+        min_quality=-1.0,
+        reject_repetitive=False,
+    )
+    for lo, hi in ((0, 40), (40, 80), (80, 120)):
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+             .coalesce(1).write.mode("append").parquet(str(tmp_path / "landing")))
+        ing.run_until_drained()
+
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    sigs = corpus.select(
+        "doc_id", word_shingle_hashes("text", 5).alias("hs")
+    ).select("doc_id", minhash_sig_expr("hs").alias("sig"))
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    est = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "est",
+            F.size(F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)) / F.lit(64.0),
+        )
+    )
+    # surviving corpus must contain no pair with full-signature agreement
+    # above the threshold (the estimator the cross-batch probe uses)
+    bad = est.filter(F.col("est") >= 0.5).count()
+    assert bad == 0
+    # and it must not be trivially empty — real docs largely survive
+    assert corpus.count() >= 100
