@@ -446,7 +446,12 @@ def neardup_clusters(
             F.col("label").alias("__old"),
         )
         # (b) pointer jump: label ← label(label) (labels always hold node
-        # ids present in the graph, so the self-join hits)
+        # ids present in the graph, so the self-join hits). Exactly ONE
+        # jump per round: chaining a second jump on the un-checkpointed
+        # step1 re-executes its neighbor-join subtree once per self-join
+        # reference (measured 6.7s → 411s at sf0.1) — more jumps only pay
+        # off with a checkpoint per jump, which costs more than the rounds
+        # they save.
         parents = step1.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
