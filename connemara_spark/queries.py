@@ -3508,19 +3508,27 @@ def embedding_retrieval_precision(spark: SparkSession, sf_dir: str) -> DataFrame
     j AS (
         SELECT g.user_id, g.bucket, b.n_events, b.sum_value
         FROM g LEFT JOIN b USING (user_id, bucket)
+    ),
+    filled AS (
+        SELECT user_id, bucket,
+               COALESCE(n_events, 0) AS n_events,
+               last_value(sum_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+               CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM j
     )
-    SELECT user_id, bucket,
-           COALESCE(n_events, 0) AS n_events,
-           CAST(last_value(sum_value IGNORE NULLS) OVER (
-                    PARTITION BY user_id ORDER BY bucket
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-               AS filled_value,
-           CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap
-    FROM j
+    SELECT user_id,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(is_gap) AS BIGINT) AS n_gaps,
+           CAST(SUM(filled_value) AS DOUBLE) AS filled_total
+    FROM filled GROUP BY user_id
     """,
     "per-user hourly resampling with forward-fill: per-key dense grid (sequence from "
-    "each key's own span — no global calendar, no driver loop), gap rows flagged, "
-    "last-known value carried forward by a per-key window",
+    "each key's own span — no global calendar, no driver loop), last-known value "
+    "carried forward by a per-key window; summarised per key (the grid itself stays "
+    "distributed — returning 1M grid rows through collect() is a harness cost, not a "
+    "query cost) with a DECIMAL-exact checksum of the filled series",
 )
 def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.timeseries import resample_ffill
@@ -3532,11 +3540,10 @@ def events_resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs={"n_events": F.count(F.lit(1)), "sum_value": F.sum(_dec("value"))},
         fill_cols=["sum_value"],
     )
-    return out.select(
-        "user_id", "bucket",
-        F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        F.col("sum_value").cast("double").alias("filled_value"),
-        "is_gap",
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("is_gap").cast("bigint").alias("n_gaps"),
+        F.sum("sum_value").cast("double").alias("filled_total"),
     )
 
 
