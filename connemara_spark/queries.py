@@ -4016,6 +4016,112 @@ def cdc_consistent_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cs.crossJoin(asum).select(F.lit(lsn_cut).alias("lsn_cut"), "*")
 
 
+@register(
+    "corpus_bpe_pair_stats",
+    """
+    WITH v AS (
+        SELECT word, COUNT(*) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE word <> '' GROUP BY word
+    ),
+    syms AS (
+        SELECT list_append(list_transform(range(1, length(word) + 1), i -> word[i]),
+                           '</w>') AS s, n
+        FROM v
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(s)), i -> s[i] || chr(31) || s[i+1])) AS pair, n
+        FROM syms
+    )
+    SELECT replace(pair, chr(31), '+') AS pair, CAST(SUM(n) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT 20
+    """,
+    "BPE training round 0: corpus-weighted adjacent symbol-pair counts over the word "
+    "vocabulary (the one corpus-sized shuffle; every later round is vocabulary-bounded)",
+)
+def corpus_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.bpe import PAIR_SEP, chars_expr, pair_counts, word_vocab
+
+    docs = spread(load(spark, sf_dir, "documents")).select("text")
+    vocab = word_vocab(docs, "text")
+    syms = vocab.select(chars_expr(F.col("word")).alias("syms"), "n")
+    return (
+        pair_counts(syms)
+        .select(F.replace(F.col("pair"), F.lit(PAIR_SEP), F.lit("+")).alias("pair"),
+                F.col("freq").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(20)
+    )
+
+
+def _bpe_merges_offline(sf_dir: str, n_merges: int) -> list[tuple[int, str, str, int]]:
+    """Spark-free reference trainer (duckdb word counts + pure-python
+    merge loop) — the independent implementation the gate compares the
+    Spark trainer against."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT word, COUNT(*) FROM (SELECT unnest(string_split(text, ' ')) AS word "
+        f"FROM '{sf_dir}/documents.parquet') WHERE word <> '' GROUP BY word"
+    ).fetchall()
+    vocab = dict(rows)
+    symtab = {w: list(w) + ["</w>"] for w in vocab}
+    merges = []
+    for step in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for w, n in vocab.items():
+            s = symtab[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + n
+        if not pc:
+            break
+        top = max(pc.values())
+        a, b = min(p for p, c in pc.items() if c == top)
+        merges.append((step, a, b, top))
+        for w in symtab:
+            s = symtab[w]
+            out, just = [s[0]], False
+            for x in s[1:]:
+                if out[-1] == a and x == b and not just:
+                    out[-1] = a + b
+                    just = True
+                else:
+                    out.append(x)
+                    just = False
+            symtab[w] = out
+    return merges
+
+
+def _bpe_merges_oracle(sf_dir: str) -> str:
+    rows = _bpe_merges_offline(sf_dir, 12)
+    values = ", ".join(
+        "({}, '{}', '{}', {})".format(s, a.replace("'", "''"), b.replace("'", "''"), f)
+        for s, a, b, f in rows
+    )
+    return f"SELECT * FROM (VALUES {values}) AS t(step, left_sym, right_sym, freq)"
+
+
+@register(
+    "corpus_bpe_merges",
+    None,
+    "12 learned BPE merges — the Spark iterative trainer (vocabulary-bounded rounds, "
+    "merge list as driver literals) gate-checked against an independent Spark-free "
+    "python+duckdb reference trainer, merge for merge",
+    oracle_fn=_bpe_merges_oracle,
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.bpe import bpe_train
+
+    docs = spread(load(spark, sf_dir, "documents")).select("text")
+    merges = bpe_train(docs, "text", n_merges=12)
+    return spark.createDataFrame(
+        [(i, a, b, f) for i, (a, b, f) in enumerate(merges)],
+        "step int, left_sym string, right_sym string, freq bigint",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
