@@ -4122,6 +4122,102 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_lm_score",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (
+        SELECT w, COUNT(*) AS cu FROM (
+            SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    n AS (SELECT SUM(cu) AS total FROM uni),
+    big AS (
+        SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1), i -> t[i])) AS w1,
+                   unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1), i -> t[i+1])) AS w2
+            FROM toks)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+    lp AS (
+        SELECT bc.w1, bc.w2,
+               CAST(ROUND(ln(0.9 * (CAST(c12 AS DOUBLE) / u1.cu)
+                             + 0.1 * (CAST(cu2.cu AS DOUBLE) / total)), 6)
+                    AS DECIMAL(16,6)) AS logp
+        FROM bc
+        JOIN uni u1 ON u1.w = bc.w1
+        JOIN uni cu2 ON cu2.w = bc.w2
+        CROSS JOIN n
+    ),
+    per_doc AS (
+        SELECT b.doc_id, COUNT(*) AS n_bigrams, SUM(lp.logp) AS s
+        FROM big b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(s AS DOUBLE) AS lm_logprob_sum
+    FROM per_doc
+    """,
+    "interpolated bigram LM quality scoring (the CCNet-style perplexity signal, "
+    "self-trained on the corpus): per-bigram log-probs from corpus aggregates, "
+    "DECIMAL-rounded before the order-independent per-doc mean",
+)
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+    )
+    # total token count over the unigram AGGREGATE — bounded rows
+    total = F.sum("cu").over(Window.partitionBy())
+    uni = uni.withColumn("total", total)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    lp = (
+        bc.join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1")
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2"), "total"),
+            "w2",
+        )
+        .select(
+            "w1", "w2",
+            F.round(
+                F.log(
+                    F.lit(0.9) * (F.col("c12").cast("double") / F.col("cu1"))
+                    + F.lit(0.1) * (F.col("cu2").cast("double") / F.col("total"))
+                ),
+                6,
+            ).cast("decimal(16,6)").alias("logp"),
+        )
+    )
+    per_doc = (
+        big.join(F.broadcast(lp), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("logp").alias("s"))
+    )
+    # the SUM is DECIMAL-exact (order-independent); the obvious rounded
+    # mean is NOT gate-safe — s/n can land exactly on the round-half grid,
+    # where Spark (HALF_UP) and DuckDB (half-even on doubles) disagree.
+    # Consumers divide by n_bigrams themselves.
+    return per_doc.select(
+        "doc_id", "n_bigrams",
+        F.col("s").cast("double").alias("lm_logprob_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

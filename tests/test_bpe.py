@@ -89,3 +89,41 @@ def test_bpe_merge_no_immediate_remerge(spark):
     df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
     out = df.select(merge_expr(F.col("syms"), "a", "a").alias("m")).collect()[0]["m"]
     assert out == ["aa", "a"]
+
+
+def test_merge_expr_property_random_sequences(spark):
+    """Property: merge_expr equals the greedy left-to-right python merge on
+    random symbol sequences (including runs like aaaa where the no-remerge
+    flag matters)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.bpe import merge_expr
+
+    rng = random.Random(99)
+    alphabet = ["a", "b", "ab", "</w>"]
+    cases = []
+    for _ in range(60):
+        n = rng.randint(1, 12)
+        cases.append([rng.choice(alphabet) for _ in range(n)])
+
+    def py_merge(s, a, b):
+        out, just = [s[0]], False
+        for x in s[1:]:
+            if out[-1] == a and x == b and not just:
+                out[-1] = a + b
+                just = True
+            else:
+                out.append(x)
+                just = False
+        return out
+
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, syms array<string>")
+    for a, b in (("a", "a"), ("a", "b"), ("ab", "a"), ("b", "</w>")):
+        got = {
+            r["i"]: r["m"]
+            for r in df.select("i", merge_expr(F.col("syms"), a, b).alias("m")).collect()
+        }
+        for i, c in enumerate(cases):
+            assert got[i] == py_merge(c, a, b), (a, b, c, got[i])
