@@ -632,6 +632,56 @@ def ngram_containment_pairs(
     )
 
 
+def winnow_fingerprints(
+    text_col: str | Column,
+    *,
+    k: int = 5,
+    window: int = 4,
+) -> Column:
+    """Winnowing fingerprint selection (the MOSS document-fingerprint
+    algorithm, Schleimer et al. 2003): over the ORDERED sequence of word
+    ``k``-gram md5-hex hashes, every ``window`` consecutive hashes
+    contribute their minimum, and consecutive selections of the same hash
+    VALUE collapse to one (value-collapse variant of the paper's
+    same-occurrence rule — deterministic and engine-portable). Guarantee
+    kept from the paper: any shared run of ``window + k - 1`` tokens
+    between two documents shares at least one fingerprint, while only
+    ~2/(window+1) of all grams are retained.
+
+    Pure per-row expression (array transforms over in-row grams): zero
+    shuffle — fingerprints distribute with the scan, like the MinHash
+    signatures. Hashes are md5 hex prefixes so an external SQL engine
+    reproduces selection bit-for-bit. Returns array<string> of the
+    selected (collapsed, order-preserving) fingerprint hashes.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(c, r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    # ORDERED gram hashes (word_shingles dedups — winnowing must not)
+    hashes = F.transform(
+        idx,
+        lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))), 1, 16),
+    )
+    m = F.size(hashes)
+    starts = F.sequence(F.lit(0), F.greatest(m - F.lit(window), F.lit(0)))
+    win_min = F.transform(
+        starts, lambda s: F.array_min(F.slice(hashes, s + 1, window))
+    )
+    # collapse consecutive equal selections: keep win_min[i] when i == 0
+    # or win_min[i] != win_min[i-1]
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(win_min, 1, F.greatest(F.size(win_min) - 1, F.lit(0))),
+    )
+    return F.filter(
+        F.zip_with(
+            win_min, prev, lambda cur, p: F.when(p.isNull() | (cur != p), cur)
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
 def doc_chunks(text_col: str | Column, *, chunk_words: int = 16) -> Column:
     """Split a document into NON-OVERLAPPING ``chunk_words``-word chunks
     (the 'paragraph' unit for flat word-stream corpora; swap the tokenizer

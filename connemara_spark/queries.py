@@ -4218,6 +4218,51 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_winnow_fingerprints",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    h AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+                   i -> substr(md5(array_to_string(w[i:i+4], ' ')), 1, 16)) AS hs
+        FROM t
+    ),
+    m AS (
+        SELECT doc_id, hs,
+               list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                   s -> list_min(hs[s:s+3])) AS mins
+        FROM h
+    ),
+    fp AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(range(1, len(mins) + 1),
+                       i -> CASE WHEN i = 1 OR mins[i] <> mins[i-1]
+                                 THEN mins[i] END),
+                   x -> x IS NOT NULL) AS fps
+        FROM m
+    )
+    SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           md5(array_to_string(fps, ',')) AS fp_digest
+    FROM fp
+    """,
+    "winnowing document fingerprints (MOSS selection: per-window minimum of ordered "
+    "5-gram hashes, window=4, consecutive-value collapse) — zero-shuffle per-row "
+    "selection keeping ~2/(w+1) of grams with the shared-run detection guarantee",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.dedup import winnow_fingerprints
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    fps = winnow_fingerprints("text", k=5, window=4)
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("bigint").alias("n_fingerprints"),
+        F.md5(F.array_join(fps, ",")).alias("fp_digest"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -313,3 +313,58 @@ def test_chunk_dedup_randomized_matches_python_reference(spark):
         for r in chunk_dedup(df, "doc_id", "text", chunk_words=cw).collect()
     }
     assert got == expected
+
+
+def test_winnow_fingerprints_matches_python_reference(spark):
+    """Randomized docs vs a direct python replay of value-collapse
+    winnowing, plus the shared-run guarantee from the paper."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.dedup import winnow_fingerprints
+
+    K, W = 3, 4
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> repeated grams
+    shared = " ".join(rng.choice(vocab) for _ in range(K + W - 1 + 3))
+    docs = []
+    for did in range(1, 21):
+        parts = [rng.choice(vocab) for _ in range(rng.randint(3, 15))]
+        if did % 3 == 0:
+            parts += shared.split(" ")
+            parts += [rng.choice(vocab) for _ in range(rng.randint(0, 5))]
+        docs.append((did, " ".join(parts)))
+
+    def py_winnow(text):
+        toks = text.split(" ")
+        n_grams = max(len(toks) - K, 0) + 1
+        hs = [
+            hashlib.md5(" ".join(toks[i : i + K]).encode()).hexdigest()[:16]
+            for i in range(n_grams)
+        ]
+        n_win = max(len(hs) - W, 0) + 1
+        mins = [min(hs[s : s + W]) for s in range(n_win)]
+        out = []
+        for i, v in enumerate(mins):
+            if i == 0 or v != mins[i - 1]:
+                out.append(v)
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", k=K, window=W).alias("fp")
+        ).collect()
+    }
+    for did, text in docs:
+        assert got[did] == py_winnow(text), (did, text)
+
+    # guarantee: docs containing the shared window+k-1 run overlap in >= 1 fp
+    sharers = [did for did, _ in docs if did % 3 == 0]
+    fps = {did: set(got[did]) for did in sharers}
+    base = fps[sharers[0]]
+    for did in sharers[1:]:
+        assert base & fps[did], f"doc {did} shares no fingerprint"
