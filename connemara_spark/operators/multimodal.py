@@ -10,8 +10,15 @@ pure-python (``struct``-based, no external libraries):
   walk honoring the 4-byte row stride and bottom-up row order.
 - ``wav`` — RIFF/WAVE PCM-16: chunk iteration (fmt / data in any order,
   odd-size chunk padding), sample decode, duration/amplitude stats.
+- ``png`` — real PNG via stdlib ``zlib`` (DEFLATE ships with CPython, so
+  no external library is needed): chunk walk with CRC-32 verification,
+  IHDR validation, multi-IDAT inflate, and per-row unfiltering of ALL
+  five scanline filters (None/Sub/Up/Average/Paeth). The encoder cycles
+  the filter type per row, so the value-hash oracle exercises every
+  unfilter branch. Bit depth 8, color types 0 (gray) / 2 (RGB) /
+  6 (RGBA); palette and Adam7 interlace raise NotImplementedError.
 
-Formats that genuinely need an image/audio library (JPEG, PNG, MP3, ...)
+Formats that genuinely need an image/audio library (JPEG, MP3, H.264, ...)
 raise NotImplementedError at the codec boundary; ``fake=True`` keeps the
 deterministic 16-byte-header stub for plumbing tests.
 
@@ -128,6 +135,161 @@ def decode_bmp(raw: bytes) -> tuple[int, int, bytes]:
     return width, height, b"".join(rows)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray / RGB / RGBA at bit depth 8
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, up-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, pixels: bytes, *, color_type: int = 2) -> bytes:
+    """Encode a real PNG (bit depth 8, no interlace) using stdlib zlib.
+    ``pixels`` is top-down row-major, ``channels`` bytes per pixel. The
+    scanline filter cycles ``y % 5`` so every filter type (None, Sub, Up,
+    Average, Paeth) appears in any image of height >= 5 — decoding bugs in
+    any unfilter branch surface in the value-hash oracle."""
+    import zlib
+
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported color_type {color_type}")
+    bpp = _PNG_CHANNELS[color_type]
+    if len(pixels) != width * height * bpp:
+        raise ValueError("pixels must be width*height*channels bytes")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    rowlen = width * bpp
+    prev = bytes(rowlen)
+    for y in range(height):
+        row = pixels[y * rowlen : (y + 1) * rowlen]
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:  # None
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF for i in range(rowlen)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(rowlen))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[i] - ((row[i - bpp] if i >= bpp else 0) + prev[i]) // 2) & 0xFF
+                for i in range(rowlen)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(rowlen)
+            )
+        prev = row
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a real PNG: chunk walk with CRC-32 verification, IHDR
+    validation, multi-IDAT zlib inflate, per-row unfilter of all five
+    scanline filters. Returns ``(width, height, channels, pixels)`` with
+    pixels top-down row-major. Raises ValueError on malformed input
+    (bad signature/CRC/truncation) and NotImplementedError on valid-but-
+    unsupported features (palette color, bit depth != 8, Adam7)."""
+    import zlib
+
+    if len(raw) < len(_PNG_SIG) + 12 or raw[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    seen_end = False
+    while pos + 12 <= len(raw):
+        (clen,) = struct.unpack_from(">I", raw, pos)
+        ctype = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", raw, pos + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat or not seen_end:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid IHDR compression/filter method")
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(f"unsupported PNG: depth={depth} color_type={color_type}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlace not supported")
+    bpp = _PNG_CHANNELS[color_type]
+    rowlen = width * bpp
+    data = zlib.decompress(bytes(idat))
+    if len(data) != (rowlen + 1) * height:
+        raise ValueError("PNG pixel data size mismatch")
+    out = bytearray()
+    prev = bytes(rowlen)
+    for y in range(height):
+        ft = data[y * (rowlen + 1)]
+        line = bytearray(data[y * (rowlen + 1) + 1 : (y + 1) * (rowlen + 1)])
+        if ft == 1:  # Sub
+            for i in range(bpp, rowlen):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(rowlen):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out += line
+        prev = bytes(line)
+    return width, height, bpp, bytes(out)
+
+
 def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
     """Encode PCM-16 mono/interleaved WAV (RIFF little-endian)."""
     data = struct.pack(f"<{len(samples)}h", *samples)
@@ -172,16 +334,18 @@ def decode_images(
 ) -> DataFrame:
     """Decode + feature-extract images via Arrow-batched mapInPandas.
 
-    ``codec='bmp'`` is a REAL pure-python decoder (full header parse +
-    stride-aware bottom-up pixel walk); ``mean_byte``/``checksum`` are
-    computed over the DECODED pixel bytes (padding excluded), so a stride
-    or row-order bug shows up in the value-hash oracle. ``fake=True``
-    selects the deterministic 16-byte-header stub; other codecs (JPEG,
-    PNG, ...) need an image library and raise NotImplementedError.
+    ``codec='bmp'`` and ``codec='png'`` are REAL pure-python decoders
+    (BMP: full header parse + stride-aware bottom-up pixel walk; PNG:
+    CRC-checked chunk walk + zlib inflate + all-filter unfiltering);
+    ``mean_byte``/``checksum`` are computed over the DECODED pixel bytes
+    (padding/filtering removed), so a stride, row-order, or unfilter bug
+    shows up in the value-hash oracle. ``fake=True`` selects the
+    deterministic 16-byte-header stub; other codecs (JPEG, ...) need an
+    image library and raise NotImplementedError.
     """
     if fake:
         codec = "cnmr"
-    if codec not in ("bmp", "cnmr"):
+    if codec not in ("bmp", "png", "cnmr"):
         raise NotImplementedError(
             f"codec {codec!r} requires an image library not available in "
             "this environment (bmp is implemented pure-python)"
@@ -200,9 +364,12 @@ def decode_images(
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
-                if codec == "bmp":
+                if codec in ("bmp", "png"):
                     try:
-                        w, h, px = decode_bmp(raw)
+                        if codec == "bmp":
+                            w, h, px = decode_bmp(raw)
+                        else:
+                            w, h, _ch, px = decode_png(raw)
                     except (ValueError, NotImplementedError):
                         continue  # undecodable → dropped (real pipeline: quarantine)
                     mean = sum(px) / len(px) if px else 0.0
@@ -277,12 +444,12 @@ def decode_audio(
 def resize_images(
     df: DataFrame, *, width: int, height: int, codec: str = "bmp", fake: bool = False
 ) -> DataFrame:
-    """Resize: for ``codec='bmp'`` a REAL decode → nearest-neighbor sample →
-    re-encode in the same mapInPandas shape; fake mode rewrites the stub
-    header dims only."""
+    """Resize: for ``codec='bmp'`` / ``codec='png'`` a REAL decode →
+    nearest-neighbor sample → re-encode in the same mapInPandas shape;
+    fake mode rewrites the stub header dims only."""
     if fake:
         codec = "cnmr"
-    if codec not in ("bmp", "cnmr"):
+    if codec not in ("bmp", "png", "cnmr"):
         raise NotImplementedError(f"codec {codec!r} requires an image library")
 
     def resize(batches: Iterator) -> Iterator:
@@ -292,9 +459,13 @@ def resize_images(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
-                if codec == "bmp":
+                if codec in ("bmp", "png"):
                     try:
-                        w, h, px = decode_bmp(raw)
+                        if codec == "bmp":
+                            w, h, px = decode_bmp(raw)
+                            bpp = 3
+                        else:
+                            w, h, bpp, px = decode_png(raw)
                     except (ValueError, NotImplementedError):
                         continue
                     out = bytearray()
@@ -302,9 +473,15 @@ def resize_images(
                         sy = y * h // height
                         for x in range(width):
                             sx = x * w // width
-                            off = (sy * w + sx) * 3
-                            out += px[off : off + 3]
-                    rows.append((int(mid), encode_bmp(width, height, bytes(out))))
+                            off = (sy * w + sx) * bpp
+                            out += px[off : off + bpp]
+                    if codec == "bmp":
+                        rows.append((int(mid), encode_bmp(width, height, bytes(out))))
+                    else:
+                        ct = {1: 0, 3: 2, 4: 6}[bpp]
+                        rows.append(
+                            (int(mid), encode_png(width, height, bytes(out), color_type=ct))
+                        )
                 else:
                     if not raw.startswith(_FAKE_MAGIC):
                         continue
@@ -509,6 +686,32 @@ def bmp_fixture(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.select(id_col).mapInPandas(gen, schema="media_id long, payload binary")
 
 
+def png_fixture(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) of real RGB PNGs: width = 3 + id%4, height =
+    5 + id%3 (height >= 5 so every scanline filter type 0-4 appears in
+    every image), pixel byte v(x,y,c) = (id*23 + y*11 + x*5 + c*7) % 256
+    (top-down RGB)."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 3 + did % 4, 5 + did % 3
+                px = bytes(
+                    (did * 23 + y * 11 + x * 5 + c * 7) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                rows.append((did, encode_png(w, h, px, color_type=2)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return ids.select(id_col).mapInPandas(gen, schema="media_id long, payload binary")
+
+
 def wav_fixture(ids: DataFrame, id_col: str = "doc_id", sample_rate: int = 8000) -> DataFrame:
     """(media_id, payload) of real PCM-16 mono WAVs: n = 50 + id%30 samples,
     s(i) = ((id*13 + i*7) % 2048) - 1024."""
@@ -644,10 +847,10 @@ def image_stats_features(
     Exactness: byte sums and squared sums are exact integers; the two
     divisions and one subtraction are each correctly-rounded double ops in
     the same order as the SQL oracle."""
-    if codec != "bmp":
+    if codec not in ("bmp", "png"):
         raise NotImplementedError(
             f"codec {codec!r} requires an image library not available in "
-            "this environment (bmp is implemented pure-python)"
+            "this environment (bmp and png are implemented pure-python)"
         )
     n_parts = n_partitions or estimate_partitions(df, target_partition_bytes=target_partition_bytes)
     src = df.select("media_id", "payload").repartition(n_parts)
@@ -659,14 +862,20 @@ def image_stats_features(
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    w, h, px = decode_bmp(bytes(payload))
+                    if codec == "bmp":
+                        w, h, px = decode_bmp(bytes(payload))
+                        bpp = 3
+                    else:
+                        w, h, bpp, px = decode_png(bytes(payload))
                 except (ValueError, NotImplementedError):
                     continue
                 if not px:
-                    # zero-area BMP: quarantine (skip) like decode_images,
+                    # zero-area image: quarantine (skip) like decode_images,
                     # never a ZeroDivisionError that sinks the whole task
                     continue
-                greens = px[1::3]  # BGR triplets -> channel index 1
+                # channel index 1 is green in both BGR (BMP) and RGB/RGBA
+                # (PNG); grayscale has only channel 0
+                greens = px[min(1, bpp - 1) :: bpp]
                 n = len(greens)
                 sm = sum(greens)
                 sq = sum(v * v for v in greens)

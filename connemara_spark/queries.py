@@ -2240,6 +2240,71 @@ def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS w, CAST(5 + doc_id % 3 AS INT) AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id, d.w, d.h,
+               ((d.doc_id * 23 + ys.y * 11 + xs.x * 5 + cs.c * 7) % 256) AS v
+        FROM dims d, range(0, 7) ys(y), range(0, 6) xs(x), range(0, 3) cs(c)
+        WHERE ys.y < d.h AND xs.x < d.w
+    )
+    SELECT doc_id AS media_id, w AS width, h AS height,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_byte,
+           CAST(SUM(v) % 2147483648 AS BIGINT) AS checksum
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+    "REAL pure-python PNG decode (stdlib-zlib inflate, CRC-checked chunks, all five "
+    "scanline filters unfiltered — the encoder cycles filter type per row, so every "
+    "unfilter branch sits under the value-hash gate); oracle recomputes decoded pixel "
+    "stats in closed form (n_bytes is DEFLATE-dependent, hence projected away)",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.multimodal import decode_images, png_fixture
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    return decode_images(png_fixture(docs), codec="png", n_partitions=32).select(
+        "media_id", "width", "height", "mean_byte", "checksum"
+    )
+
+
+@register(
+    "multimodal_png_resize",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS w, CAST(5 + doc_id % 3 AS INT) AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT d.doc_id,
+               ((d.doc_id * 23 + ((ys.y * d.h) // 4) * 11
+                 + ((xs.x * d.w) // 4) * 5 + cs.c * 7) % 256) AS v
+        FROM dims d, range(0, 4) ys(y), range(0, 4) xs(x), range(0, 3) cs(c)
+    )
+    SELECT doc_id AS media_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_byte,
+           CAST(SUM(v) % 2147483648 AS BIGINT) AS checksum
+    FROM px
+    GROUP BY doc_id
+    """,
+    "REAL PNG nearest-neighbor resize (CRC-checked decode -> NN sample -> re-encode "
+    "through zlib) then decode-stats; oracle composes the NN index map in closed form",
+)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.multimodal import decode_images, png_fixture, resize_images
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    resized = resize_images(png_fixture(docs), width=4, height=4, codec="png")
+    return decode_images(resized, codec="png", n_partitions=32).select(
+        "media_id", "width", "height", "mean_byte", "checksum"
+    )
+
+
+@register(
     "multimodal_bmp_features",
     """
     WITH dims AS (

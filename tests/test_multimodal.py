@@ -257,3 +257,101 @@ def test_y4m_unsupported_codec_raises(spark):
     ids = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(NotImplementedError):
         sample_video_frames(y4m_fixture(ids), codec="h264")
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib zlib — real DEFLATE, real scanline filters)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_color_types():
+    from connemara_spark.operators.multimodal import decode_png, encode_png
+
+    for ct, bpp in [(0, 1), (2, 3), (6, 4)]:
+        for w, h in [(1, 5), (3, 7), (8, 6)]:  # h >= 5 exercises filters 0-4
+            px = bytes(
+                (x * 5 + y * 11 + c * 7 + ct) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(bpp)
+            )
+            assert decode_png(encode_png(w, h, px, color_type=ct)) == (w, h, bpp, px)
+
+
+def test_png_crc_corruption_rejected():
+    from connemara_spark.operators.multimodal import decode_png, encode_png
+
+    enc = bytearray(encode_png(3, 5, bytes(45), color_type=2))
+    enc[20] ^= 0xFF  # flip a byte inside IHDR
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(enc))
+
+
+def test_png_interlace_and_palette_unsupported():
+    import struct
+    import zlib
+
+    from connemara_spark.operators.multimodal import decode_png
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    for depth, ct, interlace in [(8, 2, 1), (8, 3, 0), (16, 2, 0)]:
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, ct, 0, 0, interlace)
+        raw = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00" * 4)) + chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError):
+            decode_png(raw)
+
+
+def test_real_png_decode_features(spark):
+    from connemara_spark.operators.multimodal import decode_images, png_fixture
+
+    ids = spark.createDataFrame([(6,)], "doc_id long")
+    row = decode_images(png_fixture(ids), codec="png", n_partitions=1).collect()[0]
+    # id=6: w=3+6%4=5, h=5+6%3=5; v = (6*23 + y*11 + x*5 + c*7) % 256
+    vals = [(138 + y * 11 + x * 5 + c * 7) % 256 for y in range(5) for x in range(5) for c in range(3)]
+    assert (row["width"], row["height"]) == (5, 5)
+    assert row["mean_byte"] == sum(vals) / len(vals)
+    assert row["checksum"] == sum(vals) % (1 << 31)
+
+
+def test_real_png_resize_nearest_neighbor(spark):
+    from connemara_spark.operators.multimodal import (
+        decode_images,
+        png_fixture,
+        resize_images,
+    )
+
+    ids = spark.createDataFrame([(2,)], "doc_id long")
+    resized = resize_images(png_fixture(ids), width=2, height=2, codec="png")
+    row = decode_images(resized, codec="png", n_partitions=1).collect()[0]
+    # id=2: w=5, h=7; NN map sy=y*7//2, sx=x*5//2
+    vals = [
+        (2 * 23 + (y * 7 // 2) * 11 + (x * 5 // 2) * 5 + c * 7) % 256
+        for y in range(2)
+        for x in range(2)
+        for c in range(3)
+    ]
+    assert (row["width"], row["height"]) == (2, 2)
+    assert row["checksum"] == sum(vals) % (1 << 31)
+
+
+def test_png_image_stats_grayscale_and_rgba(spark):
+    import pandas as pd
+
+    from connemara_spark.operators.multimodal import encode_png, image_stats_features
+
+    gray = encode_png(4, 5, bytes(range(20)), color_type=0)
+    rgba = encode_png(2, 5, bytes(range(40)), color_type=6)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2], "payload": [gray, rgba]})
+    )
+    rows = {r["media_id"]: r for r in image_stats_features(df, codec="png", n_partitions=1).collect()}
+    # grayscale: "green" falls back to the single channel
+    g = list(range(20))
+    assert rows[1]["mean_g"] == sum(g) / 20
+    assert rows[1]["dyn_range"] == 19
+    # RGBA: channel index 1 of each 4-byte pixel
+    g2 = list(range(40))[1::4]
+    assert rows[2]["mean_g"] == sum(g2) / len(g2)
