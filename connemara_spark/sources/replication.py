@@ -1,0 +1,207 @@
+"""Custom Spark 4 Python DataSource playing the WAL-receiver role (S1).
+
+The reference's replication-protocol source is a C daemon speaking the PG
+streaming-replication protocol and spooling framed wal2json transactions
+(`connemara_replication/src/connemara_replication.c:497-568,623-734`). Its
+essential *source semantics* — an append-only, LSN-ordered spool consumed
+with a durable progress cursor (the replication origin,
+`connemara_replication.c:394-442,570-621`) — map onto Spark's Python
+DataSource API (`pyspark.sql.datasource`, new in Spark 4):
+
+- **segment files** are the transport unit: a receiver (or test fixture)
+  appends immutable JSONL files to a spool directory; file names sort in
+  arrival order (the reference's `(insert_timestamp, lsn_start)` spool
+  index, `connemara_replication.c:486`).
+- **offsets** are the count of sealed segment files consumed, tracked by
+  Spark's streaming checkpoint — restart resumes exactly after the last
+  committed segment (W3 exactly-once, no duplicated or skipped segments).
+- **partitions**: each microbatch plans one `InputPartition` per segment
+  file, so the parse runs ON EXECUTORS (not the driver) and a batch of N
+  files fans out N-wide — the Python-source analog of the C receiver's
+  single-writer spool becoming a parallel scan.
+- **commit(offset)** writes a `_receiver_progress.json` sidecar with the
+  last committed segment count — the standby-feedback analog
+  (`connemara_replication.c:308-343`): observability for the operator, not
+  correctness (correctness lives in the checkpoint).
+
+Rows are BRONZE_SCHEMA-shaped. LSNs arrive either as PG ``%X/%X`` text
+(`connemara_replication.c:207-215`) or as integers; timestamps as ISO-8601
+text or epoch microseconds. Malformed JSON lines raise — the receiver is
+fail-fast (W9); quarantine policy belongs downstream (split_malformed).
+
+A batch ``reader`` over the same spool directory serves backfills through
+the identical parse path: ``spark.read.format("wal_spool").load(dir)``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from connemara_spark.events import BRONZE_SCHEMA
+
+_BRONZE_FIELDS = [f.name for f in BRONZE_SCHEMA.fields]
+
+
+def _parse_lsn_text(v) -> int | None:
+    """PG %X/%X text → uint64 (connemara_replication.c:207-215), or pass
+    through integers."""
+    if v is None:
+        return None
+    if isinstance(v, int):
+        return v
+    hi, lo = str(v).split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
+def _parse_ts(v) -> datetime | None:
+    """ISO-8601 text or epoch-µs int → naive UTC datetime (session tz is
+    pinned UTC engine-wide)."""
+    if v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return datetime.fromtimestamp(v / 1_000_000, tz=timezone.utc).replace(tzinfo=None)
+    dt = datetime.fromisoformat(str(v))
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def _read_segment(path: str) -> Iterator[tuple]:
+    """Parse one JSONL segment into BRONZE_SCHEMA tuples. Fail-fast on
+    malformed lines (W9) — the spool is written by our own receiver, so a
+    bad line means corruption, not noise."""
+    with open(path, encoding="utf-8") as fh:
+        for lineno, line in enumerate(fh, 1):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError as e:
+                raise ValueError(f"malformed spool line {path}:{lineno}: {e}") from e
+            yield (
+                _parse_ts(rec.get("insert_timestamp")),
+                rec.get("database"),
+                rec.get("source_slotname"),
+                _parse_lsn_text(rec.get("lsn_start")),
+                rec.get("xid"),
+                _parse_ts(rec.get("xid_timestamp")),
+                rec.get("payload"),
+            )
+
+
+def _list_segments(spool_dir: str) -> list[str]:
+    """Sealed segment files in deterministic (name-sorted) order. Names
+    beginning with ``_`` or ``.`` are sidecars/tmp files, not segments —
+    receivers write `.tmp` then rename, so a listed file is immutable."""
+    if not os.path.isdir(spool_dir):
+        return []
+    return sorted(
+        os.path.join(spool_dir, n)
+        for n in os.listdir(spool_dir)
+        if not n.startswith(("_", ".")) and n.endswith(".jsonl")
+    )
+
+
+class SegmentPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class WalSpoolBatchReader(DataSourceReader):
+    """Batch backfill over the whole spool — same parse path as the stream."""
+
+    def __init__(self, options):
+        self.spool_dir = options.get("path")
+        if not self.spool_dir:
+            raise ValueError("wal_spool requires a path option (the spool directory)")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [SegmentPartition(p) for p in _list_segments(self.spool_dir)] or [
+            SegmentPartition("")
+        ]
+
+    def read(self, partition: SegmentPartition) -> Iterator[tuple]:
+        if not partition.path:
+            return iter(())
+        return _read_segment(partition.path)
+
+
+class WalSpoolStreamReader(DataSourceStreamReader):
+    """Offset = count of sealed segments consumed; one partition per
+    segment per microbatch (executor-side parse)."""
+
+    def __init__(self, options):
+        self.spool_dir = options.get("path")
+        if not self.spool_dir:
+            raise ValueError("wal_spool requires a path option (the spool directory)")
+        self.progress_path = os.path.join(self.spool_dir, "_receiver_progress.json")
+
+    def initialOffset(self) -> dict:
+        return {"segments": 0}
+
+    def latestOffset(self) -> dict:
+        return {"segments": len(_list_segments(self.spool_dir))}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        segs = _list_segments(self.spool_dir)[start["segments"] : end["segments"]]
+        return [SegmentPartition(p) for p in segs]
+
+    def read(self, partition: SegmentPartition) -> Iterator[tuple]:
+        return _read_segment(partition.path)
+
+    def commit(self, end: dict) -> None:
+        # standby-feedback analog: observability sidecar, atomically replaced;
+        # exactly-once correctness is the checkpoint's job, not this file's
+        tmp = self.progress_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"committed_segments": end["segments"]}, fh)
+        os.replace(tmp, self.progress_path)
+
+
+class WalSpoolDataSource(DataSource):
+    """``spark.dataSource.register(WalSpoolDataSource)`` then
+    ``spark.readStream.format("wal_spool").option("path", dir).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wal_spool"
+
+    def schema(self) -> StructType:
+        return BRONZE_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return WalSpoolBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return WalSpoolStreamReader(self.options)
+
+
+def register_wal_spool(spark) -> None:
+    spark.dataSource.register(WalSpoolDataSource)
+
+
+def write_segment(spool_dir: str, rows: list[dict], name: str) -> str:
+    """Receiver-side segment writer: JSONL to ``.tmp`` then atomic rename —
+    the single-commit-per-source-transaction contract (W2,
+    connemara_replication.c:757-836): a segment is either fully visible or
+    absent, never half-read."""
+    os.makedirs(spool_dir, exist_ok=True)
+    final = os.path.join(spool_dir, name if name.endswith(".jsonl") else name + ".jsonl")
+    tmp = final + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for r in rows:
+            fh.write(json.dumps(r, default=str) + "\n")
+    os.replace(tmp, final)
+    return final

@@ -123,12 +123,24 @@ class StreamingReplayer:
         """Start the stream. ``available_now=True`` drains the landing zone
         and stops (test/batch-catchup mode); otherwise runs continuously with
         the given trigger interval (the reference's idle cadence, W8)."""
-        reader = self.spark.readStream.schema(BRONZE_SCHEMA)
-        if self.max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        bronze = getattr(reader, "parquet" if self.landing_format == "parquet" else "json")(
-            self.landing_dir
-        )
+        if self.landing_format == "wal_spool":
+            # custom Python DataSource (sources/replication.py): segment-count
+            # offsets play the replication-origin role; no schema/file options
+            from connemara_spark.sources.replication import register_wal_spool
+
+            register_wal_spool(self.spark)
+            bronze = (
+                self.spark.readStream.format("wal_spool")
+                .option("path", self.landing_dir)
+                .load()
+            )
+        else:
+            reader = self.spark.readStream.schema(BRONZE_SCHEMA)
+            if self.max_files_per_trigger:
+                reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+            bronze = getattr(reader, "parquet" if self.landing_format == "parquet" else "json")(
+                self.landing_dir
+            )
         writer = bronze.writeStream.foreachBatch(self._foreach_batch).option(
             "checkpointLocation", self.checkpoint_dir
         )

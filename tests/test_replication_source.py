@@ -1,0 +1,166 @@
+"""Custom Python DataSource (wal_spool): the Spark-4 replication-protocol
+source analog — segment-count offsets, executor-side parse, exactly-once
+resume from the streaming checkpoint."""
+
+from __future__ import annotations
+
+import pytest
+
+from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
+from connemara_spark.pipeline import ParquetStore
+from connemara_spark.sources.replication import (
+    register_wal_spool,
+    write_segment,
+)
+from connemara_spark.streaming import StreamingReplayer
+from connemara_spark.testing import make_event
+
+SPEC = TableSpec(
+    database="db1",
+    schema="public",
+    table="items",
+    columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text")],
+    pk_cols=["id"],
+)
+
+
+def _seg_rows(events):
+    # make_event emits BRONZE dicts with datetime values; write_segment
+    # serializes them with default=str (ISO text), which the source parses
+    return [dict(e) for e in events]
+
+
+def test_wal_spool_batch_read_types(spark, tmp_path):
+    spool = str(tmp_path / "spool")
+    register_wal_spool(spark)
+    write_segment(
+        spool,
+        [
+            {
+                "insert_timestamp": "2026-01-01T00:00:00",
+                "database": "db1",
+                "source_slotname": "s1",
+                "lsn_start": "0/16B6C50",  # PG %X/%X text
+                "xid": 100,
+                "xid_timestamp": "2026-01-01T02:00:00+02:00",  # tz → UTC
+                "payload": '{"kind":"insert"}',
+            },
+            {
+                "insert_timestamp": 1767225600000000,  # epoch µs
+                "database": "db2",
+                "source_slotname": "s2",
+                "lsn_start": 12345,
+                "xid": 101,
+                "xid_timestamp": None,
+                "payload": None,
+            },
+        ],
+        "0000000000000001",
+    )
+    df = spark.read.format("wal_spool").option("path", spool).load()
+    rows = {r["database"]: r for r in df.collect()}
+    assert rows["db1"]["lsn_start"] == (0 << 32 | 0x16B6C50)
+    assert rows["db1"]["xid_timestamp"].hour == 0  # +02:00 folded to UTC
+    assert rows["db2"]["insert_timestamp"].year == 2026
+    assert rows["db2"]["payload"] is None
+    # empty spool: zero rows, not an error
+    empty = spark.read.format("wal_spool").option("path", str(tmp_path / "none")).load()
+    assert empty.count() == 0
+
+
+def test_wal_spool_malformed_line_fails(spark, tmp_path):
+    import os
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    with open(f"{spool}/0000000000000001.jsonl", "w") as fh:
+        fh.write('{"database": "db1"}\n{not json\n')
+    register_wal_spool(spark)
+    with pytest.raises(Exception, match="malformed spool line"):
+        spark.read.format("wal_spool").option("path", spool).load().collect()
+
+
+def test_wal_spool_stream_exactly_once_resume(spark, tmp_path):
+    """Restarting from the same checkpoint after new segments arrive reads
+    ONLY the new segments — the replication-origin resume contract (W3)."""
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    register_wal_spool(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("wal_spool")
+            .option("path", spool)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    def read_out():
+        # fresh DataFrame each time — a reused one would pin the parquet
+        # file listing snapshotted at creation
+        return spark.read.schema(
+            "insert_timestamp timestamp, database string, source_slotname string,"
+            "lsn_start long, xid long, xid_timestamp timestamp, payload string"
+        ).parquet(out)
+
+    write_segment(spool, [{"database": "db1", "lsn_start": i, "payload": f"p{i}"} for i in (1, 2)], "seg-001")
+    write_segment(spool, [{"database": "db1", "lsn_start": 3, "payload": "p3"}], "seg-002")
+    drain()
+    assert sorted(r["lsn_start"] for r in read_out().collect()) == [1, 2, 3]
+
+    # second arrival + restart with the SAME checkpoint
+    write_segment(spool, [{"database": "db1", "lsn_start": 4, "payload": "p4"}], "seg-003")
+    drain()
+    assert sorted(r["lsn_start"] for r in read_out().collect()) == [1, 2, 3, 4]  # no dupes
+
+
+def test_streaming_replayer_over_wal_spool(spark, tmp_path):
+    """Full CDC path through the custom source: segments → wal_spool stream
+    → foreachBatch apply → silver store, incrementally."""
+    spool = str(tmp_path / "spool")
+    cat = EngineCatalog()
+    cat.register(SPEC)
+    spec = cat.get("db1", "public", "items")
+    store = ParquetStore(spark, str(tmp_path / "silver"))
+    sr = StreamingReplayer(
+        spark,
+        cat,
+        store,
+        landing_dir=spool,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+    )
+
+    write_segment(
+        spool,
+        _seg_rows(
+            [
+                make_event(spec, "insert", lsn=1, row={"id": 1, "v": "a"}),
+                make_event(spec, "insert", lsn=2, row={"id": 2, "v": "b"}),
+            ]
+        ),
+        "seg-001",
+    )
+    sr.run_until_drained()
+    assert {r["id"]: r["v"] for r in store.read(spec).collect()} == {1: "a", 2: "b"}
+
+    write_segment(
+        spool,
+        _seg_rows(
+            [
+                make_event(spec, "update", lsn=3, row={"id": 1, "v": "a2"}, old_key={"id": 1}),
+                make_event(spec, "delete", lsn=4, old_key={"id": 2}),
+            ]
+        ),
+        "seg-002",
+    )
+    sr.run_until_drained()
+    assert {r["id"]: r["v"] for r in store.read(spec).collect()} == {1: "a2"}
+    assert sr.watermark.get("db1", "slot_db1") == 4
