@@ -632,6 +632,20 @@ def ngram_containment_pairs(
     )
 
 
+def _bind(arr: Column, fn) -> Column:
+    """Let-binding for Catalyst array expressions: evaluate ``arr`` ONCE
+    and pass it to ``fn`` as a bound lambda variable.
+
+    Higher-order lambdas substitute the producer's expression TREE, not
+    its value — composing ``transform(starts, s -> f(slice(hashes, s,
+    w)))`` re-evaluates the entire ``hashes`` subtree at EVERY window
+    position (measured: 27.5s for 5k short docs at sf0.1, an O(n²·md5)
+    blowup visible as a ~8×-duplicated subtree in the physical plan).
+    ``transform(array(arr), x -> fn(x))`` evaluates ``arr`` once per row
+    and binds the RESULT, restoring O(n)."""
+    return F.get(F.transform(F.array(arr), fn), 0)
+
+
 def winnow_fingerprints(
     text_col: str | Column,
     *,
@@ -655,30 +669,44 @@ def winnow_fingerprints(
     selected (collapsed, order-preserving) fingerprint hashes.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    words = F.split(c, r"\s+")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    # ORDERED gram hashes (word_shingles dedups — winnowing must not)
-    hashes = F.transform(
-        idx,
-        lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))), 1, 16),
-    )
-    m = F.size(hashes)
-    starts = F.sequence(F.lit(0), F.greatest(m - F.lit(window), F.lit(0)))
-    win_min = F.transform(
-        starts, lambda s: F.array_min(F.slice(hashes, s + 1, window))
-    )
-    # collapse consecutive equal selections: keep win_min[i] when i == 0
-    # or win_min[i] != win_min[i-1]
-    prev = F.concat(
-        F.array(F.lit(None).cast("string")),
-        F.slice(win_min, 1, F.greatest(F.size(win_min) - 1, F.lit(0))),
-    )
-    return F.filter(
-        F.zip_with(
-            win_min, prev, lambda cur, p: F.when(p.isNull() | (cur != p), cur)
-        ),
-        lambda x: x.isNotNull(),
+
+    def grams(words: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(k), F.lit(0)))
+        # ORDERED gram hashes (word_shingles dedups — winnowing must not)
+        return F.transform(
+            idx,
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))), 1, 16
+            ),
+        )
+
+    def mins(hashes: Column) -> Column:
+        starts = F.sequence(
+            F.lit(0), F.greatest(F.size(hashes) - F.lit(window), F.lit(0))
+        )
+        return F.transform(
+            starts, lambda s: F.array_min(F.slice(hashes, s + 1, window))
+        )
+
+    def collapse(win_min: Column) -> Column:
+        # keep win_min[i] when i == 0 or win_min[i] != win_min[i-1]
+        prev = F.concat(
+            F.array(F.lit(None).cast("string")),
+            F.slice(win_min, 1, F.greatest(F.size(win_min) - 1, F.lit(0))),
+        )
+        return F.filter(
+            F.zip_with(
+                win_min, prev, lambda cur, p: F.when(p.isNull() | (cur != p), cur)
+            ),
+            lambda x: x.isNotNull(),
+        )
+
+    # every level _bind-ed: each array is computed once per row and
+    # referenced as a bound variable by the next level — without this the
+    # gram-hash subtree re-evaluates inside every window lambda (O(n²))
+    return _bind(
+        F.split(c, r"\s+"),
+        lambda words: _bind(grams(words), lambda hs: _bind(mins(hs), collapse)),
     )
 
 

@@ -210,3 +210,66 @@ def fingerprint_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         min_shingle_fingerprint(text_col, k).alias("fingerprint"),
         F.md5(F.col(text_col)).alias("exact_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (ftfy-class encoding fixes, fully native)
+# ---------------------------------------------------------------------------
+
+# The dominant real-world corruption: UTF-8 bytes decoded as Windows-1252
+# ("é" -> "Ã©", "—" -> "â€”"). The repair table is GENERATED, not
+# hand-written: for each target char, bad = char.encode('utf-8')
+# .decode('cp1252'); chars whose UTF-8 bytes hit CP1252's five unmapped
+# codes (0x81 8D 8F 90 9D — e.g. U+201D) are skipped automatically.
+# Repair is a chain of native replace()s — portable verbatim to any SQL
+# engine, so the oracle runs the IDENTICAL chain.
+_MOJIBAKE_TARGETS = (
+    "‘’“–—…€«»°£"
+    "éèêàáâäçíïñ"
+    "óöúüß"
+)
+
+
+def mojibake_pairs() -> list[tuple[str, str]]:
+    """(corrupted, repaired) pairs, longest-corruption-first then lexical —
+    a deterministic order shared by the Spark chain and the SQL oracle."""
+    pairs = []
+    for ch in _MOJIBAKE_TARGETS:
+        try:
+            bad = ch.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue  # UTF-8 byte lands on an unmapped CP1252 code
+        pairs.append((bad, ch))
+    return sorted(pairs, key=lambda p: (-len(p[0]), p[0]))
+
+
+def repair_mojibake(text_col: str | Column) -> Column:
+    """Native replace-chain repair of UTF-8-as-CP1252 mojibake. O(pairs)
+    scans per value, all JVM-side; idempotent on clean text (repaired
+    output contains none of the corruption patterns)."""
+    col = _col(text_col)
+    for bad, good in mojibake_pairs():
+        col = F.replace(col, F.lit(bad), F.lit(good))
+    return col
+
+
+def mojibake_marker_count(text_col: str | Column) -> Column:
+    """Occurrences of the CP1252 misdecode lead characters ('Ã' for 2-byte
+    UTF-8, 'â' for 3-byte, 'Â' for stray NBSP-class bytes) — the cheap
+    detection gate a curation pass thresholds on before paying for repair."""
+    col = _col(text_col)
+    total = F.lit(0)
+    for marker in ("Ã", "â", "Â"):
+        total = total + (F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit(""))))
+    return total
+
+
+def mojibake_sql_chain(inner: str) -> str:
+    """The SAME repair chain rendered as nested SQL replace() calls —
+    the oracle-side twin of repair_mojibake."""
+    expr = inner
+    for bad, good in mojibake_pairs():
+        b = bad.replace("'", "''")
+        g = good.replace("'", "''")
+        expr = f"replace({expr}, '{b}', '{g}')"
+    return expr
