@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from connemara_spark.functions.arrays import bind_array as _bind
+
 # deterministic affine-hash constants for minhash (public "universal hashing"
 # construction: h_i(x) = a_i*x + b_i over Z/p, min over shingles)
 _MERSENNE = (1 << 61) - 1
@@ -48,14 +50,18 @@ def word_shingles(text_col: str | Column, k: int = 5) -> Column:
     """Word k-gram shingles as an array<string> (distinct).
 
     ``sequence(0, max(n-k, 0))`` keeps short documents (< k words) as a
-    single whole-document shingle."""
+    single whole-document shingle. The split is ``_bind``-ed: referenced
+    bare inside the gram lambda it would re-tokenize the document at every
+    gram position (O(n²) characters per row)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    words = F.split(c, r"\s+")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    )
+
+    def grams(words: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(k), F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+        )
+
+    return _bind(F.split(c, r"\s+"), grams)
 
 
 def word_shingle_hashes(text_col: str | Column, k: int = 5) -> Column:
@@ -519,15 +525,17 @@ def duplicate_spans(
     """
     from pyspark.sql.window import Window
 
-    toks = F.split(F.col(text_col), " ")
     # docs shorter than n tokens emit NO grams: span output is positional,
     # so a truncated whole-doc "gram" would mark spans past the doc end
     # (unlike word_shingles, where the whole-doc shingle is correct for
-    # set-similarity semantics)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
-    ).otherwise(F.expr("CAST(array() AS array<int>)"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # set-similarity semantics). _bind: see word_shingles.
+    def _grams(toks: Column) -> Column:
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+        ).otherwise(F.expr("CAST(array() AS array<int>)"))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+    grams = _bind(F.split(F.col(text_col), " "), _grams)
     g = docs.select(F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gram"))
     if hashed:
         g = g.select("doc_id", "pos", F.xxhash64("gram").alias("gram"))
@@ -632,20 +640,6 @@ def ngram_containment_pairs(
     )
 
 
-def _bind(arr: Column, fn) -> Column:
-    """Let-binding for Catalyst array expressions: evaluate ``arr`` ONCE
-    and pass it to ``fn`` as a bound lambda variable.
-
-    Higher-order lambdas substitute the producer's expression TREE, not
-    its value — composing ``transform(starts, s -> f(slice(hashes, s,
-    w)))`` re-evaluates the entire ``hashes`` subtree at EVERY window
-    position (measured: 27.5s for 5k short docs at sf0.1, an O(n²·md5)
-    blowup visible as a ~8×-duplicated subtree in the physical plan).
-    ``transform(array(arr), x -> fn(x))`` evaluates ``arr`` once per row
-    and binds the RESULT, restoring O(n)."""
-    return F.get(F.transform(F.array(arr), fn), 0)
-
-
 def winnow_fingerprints(
     text_col: str | Column,
     *,
@@ -716,16 +710,20 @@ def doc_chunks(text_col: str | Column, *, chunk_words: int = 16) -> Column:
     for a newline split when documents carry real paragraph breaks). Tail
     chunks may be shorter. Returns array<string> of chunk texts."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(c, " ")
-    # split() never yields an empty array, so n_chunks >= 1; greatest guards
-    # degenerate inputs from producing a descending sequence()
-    n_chunks = F.greatest(
-        F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int"), F.lit(1)
-    )
-    return F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(toks, i * chunk_words + 1, chunk_words), " "),
-    )
+
+    def chunks(toks: Column) -> Column:
+        # split() never yields an empty array, so n_chunks >= 1; greatest
+        # guards degenerate inputs from producing a descending sequence()
+        n_chunks = F.greatest(
+            F.ceil(F.size(toks) / F.lit(chunk_words)).cast("int"), F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * chunk_words + 1, chunk_words), " "),
+        )
+
+    # _bind: an unbound split would re-tokenize the doc once per chunk
+    return _bind(F.split(c, " "), chunks)
 
 
 def chunk_dedup(

@@ -97,17 +97,25 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _dup_gram_frac(words: Column, n: int) -> Column:
     """Fraction of word n-grams that are repeats of an earlier n-gram —
-    the Gopher-style repetition signal. One O(len) pass: build the gram
-    array once, compare total vs distinct counts (never per-gram rescans)."""
-    cnt = F.size(words) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
-    return F.when(
-        cnt > 0,
-        (cnt - F.size(F.array_distinct(grams))).cast("double") / cnt,
-    ).otherwise(F.lit(0.0))
+    the Gopher-style repetition signal. One O(len) pass: the incoming
+    ``words`` expression is ``bind_array``-ed (an unbound split would
+    re-tokenize inside every gram lambda, O(len²)), the gram array is
+    built once, and total vs distinct counts compare (never per-gram
+    rescans)."""
+    from connemara_spark.functions.arrays import bind_array
+
+    def frac(w: Column) -> Column:
+        cnt = F.size(w) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+        return F.when(
+            cnt > 0,
+            (cnt - F.size(F.array_distinct(grams))).cast("double") / cnt,
+        ).otherwise(F.lit(0.0))
+
+    return bind_array(words, frac)
 
 
 def repetition_features(
