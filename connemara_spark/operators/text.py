@@ -23,6 +23,10 @@ STOPWORDS: dict[str, list[str]] = {
 TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
 
 
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
 def token_count(text_col: str | Column) -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.size(F.regexp_extract_all(c, F.lit(TOKEN_RE), 0))

@@ -1672,6 +1672,53 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs, "text").drop("text")
 
 
+def _mojibake_oracle() -> str:
+    from connemara_spark.operators.text import mojibake_sql_chain
+
+    good = " — ‘café’… naïve «déjà vu» 10€"
+    bad = good.encode("utf-8").decode("cp1252").replace("'", "''")
+    markers = " + ".join(
+        f"(length(t) - length(replace(t, '{m}', '')))" for m in ("Ã", "â", "Â")
+    )
+    fixed_markers = " + ".join(
+        f"(length(f) - length(replace(f, '{m}', '')))" for m in ("Ã", "â", "Â")
+    )
+    return f"""
+    WITH c AS (SELECT doc_id, text || '{bad}' AS t FROM documents),
+    r AS (SELECT doc_id, t, {mojibake_sql_chain('t')} AS f FROM c)
+    SELECT doc_id,
+           CAST({markers} AS BIGINT) AS n_markers,
+           md5(f) AS fixed_digest,
+           CAST({fixed_markers} AS BIGINT) AS residual_markers
+    FROM r
+    """
+
+
+@register(
+    "doc_mojibake_repair",
+    _mojibake_oracle(),
+    "ftfy-class encoding repair: UTF-8-as-CP1252 mojibake detected by misdecode lead "
+    "chars and repaired by a GENERATED native replace-chain (bad = good.encode('utf-8')"
+    ".decode('cp1252') for each target char, unmapped CP1252 codes auto-skipped); a "
+    "deterministic corrupted suffix is injected per doc and the oracle runs the "
+    "IDENTICAL chain, gating repaired-text digests bit-for-bit",
+)
+def doc_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.text import mojibake_marker_count, repair_mojibake
+
+    good = " — ‘café’… naïve «déjà vu» 10€"
+    bad = good.encode("utf-8").decode("cp1252")
+    docs = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.concat(F.col("text"), F.lit(bad)).alias("t")
+    )
+    return docs.select(
+        "doc_id",
+        mojibake_marker_count("t").cast("bigint").alias("n_markers"),
+        F.md5(repair_mojibake("t")).alias("fixed_digest"),
+        mojibake_marker_count(repair_mojibake("t")).cast("bigint").alias("residual_markers"),
+    )
+
+
 @register(
     "doc_repetition_filters",
     """

@@ -116,3 +116,45 @@ def test_contamination_excludes_self_pairs(spark):
     out = contamination_pairs(docs, bench, k=13).collect()
     assert all(r["train_doc_id"] != r["bench_doc_id"] for r in out)
     assert out == []  # all-distinct vocab: no cross-doc overlap
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair
+# ---------------------------------------------------------------------------
+
+
+def test_mojibake_pairs_generated_and_safe():
+    from connemara_spark.operators.text import mojibake_pairs
+
+    pairs = mojibake_pairs()
+    assert len(pairs) >= 20
+    for bad, good in pairs:
+        assert bad == good.encode("utf-8").decode("cp1252")
+        # longest-first ordering so 3-byte sequences repair before 2-byte
+    lens = [len(b) for b, _ in pairs]
+    assert lens == sorted(lens, reverse=True)
+
+
+def test_mojibake_repair_and_detection(spark):
+    from connemara_spark.operators.text import (
+        mojibake_marker_count,
+        repair_mojibake,
+    )
+    from pyspark.sql import functions as F
+
+    good = "déjà — ‘café’… naïve «über» 10€"
+    bad = good.encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame([(1, bad), (2, "plain ascii"), (3, good)], "id long, t string")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            repair_mojibake("t").alias("fixed"),
+            mojibake_marker_count("t").alias("n"),
+        ).collect()
+    }
+    assert rows[1]["fixed"] == good          # corrupted text repaired
+    assert rows[1]["n"] > 0                  # detected
+    assert rows[2]["fixed"] == "plain ascii"  # clean ascii untouched
+    assert rows[2]["n"] == 0
+    assert rows[3]["fixed"] == good          # already-good text is a fixpoint
