@@ -1672,6 +1672,68 @@ def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(docs, "text").drop("text")
 
 
+def _pagerank_oracle() -> str:
+    """Fixed-point PageRank unrolled to 3 iterations — pure integer
+    arithmetic (// floor division) so every engine agrees bit-for-bit."""
+    scale = 10**12
+    it = """
+    i{k} AS (
+        SELECT e.dst AS node, SUM(r.rank_fp // d.outdeg) AS inflow
+        FROM edges e JOIN r{p} r ON e.src = r.node JOIN deg d ON e.src = d.node
+        GROUP BY e.dst
+    ),
+    r{k} AS (
+        SELECT n.node,
+               (15 * (SELECT base FROM b)) // 100
+                 + (85 * COALESCE(i.inflow, 0)) // 100 AS rank_fp
+        FROM nodes n LEFT JOIN i{k} i ON n.node = i.node
+    )"""
+    iters = ",".join(it.format(k=k, p=k - 1) for k in (1, 2, 3))
+    return f"""
+    WITH e0 AS (
+        SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src AS node_d, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    b AS (SELECT {scale} // COUNT(*) AS base FROM nodes),
+    r0 AS (SELECT node, (SELECT base FROM b) AS rank_fp FROM nodes),
+    {iters}
+    SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind,
+           node // 2 AS key, rank_fp
+    FROM r3
+    """.replace("JOIN deg d ON e.src = d.node", "JOIN deg d ON e.src = d.node_d")
+
+
+@register(
+    "graph_pagerank_orders",
+    _pagerank_oracle(),
+    "fixed-point PageRank (3 iterations, damping 0.85) over the undirected "
+    "supplier-customer order graph — BIGINT ranks at scale 1e12, all-integer "
+    "update rule (div floor division) so results are bit-identical across engines, "
+    "partitionings, and retries; per iteration: one ranks-edges join + one "
+    "aggregation shuffle on the 8-byte node key, localCheckpoint lineage truncation",
+)
+def graph_pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.graph import pagerank_fixed_point
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("o_custkey") * 2 + 1).alias("dst"),
+    )
+    r = pagerank_fixed_point(edges, iterations=3)
+    return r.select(
+        F.when(F.col("node") % 2 == 0, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("kind"),
+        F.expr("node div 2").alias("key"),
+        "rank_fp",
+    )
+
+
 def _mojibake_oracle() -> str:
     from connemara_spark.operators.text import mojibake_sql_chain
 
