@@ -51,20 +51,30 @@ def pagerank_fixed_point(
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.distinct().persist()
 
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
-    n_nodes = nodes.count()  # one driver scalar; deterministic
+    # one aggregation yields BOTH the degree table and the node set (deg is
+    # distinct-by-src by construction — no separate distinct shuffle)
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
+    )
+    nodes = deg.select("node")
+    n_nodes = deg.count()  # one driver scalar; deterministic
     base = scale // n_nodes
     teleport = (15 * base) // 100
 
     ranks = nodes.withColumn("rank_fp", F.lit(base).cast("long"))
     for _ in range(iterations):
-        contrib = (
-            ranks.join(deg.withColumnRenamed("src", "node"), "node")
-            .select(F.col("node").alias("src"), F.expr("rank_fp div outdeg").alias("c"))
+        contrib = ranks.join(deg, "node").select(
+            F.col("node").alias("src"), F.expr("rank_fp div outdeg").alias("c")
         )
+        # contrib is one row per node (8+8 bytes) — broadcast it so the
+        # big edge table is never shuffled after its initial distinct;
+        # at web scale (nodes too big to broadcast) drop the hint and the
+        # join falls back to shuffle-on-src, still keyed 8-byte
         inflow = (
-            e.join(contrib, "src")
+            e.join(F.broadcast(contrib), "src")
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
             .withColumnRenamed("dst", "node")
