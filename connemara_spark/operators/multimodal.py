@@ -573,13 +573,16 @@ def sample_video_frames(
     target_partition_bytes: int = 128 << 20,
 ) -> DataFrame:
     """REAL video frame sampling: decode the container, pick the frame at
-    each ``every_ms`` grid point (``frame = t·fps/1000``, one row per
-    sampled frame), and feature-extract the LUMA plane (mean + checksum —
-    the per-frame stats a filtering pipeline thresholds on). ``y4m`` is a
-    real pure-python container parse; compressed codecs (H.264, VP9, ...)
-    need a decoder library and raise NotImplementedError at the boundary.
+    each ``every_ms`` grid point (``frame = t·fps/1000`` for fixed-rate
+    y4m; cumulative per-frame delays for gif), one row per sampled frame,
+    and feature-extract the luminance plane (mean + checksum — the
+    per-frame stats a filtering pipeline thresholds on). ``y4m`` is a
+    real pure-python container parse; ``gif`` is the real LZW decode with
+    per-frame stats over the palette RED channel (the luma stand-in for
+    indexed color). Compressed codecs (H.264, VP9, ...) need a decoder
+    library and raise NotImplementedError at the boundary.
     ``sample_frames`` remains the metadata-only grid for stub payloads."""
-    if codec != "y4m":
+    if codec not in ("y4m", "gif"):
         raise NotImplementedError(f"codec {codec!r} requires a video decoder library")
     n_parts = n_partitions or estimate_partitions(df, target_partition_bytes=target_partition_bytes)
     src = df.select("media_id", "payload").repartition(n_parts)
@@ -590,25 +593,51 @@ def sample_video_frames(
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                try:
-                    w, h, num, den, frames = decode_y4m(bytes(payload))
-                except (ValueError, NotImplementedError):
-                    continue
-                if not frames or num == 0:
-                    continue
-                duration_ms = len(frames) * 1000 * den // num
-                t = 0
-                while t < duration_ms:
-                    fi = t * num // (1000 * den)
-                    luma = frames[fi][: w * h]  # Y plane leads in both Cmono/C420
-                    out.append(
-                        (
-                            int(mid), int(fi), int(t), w, h,
-                            float(sum(luma) / len(luma)) if luma else 0.0,
-                            int(sum(luma) % (1 << 31)),
+                if codec == "y4m":
+                    try:
+                        w, h, num, den, frames = decode_y4m(bytes(payload))
+                    except (ValueError, NotImplementedError):
+                        continue
+                    if not frames or num == 0:
+                        continue
+                    duration_ms = len(frames) * 1000 * den // num
+                    t = 0
+                    while t < duration_ms:
+                        fi = t * num // (1000 * den)
+                        luma = frames[fi][: w * h]  # Y plane leads in Cmono/C420
+                        out.append(
+                            (
+                                int(mid), int(fi), int(t), w, h,
+                                float(sum(luma) / len(luma)) if luma else 0.0,
+                                int(sum(luma) % (1 << 31)),
+                            )
                         )
-                    )
-                    t += every_ms
+                        t += every_ms
+                else:  # gif: per-frame delays form the timeline
+                    try:
+                        w, h, pal, gframes = decode_gif(bytes(payload))
+                    except (ValueError, NotImplementedError):
+                        continue
+                    if not gframes or not pal:
+                        continue
+                    starts = []  # (start_ms, frame_idx)
+                    acc = 0
+                    for fi, (delay_cs, _) in enumerate(gframes):
+                        starts.append((acc, fi))
+                        acc += delay_cs * 10
+                    duration_ms = acc
+                    t = 0
+                    while t < duration_ms:
+                        fi = max(i for s, i in starts if s <= t)
+                        reds = [pal[3 * ix] for ix in gframes[fi][1]]
+                        out.append(
+                            (
+                                int(mid), int(fi), int(t), w, h,
+                                float(sum(reds) / len(reds)) if reds else 0.0,
+                                int(sum(reds) % (1 << 31)),
+                            )
+                        )
+                        t += every_ms
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -891,3 +920,215 @@ def image_stats_features(
     return src.mapInPandas(
         feats, "media_id long, mean_g double, var_g double, dyn_range int"
     )
+
+
+# --------------------------------------------------------------------------
+# GIF codec (GIF89a, pure python: real LZW both directions)
+# --------------------------------------------------------------------------
+
+
+def _lzw_compress(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: LSB-first bit packing, clear/end codes, code width
+    grows 9..12 bits, table reset at 4096 entries."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    buf = b""
+    for b in indices:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:  # table full: reset (keeps decoder tables in lockstep)
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        buf = bytes([b])
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream (no end code)")
+            bitbuf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    palette: bytes,
+    *,
+    delay_cs: int = 10,
+) -> bytes:
+    """Encode a (possibly animated) GIF89a: one full-size image per frame,
+    256-entry global color table, real LZW compression, per-frame graphic
+    control extension carrying ``delay_cs`` (centiseconds)."""
+    if len(palette) != 256 * 3:
+        raise ValueError("palette must be 256*3 bytes")
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("each frame must be width*height palette indices")
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global color table, 8 bits/channel, 256 entries
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += palette
+    for f in frames:
+        out += b"\x21\xf9" + struct.pack("<BBHBB", 4, 0, delay_cs, 0, 0)  # GCE
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)  # descriptor
+        out.append(8)  # LZW minimum code size
+        lzw = _lzw_compress(f, 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(raw: bytes) -> tuple[int, int, bytes, list[tuple[int, bytes]]]:
+    """Parse GIF87a/89a: returns (width, height, global_palette,
+    [(delay_cs, frame_indices), ...]) with each frame a full-canvas index
+    plane. Supports global color table + full-size non-interlaced frames
+    (the shape the encoder writes); local color tables, interlace, and
+    partial-canvas frames raise NotImplementedError."""
+    if len(raw) < 13 or raw[:4] != b"GIF8":
+        raise ValueError("not a GIF")
+    width, height, flags, _bg, _ar = struct.unpack_from("<HHBBB", raw, 6)
+    pos = 13
+    palette = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = raw[pos : pos + 3 * n]
+        pos += 3 * n
+    frames: list[tuple[int, bytes]] = []
+    delay = 0
+    while pos < len(raw):
+        b = raw[pos]
+        if b == 0x3B:  # trailer
+            return width, height, palette, frames
+        if b == 0x21:  # extension
+            label = raw[pos + 1]
+            pos += 2
+            if label == 0xF9 and raw[pos] >= 4:
+                delay = struct.unpack_from("<H", raw, pos + 2)[0]
+            while raw[pos]:  # skip sub-blocks
+                pos += raw[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, w, h, iflags = struct.unpack_from("<HHHHB", raw, pos + 1)
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if iflags & 0x80:
+                raise NotImplementedError("local color table not supported")
+            if (left, top, w, h) != (0, 0, width, height):
+                raise NotImplementedError("partial-canvas GIF frame not supported")
+            min_code = raw[pos]
+            pos += 1
+            data = bytearray()
+            while raw[pos]:
+                n = raw[pos]
+                data += raw[pos + 1 : pos + 1 + n]
+                pos += n + 1
+            pos += 1
+            idx = _lzw_decompress(bytes(data), min_code)
+            if len(idx) != width * height:
+                raise ValueError("GIF frame size mismatch after LZW")
+            frames.append((delay, idx))
+            delay = 0
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("missing GIF trailer")
+
+
+def gif_fixture(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) of real animated GIF89a clips at 10 fps
+    (delay 10 cs): width = 2 + id%3, height = 2 + id%2, n_frames =
+    3 + id%4, palette[i] = (i, (i*3)%256, (i*7)%256), frame index
+    v(f,y,x) = (id*17 + f*5 + y*3 + x) % 256 — the same index formula as
+    the Y4M fixture, so frame-sampling oracles share structure."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        palette = bytes(
+            c for i in range(256) for c in (i, (i * 3) % 256, (i * 7) % 256)
+        )
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h, nf = 2 + did % 3, 2 + did % 2, 3 + did % 4
+                frames = [
+                    bytes((did * 17 + f * 5 + y * 3 + x) % 256 for y in range(h) for x in range(w))
+                    for f in range(nf)
+                ]
+                rows.append((did, encode_gif(w, h, frames, palette, delay_cs=10)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return ids.select(id_col).mapInPandas(gen, schema="media_id long, payload binary")

@@ -2544,6 +2544,42 @@ def multimodal_y4m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(y4m_fixture(docs), every_ms=200, codec="y4m", n_partitions=32)
 
 
+@register(
+    "multimodal_gif_frame_sample",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS w, CAST(2 + doc_id % 2 AS INT) AS h,
+               CAST(3 + doc_id % 4 AS INT) AS nf
+        FROM documents
+    ),
+    grid AS (
+        SELECT d.*, ts.t FROM dims d, range(0, 600, 200) ts(t)
+        WHERE ts.t < d.nf * 100
+    ),
+    px AS (
+        SELECT g.doc_id, g.t, g.w, g.h, CAST(g.t // 100 AS INT) AS f,
+               ((g.doc_id * 17 + (g.t // 100) * 5 + ys.y * 3 + xs.x) % 256) AS v
+        FROM grid g, range(0, 3) ys(y), range(0, 4) xs(x)
+        WHERE ys.y < g.h AND xs.x < g.w
+    )
+    SELECT doc_id AS media_id, f AS frame_idx, CAST(t AS INT) AS t_ms,
+           w AS width, h AS height,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_luma,
+           CAST(SUM(v) % 2147483648 AS BIGINT) AS checksum
+    FROM px GROUP BY doc_id, f, t, w, h
+    """,
+    "REAL animated-GIF parse (GIF89a chunk walk + real LZW decompression, 9-12-bit "
+    "codes, table resets, KwKwK case) + delay-driven frame-grid sampling with "
+    "palette-red stats; the fixture palette has red = index, so the oracle "
+    "recomputes sampled frames from the index formula in closed form",
+)
+def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.multimodal import gif_fixture, sample_video_frames
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    return sample_video_frames(gif_fixture(docs), every_ms=200, codec="gif", n_partitions=32)
+
+
 def _ivf_lit_oracle(*, dim: int = 64, k: int = 10, n_cells: int = 16, n_probe: int = 2, seed: int = 42) -> str:
     """DuckDB oracle for the literal-centroid IVF twin: the SAME seeded
     centroids render into both engines' SQL (flat double chain ≡ Spark's

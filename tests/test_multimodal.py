@@ -355,3 +355,71 @@ def test_png_image_stats_grayscale_and_rgba(spark):
     # RGBA: channel index 1 of each 4-byte pixel
     g2 = list(range(40))[1::4]
     assert rows[2]["mean_g"] == sum(g2) / len(g2)
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (real LZW both directions)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_lzw_roundtrip_including_table_reset():
+    import random
+
+    from connemara_spark.operators.multimodal import _lzw_compress, _lzw_decompress
+
+    rng = random.Random(1)
+    cases = [
+        bytes(rng.randrange(256) for _ in range(10000)),  # forces table reset
+        b"abc" * 5000,                                    # long repeats (KwKwK)
+        bytes(range(256)) * 32,
+        b"",
+        b"\x00",
+    ]
+    for data in cases:
+        assert _lzw_decompress(_lzw_compress(data, 8), 8) == data
+    small = bytes(rng.randrange(4) for _ in range(5000))
+    assert _lzw_decompress(_lzw_compress(small, 2), 2) == small
+
+
+def test_gif_roundtrip_animated():
+    from connemara_spark.operators.multimodal import decode_gif, encode_gif
+
+    pal = bytes(c for i in range(256) for c in (i, (i * 3) % 256, (i * 7) % 256))
+    frames = [bytes((f * 5 + i) % 256 for i in range(12)) for f in range(4)]
+    w, h, p, fr = decode_gif(encode_gif(4, 3, frames, pal, delay_cs=7))
+    assert (w, h) == (4, 3) and p == pal
+    assert [d for d, _ in fr] == [7] * 4
+    assert [x for _, x in fr] == frames
+
+
+def test_gif_unsupported_features_raise():
+    import struct
+
+    from connemara_spark.operators.multimodal import decode_gif, encode_gif
+
+    pal = bytes(768)
+    enc = bytearray(encode_gif(2, 2, [bytes(4)], pal))
+    # flip the interlace bit in the image descriptor flags byte
+    idx = enc.index(0x2C, 13 + 768)
+    enc[idx + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(enc))
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+
+
+def test_gif_frame_sampling_hand_checked(spark):
+    from connemara_spark.operators.multimodal import gif_fixture, sample_video_frames
+
+    ids = spark.createDataFrame([(5,)], "doc_id long")
+    out = sorted(
+        (r["frame_idx"], r["t_ms"], r["mean_luma"])
+        for r in sample_video_frames(gif_fixture(ids), every_ms=200, codec="gif", n_partitions=1).collect()
+    )
+    # id=5: w=4, h=3, nf=4 frames @100ms -> 400ms; grid 0,200 -> frames 0,2;
+    # palette red channel == index, so mean over the index formula
+    def mean_red(f):
+        vals = [(5 * 17 + f * 5 + y * 3 + x) % 256 for y in range(3) for x in range(4)]
+        return sum(vals) / len(vals)
+
+    assert out == [(0, 0, mean_red(0)), (2, 200, mean_red(2))]
