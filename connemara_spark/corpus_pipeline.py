@@ -159,3 +159,30 @@ def curate_corpus(
 
     rep = [(name, df.count()) for name, df in stages] if report else []
     return CurationResult(corpus=cur, report=rep)
+
+
+def write_training_shards(
+    result: CurationResult,
+    out_dir: str,
+    *,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Emit the curated corpus as WebDataset-style tar shards, routed by
+    the packing bin so each shard holds whole token-budget bins (a loader
+    streams one shard = a contiguous run of packed sequences). Members per
+    sample: ``{doc_id}.txt`` (text) + ``{doc_id}.json`` (metadata: lang,
+    split, bin). Returns the shard manifest (the action — collect it)."""
+    from connemara_spark.sources.shards import write_tar_shards
+
+    cur = result.corpus.withColumn(
+        "meta",
+        F.to_json(F.struct("lang", "split", "bin_id", "n_tokens")),
+    ).withColumn("__shard", F.pmod(F.col("bin_id"), F.lit(n_shards)))
+    return write_tar_shards(
+        cur,
+        out_dir,
+        key_col="doc_id",
+        member_cols={"txt": "text", "json": "meta"},
+        n_shards=n_shards,
+        shard_col="__shard",
+    )

@@ -60,3 +60,28 @@ def test_curate_corpus_decontamination_removes_benchmark(spark, sf_dir):
     }
     corpus_ids = {r["doc_id"] for r in res.corpus.select("doc_id").collect()}
     assert not (bench_ids & corpus_ids)
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """Pipeline → tar shards: whole bins per shard, metadata members intact."""
+    import json
+
+    from connemara_spark.corpus_pipeline import CurationConfig, curate_corpus, write_training_shards
+    from connemara_spark.sources.shards import read_tar_shards
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+    )
+    res = curate_corpus(spark, docs, config=CurationConfig(mixture_alpha=None), report=False)
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(res, out, n_shards=4).collect()
+    n_kept = res.corpus.count()
+    assert sum(m["n_samples"] for m in manifest) == n_kept
+
+    back = read_tar_shards(spark, out)
+    assert back.count() == n_kept
+    sample = back.limit(1).collect()[0]
+    meta = json.loads(sample["members"]["json"].decode())
+    assert set(meta) == {"lang", "split", "bin_id", "n_tokens"}
+    assert sample["members"]["txt"]  # text member present and non-empty
