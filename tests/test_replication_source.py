@@ -164,3 +164,75 @@ def test_streaming_replayer_over_wal_spool(spark, tmp_path):
     sr.run_until_drained()
     assert {r["id"]: r["v"] for r in store.read(spec).collect()} == {1: "a2"}
     assert sr.watermark.get("db1", "slot_db1") == 4
+
+
+def test_wal_spool_ddl_barrier_mid_stream(spark, tmp_path):
+    """Mid-stream DDL through the custom source: the batch splits at the
+    DDL event, the catalog evolves, and post-DDL DML lands in the new
+    shape — D11 semantics end-to-end over wal_spool."""
+    from tests.test_pipeline import ddl_event
+
+    spool = str(tmp_path / "spool")
+    cat = EngineCatalog()
+    cat.register(SPEC)
+    spec = cat.get("db1", "public", "items")
+    store = ParquetStore(spark, str(tmp_path / "silver"))
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=spool, checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+    )
+    write_segment(
+        spool,
+        _seg_rows([
+            make_event(spec, "insert", lsn=1, row={"id": 1, "v": "a"}),
+            ddl_event(2, "ALTER TABLE public.items ADD COLUMN note text"),
+        ]),
+        "seg-001",
+    )
+    sr.run_until_drained()
+    assert cat.get("db1", "public", "items").column_names == ["id", "v", "note"]
+
+    evolved = cat.get("db1", "public", "items")
+    write_segment(
+        spool,
+        _seg_rows([make_event(evolved, "insert", lsn=3, row={"id": 2, "v": "b", "note": "n"})]),
+        "seg-002",
+    )
+    sr.run_until_drained()
+    got = {r["id"]: (r["v"], r["note"]) for r in store.read(evolved).collect()}
+    assert got == {1: ("a", None), 2: ("b", "n")}
+
+
+def test_wal_spool_two_sources_slot_restriction(spark, tmp_path):
+    """Two databases interleaved in one spool through the custom source;
+    slot restriction (F2) drops the unallowed source."""
+    spool = str(tmp_path / "spool")
+    cat = EngineCatalog()
+    cat.register(SPEC)
+    spec1 = cat.get("db1", "public", "items")
+    spec2 = TableSpec(
+        database="db2", schema="public", table="items",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text")],
+        pk_cols=["id"],
+    )
+    cat.register(spec2)
+    store = ParquetStore(spark, str(tmp_path / "silver"))
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=spool, checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+        allowed_slots=[("db1", "slot_db1")],
+        excluded_databases=["db2"],
+    )
+    write_segment(
+        spool,
+        _seg_rows([
+            make_event(spec1, "insert", lsn=1, row={"id": 1, "v": "from-db1"}),
+            make_event(spec2, "insert", lsn=2, row={"id": 1, "v": "from-db2"}),
+        ]),
+        "seg-001",
+    )
+    sr.run_until_drained()
+    assert {r["v"] for r in store.read(spec1).collect()} == {"from-db1"}
+    assert store.read(spec2).count() == 0  # excluded source never applied
