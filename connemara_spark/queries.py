@@ -2904,6 +2904,35 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_props_variant",
+    f"""
+    {EVENTS_CTE}
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                      THEN 1 END) AS BIGINT) AS n_high
+    FROM ev
+    GROUP BY event_type
+    """,
+    "VARIANT-typed twin of the P3 JSON projection: props ingested once with "
+    "parse_json into Spark 4's binary VARIANT encoding, typed path access via "
+    "try_variant_get — the semi-structured fast path (no per-access string "
+    "re-parse, unlike get_json_object); oracle uses plain JSON extraction",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.count(F.when(F.col("k") > 50, 1)).cast("bigint").alias("n_high"),
+    )
+
+
 def _zorder_oracle() -> str:
     from connemara_spark.operators.layout import morton_key_sql
 
