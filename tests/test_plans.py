@@ -218,3 +218,27 @@ def test_mixture_resample_broadcasts_acceptance_table(spark, sf_dir):
     plans.assert_no_cartesian(df)
     plans.assert_broadcast_join(df)
     plans.assert_no_python_udf(df)
+
+
+def test_mojibake_variant_winnow_stay_jvm_side(spark, sf_dir):
+    # the round-3 per-row text/semi-structured ops are pure Catalyst
+    for name in ("doc_mojibake_repair", "events_props_variant", "doc_winnow_fingerprints"):
+        df = q(name, spark, sf_dir)
+        plans.assert_no_python_udf(df)
+        plans.assert_no_cartesian(df)
+
+
+def test_winnow_plan_holds_each_hof_level_once(spark, sf_dir):
+    # the let-binding regression gate: the gram-hash md5 subtree must appear
+    # a bounded number of times in the final plan (unbound composition
+    # duplicated it per window position / per output column — 8+ copies)
+    from connemara_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(q("doc_winnow_fingerprints", spark, sf_dir))
+    assert plan.count("md5") <= 6, "winnow gram-hash subtree duplicated — _bind regression"
+
+
+def test_pagerank_broadcasts_contributions_no_cartesian(spark, sf_dir):
+    df = q("graph_pagerank_orders", spark, sf_dir)
+    plans.assert_no_cartesian(df)
+    plans.assert_no_python_udf(df)
