@@ -4100,6 +4100,109 @@ def doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_join_view_delta",
+    """
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               'cdc#' || CAST(event_id AS VARCHAR) AS c_name
+        FROM events
+    ),
+    c0 AS (
+        SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_name ELSE l.c_name END AS c_name
+        FROM customer c FULL OUTER JOIN
+             (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+                             FROM chg WHERE event_id <= 5000) t WHERE rn = 1) l
+          ON c.c_custkey = l.c_custkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    ),
+    c1 AS (
+        SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_name ELSE l.c_name END AS c_name
+        FROM customer c FULL OUTER JOIN
+             (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+                             FROM chg) t WHERE rn = 1) l
+          ON c.c_custkey = l.c_custkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    ),
+    a0 AS (
+        SELECT user_id AS a_userkey, event_type AS a_last_type, value AS a_balance
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_id <= 5000) t WHERE rn = 1
+    ),
+    a1 AS (
+        SELECT user_id AS a_userkey, event_type AS a_last_type, value AS a_balance
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+              FROM events) t WHERE rn = 1
+    ),
+    tk AS (
+        SELECT DISTINCT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS k
+        FROM events WHERE event_id > 5000
+        UNION
+        SELECT DISTINCT user_id FROM events WHERE event_id > 5000
+    ),
+    v0 AS (
+        SELECT c.c_custkey, c.c_name, a.a_last_type, a.a_balance
+        FROM c0 c JOIN a0 a ON c.c_custkey = a.a_userkey
+        WHERE c.c_custkey IN (SELECT k FROM tk)
+    ),
+    v1 AS (
+        SELECT c.c_custkey, c.c_name, a.a_last_type, a.a_balance
+        FROM c1 c JOIN a1 a ON c.c_custkey = a.a_userkey
+        WHERE c.c_custkey IN (SELECT k FROM tk)
+    )
+    SELECT 'ins' AS op, * FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)
+    UNION ALL
+    SELECT 'del' AS op, * FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1)
+    """,
+    "incremental JOIN-view maintenance (Blakeley-style delta rule): the customer x "
+    "account equi-join view's row-level delta between the LSN-5000 cut and the full "
+    "stream, computed ONLY over join keys touched by either CDC delta (broadcast "
+    "semi-join pruning) — work scales with |delta|, not the view; oracle recomputes "
+    "both view states and diffs them with EXCEPT ALL",
+)
+def cdc_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from connemara_spark.operators.ivm import join_view_delta
+
+    cut = 5000
+    snapshot = load(spark, sf_dir, "customer")
+    cust_bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    c_ev = parse_events(cust_bronze)
+    c0 = apply_changes(snapshot, c_ev.filter(F.col("lsn_start") <= cut), CUSTOMER_SPEC)
+    c1 = apply_changes(snapshot, c_ev, CUSTOMER_SPEC)
+
+    acct_schema = T.StructType(
+        [
+            T.StructField("a_userkey", T.LongType()),
+            T.StructField("a_last_type", T.StringType()),
+            T.StructField("a_balance", T.DoubleType()),
+        ]
+    )
+    acct_bronze = _account_cdc_bronze(spark, sf_dir).persist()
+    a_ev = parse_events(acct_bronze)
+    empty = spark.createDataFrame([], acct_schema)
+    a0 = apply_changes(empty, a_ev.filter(F.col("lsn_start") <= cut), ACCOUNT_SPEC)
+    a1 = apply_changes(empty, a_ev, ACCOUNT_SPEC)
+
+    ev = spread(load(spark, sf_dir, "events"))
+    late = ev.filter(F.col("event_id") > cut)
+    touched = (
+        late.select(((F.col("user_id") * 31 + F.col("event_id") % 100) % 200 + 1).cast("long").alias("k"))
+        .union(late.select(F.col("user_id").alias("k")))
+        .distinct()
+    )
+    return join_view_delta(
+        c0, c1, a0, a1,
+        key_a="c_custkey", key_b="a_userkey", touched=touched,
+        view_cols=["c_custkey", "c_name", "a_last_type", "a_balance"],
+    )
+
+
 ACCOUNT_SPEC = TableSpec(
     database="db1",
     schema="public",
