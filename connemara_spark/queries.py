@@ -2032,6 +2032,40 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_next_order_per_event",
+    f"""
+    {EVENTS_CTE},
+    ord AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT event_id, user_id, ts, o_orderkey, o_orderdate, o_totalprice
+    FROM ev ASOF LEFT JOIN ord
+      ON ev.user_id = ord.o_custkey AND ev.ts <= ord.o_orderdate
+    """,
+    "FORWARD as-of join (earliest order at-or-after each event) — the mirror-image "
+    "union+window re-expression, still one shuffle; oracle is DuckDB ASOF with the "
+    "<= inequality",
+)
+def asof_next_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.apply import latest_wins
+    from connemara_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ord_ = latest_wins(
+        load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        ["o_custkey", "o_orderdate"],
+        ["o_orderkey"],
+    ).withColumnRenamed("o_custkey", "user_id")
+    return asof_join(
+        ev, ord_, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        how="left", direction="forward",
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+@register(
     "events_funnel_transitions",
     f"""
     {EVENTS_CTE}

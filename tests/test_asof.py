@@ -84,3 +84,44 @@ def test_range_self_join_blocks_not_cartesian(spark):
     # the plan must be a hash join on (key, bucket) — never nested-loop
     plans.assert_no_cartesian(out)
     plans.assert_no_python_udf(out)
+
+
+def test_asof_forward_and_tolerance(spark):
+    from connemara_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 00:00:10"), (2, "k", "2024-01-01 00:01:00")],
+        "id long, k string, lts string",
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:10", "r0"), ("k", "2024-01-01 00:00:30", "r1")],
+        "k string, rts string, rv string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    fwd = {
+        r["id"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts", direction="forward"
+        ).collect()
+    }
+    # id=1 matches the equal-timestamp right row (at-or-after inclusivity);
+    # id=2 has no right row at or after -> null
+    assert fwd == {1: "r0", 2: None}
+
+    # tolerance: id=1's backward match is exact (gap 0), id=2's nearest
+    # backward row is 30s away -> nulled at 10s tolerance
+    tol = {
+        r["id"]: r["rv"]
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            direction="backward", tolerance_seconds=10.0,
+        ).collect()
+    }
+    assert tol == {1: "r0", 2: None}
+
+    # inner + tolerance drops the out-of-tolerance row entirely
+    inner = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        direction="backward", tolerance_seconds=10.0, how="inner",
+    ).collect()
+    assert [r["id"] for r in inner] == [1]

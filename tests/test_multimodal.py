@@ -155,9 +155,10 @@ def test_undecodable_payloads_are_dropped(spark):
 
 
 def test_unavailable_codecs_raise(spark):
+    # png is a real codec since round 3 — jpeg/mp3 remain library-bound
     df = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
     with pytest.raises(NotImplementedError):
-        decode_images(df, codec="png")
+        decode_images(df, codec="jpeg")
     with pytest.raises(NotImplementedError):
         decode_audio(df, codec="mp3")
     with pytest.raises(NotImplementedError):
