@@ -216,3 +216,69 @@ def split_ddl_dml(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     ddl = events.filter(is_ddl_event())
     dml = events.filter(~is_ddl_event())
     return ddl, dml
+
+
+def schema_drift_report(events: DataFrame, catalog) -> DataFrame:
+    """Schema-drift detector: observed event columns vs the engine catalog.
+
+    The reference replayer treats an unknown column as a fatal drift (its
+    generated UPDATE would fail the one-row assertion, replay.pl:416-426,
+    after a missed DDL or cache-invalidation bug). A 1000-executor
+    pipeline wants the OBSERVABILITY version first: per (db, schema,
+    table, column), classify
+
+    - ``unknown``    — column seen in events but absent from the catalog
+      (missed DDL, upstream schema change, decoder mismatch);
+    - ``unobserved`` — catalog column never present in any event payload
+      over the window (dead column, or TOAST-suppressed everywhere —
+      worth eyes either way).
+
+    Healthy columns are omitted. One explode + one aggregation shuffle on
+    (table, column) — column-name cardinality, not row cardinality; the
+    catalog side is a driver-rendered literal table (catalogs are small
+    by construction).
+
+    Returns: database, schema, table, column, status, n_events,
+    first_lsn, last_lsn (the LSN range localizes WHEN drift started —
+    nulls for unobserved columns).
+    """
+    spark = events.sparkSession
+    obs = (
+        events.filter(F.col("columnnames").isNotNull())
+        .select(
+            "database", "schema", "table", "lsn_start",
+            F.explode("columnnames").alias("column"),
+        )
+        .groupBy("database", "schema", "table", "column")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("lsn_start").alias("first_lsn"),
+            F.max("lsn_start").alias("last_lsn"),
+        )
+    )
+    spec_rows = [
+        (t.database, t.schema, t.table, c.name)
+        for t in catalog.tables()
+        for c in t.columns
+    ]
+    spec = spark.createDataFrame(
+        spec_rows, "database string, schema string, table string, column string"
+    )
+    joined = obs.join(
+        F.broadcast(spec.withColumn("__in_cat", F.lit(1))),
+        ["database", "schema", "table", "column"],
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("__in_cat").isNull(), F.lit("unknown"))
+        .when(F.col("n_events").isNull(), F.lit("unobserved"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            "database", "schema", "table", "column", "status",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            "first_lsn", "last_lsn",
+        )
+    )

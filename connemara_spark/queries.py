@@ -4135,6 +4135,76 @@ def doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_schema_drift",
+    """
+    WITH drift AS (
+        SELECT event_id FROM events WHERE event_id % 7 = 0 AND event_type <> 'error'
+    )
+    SELECT 'db1' AS database, 'public' AS "schema", 'customer' AS "table",
+           'c_phone' AS "column", 'unknown' AS status,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_lsn, MAX(event_id) AS last_lsn
+    FROM drift
+    UNION ALL
+    SELECT 'db1', 'public', 'account', col, 'unobserved',
+           0, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM (VALUES ('a_userkey'), ('a_last_type'), ('a_balance')) t(col)
+    """,
+    "schema-drift detector: observed event columns vs the engine catalog — an "
+    "injected c_phone column (missed-DDL simulation) reports 'unknown' with its "
+    "LSN range, and a registered-but-silent table's columns report 'unobserved'; "
+    "one explode + one agg shuffle on column-name cardinality",
+)
+def cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.events import schema_drift_report
+
+    ev = spread(load(spark, sf_dir, "events"))
+    key = ((F.col("user_id") * 31 + F.col("event_id") % 100) % 200 + 1).cast("long")
+    kind = (
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "insert")
+        .otherwise("update")
+    )
+    base_names = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    names = F.array(*[F.lit(c) for c in base_names])
+    vals = F.array(
+        key.cast("string"),
+        F.concat(F.lit("cdc#"), F.col("event_id").cast("string")),
+        (F.col("user_id") % 25).cast("string"),
+        F.col("value").cast("string"),
+        F.col("event_type"),
+    )
+    # missed-DDL simulation: every 7th non-delete event carries an extra
+    # column the catalog does not know about
+    drifted = F.col("event_id") % 7 == 0
+    names = F.when(drifted, F.concat(names, F.array(F.lit("c_phone")))).otherwise(names)
+    vals = F.when(drifted, F.concat(vals, F.array(F.lit("555-0100")))).otherwise(vals)
+    payload = F.to_json(
+        F.struct(
+            kind.alias("kind"),
+            F.lit("public").alias("schema"),
+            F.lit("customer").alias("table"),
+            F.when(kind != "delete", names).alias("columnnames"),
+            F.when(kind != "delete", vals).alias("columnvalues"),
+        )
+    )
+    bronze = ev.select(
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("insert_timestamp"),
+        F.lit("db1").alias("database"),
+        F.lit("slot_db1").alias("source_slotname"),
+        F.col("event_id").alias("lsn_start"),
+        (F.col("event_id") + 1000).alias("xid"),
+        F.col("ts").alias("xid_timestamp"),
+        payload.alias("payload"),
+    )
+    cat = EngineCatalog()
+    cat.register(CUSTOMER_SPEC)
+    cat.register(ACCOUNT_SPEC)  # registered but silent -> 'unobserved' rows
+    return schema_drift_report(parse_events(bronze), cat)
+
+
+@register(
     "cdc_join_view_delta",
     """
     WITH chg AS (

@@ -258,3 +258,44 @@ def test_ddl_search_path_resolves_unqualified_names(spark):
     assert m.ddl_executed == 1
     assert cat.maybe_get("db1", "audit", "audit_log") is not None
     assert cat.maybe_get("db1", "public", "audit_log") is None
+
+
+def test_schema_drift_report(spark):
+    from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
+    from connemara_spark.events import BRONZE_SCHEMA, parse_events, schema_drift_report
+    from connemara_spark.testing import make_event
+
+    cat = EngineCatalog()
+    spec = TableSpec(
+        database="db1", schema="public", table="items",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text")],
+        pk_cols=["id"],
+    )
+    cat.register(spec)
+    cat.register(TableSpec(
+        database="db1", schema="public", table="silent",
+        columns=[ColumnSpec("id", "bigint")], pk_cols=["id"],
+    ))
+
+    rows = [
+        make_event(spec, "insert", lsn=10, row={"id": 1, "v": "a"}),
+        make_event(spec, "insert", lsn=20, row={"id": 2, "v": "b"}),
+    ]
+    # inject an unknown column into the second event's payload
+    import json as j
+    p = j.loads(rows[1]["payload"])
+    p["columnnames"].append("ghost")
+    p["columnvalues"].append("boo")
+    rows[1]["payload"] = j.dumps(p)
+
+    bronze = spark.createDataFrame(
+        [tuple(r[f.name] for f in BRONZE_SCHEMA.fields) for r in rows], schema=BRONZE_SCHEMA
+    )
+    report = {
+        (r["table"], r["column"]): (r["status"], r["n_events"], r["first_lsn"], r["last_lsn"])
+        for r in schema_drift_report(parse_events(bronze), cat).collect()
+    }
+    assert report == {
+        ("items", "ghost"): ("unknown", 1, 20, 20),
+        ("silent", "id"): ("unobserved", 0, None, None),
+    }  # healthy columns (id, v) are omitted
