@@ -168,6 +168,30 @@ def interval_join_streams(
     """
     from pyspark.sql import functions as F
 
+    return _interval_join(left, right, key=key, left_ts=left_ts, right_ts=right_ts,
+                          watermark=watermark, max_gap=max_gap, how="inner")
+
+
+def interval_left_join_streams(
+    left, right, *, key: str, left_ts: str = "ts", right_ts: str = "ts",
+    watermark: str = "30 minutes", max_gap: str = "10 minutes",
+):
+    """Stream-stream LEFT OUTER interval join: every left row emits, with
+    nulls when no right row arrived in ``[left_ts, left_ts + max_gap]``.
+
+    The "impressions WITHOUT conversions" shape — the rows an inner join
+    silently drops are usually the interesting ones (funnel leakage).
+    Outer semantics force Spark to hold each unmatched left row until BOTH
+    watermarks clear its whole candidate interval (only then is
+    "no match" final), so null rows emit with up to watermark + gap delay;
+    state stays bounded by the same horizon as the inner join."""
+    return _interval_join(left, right, key=key, left_ts=left_ts, right_ts=right_ts,
+                          watermark=watermark, max_gap=max_gap, how="leftOuter")
+
+
+def _interval_join(left, right, *, key, left_ts, right_ts, watermark, max_gap, how):
+    from pyspark.sql import functions as F
+
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
@@ -175,4 +199,4 @@ def interval_join_streams(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_gap}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)

@@ -250,3 +250,66 @@ def test_session_window_rollup_batch_matches_gap_semantics(spark):
     )
     # session 1: 10:00-10:19 (end = last event + gap); session 2: 10:25-10:35
     assert got == [(0, 19, 2), (25, 35, 1)]
+
+
+def test_stream_stream_interval_left_join_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER attribution: unmatched impressions emit with null
+    conversion once both watermarks clear their candidate interval —
+    the funnel-leakage rows an inner join silently drops."""
+    from pyspark.sql import types as T
+
+    from connemara_spark.streaming.windows import interval_left_join_streams
+
+    imp_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("imp_id", T.LongType()),
+        ]
+    )
+    conv_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("conv_id", T.LongType()),
+        ]
+    )
+    imp_dir, conv_dir = str(tmp_path / "imp"), str(tmp_path / "conv")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    # user 1 converts in-gap; user 2 converts OUT of gap (-> null match);
+    # far-future sentinels advance both watermarks past every interval
+    spark.createDataFrame(
+        [(1, _ts(10, 0), 100), (2, _ts(10, 0), 200), (9, _ts(13, 0), 900)],
+        imp_schema,
+    ).coalesce(1).write.mode("append").parquet(imp_dir)
+    spark.createDataFrame(
+        [(1, _ts(10, 5), 1000), (2, _ts(10, 30), 2000), (9, _ts(13, 0), 9000)],
+        conv_schema,
+    ).coalesce(1).write.mode("append").parquet(conv_dir)
+
+    left = spark.readStream.schema(imp_schema).parquet(imp_dir)
+    right = spark.readStream.schema(conv_schema).parquet(conv_dir)
+    joined = interval_left_join_streams(
+        left, right, key="user_id", watermark="30 minutes", max_gap="10 minutes"
+    ).select("l.user_id", "imp_id", "conv_id")
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+
+    rows = sorted(
+        (r["user_id"], r["imp_id"], r["conv_id"])
+        for r in spark.read.schema(
+            "user_id long, imp_id long, conv_id long"
+        ).parquet(out).collect()
+    )
+    # user 2's impression now EMITS, with a null conversion
+    assert rows == [(1, 100, 1000), (2, 200, None), (9, 900, 9000)]
