@@ -115,3 +115,60 @@ def test_text_array_parsers_agree(tags):
         parse_pg_text_array("a").alias("v")
     ).collect()[0]
     assert row.v == tags
+
+
+# ---------------------------------------------------------------------------
+# Codec property tests (pure python — no Spark session)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    ct=st.sampled_from([0, 2, 6]),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, ct, data):
+    from connemara_spark.operators.multimodal import _PNG_CHANNELS, decode_png, encode_png
+
+    bpp = _PNG_CHANNELS[ct]
+    px = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * bpp, max_size=w * h * bpp))
+    )
+    assert decode_png(encode_png(w, h, px, color_type=ct)) == (w, h, bpp, px)
+
+
+@given(
+    min_code=st.sampled_from([2, 4, 8]),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_lzw_roundtrip_property(min_code, data):
+    from connemara_spark.operators.multimodal import _lzw_compress, _lzw_decompress
+
+    n = data.draw(st.integers(0, 3000))
+    payload = bytes(data.draw(st.lists(st.integers(0, (1 << min_code) - 1), min_size=n, max_size=n)))
+    assert _lzw_decompress(_lzw_compress(payload, min_code), min_code) == payload
+
+
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(1, 6),
+    nf=st.integers(1, 4),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_animated_roundtrip_property(w, h, nf, data):
+    from connemara_spark.operators.multimodal import decode_gif, encode_gif
+
+    palette = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=768, max_size=768))
+    )
+    frames = [
+        bytes(data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)))
+        for _ in range(nf)
+    ]
+    dw, dh, dpal, dframes = decode_gif(encode_gif(w, h, frames, palette, delay_cs=3))
+    assert (dw, dh, dpal) == (w, h, palette)
+    assert [f for _, f in dframes] == frames
