@@ -4277,6 +4277,11 @@ def cdc_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot = load(spark, sf_dir, "customer")
     cust_bronze = _customer_cdc_bronze(spark, sf_dir).persist()
     c_ev = parse_events(cust_bronze)
+    # two INDEPENDENT folds, not a staged c1-from-c0 fold: staging halves
+    # the fold work but serializes the shuffle critical path (fold over
+    # fold), measured slower on a wide executor than the two parallel
+    # subtrees (10.1s vs 7.5s at sf0.1); a long-lived pipeline would hold
+    # c0 materialized and pay only the late-events fold
     c0 = apply_changes(snapshot, c_ev.filter(F.col("lsn_start") <= cut), CUSTOMER_SPEC)
     c1 = apply_changes(snapshot, c_ev, CUSTOMER_SPEC)
 
