@@ -285,3 +285,54 @@ def mojibake_sql_chain(inner: str) -> str:
         g = good.replace("'", "''")
         expr = f"replace({expr}, '{b}', '{g}')"
     return expr
+
+
+def compression_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    level: int = 6,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """zlib-compressibility quality signal — the classic cheap proxy for
+    boilerplate/repetition (highly templated or looping text compresses
+    far below natural prose; near-random noise barely compresses at all).
+    Quality pipelines gate on both tails.
+
+    This is the module's one Arrow-batched python stage (DEFLATE has no
+    Catalyst expression); the kernel is bytes-in/ints-out per row, so the
+    batch shape is exactly where a JVM codec would slot in. Determinism
+    caveat: compressed LENGTH is a function of the zlib build — pin one
+    zlib version fleet-wide (the oracle recomputes with the same CPython
+    zlib, making the check cross-implementation but same-library).
+    """
+    src = df.select(id_col, text_col)
+    if n_partitions:
+        src = src.repartition(n_partitions)
+
+    def feats(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                raw = (txt or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                out.append(
+                    (
+                        int(did),
+                        len(raw),
+                        len(comp),
+                        len(comp) / len(raw) if raw else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_raw", "n_zlib", "compress_ratio"]
+            )
+
+    return src.mapInPandas(
+        feats, "doc_id long, n_raw long, n_zlib long, compress_ratio double"
+    )

@@ -1781,6 +1781,46 @@ def doc_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _compression_oracle(sf_dir: str) -> str:
+    """Cross-implementation oracle: a Spark-free pyarrow+zlib pass renders
+    per-doc compressed sizes as literals (same CPython zlib as the
+    executors — same-library by construction on this harness)."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for did, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        raw = (txt or "").encode("utf-8")
+        rows.append(f"({did},{len(raw)},{len(zlib.compress(raw, 6))})")
+    vals = ",".join(rows)
+    return f"""
+    SELECT doc_id,
+           CAST(n_raw AS BIGINT) AS n_raw,
+           CAST(n_zlib AS BIGINT) AS n_zlib,
+           CASE WHEN n_raw = 0 THEN 0.0
+                ELSE CAST(n_zlib AS DOUBLE) / n_raw END AS compress_ratio
+    FROM (VALUES {vals}) t(doc_id, n_raw, n_zlib)
+    """
+
+
+@register(
+    "doc_compression_ratio",
+    None,
+    "zlib-compressibility quality signal (boilerplate compresses far below prose, "
+    "noise barely compresses — gate both tails); Arrow-batched python stage with a "
+    "cross-implementation oracle: a Spark-free pyarrow+zlib pass renders expected "
+    "sizes as SQL literals, value-hash-gated bit-for-bit",
+    oracle_fn=_compression_oracle,
+)
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.text import compression_features
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    return compression_features(docs, n_partitions=32)
+
+
 @register(
     "doc_repetition_filters",
     """
