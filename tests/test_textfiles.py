@@ -87,3 +87,33 @@ def test_orc_corpus_roundtrip_partitioned(spark, tmp_path):
     # partition pruning: a lang filter reads only that directory
     pruned = got.filter(got.lang == "fr")
     assert [r["doc_id"] for r in pruned.collect()] == [2]
+
+
+def test_partition_pruning_static_and_dynamic(spark, tmp_path):
+    """The hive-partitioned corpus prunes at plan time for literal
+    predicates AND at runtime via dynamic partition pruning when the
+    predicate arrives through a dimension join — the two mechanisms a
+    lang-filtered 100 TB read depends on."""
+    from connemara_spark.queries import load, spread
+    from connemara_spark.sources.textfiles import write_corpus
+
+    docs = spread(load(spark, "/root/testdata/sf0.001", "documents"))
+    path = str(tmp_path / "corpus")
+    write_corpus(docs, path, partition_by="lang")
+
+    corpus = spark.read.parquet(path)
+    # static pruning: the literal filter lands in PartitionFilters
+    plan = corpus.filter("lang = 'en'")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+
+    # dynamic pruning: the partition filter is only known at runtime,
+    # through the dimension join — the plan carries a dynamicpruning
+    # subquery on the partition column
+    dim = spark.createDataFrame([("en", 1)], "lang string, keep int").filter("keep = 1")
+    joined = corpus.join(dim, "lang")
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in jplan.lower(), jplan[:2000]
+
+    # and the join result is correct (only en rows)
+    n_en = docs.filter("lang = 'en'").count()
+    assert joined.count() == n_en
