@@ -490,3 +490,63 @@ def keep_canonical(
         joined.filter(F.col("__cid").isNull() | (F.col(id_col) == F.col("__cid")))
         .drop("__node", "__cid")
     )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_col: str,
+    id_col: str,
+    *,
+    n: int = 10,
+    bands: int = 256,
+    total: int | None = None,
+) -> DataFrame:
+    """EXACT global NTILE without a single-partition window.
+
+    A bare ``NTILE(n) OVER (ORDER BY ...)`` funnels the whole table
+    through ONE task — the classic accidental scale-killer. This is the
+    banded-prefix-sum formulation (same family as ``pack_sequences``):
+    shard rows by a value band that is a PREFIX of the order key
+    (``floor(order_col·bands)`` for scores in [0,1]), rank within bands
+    by a partitioned window, add broadcast band offsets (one tiny
+    ``bands``-row window), and map exact global ranks to NTILE buckets
+    with the standard remainder rule (first ``N % n`` buckets take the
+    extra row). Band-then-offset order equals global order because the
+    band is a monotone function of the order key; ``id_col`` breaks ties
+    deterministically.
+
+    ``order_col`` must lie in [0, 1] (clamped at the edges). ``total``
+    skips the count job when the caller already knows N. Output: input
+    columns + ``bucket`` (1-based).
+    """
+    from pyspark.sql.window import Window
+
+    if total is None:
+        total = df.count()
+    band = F.least(
+        F.greatest(F.floor(F.col(order_col) * bands).cast("int"), F.lit(0)),
+        F.lit(bands - 1),
+    )
+    s = df.withColumn("__band", band)
+    w_in = Window.partitionBy("__band").orderBy(order_col, id_col)
+    counts = s.groupBy("__band").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = Window.orderBy("__band").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(w_off), F.lit(0))
+    ).select("__band", "__off")
+    ranked = (
+        s.join(F.broadcast(offsets), "__band")
+        .withColumn("__rank", F.row_number().over(w_in) + F.col("__off"))
+    )
+    q, r = total // n, total % n
+    if q == 0:
+        bucket = F.col("__rank")  # fewer rows than buckets: one row each
+    else:
+        head = r * (q + 1)
+        bucket = F.when(
+            F.col("__rank") <= head,
+            F.expr(f"(__rank - 1) div {q + 1}") + 1,
+        ).otherwise(F.lit(r) + F.expr(f"(__rank - 1 - {head}) div {q}") + 1)
+    return ranked.withColumn("bucket", bucket.cast("int")).drop(
+        "__band", "__off", "__rank"
+    )

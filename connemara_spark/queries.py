@@ -1263,6 +1263,40 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_quality_curriculum",
+    """
+    WITH q AS (
+        SELECT doc_id,
+               ROUND(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.25
+                     + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                        / greatest(length(text), 1)) * 0.25
+                     + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                        / greatest(length(text), 1)) * 0.15
+                     + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g')) AS DOUBLE)
+                        / greatest(length(text), 1)) * 0.15
+                     + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                        / greatest(len(string_split(text, ' ')), 1)) * 0.20, 6) AS quality_score
+        FROM documents
+    )
+    SELECT doc_id, quality_score,
+           CAST(NTILE(10) OVER (ORDER BY quality_score, doc_id) AS INT) AS bucket
+    FROM q
+    """,
+    "curriculum bucketing: EXACT global quality deciles via the banded-prefix-sum "
+    "NTILE (value bands are a monotone prefix of the order key -> per-band windows "
+    "+ broadcast band offsets; never a single-partition global window) — the oracle "
+    "is the naive NTILE, which at scale would be the accidental scale-killer",
+)
+def doc_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.curation import distributed_ntile
+    from connemara_spark.operators.text import quality_features
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    scored = quality_features(docs, "text").select("doc_id", "quality_score")
+    return distributed_ntile(scored, "quality_score", "doc_id", n=10)
+
+
+@register(
     "doc_fingerprints",
     """
     WITH d AS (

@@ -251,3 +251,30 @@ def test_resample_ffill_gap_semantics(spark):
     assert out[(1, 3)] == (1, 7.0, 0)
     assert out[(2, 5)] == (1, 1.0, 0)
     assert len(out) == 5
+
+
+def test_distributed_ntile_matches_global_window(spark):
+    """Banded-prefix-sum NTILE == the naive single-partition NTILE, across
+    remainder cases, ties, and partitionings."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from connemara_spark.operators.curation import distributed_ntile
+
+    rng = random.Random(3)
+    for n_rows, n_buckets in [(97, 10), (100, 10), (5, 10), (64, 7)]:
+        rows = [(i, round(rng.random(), 2)) for i in range(n_rows)]  # 2dp -> ties
+        df = spark.createDataFrame(rows, "doc_id long, score double").repartition(13)
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in distributed_ntile(df, "score", "doc_id", n=n_buckets).collect()
+        }
+        want = {
+            r["doc_id"]: r["b"]
+            for r in df.withColumn(
+                "b", F.ntile(n_buckets).over(Window.orderBy("score", "doc_id"))
+            ).collect()
+        }
+        assert got == want, (n_rows, n_buckets)
