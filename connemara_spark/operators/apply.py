@@ -205,7 +205,7 @@ def _events_per_key(ev: DataFrame) -> DataFrame:
     return ev.groupBy("__pk").agg(F.sort_array(F.collect_list(ev_struct)).alias("__evs"))
 
 
-def _fold_expr(spec: TableSpec, events_col: str, init_exists: Column, init_vals: Column) -> Column:
+def _fold_expr(spec: TableSpec, events_col: str | Column, init_exists: Column, init_vals: Column) -> Column:
     """The per-key ordered fold: F.aggregate over the sorted event array.
 
     Accumulator: struct(exists boolean, violations int, vals struct<cols>).
@@ -259,7 +259,8 @@ def _fold_expr(spec: TableSpec, events_col: str, init_exists: Column, init_vals:
     init = F.struct(
         init_exists.alias("exists"), F.lit(0).alias("violations"), init_vals.alias("vals")
     )
-    return F.aggregate(F.col(events_col), init, fold)
+    evs = F.col(events_col) if isinstance(events_col, str) else events_col
+    return F.aggregate(evs, init, fold)
 
 
 def apply_changes(
@@ -474,3 +475,89 @@ def upsert_full_rows(
     keys = last.select(*key_cols)
     survived = snapshot.join(keys, on=key_cols, how="left_anti")
     return survived.unionByName(upserts)
+
+
+def apply_changes_states(
+    snapshot: DataFrame,
+    events: DataFrame,
+    spec: TableSpec,
+    *,
+    lsn_bounds: list[int | None],
+) -> list[DataFrame]:
+    """Apply the event batch and emit the table state at EACH LSN bound
+    (``None`` = full stream) from ONE per-key fold pipeline.
+
+    Point-in-time queries that need several consistent states of the same
+    table (join-view deltas, cut comparisons, drift audits) would
+    otherwise run one full groupBy + snapshot-join pipeline PER state.
+    Here the grouped/sorted event arrays and the snapshot join are built
+    once; each bound's state is a map-side fold over the SHARED sorted
+    array filtered to ``lsn_start <= bound``. When several returned states
+    feed one downstream plan, Spark's ReuseExchange dedupes the single
+    shuffle — N states cost one exchange plus N codegen'd fold
+    projections.
+
+    Fold-over-filtered-array ≡ fold-over-bounded-events because the fold
+    is per-key sequential and the filter preserves order (tested against
+    one-shot ``apply_changes`` per bound).
+
+    When to use: real-CDC key shapes — many keys, few events per key —
+    where the grouped arrays are small and the saved exchange dominates.
+    On dense-per-key shapes (few keys, hundreds of events each) the full
+    sorted arrays ride through every downstream plan reference and two
+    independent pre-filtered ``apply_changes`` pipelines measured FASTER
+    (the cdc_join_view_delta fixture: 200 keys × ~475 events — see that
+    query's comment). Measure on your key distribution.
+    """
+    spec, _whole_row = _effective_spec(spec)
+    ev = events_for_table(events, spec)
+    per_key = _events_per_key(ev)
+
+    snap_key = F.struct(*[F.col(k).alias(k) for k in spec.pk_cols])
+    snap = snapshot.select(
+        snap_key.alias("__pk"),
+        F.struct(*[F.col(c.name).alias(c.name) for c in spec.columns]).alias("__snap_vals"),
+    )
+    joined = snap.join(per_key, on="__pk", how="full_outer")
+
+    null_vals = F.struct(
+        *[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns]
+    )
+    passthrough = F.struct(
+        F.col("__snap_vals").isNotNull().alias("exists"),
+        F.lit(0).alias("violations"),
+        F.coalesce(F.col("__snap_vals"), null_vals).alias("vals"),
+    )
+
+    outs = []
+    for bound in lsn_bounds:
+        evs = (
+            F.col("__evs")
+            if bound is None
+            else F.filter(F.col("__evs"), lambda e: e["lsn_start"] <= F.lit(bound))
+        )
+        # an all-late key folds over an EMPTY filtered array -> init ==
+        # passthrough, so the empty case needs no special branch
+        state = F.when(
+            F.col("__evs").isNotNull(),
+            _fold_expr(
+                spec,
+                evs,
+                init_exists=F.col("__snap_vals").isNotNull(),
+                init_vals=F.coalesce(F.col("__snap_vals"), null_vals),
+            ),
+        ).otherwise(passthrough)
+        folded = joined.select("__pk", state.alias("__state"))
+        outs.append(
+            folded.filter(F.col("__state.exists")).select(
+                *[
+                    (
+                        F.col(f"__pk.{c.name}")
+                        if c.name in spec.pk_cols
+                        else F.col(f"__state.vals.{c.name}")
+                    ).alias(c.name)
+                    for c in spec.columns
+                ]
+            )
+        )
+    return outs

@@ -4351,11 +4351,13 @@ def cdc_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot = load(spark, sf_dir, "customer")
     cust_bronze = _customer_cdc_bronze(spark, sf_dir).persist()
     c_ev = parse_events(cust_bronze)
-    # two INDEPENDENT folds, not a staged c1-from-c0 fold: staging halves
-    # the fold work but serializes the shuffle critical path (fold over
-    # fold), measured slower on a wide executor than the two parallel
-    # subtrees (10.1s vs 7.5s at sf0.1); a long-lived pipeline would hold
-    # c0 materialized and pay only the late-events fold
+    # two INDEPENDENT folds. Measured alternatives on this fixture (200
+    # dense keys, ~475 events/key): staged c1-from-c0 serializes the
+    # shuffle critical path (10.1s vs 7.5s); apply_changes_states' shared
+    # fold pipeline carries full sorted arrays through every diff-plan
+    # reference (14-22s) — both lose to two parallel pre-filtered
+    # pipelines here. The shared variant wins at the real-CDC shape
+    # (millions of sparse keys); see its docstring.
     c0 = apply_changes(snapshot, c_ev.filter(F.col("lsn_start") <= cut), CUSTOMER_SPEC)
     c1 = apply_changes(snapshot, c_ev, CUSTOMER_SPEC)
 
