@@ -1132,3 +1132,88 @@ def gif_fixture(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return ids.select(id_col).mapInPandas(gen, schema="media_id long, payload binary")
+
+
+# --------------------------------------------------------------------------
+# G.711 mu-law (WAV format tag 7): the codec that fits IN Catalyst
+# --------------------------------------------------------------------------
+
+
+def mulaw_to_pcm(u: int) -> int:
+    """Reference G.711 mu-law byte -> 14-bit linear PCM (textbook decode:
+    complement, expand mantissa with the 0x84 bias, shift by the segment,
+    re-subtract the bias)."""
+    inv = ~u & 0xFF
+    t = ((inv & 0x0F) << 3) + 0x84
+    t <<= (inv & 0x70) >> 4
+    return 0x84 - t if inv & 0x80 else t - 0x84
+
+
+def encode_wav_mulaw(sample_rate: int, ulaw_bytes: bytes) -> bytes:
+    """Canonical-layout (44-byte header) WAV, format tag 7 (G.711 mu-law),
+    mono 8-bit — the fixed layout the NATIVE decoder below assumes."""
+    data = bytes(ulaw_bytes)
+    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def mulaw_wav_samples_expr(payload_col: str) -> "F.Column":
+    """Decode a canonical-layout mu-law WAV to linear PCM **entirely in
+    native Catalyst expressions** — a real audio codec running inside
+    whole-stage codegen, zero Python anywhere.
+
+    Possible because G.711 is STATELESS per byte (pure bit arithmetic), so
+    the decode is `transform` over the payload's bytes: hex() the binary
+    once (let-bound — an unbound hex() would re-render the whole payload
+    per sample), slice two hex chars per byte, and apply the textbook
+    complement/bias/shift formula with integer ops that exist verbatim in
+    any SQL engine — the DuckDB oracle runs the identical arithmetic.
+    Compressed/stateful codecs (ADPCM, MP3) cannot move into Catalyst
+    this way; mu-law marks exactly where the expression boundary lies.
+
+    Layout contract: RIFF magic + format tag 7 checked natively (returns
+    NULL otherwise); data starts at byte 44 (the canonical header written
+    by encode_wav_mulaw). General chunk walking stays in the python
+    decode_wav path.
+    """
+    return F.expr(
+        f"""
+        CASE WHEN substring(hex({payload_col}), 1, 8) = '52494646'
+                  AND substring(hex({payload_col}), 41, 4) = '0700'
+        THEN get(transform(array(hex({payload_col})), h ->
+            transform(sequence(0, (length(h) div 2) - 45),
+                i -> CASE WHEN ((255 - cast(conv(substring(h, 89 + i*2, 2), 16, 10) as int)) & 128) != 0
+                     THEN 132 - shiftleft(
+                              (((255 - cast(conv(substring(h, 89 + i*2, 2), 16, 10) as int)) & 15) * 8 + 132),
+                              ((255 - cast(conv(substring(h, 89 + i*2, 2), 16, 10) as int)) div 16) & 7)
+                     ELSE shiftleft(
+                              (((255 - cast(conv(substring(h, 89 + i*2, 2), 16, 10) as int)) & 15) * 8 + 132),
+                              ((255 - cast(conv(substring(h, 89 + i*2, 2), 16, 10) as int)) div 16) & 7) - 132
+                     END)), 0)
+        END
+        """
+    )
+
+
+def wav_mulaw_fixture(ids: DataFrame, id_col: str = "doc_id", sample_rate: int = 8000) -> DataFrame:
+    """(media_id, payload) of real G.711 mu-law WAVs: n = 40 + id%20
+    encoded bytes, byte(i) = (id*7 + i*13) % 256."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 40 + did % 20
+                payload = bytes((did * 7 + i * 13) % 256 for i in range(n))
+                rows.append((did, encode_wav_mulaw(sample_rate, payload)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return ids.select(id_col).mapInPandas(gen, schema="media_id long, payload binary")

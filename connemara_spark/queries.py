@@ -2688,6 +2688,51 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(gif_fixture(docs), every_ms=200, codec="gif", n_partitions=32)
 
 
+@register(
+    "multimodal_mulaw_native_decode",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(40 + doc_id % 20 AS BIGINT) AS n FROM documents
+    ),
+    b AS (
+        SELECT d.doc_id, d.n, 255 - ((d.doc_id * 7 + i.i * 13) % 256) AS inv
+        FROM dims d, range(0, 60) i(i)
+        WHERE i.i < d.n
+    ),
+    s AS (
+        SELECT doc_id, n,
+               CASE WHEN (inv & 128) != 0
+                    THEN 132 - (((inv & 15) * 8 + 132) << ((inv // 16) & 7))
+                    ELSE (((inv & 15) * 8 + 132) << ((inv // 16) & 7)) - 132
+               END AS sample
+        FROM b
+    )
+    SELECT doc_id AS media_id, n AS n_samples,
+           CAST(SUM(sample) AS BIGINT) AS sum_pcm,
+           CAST(MIN(sample) AS INT) AS min_pcm,
+           CAST(MAX(sample) AS INT) AS max_pcm
+    FROM s GROUP BY doc_id, n
+    """,
+    "a REAL audio codec running inside whole-stage codegen: G.711 mu-law WAVs "
+    "decoded to linear PCM with pure Catalyst expressions (stateless per-byte bit "
+    "arithmetic — complement/bias/shift — over let-bound hex bytes; zero Python "
+    "anywhere, plan-asserted); the oracle runs the identical integer formula",
+)
+def multimodal_mulaw_native_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.multimodal import mulaw_wav_samples_expr, wav_mulaw_fixture
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    wavs = wav_mulaw_fixture(docs)  # fixture generation is python; decode is not
+    s = mulaw_wav_samples_expr("payload")
+    return wavs.select("media_id", s.alias("pcm")).select(
+        "media_id",
+        F.size("pcm").cast("bigint").alias("n_samples"),
+        F.aggregate("pcm", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("sum_pcm"),
+        F.array_min("pcm").alias("min_pcm"),
+        F.array_max("pcm").alias("max_pcm"),
+    )
+
+
 def _ivf_lit_oracle(*, dim: int = 64, k: int = 10, n_cells: int = 16, n_probe: int = 2, seed: int = 42) -> str:
     """DuckDB oracle for the literal-centroid IVF twin: the SAME seeded
     centroids render into both engines' SQL (flat double chain ≡ Spark's

@@ -424,3 +424,56 @@ def test_gif_frame_sampling_hand_checked(spark):
         return sum(vals) / len(vals)
 
     assert out == [(0, 0, mean_red(0)), (2, 200, mean_red(2))]
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law: the codec that fits IN Catalyst
+# ---------------------------------------------------------------------------
+
+
+def test_mulaw_reference_properties():
+    from connemara_spark.operators.multimodal import mulaw_to_pcm
+
+    vals = [mulaw_to_pcm(u) for u in range(256)]
+    # symmetric code: toggling the (complemented) sign bit negates the value
+    for u in range(256):
+        assert mulaw_to_pcm(u) == -mulaw_to_pcm(u ^ 0x80)
+    # 0xFF (and its sign mirror 0x7F) encode 0; extremes reach the
+    # standard 16-bit-scaled G.711 range +/-32124 (0x7D7C)
+    assert mulaw_to_pcm(0xFF) == 0 and mulaw_to_pcm(0x7F) == 0
+    assert max(vals) == 32124 and min(vals) == -32124
+
+
+def test_mulaw_native_expr_matches_reference(spark):
+    import pandas as pd
+
+    from connemara_spark.operators.multimodal import (
+        encode_wav_mulaw,
+        mulaw_to_pcm,
+        mulaw_wav_samples_expr,
+    )
+
+    payload = bytes(range(256))  # every mu-law code point
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [1, 2],
+            "payload": [encode_wav_mulaw(8000, payload), b"not a wav"],
+        })
+    )
+    rows = {
+        r["media_id"]: r["s"]
+        for r in df.select("media_id", mulaw_wav_samples_expr("payload").alias("s")).collect()
+    }
+    assert rows[1] == [mulaw_to_pcm(b) for b in payload]
+    assert rows[2] is None  # layout guard: non-RIFF/non-mu-law -> NULL
+
+
+def test_mulaw_query_is_pure_catalyst(spark):
+    from connemara_spark import plans
+    from connemara_spark.operators.multimodal import mulaw_wav_samples_expr
+
+    # the decode itself (fixture generation aside) must carry no Python:
+    # apply the expression to a static binary column and assert the plan
+    df = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+    out = df.select(mulaw_wav_samples_expr("payload").alias("s"))
+    plans.assert_no_python_udf(out)
