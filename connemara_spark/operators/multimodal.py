@@ -1217,3 +1217,68 @@ def wav_mulaw_fixture(ids: DataFrame, id_col: str = "doc_id", sample_rate: int =
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return ids.select(id_col).mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def alaw_to_pcm(a: int) -> int:
+    """Reference G.711 A-law byte -> linear PCM (textbook decode: XOR 0x55,
+    expand mantissa, segment shift; segment 0 is linear)."""
+    inv = a ^ 0x55
+    mant = inv & 0x0F
+    seg = (inv & 0x70) >> 4
+    t = (mant << 4) + (8 if seg == 0 else 0x108)
+    if seg > 1:
+        t <<= seg - 1
+    return t if inv & 0x80 else -t
+
+
+def encode_wav_alaw(sample_rate: int, alaw_bytes: bytes) -> bytes:
+    """Canonical-layout WAV, format tag 6 (G.711 A-law), mono 8-bit."""
+    data = bytes(alaw_bytes)
+    fmt = struct.pack("<HHIIHH", 6, 1, sample_rate, sample_rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def alaw_wav_samples_expr(payload_col: str) -> "F.Column":
+    """A-law sibling of ``mulaw_wav_samples_expr`` — same pure-Catalyst
+    decode, format tag 6, XOR/expand/shift arithmetic (see that docstring
+    for the how and the expression-boundary argument)."""
+    byte = f"cast(conv(substring(h, 89 + i*2, 2), 16, 10) as int)"
+    inv = f"({byte} ^ 85)"
+    mag = (
+        f"CASE WHEN (({inv} & 112) div 16) = 0 THEN (({inv} & 15) * 16 + 8) "
+        f"ELSE shiftleft((({inv} & 15) * 16 + 264), greatest((({inv} & 112) div 16) - 1, 0)) END"
+    )
+    return F.expr(
+        f"""
+        CASE WHEN substring(hex({payload_col}), 1, 8) = '52494646'
+                  AND substring(hex({payload_col}), 41, 4) = '0600'
+        THEN get(transform(array(hex({payload_col})), h ->
+            transform(sequence(0, (length(h) div 2) - 45),
+                i -> CASE WHEN ({inv} & 128) != 0 THEN {mag} ELSE -({mag}) END)), 0)
+        END
+        """
+    )
+
+
+def alaw_wav_fixture(ids: DataFrame, id_col: str = "doc_id", sample_rate: int = 8000) -> DataFrame:
+    """(media_id, payload) of real G.711 A-law WAVs: n = 40 + id%20
+    encoded bytes, byte(i) = (id*11 + i*17) % 256."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 40 + did % 20
+                payload = bytes((did * 11 + i * 17) % 256 for i in range(n))
+                rows.append((did, encode_wav_alaw(sample_rate, payload)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return ids.select(id_col).mapInPandas(gen, schema="media_id long, payload binary")

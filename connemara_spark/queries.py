@@ -2733,6 +2733,53 @@ def multimodal_mulaw_native_decode(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "multimodal_alaw_native_decode",
+    """
+    WITH dims AS (
+        SELECT doc_id, CAST(40 + doc_id % 20 AS BIGINT) AS n FROM documents
+    ),
+    b AS (
+        SELECT d.doc_id, d.n,
+               xor((d.doc_id * 11 + i.i * 17) % 256, 85) AS inv
+        FROM dims d, range(0, 60) i(i)
+        WHERE i.i < d.n
+    ),
+    s AS (
+        SELECT doc_id, n,
+               CASE WHEN (inv & 128) != 0 THEN mag ELSE -mag END AS sample
+        FROM (
+            SELECT doc_id, n, inv,
+                   CASE WHEN ((inv & 112) // 16) = 0 THEN (inv & 15) * 16 + 8
+                        ELSE ((inv & 15) * 16 + 264) << (((inv & 112) // 16) - 1)
+                   END AS mag
+            FROM b
+        )
+    )
+    SELECT doc_id AS media_id, n AS n_samples,
+           CAST(SUM(sample) AS BIGINT) AS sum_pcm,
+           CAST(MIN(sample) AS INT) AS min_pcm,
+           CAST(MAX(sample) AS INT) AS max_pcm
+    FROM s GROUP BY doc_id, n
+    """,
+    "the A-law half of G.711, also decoded in pure Catalyst expressions (XOR 0x55, "
+    "mantissa expansion, segment shift); oracle runs the identical integer formula",
+)
+def multimodal_alaw_native_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.multimodal import alaw_wav_fixture, alaw_wav_samples_expr
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    wavs = alaw_wav_fixture(docs)
+    s = alaw_wav_samples_expr("payload")
+    return wavs.select("media_id", s.alias("pcm")).select(
+        "media_id",
+        F.size("pcm").cast("bigint").alias("n_samples"),
+        F.aggregate("pcm", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("sum_pcm"),
+        F.array_min("pcm").alias("min_pcm"),
+        F.array_max("pcm").alias("max_pcm"),
+    )
+
+
 def _ivf_lit_oracle(*, dim: int = 64, k: int = 10, n_cells: int = 16, n_probe: int = 2, seed: int = 42) -> str:
     """DuckDB oracle for the literal-centroid IVF twin: the SAME seeded
     centroids render into both engines' SQL (flat double chain ≡ Spark's

@@ -477,3 +477,30 @@ def test_mulaw_query_is_pure_catalyst(spark):
     df = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
     out = df.select(mulaw_wav_samples_expr("payload").alias("s"))
     plans.assert_no_python_udf(out)
+
+
+def test_alaw_native_expr_matches_reference(spark):
+    import pandas as pd
+
+    from connemara_spark.operators.multimodal import (
+        alaw_to_pcm,
+        alaw_wav_samples_expr,
+        encode_wav_alaw,
+    )
+
+    payload = bytes(range(256))  # every A-law code point
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2], "payload": [encode_wav_alaw(8000, payload), b"x"]})
+    )
+    rows = {
+        r["media_id"]: r["s"]
+        for r in df.select("media_id", alaw_wav_samples_expr("payload").alias("s")).collect()
+    }
+    assert rows[1] == [alaw_to_pcm(b) for b in payload]
+    assert rows[2] is None
+    # sign symmetry + range: toggling the xored sign bit negates; extremes
+    # reach the standard +/-(0xFFF << 3) = 32640... A-law max is 32256
+    vals = [alaw_to_pcm(b) for b in payload]
+    for a in range(256):
+        assert alaw_to_pcm(a) == -alaw_to_pcm(a ^ 0x80)
+    assert max(vals) == -min(vals)
