@@ -233,6 +233,60 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SURFACE_Q6 = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+_SQL_SURFACE_Q5 = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+"""
+
+
+def _sql_surface(sql: str, tables: list[str]):
+    """The raw-SQL user path (the reference's BI-tool story,
+    docs/index.rst:9-12): register the tables as temp views and hand ONE
+    ANSI SQL string to spark.sql — the IDENTICAL string is the DuckDB
+    oracle, so the gate proves both engines read the same SQL the same
+    way, and Catalyst's plan (pushdown, broadcasts) matches the
+    DataFrame-built twin's."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in tables:
+            load(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return fn
+
+
+register(
+    "sql_surface_q6",
+    _SQL_SURFACE_Q6,
+    "raw-SQL surface twin of q6: ONE ANSI string executed verbatim by BOTH spark.sql "
+    "(over temp views) and the DuckDB oracle — the BI-tool user path, value-hash-gated",
+)(_sql_surface(_SQL_SURFACE_Q6, ["lineitem"]))
+
+register(
+    "sql_surface_q5",
+    _SQL_SURFACE_Q5,
+    "raw-SQL surface twin of q5 (6-way star join): the same shared ANSI text on both "
+    "engines; Catalyst still broadcasts the dims exactly as the DataFrame-built twin",
+)(_sql_surface(_SQL_SURFACE_Q5, ["customer", "orders", "lineitem", "supplier", "nation", "region"]))
+
+
+
 @register(
     "q6_forecast_revenue",
     """
