@@ -299,9 +299,13 @@ def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes
 
 
 def decode_wav(raw: bytes) -> tuple[int, int, list[int]]:
-    """Parse RIFF/WAVE PCM-16: returns (sample_rate, channels, samples).
-    Iterates chunks in any order, honors odd-size chunk padding; raises
-    NotImplementedError for non-PCM / non-16-bit encodings."""
+    """Parse RIFF/WAVE audio: returns (sample_rate, channels, samples) as
+    linear PCM. Handles format 1 (PCM-16) plus the G.711 telephony
+    formats 6 (A-law) and 7 (mu-law) — 8-bit bytes expanded through the
+    textbook decode tables, in ANY chunk layout (the native Catalyst
+    decoders require the canonical 44-byte layout; this python path is
+    the general one). Iterates chunks in any order, honors odd-size chunk
+    padding; raises NotImplementedError for other encodings."""
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, fmt, data = 12, None, None
@@ -318,10 +322,14 @@ def decode_wav(raw: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sample_rate = fmt[0], fmt[1], fmt[2]
     bits = fmt[5]
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(f"unsupported WAV: format={audio_format} bits={bits}")
-    n = len(data) // 2
-    return sample_rate, channels, list(struct.unpack(f"<{n}h", data[: n * 2]))
+    if audio_format == 1 and bits == 16:
+        n = len(data) // 2
+        return sample_rate, channels, list(struct.unpack(f"<{n}h", data[: n * 2]))
+    if audio_format == 7 and bits == 8:  # G.711 mu-law
+        return sample_rate, channels, [mulaw_to_pcm(b) for b in data]
+    if audio_format == 6 and bits == 8:  # G.711 A-law
+        return sample_rate, channels, [alaw_to_pcm(b) for b in data]
+    raise NotImplementedError(f"unsupported WAV: format={audio_format} bits={bits}")
 
 
 def decode_images(

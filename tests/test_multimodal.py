@@ -504,3 +504,21 @@ def test_alaw_native_expr_matches_reference(spark):
     for a in range(256):
         assert alaw_to_pcm(a) == -alaw_to_pcm(a ^ 0x80)
     assert max(vals) == -min(vals)
+
+
+def test_python_wav_path_decodes_g711_formats():
+    """The general (any chunk layout) python path expands G.711 formats to
+    linear PCM — cross-checked against the native-expression decoders'
+    reference tables."""
+    from connemara_spark.operators.multimodal import (
+        alaw_to_pcm,
+        decode_wav,
+        encode_wav_alaw,
+        encode_wav_mulaw,
+        mulaw_to_pcm,
+    )
+
+    rate, ch, s = decode_wav(encode_wav_mulaw(8000, bytes(range(256))))
+    assert (rate, ch) == (8000, 1) and s == [mulaw_to_pcm(b) for b in range(256)]
+    rate, ch, s = decode_wav(encode_wav_alaw(16000, bytes(range(256))))
+    assert (rate, ch) == (16000, 1) and s == [alaw_to_pcm(b) for b in range(256)]
