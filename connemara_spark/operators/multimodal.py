@@ -353,10 +353,10 @@ def decode_images(
     """
     if fake:
         codec = "cnmr"
-    if codec not in ("bmp", "png", "cnmr"):
+    if codec not in ("bmp", "png", "jpeg", "cnmr"):
         raise NotImplementedError(
             f"codec {codec!r} requires an image library not available in "
-            "this environment (bmp is implemented pure-python)"
+            "this environment (bmp/png/jpeg are implemented pure-python)"
         )
     # estimate_partitions runs a byte-count job over the INPUT — if that
     # input is itself a generated/transformed chain (fixture → resize),
@@ -372,12 +372,16 @@ def decode_images(
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
-                if codec in ("bmp", "png"):
+                if codec in ("bmp", "png", "jpeg"):
                     try:
                         if codec == "bmp":
                             w, h, px = decode_bmp(raw)
-                        else:
+                        elif codec == "png":
                             w, h, _ch, px = decode_png(raw)
+                        else:
+                            from connemara_spark.operators.jpegcodec import decode_jpeg
+
+                            w, h, px = decode_jpeg(raw)
                     except (ValueError, NotImplementedError):
                         continue  # undecodable → dropped (real pipeline: quarantine)
                     mean = sum(px) / len(px) if px else 0.0
@@ -1287,6 +1291,28 @@ def alaw_wav_fixture(ids: DataFrame, id_col: str = "doc_id", sample_rate: int = 
                 n = 40 + did % 20
                 payload = bytes((did * 11 + i * 17) % 256 for i in range(n))
                 rows.append((did, encode_wav_alaw(sample_rate, payload)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return ids.select(id_col).mapInPandas(gen, schema="media_id long, payload binary")
+
+
+def jpeg_fixture(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload) of real baseline grayscale JPEGs at quality 100:
+    width = 9 + id%8 (crosses the 8x8 block boundary), height = 6 + id%5,
+    SOLID gray v = (id*37) % 256 — at quality 100 the all-ones
+    quantization table makes the solid-color decode EXACT, so the
+    decoded-stats oracle is closed-form (mean = v, checksum = v·w·h)."""
+    from connemara_spark.operators.jpegcodec import encode_jpeg
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h, v = 9 + did % 8, 6 + did % 5, (did * 37) % 256
+                rows.append((did, encode_jpeg(w, h, bytes([v]) * (w * h), quality=100)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return ids.select(id_col).mapInPandas(gen, schema="media_id long, payload binary")

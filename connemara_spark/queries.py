@@ -2576,6 +2576,36 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_decode",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(9 + doc_id % 8 AS INT) AS w,
+               CAST(6 + doc_id % 5 AS INT) AS h,
+               (doc_id * 37) % 256 AS v
+        FROM documents
+    )
+    SELECT doc_id AS media_id, w AS width, h AS height,
+           CAST(v AS DOUBLE) AS mean_byte,
+           CAST((v * w * h) % 2147483648 AS BIGINT) AS checksum
+    FROM dims
+    """,
+    "REAL baseline JPEG decode (pure python+numpy: canonical Annex-K huffman "
+    "tables, 0xFF byte unstuffing, DC-diff EXTEND, AC run-length with ZRL/EOB, "
+    "orthonormal IDCT) — at quality 100 the all-ones quantization table makes the "
+    "solid-gray fixture decode EXACT, so a lossy codec sits under the closed-form "
+    "value-hash gate; textured-content error bounds live in pytest",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.multimodal import decode_images, jpeg_fixture
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    return decode_images(jpeg_fixture(docs), codec="jpeg", n_partitions=32).select(
+        "media_id", "width", "height", "mean_byte", "checksum"
+    )
+
+
+@register(
     "multimodal_bmp_features",
     """
     WITH dims AS (

@@ -155,14 +155,14 @@ def test_undecodable_payloads_are_dropped(spark):
 
 
 def test_unavailable_codecs_raise(spark):
-    # png is a real codec since round 3 — jpeg/mp3 remain library-bound
+    # bmp/png/jpeg are real codecs; webp/mp3 remain library-bound
     df = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
     with pytest.raises(NotImplementedError):
-        decode_images(df, codec="jpeg")
+        decode_images(df, codec="webp")
     with pytest.raises(NotImplementedError):
         decode_audio(df, codec="mp3")
     with pytest.raises(NotImplementedError):
-        resize_images(df, width=2, height=2, codec="jpeg")
+        resize_images(df, width=2, height=2, codec="webp")
 
 
 # ---------------------------------------------------------------------------
@@ -522,3 +522,65 @@ def test_python_wav_path_decodes_g711_formats():
     assert (rate, ch) == (8000, 1) and s == [mulaw_to_pcm(b) for b in range(256)]
     rate, ch, s = decode_wav(encode_wav_alaw(16000, bytes(range(256))))
     assert (rate, ch) == (16000, 1) and s == [alaw_to_pcm(b) for b in range(256)]
+
+
+# ---------------------------------------------------------------------------
+# Baseline grayscale JPEG (real huffman + DCT)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_solid_exact_at_q100():
+    from connemara_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    for v in (0, 127, 128, 255):
+        for w, h in [(8, 8), (13, 9), (1, 1)]:
+            px = bytes([v]) * (w * h)
+            assert decode_jpeg(encode_jpeg(w, h, px, quality=100)) == (w, h, px)
+
+
+def test_jpeg_q100_rounding_only_and_q75_bounded_error():
+    import random
+
+    import numpy as np
+
+    from connemara_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = random.Random(5)
+    for w, h in [(24, 16), (17, 11)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        _, _, out = decode_jpeg(encode_jpeg(w, h, px, quality=100))
+        # all-ones tables: only FDCT/IDCT rounding error survives
+        assert max(abs(a - b) for a, b in zip(px, out)) <= 2
+    w, h = 32, 24
+    px = bytes(
+        int(128 + 80 * np.sin(x / 10) + 40 * np.cos(y / 7)) & 0xFF
+        for y in range(h)
+        for x in range(w)
+    )
+    _, _, out = decode_jpeg(encode_jpeg(w, h, px, quality=75))
+    err = [abs(a - b) for a, b in zip(px, out)]
+    assert sum(err) / len(err) < 4 and max(err) < 30
+
+
+def test_jpeg_unsupported_and_malformed():
+    from connemara_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG1234")
+    enc = bytearray(encode_jpeg(8, 8, bytes(64), quality=90))
+    # flip SOF0 -> SOF2 (progressive)
+    idx = enc.find(b"\xff\xc0")
+    enc[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_decode_features_spark(spark):
+    from connemara_spark.operators.multimodal import decode_images, jpeg_fixture
+
+    ids = spark.createDataFrame([(11,)], "doc_id long")
+    row = decode_images(jpeg_fixture(ids), codec="jpeg", n_partitions=1).collect()[0]
+    w, h, v = 9 + 11 % 8, 6 + 11 % 5, (11 * 37) % 256
+    assert (row["width"], row["height"]) == (w, h)
+    assert row["mean_byte"] == float(v)
+    assert row["checksum"] == (v * w * h) % (1 << 31)

@@ -172,3 +172,20 @@ def test_gif_animated_roundtrip_property(w, h, nf, data):
     dw, dh, dpal, dframes = decode_gif(encode_gif(w, h, frames, palette, delay_cs=3))
     assert (dw, dh, dpal) == (w, h, palette)
     assert [f for _, f in dframes] == frames
+
+
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_q100_roundtrip_property(w, h, data):
+    """At quality 100 (all-ones tables) any content survives within the
+    FDCT/IDCT rounding bound."""
+    from connemara_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
+
+    px = bytes(data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)))
+    W, H, out = decode_jpeg(encode_jpeg(w, h, px, quality=100))
+    assert (W, H) == (w, h)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 2
