@@ -461,7 +461,7 @@ def resize_images(
     fake mode rewrites the stub header dims only."""
     if fake:
         codec = "cnmr"
-    if codec not in ("bmp", "png", "cnmr"):
+    if codec not in ("bmp", "png", "jpeg", "cnmr"):
         raise NotImplementedError(f"codec {codec!r} requires an image library")
 
     def resize(batches: Iterator) -> Iterator:
@@ -471,13 +471,18 @@ def resize_images(
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload)
-                if codec in ("bmp", "png"):
+                if codec in ("bmp", "png", "jpeg"):
                     try:
                         if codec == "bmp":
                             w, h, px = decode_bmp(raw)
                             bpp = 3
-                        else:
+                        elif codec == "png":
                             w, h, bpp, px = decode_png(raw)
+                        else:
+                            from connemara_spark.operators.jpegcodec import decode_jpeg
+
+                            w, h, px = decode_jpeg(raw)
+                            bpp = 1
                     except (ValueError, NotImplementedError):
                         continue
                     out = bytearray()
@@ -489,10 +494,18 @@ def resize_images(
                             out += px[off : off + bpp]
                     if codec == "bmp":
                         rows.append((int(mid), encode_bmp(width, height, bytes(out))))
-                    else:
+                    elif codec == "png":
                         ct = {1: 0, 3: 2, 4: 6}[bpp]
                         rows.append(
                             (int(mid), encode_png(width, height, bytes(out), color_type=ct))
+                        )
+                    else:
+                        from connemara_spark.operators.jpegcodec import encode_jpeg
+
+                        # re-encode at quality 100: resize keeps the
+                        # rounding-only error bound of the q100 path
+                        rows.append(
+                            (int(mid), encode_jpeg(width, height, bytes(out), quality=100))
                         )
                 else:
                     if not raw.startswith(_FAKE_MAGIC):

@@ -584,3 +584,15 @@ def test_jpeg_decode_features_spark(spark):
     assert (row["width"], row["height"]) == (w, h)
     assert row["mean_byte"] == float(v)
     assert row["checksum"] == (v * w * h) % (1 << 31)
+
+
+def test_jpeg_resize_nearest_neighbor(spark):
+    from connemara_spark.operators.jpegcodec import decode_jpeg
+    from connemara_spark.operators.multimodal import jpeg_fixture, resize_images
+
+    ids = spark.createDataFrame([(3,)], "doc_id long")
+    out = resize_images(jpeg_fixture(ids), width=4, height=4, codec="jpeg").collect()[0]
+    w, h, px = decode_jpeg(bytes(out["payload"]))
+    v = (3 * 37) % 256
+    assert (w, h) == (4, 4)
+    assert px == bytes([v]) * 16  # solid resize of a solid: exact at q100
