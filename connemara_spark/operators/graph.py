@@ -52,15 +52,30 @@ def pagerank_fixed_point(
     e = e.distinct().persist()
 
     # one aggregation yields BOTH the degree table and the node set (deg is
-    # distinct-by-src by construction — no separate distinct shuffle)
+    # distinct-by-src by construction — no separate distinct shuffle). In
+    # the undirected case every node is a src; in the DIRECTED case pure
+    # sinks appear only as dst, so the node set must union both sides or
+    # sink nodes (often the highest-ranked!) silently vanish from the
+    # output. Their outgoing mass is dropped (no dangling-node
+    # redistribution — the standard simplification; ranks of non-dangling
+    # nodes are unaffected in relative order).
     deg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
         .withColumnRenamed("src", "node")
         .localCheckpoint(eager=True)
     )
-    nodes = deg.select("node")
-    n_nodes = deg.count()  # one driver scalar; deterministic
+    if undirected:
+        nodes = deg.select("node")
+        n_nodes = deg.count()  # one driver scalar; deterministic
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_nodes = nodes.count()
     base = scale // n_nodes
     teleport = (15 * base) // 100
 

@@ -257,9 +257,18 @@ def encode_jpeg(width: int, height: int, pixels: bytes, *, quality: int = 75) ->
 
 def decode_jpeg(raw: bytes) -> tuple[int, int, bytes]:
     """Decode a baseline grayscale JPEG: returns (width, height, pixels)
-    top-down row-major. ValueError on malformed input; NotImplementedError
-    on valid-but-unsupported features (color, progressive, 16-bit tables,
+    top-down row-major. ValueError on malformed input (low-level parse
+    errors from truncated/corrupt streams are normalized to ValueError so
+    the Spark quarantine path catches them); NotImplementedError on
+    valid-but-unsupported features (color, progressive, 16-bit tables,
     restart intervals)."""
+    try:
+        return _decode_jpeg_inner(raw)
+    except (struct.error, IndexError, EOFError, OverflowError, KeyError) as e:
+        raise ValueError(f"malformed JPEG: {e}") from e
+
+
+def _decode_jpeg_inner(raw: bytes) -> tuple[int, int, bytes]:
     import numpy as np
 
     if len(raw) < 4 or raw[:2] != b"\xff\xd8":

@@ -18,7 +18,13 @@ pure-python (``struct``-based, no external libraries):
   unfilter branch. Bit depth 8, color types 0 (gray) / 2 (RGB) /
   6 (RGBA); palette and Adam7 interlace raise NotImplementedError.
 
-Formats that genuinely need an image/audio library (JPEG, MP3, H.264, ...)
+- ``jpeg`` — real baseline grayscale JPEG (operators/jpegcodec.py:
+  Annex-K huffman + orthonormal DCT).
+- ``gif`` — real LZW in both directions, animated frame sampling.
+- G.711 mu-law/A-law decode additionally exists as PURE CATALYST
+  expressions (the codec that fits in codegen).
+
+Formats that genuinely need an external library (webp, MP3, H.264, ...)
 raise NotImplementedError at the codec boundary; ``fake=True`` keeps the
 deterministic 16-byte-header stub for plumbing tests.
 
@@ -81,6 +87,26 @@ IMAGE_FEATURES_SCHEMA = (
 # Real pure-python codecs (struct only — no external libraries)
 # --------------------------------------------------------------------------
 
+
+def _malformed_raises_valueerror(fn):
+    """Truncated/corrupt input hits struct.unpack or indexing deep inside a
+    decoder; without normalization those raise struct.error/IndexError,
+    which would ESCAPE the (ValueError, NotImplementedError) quarantine in
+    the mapInPandas operators and kill the whole task from one poison row
+    (found by fuzzing). Normalize every low-level parse error to the
+    documented ValueError at the codec boundary."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, IndexError, EOFError, OverflowError) as e:
+            raise ValueError(f"malformed {fn.__name__.replace('decode_', '')} input: {e}") from e
+
+    return wrapped
+
+
 _BMP_HEADER_SIZE = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
 
 
@@ -107,6 +133,7 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return bytes(out)
 
 
+@_malformed_raises_valueerror
 def decode_bmp(raw: bytes) -> tuple[int, int, bytes]:
     """Parse an uncompressed 24-bpp BMP: returns (width, height, pixels)
     with pixels top-down row-major BGR, stride padding removed. Raises
@@ -217,6 +244,7 @@ def encode_png(width: int, height: int, pixels: bytes, *, color_type: int = 2) -
     )
 
 
+@_malformed_raises_valueerror
 def decode_png(raw: bytes) -> tuple[int, int, int, bytes]:
     """Parse a real PNG: chunk walk with CRC-32 verification, IHDR
     validation, multi-IDAT zlib inflate, per-row unfilter of all five
@@ -298,6 +326,7 @@ def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_malformed_raises_valueerror
 def decode_wav(raw: bytes) -> tuple[int, int, list[int]]:
     """Parse RIFF/WAVE audio: returns (sample_rate, channels, samples) as
     linear PCM. Handles format 1 (PCM-16) plus the G.711 telephony
@@ -456,9 +485,10 @@ def decode_audio(
 def resize_images(
     df: DataFrame, *, width: int, height: int, codec: str = "bmp", fake: bool = False
 ) -> DataFrame:
-    """Resize: for ``codec='bmp'`` / ``codec='png'`` a REAL decode →
-    nearest-neighbor sample → re-encode in the same mapInPandas shape;
-    fake mode rewrites the stub header dims only."""
+    """Resize: for ``codec='bmp'`` / ``'png'`` / ``'jpeg'`` a REAL decode →
+    nearest-neighbor sample → re-encode in the same mapInPandas shape
+    (jpeg re-encodes at quality 100); fake mode rewrites the stub header
+    dims only."""
     if fake:
         codec = "cnmr"
     if codec not in ("bmp", "png", "jpeg", "cnmr"):
@@ -540,6 +570,7 @@ def encode_y4m(
     return bytes(out)
 
 
+@_malformed_raises_valueerror
 def decode_y4m(raw: bytes) -> tuple[int, int, int, int, list[bytes]]:
     """Parse YUV4MPEG2: returns (width, height, fps_num, fps_den, frames)
     where each frame is the raw plane bytes (Y first). Supports Cmono and
@@ -652,17 +683,26 @@ def sample_video_frames(
                         acc += delay_cs * 10
                     duration_ms = acc
                     t = 0
-                    while t < duration_ms:
-                        fi = max(i for s, i in starts if s <= t)
-                        reds = [pal[3 * ix] for ix in gframes[fi][1]]
-                        out.append(
-                            (
-                                int(mid), int(fi), int(t), w, h,
-                                float(sum(reds) / len(reds)) if reds else 0.0,
-                                int(sum(reds) % (1 << 31)),
+                    npal = len(pal) // 3
+                    try:
+                        while t < duration_ms:
+                            fi = max(i for s, i in starts if s <= t)
+                            # an index beyond the color table is malformed
+                            # content (small table + large LZW codes) —
+                            # quarantine the row, never IndexError the task
+                            reds = [pal[3 * ix] for ix in gframes[fi][1] if ix < npal]
+                            if len(reds) != len(gframes[fi][1]):
+                                raise ValueError("GIF index beyond color table")
+                            out.append(
+                                (
+                                    int(mid), int(fi), int(t), w, h,
+                                    float(sum(reds) / len(reds)) if reds else 0.0,
+                                    int(sum(reds) % (1 << 31)),
+                                )
                             )
-                        )
-                        t += every_ms
+                            t += every_ms
+                    except ValueError:
+                        continue
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -1075,6 +1115,7 @@ def encode_gif(
     return bytes(out)
 
 
+@_malformed_raises_valueerror
 def decode_gif(raw: bytes) -> tuple[int, int, bytes, list[tuple[int, bytes]]]:
     """Parse GIF87a/89a: returns (width, height, global_palette,
     [(delay_cs, frame_indices), ...]) with each frame a full-canvas index
@@ -1174,17 +1215,23 @@ def mulaw_to_pcm(u: int) -> int:
     return 0x84 - t if inv & 0x80 else t - 0x84
 
 
-def encode_wav_mulaw(sample_rate: int, ulaw_bytes: bytes) -> bytes:
-    """Canonical-layout (44-byte header) WAV, format tag 7 (G.711 mu-law),
-    mono 8-bit — the fixed layout the NATIVE decoder below assumes."""
-    data = bytes(ulaw_bytes)
-    fmt = struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+def _encode_wav_g711(fmt_tag: int, sample_rate: int, payload: bytes) -> bytes:
+    """Canonical-layout (44-byte header) mono 8-bit WAV for a G.711 format
+    tag — ONE writer for both laws so the layout contract baked into the
+    native decoders can never diverge between them."""
+    data = bytes(payload)
+    fmt = struct.pack("<HHIIHH", fmt_tag, 1, sample_rate, sample_rate, 1, 8)
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_mulaw(sample_rate: int, ulaw_bytes: bytes) -> bytes:
+    """Canonical-layout WAV, format tag 7 (G.711 mu-law)."""
+    return _encode_wav_g711(7, sample_rate, ulaw_bytes)
 
 
 def mulaw_wav_samples_expr(payload_col: str) -> "F.Column":
@@ -1208,9 +1255,10 @@ def mulaw_wav_samples_expr(payload_col: str) -> "F.Column":
     """
     return F.expr(
         f"""
-        CASE WHEN substring(hex({payload_col}), 1, 8) = '52494646'
-                  AND substring(hex({payload_col}), 41, 4) = '0700'
-        THEN get(transform(array(hex({payload_col})), h ->
+        CASE WHEN NOT (substring(hex({payload_col}), 1, 8) = '52494646'
+                  AND substring(hex({payload_col}), 41, 4) = '0700') THEN NULL
+             WHEN length({payload_col}) <= 44 THEN CAST(array() AS array<int>)
+        ELSE get(transform(array(hex({payload_col})), h ->
             transform(sequence(0, (length(h) div 2) - 45),
                 i -> CASE WHEN ((255 - cast(conv(substring(h, 89 + i*2, 2), 16, 10) as int)) & 128) != 0
                      THEN 132 - shiftleft(
@@ -1257,15 +1305,8 @@ def alaw_to_pcm(a: int) -> int:
 
 
 def encode_wav_alaw(sample_rate: int, alaw_bytes: bytes) -> bytes:
-    """Canonical-layout WAV, format tag 6 (G.711 A-law), mono 8-bit."""
-    data = bytes(alaw_bytes)
-    fmt = struct.pack("<HHIIHH", 6, 1, sample_rate, sample_rate, 1, 8)
-    body = (
-        b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
-    )
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    """Canonical-layout WAV, format tag 6 (G.711 A-law)."""
+    return _encode_wav_g711(6, sample_rate, alaw_bytes)
 
 
 def alaw_wav_samples_expr(payload_col: str) -> "F.Column":
@@ -1280,9 +1321,10 @@ def alaw_wav_samples_expr(payload_col: str) -> "F.Column":
     )
     return F.expr(
         f"""
-        CASE WHEN substring(hex({payload_col}), 1, 8) = '52494646'
-                  AND substring(hex({payload_col}), 41, 4) = '0600'
-        THEN get(transform(array(hex({payload_col})), h ->
+        CASE WHEN NOT (substring(hex({payload_col}), 1, 8) = '52494646'
+                  AND substring(hex({payload_col}), 41, 4) = '0600') THEN NULL
+             WHEN length({payload_col}) <= 44 THEN CAST(array() AS array<int>)
+        ELSE get(transform(array(hex({payload_col})), h ->
             transform(sequence(0, (length(h) div 2) - 45),
                 i -> CASE WHEN ({inv} & 128) != 0 THEN {mag} ELSE -({mag}) END)), 0)
         END

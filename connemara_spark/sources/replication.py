@@ -140,19 +140,66 @@ class WalSpoolBatchReader(DataSourceReader):
 
 class WalSpoolStreamReader(DataSourceStreamReader):
     """Offset = count of sealed segments consumed; one partition per
-    segment per microbatch (executor-side parse)."""
+    segment per microbatch (executor-side parse).
+
+    Offsets are POSITIONS in the name-sorted listing, so the receiver
+    must name segments monotonically (LSN-named segments are, naturally).
+    The contract is ENFORCED, not assumed: ``commit`` records an md5 of
+    the committed name-prefix in the sidecar, and ``latestOffset`` fails
+    fast (W9) if a late-arriving segment name re-sorts the committed
+    prefix — without the check such a segment would silently shift the
+    slice, replaying consumed segments and skipping the new one.
+
+    ``maxSegmentsPerTrigger`` (option) bounds a microbatch like the
+    reference's queue bound (W6); the cap is relative to the last
+    committed offset this reader instance has seen (after a restart the
+    first batch replays whatever the checkpoint planned, then the cap
+    re-engages).
+    """
 
     def __init__(self, options):
         self.spool_dir = options.get("path")
         if not self.spool_dir:
             raise ValueError("wal_spool requires a path option (the spool directory)")
         self.progress_path = os.path.join(self.spool_dir, "_receiver_progress.json")
+        cap = options.get("maxSegmentsPerTrigger")
+        self.max_per_trigger = int(cap) if cap else None
+        self._committed = 0
+
+    @staticmethod
+    def _prefix_md5(names: list[str]) -> str:
+        import hashlib
+
+        return hashlib.md5("\n".join(names).encode()).hexdigest()
+
+    def _check_prefix(self, segs: list[str]) -> None:
+        if not os.path.exists(self.progress_path):
+            return
+        with open(self.progress_path) as fh:
+            prog = json.load(fh)
+        n = prog.get("committed_segments", 0)
+        want = prog.get("prefix_md5")
+        if want is None or n == 0:
+            return
+        names = [os.path.basename(p) for p in segs[:n]]
+        if len(names) < n or self._prefix_md5(names) != want:
+            raise ValueError(
+                "wal_spool segment ordering violated: a segment name sorts "
+                "before already-committed segments (receivers must name "
+                "segments monotonically, e.g. by start LSN) or committed "
+                "segments were removed"
+            )
 
     def initialOffset(self) -> dict:
         return {"segments": 0}
 
     def latestOffset(self) -> dict:
-        return {"segments": len(_list_segments(self.spool_dir))}
+        segs = _list_segments(self.spool_dir)
+        self._check_prefix(segs)
+        n = len(segs)
+        if self.max_per_trigger is not None:
+            n = min(n, self._committed + self.max_per_trigger)
+        return {"segments": n}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         segs = _list_segments(self.spool_dir)[start["segments"] : end["segments"]]
@@ -162,11 +209,22 @@ class WalSpoolStreamReader(DataSourceStreamReader):
         return _read_segment(partition.path)
 
     def commit(self, end: dict) -> None:
-        # standby-feedback analog: observability sidecar, atomically replaced;
+        # standby-feedback analog + the ordering-contract fingerprint;
         # exactly-once correctness is the checkpoint's job, not this file's
+        self._committed = end["segments"]
+        names = [
+            os.path.basename(p)
+            for p in _list_segments(self.spool_dir)[: end["segments"]]
+        ]
         tmp = self.progress_path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"committed_segments": end["segments"]}, fh)
+            json.dump(
+                {
+                    "committed_segments": end["segments"],
+                    "prefix_md5": self._prefix_md5(names),
+                },
+                fh,
+            )
         os.replace(tmp, self.progress_path)
 
 

@@ -71,51 +71,65 @@ def write_tar_shards(
         F.col(src).alias(f"__m_{ext}") for ext, src in member_cols.items()
     ]
     exts = list(member_cols)
-    src = df.select(*cols).repartition(n_shards, "__shard")
+    # sortWithinPartitions makes each task's shards CONTIGUOUS and its
+    # samples key-ordered, so the writer streams row-by-row with exactly
+    # one open tar — memory is one Arrow batch, never a whole shard
+    src = (
+        df.select(*cols)
+        .repartition(n_shards, "__shard")
+        .sortWithinPartitions("__shard", "__key")
+    )
 
     def write(batches: Iterator) -> Iterator:
         import hashlib
 
         import pandas as pd
 
-        # a task may receive several shard ids (hash collisions in the
-        # repartition); buffer rows per shard, write each tar once, sorted
-        by_shard: dict[int, list] = {}
+        state = {"sid": None, "tar": None, "tmp": None, "path": None, "name": None, "n": 0}
+        out = []
+
+        def close_current():
+            if state["tar"] is None:
+                return
+            state["tar"].close()
+            os.replace(state["tmp"], state["path"])
+            with open(state["path"], "rb") as fh:
+                raw = fh.read()
+            out.append((state["name"], state["n"], len(raw), hashlib.md5(raw).hexdigest()))
+            state.update(sid=None, tar=None, n=0)
+
         for pdf in batches:
             # to_dict (not itertuples): namedtuples positionalize the
             # underscore-prefixed internal column names
             for d in pdf.to_dict(orient="records"):
-                by_shard.setdefault(int(d["__shard"]), []).append(d)
-        out = []
-        for sid, rows in sorted(by_shard.items()):
-            name = f"{prefix}-{sid:06d}.tar"
-            path = os.path.join(out_dir, name)
-            tmp = path + ".tmp"
-            n = 0
-            with tarfile.open(tmp, "w") as tar:
-                for d in sorted(rows, key=lambda r: r["__key"]):
-                    for ext in exts:
-                        v = d[f"__m_{ext}"]
-                        if v is None:
-                            continue
-                        if isinstance(v, (bytes, bytearray)):
-                            body = bytes(v)
-                        elif isinstance(v, str):
-                            body = v.encode("utf-8")
-                        else:
-                            body = json.dumps(v, default=str, sort_keys=True).encode()
-                        info = tarfile.TarInfo(name=f"{d['__key']}.{ext}")
-                        info.size = len(body)
-                        info.mtime = 0  # determinism: no wall clock in bytes
-                        info.uid = info.gid = 0
-                        info.uname = info.gname = ""
-                        info.mode = 0o644
-                        tar.addfile(info, io.BytesIO(body))
-                    n += 1
-            os.replace(tmp, path)
-            with open(path, "rb") as fh:
-                raw = fh.read()
-            out.append((name, n, len(raw), hashlib.md5(raw).hexdigest()))
+                sid = int(d["__shard"])
+                if sid != state["sid"]:
+                    close_current()
+                    name = f"{prefix}-{sid:06d}.tar"
+                    path = os.path.join(out_dir, name)
+                    state.update(
+                        sid=sid, name=name, path=path, tmp=path + ".tmp", n=0,
+                        tar=tarfile.open(path + ".tmp", "w"),
+                    )
+                for ext in exts:
+                    v = d[f"__m_{ext}"]
+                    if v is None:
+                        continue
+                    if isinstance(v, (bytes, bytearray)):
+                        body = bytes(v)
+                    elif isinstance(v, str):
+                        body = v.encode("utf-8")
+                    else:
+                        body = json.dumps(v, default=str, sort_keys=True).encode()
+                    info = tarfile.TarInfo(name=f"{d['__key']}.{ext}")
+                    info.size = len(body)
+                    info.mtime = 0  # determinism: no wall clock in bytes
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    info.mode = 0o644
+                    state["tar"].addfile(info, io.BytesIO(body))
+                state["n"] += 1
+        close_current()
         yield pd.DataFrame(out, columns=["shard", "n_samples", "n_bytes", "digest"])
 
     return src.mapInPandas(write, schema=MANIFEST_SCHEMA)

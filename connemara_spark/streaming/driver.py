@@ -129,11 +129,13 @@ class StreamingReplayer:
             from connemara_spark.sources.replication import register_wal_spool
 
             register_wal_spool(self.spark)
-            bronze = (
-                self.spark.readStream.format("wal_spool")
-                .option("path", self.landing_dir)
-                .load()
+            reader = self.spark.readStream.format("wal_spool").option(
+                "path", self.landing_dir
             )
+            if self.max_files_per_trigger:
+                # W6 backpressure maps onto the source's segment cap
+                reader = reader.option("maxSegmentsPerTrigger", self.max_files_per_trigger)
+            bronze = reader.load()
         else:
             reader = self.spark.readStream.schema(BRONZE_SCHEMA)
             if self.max_files_per_trigger:

@@ -42,3 +42,20 @@ def test_pagerank_partition_invariant(spark):
     r1 = sorted(map(tuple, pagerank_fixed_point(df1, iterations=2).collect()))
     r2 = sorted(map(tuple, pagerank_fixed_point(df2, iterations=2).collect()))
     assert r1 == r2  # integer arithmetic: no float-sum order sensitivity
+
+
+def test_pagerank_directed_keeps_sink_nodes(spark):
+    """Directed mode: a pure sink (only ever a dst) must appear in the
+    output and accumulate inflow — review finding: deriving the node set
+    from out-degrees alone silently dropped it."""
+    edges = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    r = {
+        row["node"]: row["rank_fp"]
+        for row in pagerank_fixed_point(
+            edges, iterations=1, scale=300, undirected=False
+        ).collect()
+    }
+    # base = 300 // 3 = 100, teleport = 15
+    # contrib: 1 -> 100, 3 -> 100 (outdeg 1 each); node 2 has no out-edges
+    # inflow: node 2 <- 200; nodes 1,3 <- 0
+    assert r == {1: 15, 2: 15 + 85 * 200 // 100, 3: 15}

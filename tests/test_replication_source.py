@@ -236,3 +236,42 @@ def test_wal_spool_two_sources_slot_restriction(spark, tmp_path):
     sr.run_until_drained()
     assert {r["v"] for r in store.read(spec1).collect()} == {"from-db1"}
     assert store.read(spec2).count() == 0  # excluded source never applied
+
+
+def test_wal_spool_detects_ordering_violation(tmp_path):
+    """A segment name sorting BEFORE committed ones would silently shift
+    the positional offsets (replay + skip); the prefix fingerprint in the
+    progress sidecar turns that into a fail-fast error (W9). Exercised at
+    the reader-API level — the availableNow fallback for python sources
+    skips commit(), so a streaming-query test would never write the
+    sidecar; continuous triggers do."""
+    from connemara_spark.sources.replication import WalSpoolStreamReader
+
+    spool = str(tmp_path / "spool")
+    write_segment(spool, [{"database": "db1", "lsn_start": 9, "payload": "p9"}], "seg-9")
+    r = WalSpoolStreamReader({"path": spool})
+    assert r.latestOffset() == {"segments": 1}
+    r.commit({"segments": 1})
+
+    # "seg-10" sorts BEFORE the committed "seg-9" -> must fail fast
+    write_segment(spool, [{"database": "db1", "lsn_start": 10, "payload": "p10"}], "seg-10")
+    with pytest.raises(ValueError, match="ordering violated"):
+        r.latestOffset()
+    # a fresh reader instance (restart) sees the sidecar and also refuses
+    with pytest.raises(ValueError, match="ordering violated"):
+        WalSpoolStreamReader({"path": spool}).latestOffset()
+
+
+def test_wal_spool_max_segments_per_trigger(spark, tmp_path):
+    """The segment cap bounds each planned batch (W6 backpressure)."""
+    from connemara_spark.sources.replication import WalSpoolStreamReader
+
+    spool = str(tmp_path / "spool")
+    for i in range(5):
+        write_segment(spool, [{"database": "db1", "lsn_start": i, "payload": f"p{i}"}], f"seg-{i:03d}")
+    r = WalSpoolStreamReader({"path": spool, "maxSegmentsPerTrigger": "2"})
+    assert r.latestOffset() == {"segments": 2}
+    r.commit({"segments": 2})
+    assert r.latestOffset() == {"segments": 4}
+    r.commit({"segments": 4})
+    assert r.latestOffset() == {"segments": 5}
