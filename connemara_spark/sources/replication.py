@@ -19,10 +19,12 @@ DataSource API (`pyspark.sql.datasource`, new in Spark 4):
   file, so the parse runs ON EXECUTORS (not the driver) and a batch of N
   files fans out N-wide — the Python-source analog of the C receiver's
   single-writer spool becoming a parallel scan.
-- **commit(offset)** writes a `_receiver_progress.json` sidecar with the
-  last committed segment count — the standby-feedback analog
-  (`connemara_replication.c:308-343`): observability for the operator, not
-  correctness (correctness lives in the checkpoint).
+- **ordering enforcement + backpressure** live in ``latestOffset`` (the
+  one hook Spark 4.1 reliably calls on Python stream readers): the
+  monotone-naming contract is checked against the previously returned
+  listing, and ``maxSegmentsPerTrigger`` caps each planned batch (W6).
+  ``commit`` would write a standby-feedback sidecar but is best-effort:
+  Spark 4.1 does not invoke it for Python sources.
 
 Rows are BRONZE_SCHEMA-shaped. LSNs arrive either as PG ``%X/%X`` text
 (`connemara_replication.c:207-215`) or as integers; timestamps as ISO-8601
@@ -144,17 +146,19 @@ class WalSpoolStreamReader(DataSourceStreamReader):
 
     Offsets are POSITIONS in the name-sorted listing, so the receiver
     must name segments monotonically (LSN-named segments are, naturally).
-    The contract is ENFORCED, not assumed: ``commit`` records an md5 of
-    the committed name-prefix in the sidecar, and ``latestOffset`` fails
-    fast (W9) if a late-arriving segment name re-sorts the committed
-    prefix — without the check such a segment would silently shift the
-    slice, replaying consumed segments and skipping the new one.
+    The contract is ENFORCED, not assumed: ``latestOffset`` keeps the
+    listing it last returned and fails fast (W9) if that listing is no
+    longer a PREFIX of the current one — a late-arriving segment whose
+    name re-sorts the consumed region would otherwise silently shift the
+    positional slice, replaying consumed segments and skipping the new
+    one. (Enforcement lives here, not in ``commit``: Spark 4.1 never
+    invokes ``commit`` on Python stream readers — verified empirically —
+    so the commit hook below is best-effort observability only.)
 
-    ``maxSegmentsPerTrigger`` (option) bounds a microbatch like the
-    reference's queue bound (W6); the cap is relative to the last
-    committed offset this reader instance has seen (after a restart the
-    first batch replays whatever the checkpoint planned, then the cap
-    re-engages).
+    ``maxSegmentsPerTrigger`` (option) bounds each planned batch like the
+    reference's queue bound (W6): successive ``latestOffset`` calls
+    advance by at most the cap, so a large backlog drains in capped
+    microbatches instead of one giant one.
     """
 
     def __init__(self, options):
@@ -164,41 +168,26 @@ class WalSpoolStreamReader(DataSourceStreamReader):
         self.progress_path = os.path.join(self.spool_dir, "_receiver_progress.json")
         cap = options.get("maxSegmentsPerTrigger")
         self.max_per_trigger = int(cap) if cap else None
-        self._committed = 0
-
-    @staticmethod
-    def _prefix_md5(names: list[str]) -> str:
-        import hashlib
-
-        return hashlib.md5("\n".join(names).encode()).hexdigest()
-
-    def _check_prefix(self, segs: list[str]) -> None:
-        if not os.path.exists(self.progress_path):
-            return
-        with open(self.progress_path) as fh:
-            prog = json.load(fh)
-        n = prog.get("committed_segments", 0)
-        want = prog.get("prefix_md5")
-        if want is None or n == 0:
-            return
-        names = [os.path.basename(p) for p in segs[:n]]
-        if len(names) < n or self._prefix_md5(names) != want:
-            raise ValueError(
-                "wal_spool segment ordering violated: a segment name sorts "
-                "before already-committed segments (receivers must name "
-                "segments monotonically, e.g. by start LSN) or committed "
-                "segments were removed"
-            )
+        self._last_names: list[str] = []
+        self._last_end = 0
 
     def initialOffset(self) -> dict:
         return {"segments": 0}
 
     def latestOffset(self) -> dict:
-        segs = _list_segments(self.spool_dir)
-        self._check_prefix(segs)
+        segs = [os.path.basename(p) for p in _list_segments(self.spool_dir)]
+        if segs[: len(self._last_names)] != self._last_names:
+            raise ValueError(
+                "wal_spool segment ordering violated: a segment name sorts "
+                "before already-listed segments (receivers must name "
+                "segments monotonically, e.g. by start LSN) or listed "
+                "segments were removed"
+            )
         n = len(segs)
         if self.max_per_trigger is not None:
-            n = min(n, self._committed + self.max_per_trigger)
+            n = min(n, self._last_end + self.max_per_trigger)
+        self._last_names = segs[:n]
+        self._last_end = n
         return {"segments": n}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
@@ -209,22 +198,12 @@ class WalSpoolStreamReader(DataSourceStreamReader):
         return _read_segment(partition.path)
 
     def commit(self, end: dict) -> None:
-        # standby-feedback analog + the ordering-contract fingerprint;
-        # exactly-once correctness is the checkpoint's job, not this file's
-        self._committed = end["segments"]
-        names = [
-            os.path.basename(p)
-            for p in _list_segments(self.spool_dir)[: end["segments"]]
-        ]
+        # standby-feedback analog — best-effort observability (Spark 4.1
+        # does not call commit on Python stream readers; kept for when it
+        # does). Exactly-once correctness is the checkpoint's job.
         tmp = self.progress_path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "committed_segments": end["segments"],
-                    "prefix_md5": self._prefix_md5(names),
-                },
-                fh,
-            )
+            json.dump({"committed_segments": end["segments"]}, fh)
         os.replace(tmp, self.progress_path)
 
 

@@ -239,27 +239,22 @@ def test_wal_spool_two_sources_slot_restriction(spark, tmp_path):
 
 
 def test_wal_spool_detects_ordering_violation(tmp_path):
-    """A segment name sorting BEFORE committed ones would silently shift
-    the positional offsets (replay + skip); the prefix fingerprint in the
-    progress sidecar turns that into a fail-fast error (W9). Exercised at
-    the reader-API level — the availableNow fallback for python sources
-    skips commit(), so a streaming-query test would never write the
-    sidecar; continuous triggers do."""
+    """A segment name sorting BEFORE already-listed ones would silently
+    shift the positional offsets (replay + skip); latestOffset compares
+    the current listing against the one it previously returned and fails
+    fast (W9). Enforcement lives in latestOffset because Spark 4.1 never
+    invokes commit() on Python stream readers (verified empirically)."""
     from connemara_spark.sources.replication import WalSpoolStreamReader
 
     spool = str(tmp_path / "spool")
     write_segment(spool, [{"database": "db1", "lsn_start": 9, "payload": "p9"}], "seg-9")
     r = WalSpoolStreamReader({"path": spool})
     assert r.latestOffset() == {"segments": 1}
-    r.commit({"segments": 1})
 
-    # "seg-10" sorts BEFORE the committed "seg-9" -> must fail fast
+    # "seg-10" sorts BEFORE the already-listed "seg-9" -> must fail fast
     write_segment(spool, [{"database": "db1", "lsn_start": 10, "payload": "p10"}], "seg-10")
     with pytest.raises(ValueError, match="ordering violated"):
         r.latestOffset()
-    # a fresh reader instance (restart) sees the sidecar and also refuses
-    with pytest.raises(ValueError, match="ordering violated"):
-        WalSpoolStreamReader({"path": spool}).latestOffset()
 
 
 def test_wal_spool_max_segments_per_trigger(spark, tmp_path):
@@ -270,8 +265,55 @@ def test_wal_spool_max_segments_per_trigger(spark, tmp_path):
     for i in range(5):
         write_segment(spool, [{"database": "db1", "lsn_start": i, "payload": f"p{i}"}], f"seg-{i:03d}")
     r = WalSpoolStreamReader({"path": spool, "maxSegmentsPerTrigger": "2"})
+    # successive planning calls advance by at most the cap
     assert r.latestOffset() == {"segments": 2}
-    r.commit({"segments": 2})
     assert r.latestOffset() == {"segments": 4}
-    r.commit({"segments": 4})
     assert r.latestOffset() == {"segments": 5}
+
+
+def test_wal_spool_continuous_trigger_commits_and_caps(spark, tmp_path):
+    """Under a real processing-time trigger, maxSegmentsPerTrigger splits
+    the backlog into capped batches (latestOffset advances by at most the
+    cap per planning call) and every segment still lands exactly once."""
+    import time
+
+    spool = str(tmp_path / "spool")
+    out = str(tmp_path / "out")
+    register_wal_spool(spark)
+    for i in range(4):
+        write_segment(spool, [{"database": "db1", "lsn_start": i, "payload": f"p{i}"}], f"seg-{i:03d}")
+
+    q = (
+        spark.readStream.format("wal_spool")
+        .option("path", spool)
+        .option("maxSegmentsPerTrigger", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def read_rows():
+            try:
+                return sorted(
+                    r["lsn_start"]
+                    for r in spark.read.schema(
+                        "insert_timestamp timestamp, database string, source_slotname string,"
+                        "lsn_start long, xid long, xid_timestamp timestamp, payload string"
+                    ).parquet(out).collect()
+                )
+            except Exception:
+                return []
+
+        deadline = time.time() + 120
+        while time.time() < deadline and read_rows() != [0, 1, 2, 3]:
+            time.sleep(0.5)
+        assert read_rows() == [0, 1, 2, 3]
+        # capped batches: the 4-segment backlog needed >= 2 non-empty batches
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(batches) >= 2
+        assert max(p["numInputRows"] for p in batches) <= 2
+    finally:
+        q.stop()
