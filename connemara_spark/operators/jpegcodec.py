@@ -262,9 +262,11 @@ def decode_jpeg(raw: bytes) -> tuple[int, int, bytes]:
     the Spark quarantine path catches them); NotImplementedError on
     valid-but-unsupported features (color, progressive, 16-bit tables,
     restart intervals)."""
+    from connemara_spark.operators.codecerrors import MALFORMED_ERRORS
+
     try:
         return _decode_jpeg_inner(raw)
-    except (struct.error, IndexError, EOFError, OverflowError, KeyError) as e:
+    except MALFORMED_ERRORS as e:
         raise ValueError(f"malformed JPEG: {e}") from e
 
 

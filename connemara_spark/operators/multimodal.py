@@ -88,23 +88,9 @@ IMAGE_FEATURES_SCHEMA = (
 # --------------------------------------------------------------------------
 
 
-def _malformed_raises_valueerror(fn):
-    """Truncated/corrupt input hits struct.unpack or indexing deep inside a
-    decoder; without normalization those raise struct.error/IndexError,
-    which would ESCAPE the (ValueError, NotImplementedError) quarantine in
-    the mapInPandas operators and kill the whole task from one poison row
-    (found by fuzzing). Normalize every low-level parse error to the
-    documented ValueError at the codec boundary."""
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        try:
-            return fn(*args, **kwargs)
-        except (struct.error, IndexError, EOFError, OverflowError) as e:
-            raise ValueError(f"malformed {fn.__name__.replace('decode_', '')} input: {e}") from e
-
-    return wrapped
+from connemara_spark.operators.codecerrors import (  # noqa: E402
+    malformed_raises_valueerror as _malformed_raises_valueerror,
+)
 
 
 _BMP_HEADER_SIZE = 14 + 40  # BITMAPFILEHEADER + BITMAPINFOHEADER
@@ -371,14 +357,15 @@ def decode_images(
 ) -> DataFrame:
     """Decode + feature-extract images via Arrow-batched mapInPandas.
 
-    ``codec='bmp'`` and ``codec='png'`` are REAL pure-python decoders
-    (BMP: full header parse + stride-aware bottom-up pixel walk; PNG:
-    CRC-checked chunk walk + zlib inflate + all-filter unfiltering);
+    ``codec='bmp'``, ``'png'``, and ``'jpeg'`` are REAL pure-python
+    decoders (BMP: full header parse + stride-aware bottom-up pixel walk;
+    PNG: CRC-checked chunk walk + zlib inflate + all-filter unfiltering;
+    JPEG: baseline grayscale huffman + IDCT, operators/jpegcodec.py);
     ``mean_byte``/``checksum`` are computed over the DECODED pixel bytes
     (padding/filtering removed), so a stride, row-order, or unfilter bug
     shows up in the value-hash oracle. ``fake=True`` selects the
-    deterministic 16-byte-header stub; other codecs (JPEG, ...) need an
-    image library and raise NotImplementedError.
+    deterministic 16-byte-header stub; codecs that genuinely need an
+    external library (webp, ...) raise NotImplementedError.
     """
     if fake:
         codec = "cnmr"
@@ -684,6 +671,7 @@ def sample_video_frames(
                     duration_ms = acc
                     t = 0
                     npal = len(pal) // 3
+                    media_rows = []  # buffer: a media is all-or-nothing
                     try:
                         while t < duration_ms:
                             fi = max(i for s, i in starts if s <= t)
@@ -693,7 +681,7 @@ def sample_video_frames(
                             reds = [pal[3 * ix] for ix in gframes[fi][1] if ix < npal]
                             if len(reds) != len(gframes[fi][1]):
                                 raise ValueError("GIF index beyond color table")
-                            out.append(
+                            media_rows.append(
                                 (
                                     int(mid), int(fi), int(t), w, h,
                                     float(sum(reds) / len(reds)) if reds else 0.0,
@@ -702,7 +690,8 @@ def sample_video_frames(
                             )
                             t += every_ms
                     except ValueError:
-                        continue
+                        continue  # drop ALL of this media's rows, not a prefix
+                    out.extend(media_rows)
             yield pd.DataFrame(
                 out,
                 columns=[

@@ -157,8 +157,18 @@ class WalSpoolStreamReader(DataSourceStreamReader):
 
     ``maxSegmentsPerTrigger`` (option) bounds each planned batch like the
     reference's queue bound (W6): successive ``latestOffset`` calls
-    advance by at most the cap, so a large backlog drains in capped
-    microbatches instead of one giant one.
+    advance by at most the cap. Restart safety: the cap must never return
+    an offset BELOW the checkpoint's committed offset (that would make
+    Spark plan a backwards batch and then REPLAY consumed segments), but
+    a fresh reader instance cannot see the checkpoint — so the planning
+    floor is persisted in the sidecar on every latestOffset and read back
+    at construction, and ``partitions`` raises it to any offset Spark
+    replays from the checkpoint. With no recoverable floor the FIRST
+    call returns the full visible backlog uncapped (never an undercut,
+    which would replay consumed segments); the cap bounds every
+    subsequent batch. (``initialOffset`` also arms the floor, but Spark's
+    python-source runner does not reliably call it before latestOffset —
+    observed empirically — so nothing depends on it.)
     """
 
     def __init__(self, options):
@@ -167,32 +177,72 @@ class WalSpoolStreamReader(DataSourceStreamReader):
             raise ValueError("wal_spool requires a path option (the spool directory)")
         self.progress_path = os.path.join(self.spool_dir, "_receiver_progress.json")
         cap = options.get("maxSegmentsPerTrigger")
-        self.max_per_trigger = int(cap) if cap else None
+        self.max_per_trigger = int(cap) if cap is not None else None
+        if self.max_per_trigger is not None and self.max_per_trigger < 1:
+            raise ValueError(
+                f"maxSegmentsPerTrigger must be >= 1, got {self.max_per_trigger} "
+                "(0 would pin the offset forever and silently stall the stream)"
+            )
         self._last_names: list[str] = []
-        self._last_end = 0
+        self._floor: int | None = self._read_floor()
 
-    def initialOffset(self) -> dict:
-        return {"segments": 0}
+    def _read_floor(self) -> int | None:
+        try:
+            with open(self.progress_path) as fh:
+                v = json.load(fh).get("planned_segments")
+                return int(v) if v is not None else None
+        except (OSError, ValueError, json.JSONDecodeError):
+            return None
 
-    def latestOffset(self) -> dict:
-        segs = [os.path.basename(p) for p in _list_segments(self.spool_dir)]
-        if segs[: len(self._last_names)] != self._last_names:
+    def _write_floor(self, n: int) -> None:
+        tmp = self.progress_path + ".tmp"
+        try:
+            with open(tmp, "w") as fh:
+                json.dump({"planned_segments": n}, fh)
+            os.replace(tmp, self.progress_path)
+        except OSError:
+            pass  # planning floor is an optimization; the checkpoint rules
+
+    def _check_ordering(self, names: list[str]) -> None:
+        if names[: len(self._last_names)] != self._last_names:
             raise ValueError(
                 "wal_spool segment ordering violated: a segment name sorts "
                 "before already-listed segments (receivers must name "
                 "segments monotonically, e.g. by start LSN) or listed "
                 "segments were removed"
             )
+
+    def initialOffset(self) -> dict:
+        self._floor = 0  # brand-new query: cap applies from the first batch
+        return {"segments": 0}
+
+    def latestOffset(self) -> dict:
+        segs = [os.path.basename(p) for p in _list_segments(self.spool_dir)]
+        self._check_ordering(segs)
         n = len(segs)
-        if self.max_per_trigger is not None:
-            n = min(n, self._last_end + self.max_per_trigger)
+        if self.max_per_trigger is not None and self._floor is not None:
+            n = min(n, self._floor + self.max_per_trigger)
         self._last_names = segs[:n]
-        self._last_end = n
+        self._floor = max(self._floor or 0, n)
+        self._write_floor(self._floor)
         return {"segments": n}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        segs = _list_segments(self.spool_dir)[start["segments"] : end["segments"]]
-        return [SegmentPartition(p) for p in segs]
+        # Spark replays the last planned batch from the checkpoint on
+        # restart: its offsets are the authoritative floor for the cap
+        self._floor = max(self._floor or 0, start["segments"], end["segments"])
+        listing = _list_segments(self.spool_dir)
+        names = [os.path.basename(p) for p in listing]
+        # re-validate against the listing latestOffset approved: a segment
+        # arriving between planning and execution that re-sorts the slice
+        # would otherwise silently skip a counted segment (fail fast, W9)
+        self._check_ordering(names)
+        if end["segments"] > len(listing):
+            raise ValueError(
+                "wal_spool: planned offset beyond current listing — "
+                "committed segments were removed from the spool"
+            )
+        return [SegmentPartition(p) for p in listing[start["segments"] : end["segments"]]]
 
     def read(self, partition: SegmentPartition) -> Iterator[tuple]:
         return _read_segment(partition.path)
@@ -200,11 +250,21 @@ class WalSpoolStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # standby-feedback analog — best-effort observability (Spark 4.1
         # does not call commit on Python stream readers; kept for when it
-        # does). Exactly-once correctness is the checkpoint's job.
+        # does). Merges with the planning floor rather than clobbering it.
+        # Exactly-once correctness is the checkpoint's job.
+        try:
+            with open(self.progress_path) as fh:
+                state = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            state = {}
+        state["committed_segments"] = end["segments"]
         tmp = self.progress_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"committed_segments": end["segments"]}, fh)
-        os.replace(tmp, self.progress_path)
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(state, fh)
+            os.replace(tmp, self.progress_path)
+        except OSError:
+            pass
 
 
 class WalSpoolDataSource(DataSource):

@@ -265,16 +265,39 @@ def test_wal_spool_max_segments_per_trigger(spark, tmp_path):
     for i in range(5):
         write_segment(spool, [{"database": "db1", "lsn_start": i, "payload": f"p{i}"}], f"seg-{i:03d}")
     r = WalSpoolStreamReader({"path": spool, "maxSegmentsPerTrigger": "2"})
+    r.initialOffset()  # fresh query: arms the planning floor at 0
     # successive planning calls advance by at most the cap
     assert r.latestOffset() == {"segments": 2}
     assert r.latestOffset() == {"segments": 4}
     assert r.latestOffset() == {"segments": 5}
+    # 3 more segments: growth stays capped
+    for i in (5, 6, 7):
+        write_segment(spool, [{"database": "db1", "lsn_start": i, "payload": f"p{i}"}], f"seg-{i:03d}")
+    assert r.latestOffset() == {"segments": 7}
+
+    # restart safety: a NEW reader instance (initialOffset NOT called —
+    # Spark restores from the checkpoint instead) resumes from the
+    # persisted planning floor (7) and never returns an offset below it,
+    # which would make Spark replay consumed segments
+    r2 = WalSpoolStreamReader({"path": spool, "maxSegmentsPerTrigger": "2"})
+    assert r2.latestOffset() == {"segments": 8}  # min(total=8, floor 7 + 2)
+
+    # and partitions() raises the floor from checkpoint-replayed offsets
+    r3 = WalSpoolStreamReader({"path": str(tmp_path / "spool2")})
+    write_segment(str(tmp_path / "spool2"), [{"lsn_start": 1}], "s-001")
+    r3.partitions({"segments": 0}, {"segments": 1})
+    assert r3._floor == 1
+
+    # a zero/negative cap is a config error, not a silent stall
+    with pytest.raises(ValueError, match="must be >= 1"):
+        WalSpoolStreamReader({"path": spool, "maxSegmentsPerTrigger": "0"})
 
 
 def test_wal_spool_continuous_trigger_commits_and_caps(spark, tmp_path):
-    """Under a real processing-time trigger, maxSegmentsPerTrigger splits
-    the backlog into capped batches (latestOffset advances by at most the
-    cap per planning call) and every segment still lands exactly once."""
+    """Under a real processing-time trigger, maxSegmentsPerTrigger caps
+    batch GROWTH: the first visible backlog may drain uncapped (the
+    restart-safe default when no planning floor is recoverable), and every
+    batch after it is bounded by the cap; all segments land exactly once."""
     import time
 
     spool = str(tmp_path / "spool")
@@ -311,9 +334,14 @@ def test_wal_spool_continuous_trigger_commits_and_caps(spark, tmp_path):
         while time.time() < deadline and read_rows() != [0, 1, 2, 3]:
             time.sleep(0.5)
         assert read_rows() == [0, 1, 2, 3]
-        # capped batches: the 4-segment backlog needed >= 2 non-empty batches
-        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
-        assert len(batches) >= 2
-        assert max(p["numInputRows"] for p in batches) <= 2
+
+        # grow the backlog while the query runs: subsequent batches are capped
+        for i in range(4, 9):
+            write_segment(spool, [{"database": "db1", "lsn_start": i, "payload": f"p{i}"}], f"seg-{i:03d}")
+        while time.time() < deadline and read_rows() != list(range(9)):
+            time.sleep(0.5)
+        assert read_rows() == list(range(9))
+        later = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0][1:]
+        assert later and max(later) <= 2  # growth bounded by the cap
     finally:
         q.stop()
