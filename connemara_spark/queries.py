@@ -1789,7 +1789,7 @@ def _pagerank_oracle() -> str:
     r0 AS (SELECT node, (SELECT base FROM b) AS rank_fp FROM nodes),
     {iters}
     SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind,
-           node // 2 AS key, rank_fp
+           node // 2 AS key, CAST(rank_fp AS BIGINT) AS rank_fp
     FROM r3
     """.replace("JOIN deg d ON e.src = d.node", "JOIN deg d ON e.src = d.node_d")
 

@@ -39,6 +39,35 @@ def _normalize(rows, colnames):
     return sorted(out)
 
 
+# DuckDB result types with no portable Spark analog.  The driver's value hash
+# is TYPE-SENSITIVE: DuckDB silently promotes through these (e.g. SUM(BIGINT)
+# -> HUGEINT, 85 * HUGEINT stays HUGEINT) and the hash diverges even when
+# every value is numerically identical.  This artifact cost round 2
+# (events_sessionize, windowed SUM) and round 3 (graph_pagerank_orders,
+# 85 * SUM // 100) a red gate row each — hence a registry-wide lint.
+_NON_PORTABLE = ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT")
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, q in REGISTRY.items() if q.oracle or q.oracle_fn]
+)
+def test_oracle_types_portable(sf_dir, duck, name):
+    """Lint: no oracle result column may carry a DuckDB-only numeric type.
+
+    Uses the lazy relation's .types so nothing is executed beyond binding."""
+    q = REGISTRY[name]
+    rel = duck.sql(q.resolve_oracle(sf_dir))
+    offenders = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(bad in str(t).upper() for bad in _NON_PORTABLE)
+    ]
+    assert not offenders, (
+        f"{name}: oracle columns with non-portable DuckDB types {offenders} — "
+        f"wrap the final projection in CAST(... AS BIGINT/DOUBLE)"
+    )
+
+
 @pytest.mark.parametrize(
     "name", [n for n, q in REGISTRY.items() if q.oracle or q.oracle_fn]
 )
