@@ -205,8 +205,8 @@ def _events_per_key(ev: DataFrame) -> DataFrame:
     return ev.groupBy("__pk").agg(F.sort_array(F.collect_list(ev_struct)).alias("__evs"))
 
 
-def _fold_expr(spec: TableSpec, events_col: str | Column, init_exists: Column, init_vals: Column) -> Column:
-    """The per-key ordered fold: F.aggregate over the sorted event array.
+def _make_fold(spec: TableSpec):
+    """The per-event step function of the apply fold (see ``_fold_expr``).
 
     Accumulator: struct(exists boolean, violations int, vals struct<cols>).
     ``violations`` counts update/delete on a missing row — the J4 single-row
@@ -256,15 +256,25 @@ def _fold_expr(spec: TableSpec, events_col: str | Column, init_exists: Column, i
             )
         )
 
+    return fold
+
+
+def _fold_expr(spec: TableSpec, events_col: str | Column, init_exists: Column, init_vals: Column) -> Column:
+    """The per-key ordered fold: F.aggregate over the sorted event array."""
     init = F.struct(
         init_exists.alias("exists"), F.lit(0).alias("violations"), init_vals.alias("vals")
     )
     evs = F.col(events_col) if isinstance(events_col, str) else events_col
-    return F.aggregate(evs, init, fold)
+    return F.aggregate(evs, init, _make_fold(spec))
 
 
 def apply_changes(
-    snapshot: DataFrame, events: DataFrame, spec: TableSpec, *, with_metrics: bool = False
+    snapshot: DataFrame,
+    events: DataFrame,
+    spec: TableSpec,
+    *,
+    with_metrics: bool = False,
+    keys: DataFrame | None = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Apply a parsed CDC event batch onto a snapshot DataFrame.
 
@@ -272,12 +282,36 @@ def apply_changes(
     snapshot (same schema). With ``with_metrics=True`` also returns a 1-row
     metrics DataFrame (keys_touched, violations) — the J4 drift assertion.
 
+    ``keys`` (optional): a DataFrame whose columns are ``spec.pk_cols`` —
+    restrict the fold to these PKs. Because the per-key fold is independent
+    across keys (an event at key k only ever touches state at k, including
+    both halves of a split PK-change), semi-join-pruning BOTH fold inputs
+    (projected events and snapshot) on the key set yields state at those
+    keys identical to the unpruned fold — at |keys|-proportional cost. This
+    is what makes incremental view maintenance (operators/ivm.py) scale
+    with |delta| end-to-end: fold cost, not just the view diff, follows the
+    touched-key set. With ``with_metrics`` the metrics then cover only the
+    pruned keys.
+
     This is the pure batch core: ``(snapshot_df, events_df) -> snapshot_df'``
     — usable identically from batch jobs and from ``foreachBatch`` (SURVEY §7
     design stance).
     """
     spec, _whole_row = _effective_spec(spec)
     ev = events_for_table(events, spec)
+
+    if keys is not None:
+        k = F.broadcast(
+            keys.select(
+                F.struct(*[F.col(c).alias(c) for c in spec.pk_cols]).alias("__pk")
+            ).distinct()
+        )
+        ev = ev.join(k, on="__pk", how="left_semi")
+        snapshot = snapshot.join(
+            k.select(*[F.col(f"__pk.{c}").alias(c) for c in spec.pk_cols]),
+            on=spec.pk_cols,
+            how="left_semi",
+        )
 
     # One shuffle: group per key, events in exact apply order (the ordering
     # contract lives in _events_per_key).
@@ -338,6 +372,121 @@ def apply_changes(
         F.sum(F.col("__state.violations")).alias("violations"),
     )
     return result, metrics
+
+
+def apply_changes_cut(
+    snapshot: DataFrame,
+    events: DataFrame,
+    spec: TableSpec,
+    *,
+    cut,
+    keys: DataFrame | None = None,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fold ONE event stream into TWO snapshot states — at an intermediate
+    cut and at the end — in a single pass: one parse, one shuffle, one
+    sorted per-key array; the pre-cut fold's result struct seeds the
+    post-cut fold (``state1 = fold(post, init=state0)``), so total fold
+    steps equal one full fold, not two.
+
+    ``cut``: ``lambda e -> BooleanColumn`` over the event struct
+    (``insert_timestamp, lsn_start, sub_ord, op, vals, has``); True = event
+    belongs to the pre-cut state. CONTRACT: cut must be monotone w.r.t. the
+    apply order (every pre event sorts before every post event per key) —
+    e.g. an LSN threshold — otherwise the staged fold diverges from
+    ``apply_changes`` on the full stream.
+
+    ``keys``: optional touched-key pruning, as in :func:`apply_changes`.
+
+    ``materialize`` (default True): localCheckpoint the per-key two-state
+    frame before returning. The frame is O(|keys|) rows (|delta|-sized when
+    pruned) — small by construction — and the typical caller (view-delta
+    maintenance, ``ivm.join_view_delta``) references each returned state in
+    BOTH sides of an ``exceptAll``; without materialization Spark re-executes
+    the whole parse+shuffle+fold subtree once per plan reference (measured
+    2× per state = up to 8× per stream pair at sf0.1). Pass
+    ``materialize=False`` when folding SEVERAL streams: persist each
+    returned ``flat`` frame and trigger them with one combined job so the
+    folds overlap on the executor pool instead of serializing behind eager
+    checkpoints (see ``cdc_join_view_delta``).
+
+    Returns ``(state_at_cut, state_final, flat)`` — the two snapshot-shaped
+    states plus the underlying per-key frame (``__pk, __s1, __s0``) both are
+    column-selections of.
+    """
+    spec, _whole_row = _effective_spec(spec)
+    ev = events_for_table(events, spec)
+    null_vals = F.struct(
+        *[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns]
+    )
+
+    if keys is not None:
+        k = F.broadcast(
+            keys.select(
+                F.struct(*[F.col(c).alias(c) for c in spec.pk_cols]).alias("__pk")
+            ).distinct()
+        )
+        ev = ev.join(k, on="__pk", how="left_semi")
+        snapshot = snapshot.join(
+            k.select(*[F.col(f"__pk.{c}").alias(c) for c in spec.pk_cols]),
+            on=spec.pk_cols,
+            how="left_semi",
+        )
+
+    per_key = _events_per_key(ev)
+    snap_key = F.struct(*[F.col(c).alias(c) for c in spec.pk_cols])
+    snap = snapshot.select(
+        snap_key.alias("__pk"),
+        F.struct(*[F.col(c.name).alias(c.name) for c in spec.columns]).alias(
+            "__snap_vals"
+        ),
+    )
+    joined = snap.join(per_key, on="__pk", how="full_outer")
+
+    init_exists = F.col("__snap_vals").isNotNull()
+    init_vals = F.coalesce(F.col("__snap_vals"), null_vals)
+    init_state = F.struct(
+        init_exists.alias("exists"), F.lit(0).alias("violations"), init_vals.alias("vals")
+    )
+    pre_evs = F.filter("__evs", cut)
+    s0 = (
+        F.when(
+            F.col("__evs").isNotNull(),
+            _fold_expr(spec, pre_evs, init_exists=init_exists, init_vals=init_vals),
+        )
+        .otherwise(init_state)
+        .alias("__s0")
+    )
+    staged = joined.select("__pk", "__evs", s0)
+    # Second projection: __s0 is a plain attribute here, so the post fold's
+    # init references the ALREADY-COMPUTED struct (no Catalyst re-inlining
+    # of the pre fold's tree — the HOF let-binding rule).
+    post_evs = F.filter("__evs", lambda e: ~cut(e))
+    s1 = (
+        F.when(
+            F.col("__evs").isNotNull(),
+            F.aggregate(post_evs, F.col("__s0"), _make_fold(spec)),
+        )
+        .otherwise(F.col("__s0"))
+        .alias("__s1")
+    )
+    flat = staged.select("__pk", s1, "__s0")
+    if materialize:
+        flat = flat.localCheckpoint(eager=True)
+
+    def out(state: str) -> DataFrame:
+        return flat.filter(F.col(f"{state}.exists")).select(
+            *[
+                (
+                    F.col(f"__pk.{c.name}")
+                    if c.name in spec.pk_cols
+                    else F.col(f"{state}.vals.{c.name}")
+                ).alias(c.name)
+                for c in spec.columns
+            ]
+        )
+
+    return out("__s0"), out("__s1"), flat
 
 
 def apply_delta(snapshot: DataFrame, events: DataFrame, spec: TableSpec) -> DataFrame:

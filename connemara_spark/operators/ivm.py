@@ -13,6 +13,12 @@ four state tables are semi-join-pruned to touched keys BEFORE the join
 (with bucketed silver tables the semi join prunes at the scan), so work
 scales with the delta, not the view. The per-key diff is exceptAll over
 1:1 join rows — a hash aggregation on the touched subset only.
+
+Crucially the pruning must also reach UPSTREAM of the states: when a
+state table is itself produced by a CDC fold, fold the touched keys only
+(``apply_changes(..., keys=touched)`` — semantics-preserving because the
+per-key fold is independent across keys). Otherwise the fold recomputes
+the full table and only the diff is |Δ|-cheap.
 """
 
 from __future__ import annotations

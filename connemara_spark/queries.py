@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from connemara_spark.catalog import ColumnSpec, TableSpec
 from connemara_spark.events import parse_events
 from connemara_spark.functions.pg import extract_epoch
-from connemara_spark.operators.apply import apply_changes, latest_wins
+from connemara_spark.operators.apply import apply_changes, apply_changes_cut, latest_wins
 
 DEC_PRICE = "decimal(12,2)"
 DEC_RATE = "decimal(4,2)"
@@ -4525,17 +4525,29 @@ def cdc_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cut = 5000
     snapshot = load(spark, sf_dir, "customer")
-    cust_bronze = _customer_cdc_bronze(spark, sf_dir).persist()
-    c_ev = parse_events(cust_bronze)
-    # two INDEPENDENT folds. Measured alternatives on this fixture (200
-    # dense keys, ~475 events/key): staged c1-from-c0 serializes the
-    # shuffle critical path (10.1s vs 7.5s); apply_changes_states' shared
-    # fold pipeline carries full sorted arrays through every diff-plan
-    # reference (14-22s) — both lose to two parallel pre-filtered
-    # pipelines here. The shared variant wins at the real-CDC shape
-    # (millions of sparse keys); see its docstring.
-    c0 = apply_changes(snapshot, c_ev.filter(F.col("lsn_start") <= cut), CUSTOMER_SPEC)
-    c1 = apply_changes(snapshot, c_ev, CUSTOMER_SPEC)
+    c_ev = parse_events(_customer_cdc_bronze(spark, sf_dir))
+
+    ev = spread(load(spark, sf_dir, "events"))
+    late = ev.filter(F.col("event_id") > cut)
+    touched = (
+        late.select(((F.col("user_id") * 31 + F.col("event_id") % 100) % 200 + 1).cast("long").alias("k"))
+        .union(late.select(F.col("user_id").alias("k")))
+        .distinct()
+        .localCheckpoint()  # computed once, broadcast into both folds
+    )
+
+    # One STAGED fold per stream (apply_changes_cut): a single parse +
+    # shuffle + sorted per-key fold yields BOTH states (at the LSN cut and
+    # final — the post-cut fold seeds from the pre-cut result), semi-join-
+    # PRUNED to the touched-key set BEFORE the fold (keys=), and the small
+    # per-key two-state frame is localCheckpointed so the exceptAll diff's
+    # two plan references don't re-execute the fold pipeline. Fold cost
+    # scales with |delta|; the heavy subtree runs exactly once per stream.
+    # (Previous shape: four independent full-stream folds, each executed
+    # twice through the exceptAll branches — 8.66s at sf0.1.)
+    lsn_cut = lambda e: e["lsn_start"] <= cut
+    tk_c = touched.select(F.col("k").alias("c_custkey"))
+    c0, c1, _ = apply_changes_cut(snapshot, c_ev, CUSTOMER_SPEC, cut=lsn_cut, keys=tk_c)
 
     acct_schema = T.StructType(
         [
@@ -4544,19 +4556,13 @@ def cdc_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("a_balance", T.DoubleType()),
         ]
     )
-    acct_bronze = _account_cdc_bronze(spark, sf_dir).persist()
-    a_ev = parse_events(acct_bronze)
+    a_ev = parse_events(_account_cdc_bronze(spark, sf_dir))
     empty = spark.createDataFrame([], acct_schema)
-    a0 = apply_changes(empty, a_ev.filter(F.col("lsn_start") <= cut), ACCOUNT_SPEC)
-    a1 = apply_changes(empty, a_ev, ACCOUNT_SPEC)
-
-    ev = spread(load(spark, sf_dir, "events"))
-    late = ev.filter(F.col("event_id") > cut)
-    touched = (
-        late.select(((F.col("user_id") * 31 + F.col("event_id") % 100) % 200 + 1).cast("long").alias("k"))
-        .union(late.select(F.col("user_id").alias("k")))
-        .distinct()
-    )
+    tk_a = touched.select(F.col("k").alias("a_userkey"))
+    a0, a1, _ = apply_changes_cut(empty, a_ev, ACCOUNT_SPEC, cut=lsn_cut, keys=tk_a)
+    # (An overlapped-materialization variant — persist both flat frames,
+    # trigger with one union count — measured SLOWER here, 9-11s vs ~6s:
+    # cache write amplification beats the lost overlap on this box.)
     return join_view_delta(
         c0, c1, a0, a1,
         key_a="c_custkey", key_b="a_userkey", touched=touched,

@@ -478,3 +478,56 @@ def test_apply_changes_states_matches_per_bound_apply(spark):
         bounded = ev if bound is None else ev.filter(F.col("lsn_start") <= bound)
         want = apply_changes(snapshot, bounded, CUST)
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), bound
+
+
+def test_apply_changes_cut_matches_two_full_folds(spark):
+    """The staged single-pass fold (state at cut + final, post seeded from
+    pre) == two independent apply_changes over a random mixed stream with
+    PK changes and partial updates."""
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.apply import apply_changes_cut
+
+    base = _base_customers(30)
+    evs = random_event_stream(CUST, base, n_events=300, seed=7)
+    snapshot = spark.createDataFrame(
+        [tuple(r[c.name] for c in CUST.columns) for r in base], schema=CUST.spark_schema()
+    )
+    bronze = spark.createDataFrame(
+        [tuple(r[f.name] for f in BRONZE_SCHEMA.fields) for r in evs], schema=BRONZE_SCHEMA
+    )
+    ev = parse_events(bronze)
+    cut = 150
+    s0, s1, _flat = apply_changes_cut(snapshot, ev, CUST, cut=lambda e: e["lsn_start"] <= cut)
+    want0 = apply_changes(snapshot, ev.filter(F.col("lsn_start") <= cut), CUST)
+    want1 = apply_changes(snapshot, ev, CUST)
+    assert sorted(map(tuple, s0.collect())) == sorted(map(tuple, want0.collect()))
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, want1.collect()))
+
+
+def test_apply_changes_keys_pruning_matches_unpruned_at_kept_keys(spark):
+    """keys= pruning is semantics-preserving: state at the kept keys equals
+    the unpruned fold restricted to those keys — including a key that only
+    appears via the insert half of a PK-change split."""
+    from connemara_spark.operators.apply import apply_changes_cut
+
+    base = _base_customers(30)
+    evs = random_event_stream(CUST, base, n_events=300, seed=11, pk_change_prob=0.2)
+    snapshot = spark.createDataFrame(
+        [tuple(r[c.name] for c in CUST.columns) for r in base], schema=CUST.spark_schema()
+    )
+    bronze = spark.createDataFrame(
+        [tuple(r[f.name] for f in BRONZE_SCHEMA.fields) for r in evs], schema=BRONZE_SCHEMA
+    )
+    ev = parse_events(bronze)
+    full = apply_changes(snapshot, ev, CUST)
+    kept = sorted({r[0] for r in full.select("c_custkey").collect()})[::2]
+    keys = spark.createDataFrame([(k,) for k in kept], "c_custkey bigint")
+    pruned = apply_changes(snapshot, ev, CUST, keys=keys)
+    want = [t for t in map(tuple, full.collect()) if t[0] in set(kept)]
+    assert sorted(map(tuple, pruned.collect())) == sorted(want)
+    # same through the staged fold
+    _s0, s1, _flat = apply_changes_cut(
+        snapshot, ev, CUST, cut=lambda e: e["lsn_start"] <= 150, keys=keys
+    )
+    assert sorted(map(tuple, s1.collect())) == sorted(want)
