@@ -374,6 +374,166 @@ def apply_changes(
     return result, metrics
 
 
+def apply_changes_bounded(
+    snapshot: DataFrame,
+    events: DataFrame,
+    spec: TableSpec,
+    *,
+    lsn_bucket: int,
+    with_metrics: bool = False,
+    keys: DataFrame | None = None,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """``apply_changes`` with BOUNDED per-key state — the hot-key-safe fold.
+
+    ``apply_changes`` collects ALL of a key's events into one array before
+    folding; a counter-like hot row with millions of updates is a per-key
+    memory bomb (collect_list cells don't spill). The reference applies
+    serially with O(1) per-key state (replayer/connemara_replay.pl:879-960);
+    this matches that bound distributively by exploiting two properties of
+    the overlay fold:
+
+    1. Segment summaries COMPOSE. A contiguous LSN segment's net effect on
+       any entry state is (exists_out, vals, has, violations): exists_out
+       and the determined columns (``has``) depend only on the segment's own
+       events (insert/delete reset everything; an update determines the
+       columns it carries), so ``state' = overlay(summary, state)``.
+    2. The only entry-dependence is the FIRST event's missing-row violation:
+       after one event the exists-trajectory is entry-independent (update
+       materializes, insert sets, delete clears). So a segment needs just
+       ``viol_t`` (violations assuming entry exists) plus ``first_viol``
+       (the extra violation if entry does not exist).
+
+    Two shuffles instead of one — the price of boundedness: level 1 groups
+    by ``(pk, lsn_start div lsn_bucket)`` (arrays bounded by bucket
+    occupancy), level 2 folds the O(bytes-per-row) bucket summaries in LSN
+    order. Pick ``lsn_bucket`` so one bucket's events fit comfortably in an
+    executor task (e.g. the spool segment size).
+
+    CONTRACT: ``insert_timestamp`` order must be consistent with
+    ``lsn_start`` order per key (true for a WAL spool written in LSN order)
+    — bucketing follows LSN, while ``apply_changes`` sorts on
+    (insert_timestamp, lsn_start, sub_ord). PK-change delete+insert pairs
+    share ``lsn_start`` and therefore never straddle a bucket boundary.
+    """
+    spec, _whole_row = _effective_spec(spec)
+    ev = events_for_table(events, spec)
+    if keys is not None:
+        k = F.broadcast(
+            keys.select(
+                F.struct(*[F.col(c).alias(c) for c in spec.pk_cols]).alias("__pk")
+            ).distinct()
+        )
+        ev = ev.join(k, on="__pk", how="left_semi")
+        snapshot = snapshot.join(
+            k.select(*[F.col(f"__pk.{c}").alias(c) for c in spec.pk_cols]),
+            on=spec.pk_cols,
+            how="left_semi",
+        )
+
+    cols = [c.name for c in spec.columns]
+    null_vals = F.struct(
+        *[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns]
+    )
+    ev_struct = F.struct(
+        F.col("insert_timestamp").alias("insert_timestamp"),
+        F.col("lsn_start").alias("lsn_start"),
+        F.col("sub_ord").alias("sub_ord"),
+        F.col("op").alias("op"),
+        F.col("vals").alias("vals"),
+        F.col("has").alias("has"),
+    )
+    lvl1 = (
+        ev.withColumn("__bucket", F.expr(f"lsn_start div {int(lsn_bucket)}"))
+        .groupBy("__pk", "__bucket")
+        .agg(F.sort_array(F.collect_list(ev_struct)).alias("__evs"))
+    )
+
+    # Per-bucket summary: one fold with entry (exists=true, null vals);
+    # the determined-column mask and the entry-missing correction make it
+    # exact for any entry state (see docstring).
+    foldT = _fold_expr(spec, "__evs", init_exists=F.lit(True), init_vals=null_vals)
+    first = F.element_at("__evs", 1)
+    first_viol = (
+        F.when(first["op"].isin("update", "delete"), F.lit(1)).otherwise(F.lit(0))
+    )
+    reset = F.exists("__evs", lambda e: e["op"].isin("insert", "delete"))
+
+    def _touches(col_name):
+        return lambda e: e["has"][col_name]
+
+    summary = F.struct(
+        F.col("__bucket").alias("bucket"),
+        foldT["exists"].alias("exists_out"),
+        foldT["violations"].alias("viol_t"),
+        first_viol.alias("first_viol"),
+        F.struct(
+            *[
+                (reset | F.exists("__evs", _touches(c))).alias(c)
+                for c in cols
+            ]
+        ).alias("has"),
+        foldT["vals"].alias("vals"),
+    )
+    per_key = (
+        lvl1.select("__pk", summary.alias("__s"))
+        .groupBy("__pk")
+        .agg(F.sort_array(F.collect_list("__s")).alias("__sums"))
+    )
+
+    def fold2(acc: Column, s: Column) -> Column:
+        viol = (
+            acc["violations"]
+            + s["viol_t"]
+            + F.when(acc["exists"], F.lit(0)).otherwise(s["first_viol"])
+        )
+        vals = F.struct(
+            *[
+                F.when(s["has"][c], s["vals"][c]).otherwise(acc["vals"][c]).alias(c)
+                for c in cols
+            ]
+        )
+        return F.struct(
+            s["exists_out"].alias("exists"), viol.alias("violations"), vals.alias("vals")
+        )
+
+    snap_key = F.struct(*[F.col(c).alias(c) for c in spec.pk_cols])
+    snap = snapshot.select(
+        snap_key.alias("__pk"),
+        F.struct(*[F.col(c.name).alias(c.name) for c in spec.columns]).alias(
+            "__snap_vals"
+        ),
+    )
+    joined = snap.join(per_key, on="__pk", how="full_outer")
+    init = F.struct(
+        F.col("__snap_vals").isNotNull().alias("exists"),
+        F.lit(0).alias("violations"),
+        F.coalesce(F.col("__snap_vals"), null_vals).alias("vals"),
+    )
+    folded = joined.select(
+        "__pk",
+        F.when(F.col("__sums").isNotNull(), F.aggregate("__sums", init, fold2))
+        .otherwise(init)
+        .alias("__state"),
+    )
+    result = folded.filter(F.col("__state.exists")).select(
+        *[
+            (
+                F.col(f"__pk.{c.name}")
+                if c.name in spec.pk_cols
+                else F.col(f"__state.vals.{c.name}")
+            ).alias(c.name)
+            for c in spec.columns
+        ]
+    )
+    if not with_metrics:
+        return result
+    metrics = folded.agg(
+        F.count(F.lit(1)).alias("keys_seen"),
+        F.sum(F.col("__state.violations")).alias("violations"),
+    )
+    return result, metrics
+
+
 def apply_changes_cut(
     snapshot: DataFrame,
     events: DataFrame,

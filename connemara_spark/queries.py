@@ -536,6 +536,23 @@ def cdc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(snapshot, events, CUSTOMER_SPEC)
 
 
+@register(
+    "cdc_apply_customer_bounded",
+    REGISTRY["cdc_apply_customer"].oracle,
+    "hot-key-safe CDC apply: two-level (key, lsn-bucket) fold with composable "
+    "segment summaries — per-key state bounded at bucket occupancy instead of "
+    "the key's full event count (the reference's O(1) serial-apply bound, "
+    "replay.pl:879-960, matched distributively); same oracle as cdc_apply_customer",
+)
+def cdc_apply_customer_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.apply import apply_changes_bounded
+
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    events = parse_events(bronze)
+    return apply_changes_bounded(snapshot, events, CUSTOMER_SPEC, lsn_bucket=1000)
+
+
 def _customer_partial_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """wal2json update stream with PARTIAL column lists (J2): every event
     sets c_acctbal; only 'signup' events also carry c_name — other columns

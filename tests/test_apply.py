@@ -480,6 +480,90 @@ def test_apply_changes_states_matches_per_bound_apply(spark):
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), bound
 
 
+@pytest.mark.parametrize("seed", [3, 7, 21])
+def test_apply_changes_bounded_matches_unbounded(spark, seed):
+    """Two-level (key, lsn-bucket) fold == single-array fold on random mixed
+    streams with PK changes, partial updates, and missing-row violations —
+    including the violations metric (the entry-dependent part the bucket
+    summaries must correct for)."""
+    from connemara_spark.operators.apply import apply_changes_bounded
+
+    base = _base_customers(25)
+    evs = random_event_stream(CUST, base, n_events=400, seed=seed, pk_change_prob=0.15)
+    # inject missing-row violations: update + delete on keys that never existed
+    lsn = max(e["lsn_start"] for e in evs) + 1
+    evs.append(make_event(CUST, "update", lsn=lsn, row={"c_acctbal": 1.0},
+                          old_key={"c_custkey": 999_901}, present=["c_acctbal"]))
+    evs.append(make_event(CUST, "delete", lsn=lsn + 1, old_key={"c_custkey": 999_902}))
+    snapshot = spark.createDataFrame(
+        [tuple(r[c.name] for c in CUST.columns) for r in base], schema=CUST.spark_schema()
+    )
+    bronze = spark.createDataFrame(
+        [tuple(r[f.name] for f in BRONZE_SCHEMA.fields) for r in evs], schema=BRONZE_SCHEMA
+    )
+    ev = parse_events(bronze)
+    want, want_m = apply_changes(snapshot, ev, CUST, with_metrics=True)
+    for bucket in (1, 7, 50, 10_000_000):  # one-event buckets .. one bucket for all
+        got, got_m = apply_changes_bounded(
+            snapshot, ev, CUST, lsn_bucket=bucket, with_metrics=True
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), bucket
+        assert got_m.collect() == want_m.collect(), bucket
+
+
+def test_apply_changes_bounded_hot_key(spark):
+    """A 100k-update hot key folds bit-identically with per-bucket arrays
+    bounded at ~1k cells (the collect_list memory-bomb guard)."""
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.apply import apply_changes_bounded, events_for_table
+
+    n = 100_000
+    bucket = 1_000
+    # native generation: n partial updates on one key + a sprinkle of other keys
+    bronze = spark.range(n).select(
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("insert_timestamp"),
+        F.lit("db1").alias("database"),
+        F.lit("slot_db1").alias("source_slotname"),
+        (F.col("id") + 1).alias("lsn_start"),
+        (F.col("id") + 1000).alias("xid"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("xid_timestamp"),
+        F.to_json(
+            F.struct(
+                F.lit("update").alias("kind"),
+                F.lit("public").alias("schema"),
+                F.lit("customer").alias("table"),
+                F.array(F.lit("c_acctbal")).alias("columnnames"),
+                F.array((F.col("id") % 997).cast("string")).alias("columnvalues"),
+                F.struct(
+                    F.array(F.lit("c_custkey")).alias("keynames"),
+                    F.array(
+                        F.when(F.col("id") % 100 == 0, (F.col("id") % 7 + 2).cast("string"))
+                        .otherwise(F.lit("1"))
+                    ).alias("keyvalues"),
+                ).alias("oldkeys"),
+            )
+        ).alias("payload"),
+    )
+    ev = parse_events(bronze)
+    base = _base_customers(10)
+    snapshot = spark.createDataFrame(
+        [tuple(r[c.name] for c in CUST.columns) for r in base], schema=CUST.spark_schema()
+    )
+    got = apply_changes_bounded(snapshot, ev, CUST, lsn_bucket=bucket)
+    want = apply_changes(snapshot, ev, CUST)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the bound: no (key, bucket) group exceeds the bucket's LSN capacity
+    sizes = (
+        events_for_table(ev, CUST)
+        .groupBy("__pk", F.expr(f"lsn_start div {bucket}"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert sizes <= bucket
+
+
 def test_apply_changes_cut_matches_two_full_folds(spark):
     """The staged single-pass fold (state at cut + final, post seeded from
     pre) == two independent apply_changes over a random mixed stream with
