@@ -302,8 +302,14 @@ def _decode_jpeg_inner(raw: bytes) -> tuple[int, int, bytes]:
                     nat[_ZIGZAG[k]] = zz[k]
                 qtables[tq] = nat
                 o += 65
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+        elif 0xFFC1 <= marker <= 0xFFCF and marker not in (0xFFC4, 0xFFC8, 0xFFCC):
+            # every non-baseline SOF variant (extended/progressive/lossless/
+            # arithmetic SOF9-SOF15) is VALID-but-unsupported, not malformed
+            # — keep the NotImplementedError contract for the whole range,
+            # not just SOF1-SOF3 (0xFFC8 is JPG reserved, 0xFFCC is DAC)
             raise NotImplementedError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFCC:
+            raise NotImplementedError("arithmetic conditioning (DAC) unsupported")
         elif marker == 0xFFC0:
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
@@ -315,6 +321,10 @@ def _decode_jpeg_inner(raw: bytes) -> tuple[int, int, bytes]:
             o = 0
             while o < len(body):
                 tc, th = body[o] >> 4, body[o] & 0x0F
+                if th != 0:
+                    # valid JPEG, multi-table entropy coding — out of the
+                    # single-component baseline scope, NOT malformed
+                    raise NotImplementedError("DHT table id != 0 unsupported")
                 bits = list(body[o + 1 : o + 17])
                 n = sum(bits)
                 vals = list(body[o + 17 : o + 17 + n])
@@ -326,6 +336,10 @@ def _decode_jpeg_inner(raw: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xFFDD:
             raise NotImplementedError("restart intervals")
         elif marker == 0xFFDA:
+            ns = body[0]
+            for ci in range(ns):
+                if body[2 + 2 * ci] != 0:  # Td/Ta selectors beyond table 0
+                    raise NotImplementedError("SOS huffman selector != 0 unsupported")
             entropy_start = pos + 2 + length
             break
         pos += 2 + length

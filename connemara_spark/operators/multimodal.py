@@ -708,7 +708,11 @@ def decimate_audio(df: DataFrame, *, factor: int, codec: str = "wav") -> DataFra
     sample, re-encode at ``rate // factor`` (duration preserved, bandwidth
     reduced — the cheap anti-aliasing-free downsample). Mono only; true
     multi-channel frame decimation and filtered resampling need a DSP
-    library and raise NotImplementedError at the boundary."""
+    library — such rows are QUARANTINED (dropped) like corrupt payloads,
+    the one in-pipeline policy for both malformed and unsupported media
+    (a single poison row must never sink a 100 TB job). Unsupported
+    CODECS still raise at call time: that is a plan-construction error,
+    not a data row."""
     if codec != "wav":
         raise NotImplementedError(f"codec {codec!r} requires an audio library")
     if factor < 1:
@@ -726,7 +730,7 @@ def decimate_audio(df: DataFrame, *, factor: int, codec: str = "wav") -> DataFra
                 except (ValueError, NotImplementedError):
                     continue
                 if ch != 1:
-                    raise NotImplementedError("multi-channel decimation needs frame handling")
+                    continue  # unsupported (multi-channel): quarantine, don't sink the job
                 rows.append(
                     (int(mid), encode_wav(max(rate // factor, 1), samples[::factor], ch))
                 )

@@ -163,12 +163,12 @@ class WalSpoolStreamReader(DataSourceStreamReader):
     a fresh reader instance cannot see the checkpoint — so the planning
     floor is persisted in the sidecar on every latestOffset and read back
     at construction, and ``partitions`` raises it to any offset Spark
-    replays from the checkpoint. With no recoverable floor the FIRST
-    call returns the full visible backlog uncapped (never an undercut,
-    which would replay consumed segments); the cap bounds every
-    subsequent batch. (``initialOffset`` also arms the floor, but Spark's
-    python-source runner does not reliably call it before latestOffset —
-    observed empirically — so nothing depends on it.)
+    replays from the checkpoint. A spool with NO sidecar has never been
+    planned from, so construction arms the floor at 0 eagerly — the very
+    first backlog-drain batch is capped too. (``initialOffset`` also arms
+    the floor, but Spark's python-source runner does not reliably call it
+    before latestOffset — observed empirically — so nothing depends on
+    it.)
     """
 
     def __init__(self, options):
@@ -185,6 +185,18 @@ class WalSpoolStreamReader(DataSourceStreamReader):
             )
         self._last_names: list[str] = []
         self._floor: int | None = self._read_floor()
+        if self._floor is None:
+            # No sidecar -> this spool has never been planned from: arm the
+            # floor at 0 EAGERLY so even the very first latestOffset — the
+            # backlog-drain batch the cap most needs to bound — is capped at
+            # min(n, cap). A restart whose sidecar was deleted out-of-band
+            # (while the checkpoint survived) would be indistinguishable
+            # from brand-new here, but the sidecar lives IN the spool dir:
+            # losing one and not the other means the spool itself was
+            # tampered with, and partitions() still fail-fasts on any
+            # resulting listing inconsistency.
+            self._floor = 0
+            self._write_floor(0)
 
     def _read_floor(self) -> int | None:
         try:

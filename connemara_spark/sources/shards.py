@@ -93,9 +93,16 @@ def write_tar_shards(
                 return
             state["tar"].close()
             os.replace(state["tmp"], state["path"])
+            # Stream the manifest digest in 1 MiB chunks — reading the whole
+            # finished shard back would allocate shard-size (GBs) per task,
+            # defeating the bounded-memory design above.
+            digest = hashlib.md5()
+            n_bytes = 0
             with open(state["path"], "rb") as fh:
-                raw = fh.read()
-            out.append((state["name"], state["n"], len(raw), hashlib.md5(raw).hexdigest()))
+                while chunk := fh.read(1 << 20):
+                    digest.update(chunk)
+                    n_bytes += len(chunk)
+            out.append((state["name"], state["n"], n_bytes, digest.hexdigest()))
             state.update(sid=None, tar=None, n=0)
 
         for pdf in batches:

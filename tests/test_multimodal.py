@@ -134,6 +134,21 @@ def test_real_wav_decimation(spark):
         decimate_audio(wav_fixture(ids), factor=0)
 
 
+def test_wav_decimation_quarantines_multichannel(spark):
+    """A stereo row is dropped (quarantined) like a corrupt payload — one
+    poison row must not sink the job — while mono rows still decode."""
+    from connemara_spark.operators.multimodal import encode_wav
+
+    stereo = encode_wav(4000, [1, 2, 3, 4, 5, 6], channels=2)
+    mono = encode_wav(4000, [10, 20, 30, 40], channels=1)
+    df = spark.createDataFrame([(1, bytearray(stereo)), (2, bytearray(mono))],
+                               "media_id long, payload binary")
+    out = decimate_audio(df, factor=2).collect()
+    assert [r["media_id"] for r in out] == [2]
+    rate, ch, samples = decode_wav(bytes(out[0]["payload"]))
+    assert (rate, ch, samples) == (2000, 1, [10, 30])
+
+
 def test_real_wav_decode_features(spark):
     ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
     out = {r["media_id"]: r for r in decode_audio(wav_fixture(ids), codec="wav").collect()}

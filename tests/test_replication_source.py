@@ -292,12 +292,21 @@ def test_wal_spool_max_segments_per_trigger(spark, tmp_path):
     with pytest.raises(ValueError, match="must be >= 1"):
         WalSpoolStreamReader({"path": spool, "maxSegmentsPerTrigger": "0"})
 
+    # brand-new spool (no sidecar, initialOffset NEVER called — the runner
+    # doesn't guarantee it): construction arms the floor eagerly, so even
+    # the first backlog-drain batch is capped
+    spool3 = str(tmp_path / "spool3")
+    for i in range(5):
+        write_segment(spool3, [{"database": "db1", "lsn_start": i, "payload": f"p{i}"}], f"seg-{i:03d}")
+    r4 = WalSpoolStreamReader({"path": spool3, "maxSegmentsPerTrigger": "2"})
+    assert r4.latestOffset() == {"segments": 2}
+
 
 def test_wal_spool_continuous_trigger_commits_and_caps(spark, tmp_path):
     """Under a real processing-time trigger, maxSegmentsPerTrigger caps
-    batch GROWTH: the first visible backlog may drain uncapped (the
-    restart-safe default when no planning floor is recoverable), and every
-    batch after it is bounded by the cap; all segments land exactly once."""
+    EVERY batch — including the first backlog drain (the constructor arms
+    the planning floor eagerly on a sidecar-less spool); all segments land
+    exactly once."""
     import time
 
     spool = str(tmp_path / "spool")
@@ -341,7 +350,7 @@ def test_wal_spool_continuous_trigger_commits_and_caps(spark, tmp_path):
         while time.time() < deadline and read_rows() != list(range(9)):
             time.sleep(0.5)
         assert read_rows() == list(range(9))
-        later = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0][1:]
-        assert later and max(later) <= 2  # growth bounded by the cap
+        batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+        assert batches and max(batches) <= 2  # every batch bounded, first included
     finally:
         q.stop()
