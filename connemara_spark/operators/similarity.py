@@ -1352,3 +1352,114 @@ def semdedup(
             F.when(F.col("__dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-point distributed k-means (semantic clustering)
+# --------------------------------------------------------------------------
+
+
+def kmeans_fixed_point(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 8,
+    iters: int = 3,
+    seed: int = 42,
+    scale_bits: int = 20,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Distributed Lloyd's k-means in ALL-INTEGER arithmetic — the semantic
+    clustering primitive (SemDeDup-style cluster-then-dedup, domain mixture
+    discovery) built so the result is bit-identical across engines,
+    partitionings, and retries.
+
+    Floating-point k-means is nondeterministic at scale (shuffle order
+    changes float-sum rounding); this uses the fixed-point PageRank trick
+    (operators/graph.py): components quantize once to ``floor(x * 2^scale_bits)``
+    (exact: f32→f64 is exact, ×2^n is exact, floor is exact), distances are
+    exact BIGINT sums of squares (dim·2^(2·scale_bits) ≤ 2^48 at the
+    defaults — no overflow), and centroid updates are exact integer
+    floor-division means. The same math renders as a DuckDB CTE chain, so
+    the ENTIRE training loop sits under the cross-engine value-hash gate —
+    stronger than gating rendered literals.
+
+    Init: the ``k`` vectors with the smallest ``md5(seed|id)`` (the
+    engine-independent sampling used by ``pq_train_codebooks``). Ties in
+    assignment break to the lowest cluster id.
+
+    Plan shape per iteration: assignment is a zero-shuffle projection
+    (centroids are k·dim int literals, k distance columns compiled
+    separately — each is one codegen'd fold, never a ≳1k-term single
+    expression); the update is ONE aggregation shuffle on (cluster, dim
+    position) producing k·dim rows collected to the driver (16 KB at the
+    defaults — the only driver traffic). At 100 TB the per-iteration cost
+    is a map scan + one k·dim-sized shuffle; nothing accumulates state on
+    any executor.
+
+    Returns ``(assignments, centroids)``: assignments is the LAST
+    iteration's ``(id, vf array<long>, cluster long)`` (computed against
+    the pre-update centroids — Lloyd's step order); centroids are
+    ``(cluster_id, integer centroid)`` pairs UPDATED FROM those
+    assignments — pairs, because emptied clusters drop and ids keep their
+    identity.
+    """
+    mult = 1 << scale_bits
+    vf = F.transform(
+        vec_col if isinstance(vec_col, Column) else F.col(vec_col),
+        lambda e: F.floor(e.cast("double") * mult).cast("long"),
+    )
+    base = emb.select(F.col(id_col).alias("id"), vf.alias("vf"))
+
+    h = F.md5(F.concat_ws("|", F.lit(seed).cast("string"), F.col("id").cast("string")))
+    init_rows = base.select("vf", h.alias("__h"), "id").orderBy("__h", "id").limit(k).collect()
+    cents: list[tuple[int, list[int]]] = [(c, list(r["vf"])) for c, r in enumerate(init_rows)]
+
+    assigned = None
+    for _ in range(iters):
+        assigned = _kmeans_assign(base, cents)
+        # per-dim SUM columns (map-side partial agg, k-row shuffle output)
+        # rather than posexplode: no dim-fold row expansion
+        upd = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("vf")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        # exact integer mean; emptied clusters drop (same as the SQL twin)
+        cents = sorted(
+            (r["cluster"], [_floordiv(r[f"s{i}"], r["n"]) for i in range(dim)])
+            for r in upd
+        )
+    return assigned, [(c, list(v)) for c, v in cents]
+
+
+def _floordiv(a: int, n: int) -> int:
+    """SQL integer division truncates toward ZERO (DuckDB ``//`` on
+    integers, Spark ``div``); Python ``//`` floors toward -inf — use the
+    SQL semantics so negative sums agree."""
+    q = abs(a) // n
+    return q if a >= 0 else -q
+
+
+def _kmeans_assign(base: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Zero-shuffle assignment: one exact-BIGINT distance column per
+    centroid (separately codegen'd), argmin with lowest-cluster tie-break
+    (array_position returns the FIRST minimum)."""
+    dist_cols = []
+    for c, cvec in cents:
+        carr = F.array(*[F.lit(int(x)).cast("long") for x in cvec])
+        d = F.aggregate(
+            F.zip_with("vf", carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        dist_cols.append(d.alias(f"__d{c}"))
+    staged = base.select("id", "vf", *dist_cols)
+    ds = F.array(*[F.col(f"__d{c}") for c, _ in cents])
+    cluster_ids = F.array(*[F.lit(c).cast("long") for c, _ in cents])
+    cl = F.element_at(cluster_ids, F.array_position(ds, F.array_min(ds)).cast("int"))
+    return staged.select("id", "vf", cl.alias("cluster"))

@@ -3182,6 +3182,76 @@ def embedding_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_recon_error(emb)
 
 
+def _kmeans_oracle(*, dim: int = 64, k: int = 8, iters: int = 3, seed: int = 42,
+                   scale_bits: int = 20) -> str:
+    """DuckDB CTE chain replicating the ENTIRE fixed-point k-means loop:
+    md5-seeded init, per-iteration argmin assignment (lowest-cluster ties)
+    and exact integer centroid updates — all-BIGINT arithmetic, so the gate
+    checks the full training trajectory, not rendered literals."""
+    mult = 1 << scale_bits
+    it = f"""
+a{{n}} AS (
+  SELECT vec_id, vf, cluster FROM (
+    SELECT v.vec_id, v.vf, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_sum(list_transform(range(1,{dim + 1}),
+                      i -> (v.vf[i]-c.c[i])*(v.vf[i]-c.c[i]))), c.cluster) AS rn
+    FROM v CROSS JOIN c{{p}} c) t
+  WHERE rn = 1
+),
+c{{n}} AS (
+  SELECT cluster, list(s ORDER BY i) AS c FROM (
+    SELECT cluster, i, CAST(sum(vf[i]) // count(*) AS BIGINT) AS s
+    FROM a{{n}} CROSS JOIN range(1,{dim + 1}) t(i)
+    GROUP BY cluster, i) u
+  GROUP BY cluster
+)"""
+    chain = ",".join(it.format(n=n, p=n - 1) for n in range(1, iters + 1))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding,
+               e -> CAST(floor(CAST(e AS DOUBLE) * {mult}) AS BIGINT)) AS vf
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY md5('{seed}|' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+                  AS BIGINT) AS cluster, vf AS c
+      FROM v
+      QUALIFY row_number() OVER (ORDER BY md5('{seed}|' || CAST(vec_id AS VARCHAR)), vec_id) <= {k}
+    ),
+    {chain}
+    SELECT a{iters}.cluster, COUNT(*) AS n_members,
+           CAST(list_aggregate(c{iters}.c, 'sum') AS BIGINT) AS centroid_sum
+    FROM a{iters} JOIN c{iters} USING (cluster)
+    GROUP BY a{iters}.cluster, c{iters}.c
+    ORDER BY a{iters}.cluster
+    """
+
+
+@register(
+    "embedding_kmeans_clusters",
+    _kmeans_oracle(),
+    "distributed Lloyd's k-means in fixed-point integer arithmetic (semantic "
+    "clustering for SemDeDup-style dedup / domain mixture discovery) — the FULL "
+    "training loop is under the cross-engine gate: md5-seeded init, zero-shuffle "
+    "BIGINT argmin assignment per iteration (k distance folds compiled "
+    "separately), ONE (cluster,dim)-keyed aggregation shuffle per update with "
+    "k*dim rows to the driver; bit-identical across engines and partitionings",
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.similarity import kmeans_fixed_point
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    assigned, cents = kmeans_fixed_point(emb, k=8, iters=3, seed=42)
+    sums = spark.createDataFrame(
+        [(c, sum(v)) for c, v in cents], "cluster long, centroid_sum long"
+    )
+    counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    return counts.join(F.broadcast(sums), "cluster").select(
+        "cluster", "n_members", "centroid_sum"
+    )
+
+
 @register(
     "events_props_json",
     f"""

@@ -254,3 +254,57 @@ def test_semdedup_randomized_matches_python_reference(spark):
         for r in semdedup(df, threshold=thr).collect()
     }
     assert got == expected
+
+
+def test_kmeans_fixed_point_matches_python_reference(spark):
+    """The distributed integer k-means equals a sequential pure-python
+    replica (same init, same truncating division, same tie-break) on a
+    small dim-4 corpus — including an emptied cluster."""
+    import hashlib
+
+    from connemara_spark.operators.similarity import kmeans_fixed_point
+
+    vecs = {
+        1: [0.9, 0.9, 0.0, 0.0], 2: [0.8, 0.95, 0.0, 0.0],
+        3: [-0.9, -0.9, 0.0, 0.0], 4: [-0.85, -0.8, 0.1, 0.0],
+        5: [0.0, 0.0, 0.9, -0.9], 6: [0.01, 0.0, 0.85, -0.95],
+        7: [0.5, -0.5, 0.5, -0.5],
+    }
+    k, iters, seed, dim, mult = 4, 3, 11, 4, 1 << 20
+
+    import struct as _s
+    def f32(x):  # float32 rounding like array<float>
+        return _s.unpack("f", _s.pack("f", x))[0]
+
+    vf = {i: [int((f32(x) * mult) // 1) for x in v] for i, v in vecs.items()}
+    order = sorted(vf, key=lambda i: (hashlib.md5(f"{seed}|{i}".encode()).hexdigest(), i))
+    cents = [(c, list(vf[order[c]])) for c in range(k)]
+
+    def tdiv(a, n):
+        q = abs(a) // n
+        return q if a >= 0 else -q
+
+    assign = None
+    for _ in range(iters):
+        assign = {}
+        for i, v in vf.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, cv)), c) for c, cv in cents
+            )
+            assign[i] = best[1]
+        upd = {}
+        for i, c in assign.items():
+            s, n = upd.setdefault(c, [[0] * dim, 0])
+            for j in range(dim):
+                s[j] += vf[i][j]
+            upd[c][1] += 1
+        cents = sorted((c, [tdiv(s[j], n) for j in range(dim)]) for c, (s, n) in upd.items())
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    got_assign, got_cents = kmeans_fixed_point(
+        df, dim=dim, k=k, iters=iters, seed=seed
+    )
+    assert {r["id"]: r["cluster"] for r in got_assign.collect()} == assign
+    assert [(c, v) for c, v in got_cents] == cents
