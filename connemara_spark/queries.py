@@ -1495,6 +1495,105 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("hash", "join", "window", "vector")
+
+
+def _bm25_oracle(*, k1: float = 1.2, b: float = 0.75, topn: int = 10) -> str:
+    """BM25 with the standard Robertson idf — float math structured for
+    cross-engine identity: per-term contributions land in SEPARATE pivot
+    columns and the final score adds them in a FIXED left-to-right order
+    (a SUM over term rows would re-associate double addition); ln/division
+    inputs are integers or identically-derived doubles on both engines
+    (the doc_tfidf_top_terms precedent)."""
+    terms = _BM25_TERMS
+    per_term = ", ".join(
+        f"SUM(CASE WHEN word = '{t}' THEN contrib ELSE 0.0 END) AS c{i}"
+        for i, t in enumerate(terms)
+    )
+    add_chain = " + ".join(f"COALESCE(c{i}, 0.0)" for i in range(len(terms)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS nd, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok WHERE word IN ({tlist})
+           GROUP BY doc_id, word),
+    dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    contribs AS (
+        SELECT tf.doc_id, tf.word,
+               ln(1.0 + (CAST(s.nd AS DOUBLE) - df + 0.5) / (df + 0.5))
+                 * ((tf * ({k1} + 1.0))
+                    / (tf + {k1} * (1.0 - {b} + {b} * CAST(dl.len AS DOUBLE) / s.avgdl)))
+               AS contrib
+        FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id) CROSS JOIN stats s
+    ),
+    pivoted AS (SELECT doc_id, {per_term} FROM contribs GROUP BY doc_id),
+    scored AS (SELECT doc_id, ROUND({add_chain}, 6) AS bm25 FROM pivoted)
+    SELECT doc_id, bm25, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM scored) s
+    WHERE rk <= {topn}
+    """
+
+
+@register(
+    "doc_bm25_topk",
+    _bm25_oracle(),
+    "BM25 lexical retrieval (Robertson idf, k1=1.2 b=0.75) for a fixed query "
+    "over the documents corpus — the decontamination / quality-probe search "
+    "primitive; per-term contributions pivot to fixed-order addition so double "
+    "sums are engine- and partitioning-independent; plan: one tokenize scan, "
+    "tf filtered to query terms before the agg, 4-row df broadcast, one top-k window",
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    k1, b, topn = 1.2, 0.75, 10
+    terms = _BM25_TERMS
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    # scalars: tiny distributed aggs inlined as literals (join-free main plan)
+    nd, total_len = dl.agg(
+        F.count(F.lit(1)), F.sum("len")
+    ).collect()[0]
+    avgdl = float(total_len) / float(nd)
+    tf = (
+        tok.filter(F.col("word").isin(*terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        F.log(1.0 + (F.lit(float(nd)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (
+            (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("len").cast("double") / F.lit(avgdl)))
+        )
+    )
+    contribs = (
+        tf.join(F.broadcast(dfq), "word")
+        .join(dl, "doc_id")
+        .select("doc_id", "word", contrib.alias("contrib"))
+    )
+    pivoted = contribs.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("word") == t, F.col("contrib")).otherwise(0.0)).alias(f"c{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    add_chain = None
+    for i in range(len(terms)):
+        c = F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+        add_chain = c if add_chain is None else add_chain + c
+    scored = pivoted.select("doc_id", F.round(add_chain, 6).alias("bm25"))
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topn)
+        .select("doc_id", "bm25", "rk")
+    )
+
+
 @register(
     "corpus_vocabulary_top20",
     """
@@ -1836,6 +1935,205 @@ def graph_pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kind"),
         F.expr("node div 2").alias("key"),
         "rank_fp",
+    )
+
+
+def _hll_oracle(*, p: int = 9) -> str:
+    """HyperLogLog with an md5-derived 60-bit hash and FIXED-POINT register
+    summation: the harmonic-mean term Z = sum(2^-M_j) is accumulated as the
+    exact integer sum(2^(52-M_j)) (max 512*2^52 = 2^61, no overflow), so
+    the sketch state AND the estimate are order- and engine-independent —
+    only one final double division. Flajolet et al. 2007 constants."""
+    m = 1 << p
+    return f"""
+    WITH vals AS (
+        SELECT DISTINCT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)
+               || '|' || CAST(l_suppkey AS VARCHAR) AS v
+        FROM lineitem
+    ),
+    h AS (SELECT CAST(concat('0x', substr(md5(v), 1, 15)) AS BIGINT) AS hv, v FROM vals),
+    rr AS (
+        SELECT hv % {m} AS register,
+               CASE WHEN hv // {m} = 0 THEN 52
+                    ELSE 52 - length(bin(hv // {m})) END AS rho
+        FROM h
+    ),
+    regs AS (SELECT register, MAX(rho) AS rho FROM rr GROUP BY register),
+    state AS (
+        SELECT COUNT(*) AS n_occ,
+               CAST(SUM(CAST(1 AS BIGINT) << (52 - rho)) AS BIGINT) AS z_occ,
+               CAST(SUM(rho) AS BIGINT) AS register_checksum
+        FROM regs
+    ),
+    summary AS (
+        SELECT CAST((SELECT COUNT(*) FROM vals) AS BIGINT) AS n_exact,
+               CAST(n_occ AS BIGINT) AS nonzero_registers,
+               CAST(z_occ + ({m} - n_occ) * CAST(4503599627370496 AS BIGINT) AS BIGINT) AS z_fp,
+               register_checksum
+        FROM state
+    )
+    SELECT n_exact, nonzero_registers, z_fp, register_checksum,
+           ROUND((0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0
+                 * 4503599627370496.0 / z_fp, 4) AS hll_estimate
+    FROM summary
+    """
+
+
+@register(
+    "corpus_hll_distinct",
+    _hll_oracle(),
+    "HyperLogLog distinct-count sketch (p=9, 512 registers) over lineitem "
+    "(orderkey,partkey,suppkey) triples — md5-derived 60-bit hash so both engines "
+    "bucket identically, and the harmonic mean accumulates as an exact integer "
+    "(sum 2^(52-rho), max 2^61) so the sketch state and estimate are order- and "
+    "partitioning-independent; one map-side-combined MAX-per-register shuffle of "
+    "512 rows — the mergeable-at-any-fan-in shape that survives 100 TB",
+)
+def corpus_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = 9
+    m = 1 << p
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+        ).alias("v")
+    ).distinct()
+    h = vals.select("v", F.conv(F.substring(F.md5("v"), 1, 15), 16, 10).cast("long").alias("hv"))
+    w = F.expr(f"hv div {m}")
+    rr = h.select(
+        (F.col("hv") % m).alias("register"),
+        F.when(w == 0, F.lit(52)).otherwise(F.lit(52) - F.length(F.bin(w))).alias("rho"),
+    )
+    regs = rr.groupBy("register").agg(F.max("rho").alias("rho"))
+    n_exact = vals.count()
+    state = regs.agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(52 - rho as int))")).alias("z_occ"),
+        F.sum("rho").alias("register_checksum"),
+    )
+    two52 = 4503599627370496
+    alpha_num = 0.7213 / (1.0 + 1.079 / float(m))
+    return state.select(
+        F.lit(n_exact).cast("long").alias("n_exact"),
+        F.col("n_occ").cast("long").alias("nonzero_registers"),
+        (F.col("z_occ") + (F.lit(m) - F.col("n_occ")) * F.lit(two52)).cast("long").alias("z_fp"),
+        F.col("register_checksum").cast("long").alias("register_checksum"),
+    ).select(
+        "n_exact", "nonzero_registers", "z_fp", "register_checksum",
+        F.round(
+            F.lit(alpha_num) * float(m) * float(m) * F.lit(float(two52)) / F.col("z_fp"), 4
+        ).alias("hll_estimate"),
+    )
+
+
+def _triangle_oracle() -> str:
+    """Exact triangle counting in SQL: same degree-ordered orientation as
+    the Spark plan — each triangle materializes exactly one wedge at its
+    lowest-(deg,id) apex."""
+    return """
+    WITH os AS (
+        SELECT DISTINCT o_orderkey AS ok, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (
+        SELECT a.s AS u, b.s AS v
+        FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+        GROUP BY a.s, b.s HAVING COUNT(*) >= 5
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u),
+    ori AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS dst_d
+        FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+        SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+        FROM ori w1 JOIN ori w2
+          ON w1.src = w2.src AND (w1.dst_d, w1.dst) < (w2.dst_d, w2.dst)
+        JOIN ori e3 ON e3.src = w1.dst AND e3.dst = w2.dst
+    ),
+    pernode AS (
+        SELECT node, COUNT(*) AS n_triangles FROM (
+            SELECT a AS node FROM tri UNION ALL
+            SELECT b FROM tri UNION ALL SELECT c FROM tri) t
+        GROUP BY node
+    )
+    SELECT node, n_triangles, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n_triangles DESC, node) AS rk
+        FROM pernode) s
+    WHERE rk <= 20
+    """
+
+
+@register(
+    "graph_triangle_count",
+    _triangle_oracle(),
+    "exact distributed triangle counting over the supplier co-supply graph "
+    "(suppliers sharing >=5 orders - the weight floor keeps the graph sparse): "
+    "degree-ordered edge orientation, so each "
+    "triangle is one wedge at its lowest-(degree,id) apex and wedge work is "
+    "bounded by sum(out-degree choose 2) — the standard O(m^1.5) bound, never "
+    "all-pairs; per-node counts, top 20",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    os_ = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b_ = os_.alias("a"), os_.alias("b")
+    # co-supply STRENGTH >= 5 keeps the graph sparse: without the weight
+    # threshold the supplier graph saturates toward complete as orders
+    # accumulate, and wedge work degenerates toward all-pairs
+    e = (
+        a.join(b_, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("u", "v")
+    )
+    und = e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("u", "node")
+    du, dv = deg.alias("du"), deg.alias("dv")
+    ej = e.join(du, F.col("u") == F.col("du.node")).join(dv, F.col("v") == F.col("dv.node"))
+    u_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    ori = ej.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("dst_d"),
+    ).localCheckpoint()  # referenced 3x in the wedge+closure joins
+    w1, w2, e3 = ori.alias("w1"), ori.alias("w2"), ori.alias("e3")
+    lower = (F.col("w1.dst_d") < F.col("w2.dst_d")) | (
+        (F.col("w1.dst_d") == F.col("w2.dst_d")) & (F.col("w1.dst") < F.col("w2.dst"))
+    )
+    tri = (
+        w1.join(w2, (F.col("w1.src") == F.col("w2.src")) & lower)
+        .join(e3, (F.col("e3.src") == F.col("w1.dst")) & (F.col("e3.dst") == F.col("w2.dst")))
+        .select(F.col("w1.src").alias("a"), F.col("w1.dst").alias("b"), F.col("w2.dst").alias("c"))
+    )
+    pernode = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    w = Window.orderBy(F.col("n_triangles").desc(), "node")
+    return (
+        pernode.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("node", "n_triangles", "rk")
     )
 
 
