@@ -1938,6 +1938,168 @@ def graph_pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_referential_report",
+    """
+    SELECT 'orphan_fk' AS check_name, 'lineitem' AS table_name,
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+           (SELECT COUNT(*) FROM lineitem) AS n_total
+    UNION ALL
+    SELECT 'orphan_fk', 'orders',
+           (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'dup_pk', 'customer',
+           (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer),
+           (SELECT COUNT(*) FROM customer)
+    UNION ALL
+    SELECT 'dup_pk', 'lineitem',
+           (SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'null_rate', 'customer',
+           (SELECT COUNT(*) - COUNT(c_nationkey) FROM customer),
+           (SELECT COUNT(*) FROM customer)
+    UNION ALL
+    SELECT 'null_rate', 'orders',
+           (SELECT COUNT(*) - COUNT(o_orderdate) FROM orders),
+           (SELECT COUNT(*) FROM orders)
+    """,
+    "data-quality report over the consolidated store: FK orphans (left-anti "
+    "probes), duplicate-PK counts, null rates — the relational-level drift "
+    "checks a CDC consolidation target runs continuously (the J4 assertion "
+    "generalized from per-batch to whole-store); all aggregates map-side "
+    "partial, anti-joins broadcast the smaller side",
+)
+def dq_referential_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+
+    def row(check, table, viol_df_count, total):
+        return spark.range(1).select(
+            F.lit(check).alias("check_name"),
+            F.lit(table).alias("table_name"),
+            F.lit(viol_df_count).cast("long").alias("n_violations"),
+            F.lit(total).cast("long").alias("n_total"),
+        )
+
+    n_li, n_o, n_c = li.count(), orders.count(), cust.count()
+    orphan_li = li.join(
+        orders.select("o_orderkey"), li["l_orderkey"] == F.col("o_orderkey"), "left_anti"
+    ).count()
+    orphan_o = orders.join(
+        cust.select("c_custkey"), orders["o_custkey"] == F.col("c_custkey"), "left_anti"
+    ).count()
+    dup_c = n_c - cust.select("c_custkey").distinct().count()
+    dup_li = n_li - li.select("l_orderkey", "l_linenumber").distinct().count()
+    null_c = n_c - cust.filter(F.col("c_nationkey").isNotNull()).count()
+    null_o = n_o - orders.filter(F.col("o_orderdate").isNotNull()).count()
+    out = row("orphan_fk", "lineitem", orphan_li, n_li)
+    for args in [
+        ("orphan_fk", "orders", orphan_o, n_o),
+        ("dup_pk", "customer", dup_c, n_c),
+        ("dup_pk", "lineitem", dup_li, n_li),
+        ("null_rate", "customer", null_c, n_c),
+        ("null_rate", "orders", null_o, n_o),
+    ]:
+        out = out.unionAll(row(*args))
+    return out
+
+
+@register(
+    "lineitem_price_quantiles_exact",
+    """
+    WITH r AS (
+        SELECT l_returnflag, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_extendedprice END) AS p90,
+           MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN l_extendedprice END) AS p99
+    FROM r GROUP BY l_returnflag
+    """,
+    "EXACT grouped quantiles (p50/p90/p99 of extended price per return flag) by "
+    "rank selection — the value at position ceil(q*n) of the group's multiset "
+    "order, deterministic under ties; one per-group sort shuffle (for few huge "
+    "groups use the banded prefix-sum distributed_ntile instead — documented "
+    "tradeoff); DECIMAL-exact, no float gating hazard",
+)
+def lineitem_price_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def pick(q):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(q * F.col("n")).cast("long"), F.col("l_extendedprice"))
+        )
+    return r.groupBy("l_returnflag").agg(
+        pick(0.5).alias("p50"), pick(0.9).alias("p90"), pick(0.99).alias("p99")
+    )
+
+
+@register(
+    "events_ema_fixed_point",
+    """
+    WITH x AS (
+        SELECT user_id, event_id,
+               CAST(floor(CAST(value AS DOUBLE) * 1048576) AS BIGINT) AS xf
+        FROM events
+    ),
+    folded AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               list_reduce(list(xf ORDER BY event_id), (acc, v) -> (acc * 7 + v) // 8) AS ema_fp
+        FROM x GROUP BY user_id
+    )
+    SELECT user_id, n_events, CAST(ema_fp AS BIGINT) AS ema_fp FROM folded
+    """,
+    "per-user exponential moving average (alpha=1/8) in fixed-point integer "
+    "arithmetic — ema' = (7*ema + x) div 8 over events in event_id order, seeded "
+    "with the first value: bit-identical across engines/partitionings (float EMA "
+    "is order-sensitive); one per-key sorted fold, same bounded-array shape as "
+    "the CDC apply fold",
+)
+def events_ema_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load(spark, sf_dir, "events"))
+    xf = F.floor(F.col("value").cast("double") * 1048576).cast("long")
+    per = (
+        ev.select("user_id", F.struct(F.col("event_id").alias("event_id"), xf.alias("xf")).alias("e"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("es"))
+    )
+
+    # truncate-toward-zero division by 8, as both engines' integer `//`/div:
+    # y % 8 carries y's sign in BOTH engines, so (y - y%8)/8 is the
+    # truncated quotient; the double division is exact (|y| << 2^53, result
+    # integral)
+    def fold(acc, e):
+        y = acc * 7 + e["xf"]
+        return ((y - y % 8) / 8).cast("long")
+
+    # seed with the first element, fold the rest (mirrors DuckDB list_reduce)
+    return per.select(
+        "user_id",
+        F.size("es").cast("long").alias("n_events"),
+        F.aggregate(
+            F.slice(F.col("es"), 2, F.size("es")),
+            F.element_at(F.col("es"), 1)["xf"],
+            fold,
+        ).alias("ema_fp"),
+    )
+
+
 def _hll_oracle(*, p: int = 9) -> str:
     """HyperLogLog with an md5-derived 60-bit hash and FIXED-POINT register
     summation: the harmonic-mean term Z = sum(2^-M_j) is accumulated as the

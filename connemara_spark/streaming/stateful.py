@@ -143,3 +143,80 @@ def running_counters_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HLL_SCHEMA = "group_key string, hll_estimate double, nonzero_registers bigint, register_checksum bigint"
+_HLL_STATE_SCHEMA = "regs binary"
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_hash60(values) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) for v in values
+    ]
+
+
+def _hll_fold(regs: bytearray, hashes) -> bytearray:
+    for hv in hashes:
+        idx = hv % _HLL_M
+        w = hv // _HLL_M
+        rho = 52 if w == 0 else 52 - w.bit_length()
+        if rho > regs[idx]:
+            regs[idx] = rho
+    return regs
+
+
+def _hll_estimate(regs: bytearray) -> tuple[float, int, int]:
+    z_fp = sum(1 << (52 - r) if r else 1 << 52 for r in regs)
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    est = alpha * _HLL_M * _HLL_M * 4503599627370496.0 / z_fp
+    nonzero = sum(1 for r in regs if r)
+    return round(est, 4), nonzero, int(sum(regs))
+
+
+def _hll_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (group_key,) = key
+    if state.hasTimedOut:  # pragma: no cover — no timeout configured
+        state.remove()
+        return
+    regs = bytearray(state.get[0]) if state.exists else bytearray(_HLL_M)
+    for pdf in pdfs:
+        _hll_fold(regs, _hll_hash60(pdf["v"]))
+    state.update((bytes(regs),))
+    est, nonzero, checksum = _hll_estimate(regs)
+    yield pd.DataFrame(
+        {
+            "group_key": [group_key],
+            "hll_estimate": [est],
+            "nonzero_registers": [nonzero],
+            "register_checksum": [checksum],
+        }
+    )
+
+
+def hll_distinct_stream(df: DataFrame, *, group_col: str, value_col: str) -> DataFrame:
+    """Streaming distinct-count: one 512-byte HyperLogLog register array per
+    group in the state store — O(groups) state on any stream length, exact
+    same register math as the batch ``corpus_hll_distinct`` (md5-derived
+    60-bit hash, p=9), so a drained stream's registers equal the batch
+    sketch bit-for-bit (the mergeability claim, test-pinned). Emits the
+    running estimate per group every microbatch."""
+    return (
+        df.select(
+            F.col(group_col).cast("string").alias("group_key"),
+            F.col(value_col).cast("string").alias("v"),
+        )
+        .groupBy("group_key")
+        .applyInPandasWithState(
+            _hll_fn,
+            outputStructType=HLL_SCHEMA,
+            stateStructType=_HLL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -101,3 +101,54 @@ def test_running_counters_stream(spark, tmp_path):
 
     got = {r.event_type: (r.n_events, r.total_value) for r in spark.table("cnt_table").collect()}
     assert got == {"view": (2, 3.0), "buy": (1, 10.0)}
+
+
+def test_hll_distinct_stream_matches_batch_registers(spark, tmp_path):
+    """Drained-stream HLL state == the batch sketch bit-for-bit: same md5
+    hash, same registers, same fixed-point estimate — across TWO
+    microbatches (merge path exercised), with cross-batch duplicates."""
+    from connemara_spark.streaming.stateful import (
+        _hll_estimate, _hll_fold, _hll_hash60, hll_distinct_stream,
+    )
+
+    landing = str(tmp_path / "landing")
+    rows1 = [(i, _t(1), i % 3, "t", float(i)) for i in range(200)]
+    rows2 = [(i, _t(2), i % 3, "t", float(i)) for i in range(150, 400)]  # overlap
+    _land(spark, rows1, landing)
+
+    emitted: list = []
+
+    def run():
+        def sink(batch_df, _bid):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            hll_distinct_stream(
+                spark.readStream.schema(EVENTS_SCHEMA).parquet(landing),
+                group_col="user_id", value_col="event_id",
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None, str(q.exception())
+
+    run()
+    _land(spark, rows2, landing)
+    run()  # same checkpoint: state restored, second batch merges
+
+    got = {  # last emission per key wins (emissions are in batch order)
+        r["group_key"]: (r["hll_estimate"], r["nonzero_registers"], r["register_checksum"])
+        for r in emitted
+    }
+    # batch replica over the union of both batches
+    by_key: dict[str, set] = {}
+    for eid, _ts, uid, _t_, _v in rows1 + rows2:
+        by_key.setdefault(str(uid), set()).add(eid)
+    for k, vals in by_key.items():
+        regs = _hll_fold(bytearray(512), _hll_hash60(sorted(vals)))
+        est, nonzero, checksum = _hll_estimate(regs)
+        assert got[k] == (est, nonzero, checksum), k
