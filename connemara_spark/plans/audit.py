@@ -85,9 +85,37 @@ HEADLINES = [
     ),
     (
         "cdc_join_view_delta",
-        "Incremental join-view delta: the touched-key set broadcasts into LEFT-SEMI prunes of all "
-        "four state folds before the view joins; the per-key diff is exceptAll over the touched "
-        "subset only — no full-view recompute anywhere in the plan.",
+        "Incremental join-view delta: the touched-key set broadcasts into LEFT-SEMI prunes of the "
+        "fold INPUTS (events + snapshot, apply_changes keys=), each stream folds ONCE into both "
+        "states (apply_changes_cut), and the localCheckpointed per-key frames stop exceptAll's "
+        "plan references from re-executing the fold pipeline.",
+    ),
+    (
+        "cdc_apply_customer_bounded",
+        "Hot-key-safe apply: TWO keyed shuffles — (pk, lsn-bucket) then pk — with collect_list "
+        "cells bounded at bucket occupancy; summaries fold in a codegen'd Project.",
+    ),
+    (
+        "embedding_kmeans_clusters",
+        "Fixed-point k-means (final assignment + counts): zero-shuffle argmin projection over k "
+        "separately-compiled BIGINT distance folds; one count shuffle; centroid sums enter as a "
+        "broadcast 8-row table.",
+    ),
+    (
+        "doc_bm25_topk",
+        "BM25: tf filtered to the 4 query terms BEFORE aggregation, df broadcast, per-term pivot "
+        "columns added in fixed order; one top-k window.",
+    ),
+    (
+        "graph_triangle_count",
+        "Triangles: weight-floored edges, degree-oriented; wedge join + closure join both on the "
+        "8-byte node key (oriented edge set localCheckpointed once for its 3 plan references) — "
+        "never a cartesian.",
+    ),
+    (
+        "corpus_hll_distinct",
+        "HLL: per-row hash/register/rho map-side, ONE MAX-per-register shuffle of 512 rows; the "
+        "estimate is a single projection over the 1-row state.",
     ),
 ]
 

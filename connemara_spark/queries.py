@@ -1586,12 +1586,11 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.coalesce(F.col(f"c{i}"), F.lit(0.0))
         add_chain = c if add_chain is None else add_chain + c
     scored = pivoted.select("doc_id", F.round(add_chain, 6).alias("bm25"))
+    # distributed top-k (TakeOrderedAndProject), never a global one-partition
+    # window over all scored docs; the rank window then runs on topn rows
+    top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(topn)
     w = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= topn)
-        .select("doc_id", "bm25", "rk")
-    )
+    return top.withColumn("rk", F.row_number().over(w)).select("doc_id", "bm25", "rk")
 
 
 @register(
@@ -2291,12 +2290,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    # distributed top-k first; the rank window then sorts only 20 rows
+    top = pernode.orderBy(F.col("n_triangles").desc(), "node").limit(20)
     w = Window.orderBy(F.col("n_triangles").desc(), "node")
-    return (
-        pernode.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("node", "n_triangles", "rk")
-    )
+    return top.withColumn("rk", F.row_number().over(w)).select("node", "n_triangles", "rk")
 
 
 def _mojibake_oracle() -> str:
