@@ -65,3 +65,131 @@ def join_view_delta(
     return new_v.exceptAll(old_v).select(F.lit("ins").alias("op"), "*").unionByName(
         old_v.exceptAll(new_v).select(F.lit("del").alias("op"), "*")
     )
+
+
+def touched_keys(events: DataFrame, spec) -> DataFrame:
+    """Distinct PKs a parsed CDC batch can affect — including BOTH halves
+    of a PK-change split (the delete'd old key and the insert'd new key).
+    Columns = ``spec.pk_cols``; this is the |delta|-sized set every
+    incremental-maintenance consumer scopes its work to."""
+    from connemara_spark.operators.apply import events_for_table
+
+    ev = events_for_table(events, spec)
+    return ev.select(
+        *[F.col(f"__pk.{c}").alias(c) for c in spec.pk_cols]
+    ).distinct()
+
+
+def apply_view_delta(old_view: DataFrame, delta: DataFrame) -> DataFrame:
+    """Patch a materialized view with a row-level delta: bag-minus the
+    ``del`` rows, append the ``ins`` rows. ``old_view + delta == new_view``
+    is the operator's contract (test-pinned)."""
+    dels = delta.filter(F.col("op") == "del").drop("op")
+    inss = delta.filter(F.col("op") == "ins").drop("op")
+    return old_view.exceptAll(dels).unionByName(inss)
+
+
+class MaintainedJoinView:
+    """Keep an equi-join view ``A ⋈ dim`` materialized and CURRENT under a
+    CDC stream, incrementally — the deployment shape of the delta rule:
+    per microbatch, work scales with that batch's touched-key set, never
+    the view.
+
+    Protocol (driven by ``StreamingReplayer`` when passed via
+    ``maintainers=[...]``): ``before_apply(parsed_events)`` pins the OLD
+    state (the store's current version — ParquetStore reads are
+    version-pinned, so the frame stays old through the apply) and the
+    batch's touched keys; after the replayer applies the batch,
+    ``after_apply()`` computes the touched-key-scoped view delta and
+    patches the materialized view (versioned parquet, same
+    write-then-advance pointer discipline as the silver store).
+    """
+
+    def __init__(
+        self,
+        spark,
+        store,
+        spec,
+        *,
+        dim: DataFrame,
+        key_a: str,
+        key_b: str,
+        view_cols: list[str],
+        view_dir: str,
+    ):
+        import os
+
+        self.spark = spark
+        self.store = store
+        self.spec = spec
+        self.dim = dim
+        self.key_a = key_a
+        self.key_b = key_b
+        self.view_cols = view_cols
+        self.view_dir = view_dir
+        os.makedirs(view_dir, exist_ok=True)
+        self._old = None
+        self._touched = None
+
+    def _current(self) -> int:
+        import json
+        import os
+
+        ptr = os.path.join(self.view_dir, "CURRENT")
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                return json.load(fh)["version"]
+        return 0
+
+    def read_view(self) -> DataFrame:
+        import os
+
+        v = self._current()
+        if v == 0:
+            a = self.store.read(self.spec)
+            return self._join(a)
+        return self.spark.read.parquet(os.path.join(self.view_dir, f"v{v:06d}"))
+
+    def _join(self, a: DataFrame) -> DataFrame:
+        j = a.join(self.dim, a[self.key_a] == self.dim[self.key_b])
+        return j.select(
+            *[
+                (a[c] if c in a.columns else self.dim[c]).alias(c)
+                for c in self.view_cols
+            ]
+        )
+
+    def before_apply(self, parsed_events: DataFrame) -> None:
+        self._old = self.store.read(self.spec)  # version-pinned OLD state
+        self._touched = touched_keys(parsed_events, self.spec).localCheckpoint()
+
+    def after_apply(self) -> None:
+        import json
+        import os
+
+        new = self.store.read(self.spec)
+        delta = join_view_delta(
+            self._old, new, self.dim, self.dim,
+            key_a=self.key_a, key_b=self.key_b,
+            touched=self._touched,
+            view_cols=self.view_cols,
+        )
+        # base view: the materialized version if one exists, else the join
+        # of the PINNED OLD state (the store has already advanced past the
+        # apply by now — joining the new state here would double-apply)
+        v0 = self._current()
+        base = (
+            self._join(self._old)
+            if v0 == 0
+            else self.spark.read.parquet(os.path.join(self.view_dir, f"v{v0:06d}"))
+        )
+        patched = apply_view_delta(base, delta)
+        v = self._current() + 1
+        patched.write.mode("overwrite").parquet(
+            os.path.join(self.view_dir, f"v{v:06d}")
+        )
+        tmp = os.path.join(self.view_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v}, fh)
+        os.replace(tmp, os.path.join(self.view_dir, "CURRENT"))
+        self._old = self._touched = None

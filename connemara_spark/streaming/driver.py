@@ -93,6 +93,7 @@ class StreamingReplayer:
         watermark_path: str | None = None,
         landing_format: str = "parquet",
         max_files_per_trigger: int | None = None,
+        maintainers: list | None = None,
         **replayer_kwargs,
     ):
         self.spark = spark
@@ -101,6 +102,10 @@ class StreamingReplayer:
         self.checkpoint_dir = checkpoint_dir
         self.landing_format = landing_format
         self.max_files_per_trigger = max_files_per_trigger
+        # incremental consumers (e.g. ivm.MaintainedJoinView): each gets
+        # before_apply(parsed_events) with the batch + the version-pinned
+        # pre-apply store, then after_apply() once the batch has landed
+        self.maintainers = maintainers or []
         self.watermark = LsnWatermark(
             watermark_path or os.path.join(checkpoint_dir, "lsn_watermark.json")
         )
@@ -108,7 +113,15 @@ class StreamingReplayer:
 
     def _foreach_batch(self, bronze: DataFrame, batch_id: int) -> None:
         fresh = self.watermark.filter_applied(bronze)
+        if self.maintainers:
+            from connemara_spark.events import parse_events
+
+            parsed = parse_events(fresh)
+            for m in self.maintainers:
+                m.before_apply(parsed)
         self.replayer.apply_batch(fresh)
+        for m in self.maintainers:
+            m.after_apply()
         maxes = (
             fresh.groupBy("database", "source_slotname")
             .agg(F.max("lsn_start").alias("max_lsn"))

@@ -72,3 +72,83 @@ def test_join_view_delta_apply_identity(spark):
     inss = delta.filter("op = 'ins'").drop("op")
     patched = old_view.exceptAll(dels).unionByName(inss)
     assert sorted(map(tuple, patched.collect())) == sorted(map(tuple, new_view.collect()))
+
+
+def test_apply_view_delta_identity(spark):
+    from connemara_spark.operators.ivm import apply_view_delta
+
+    old_view = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b")], "k long, v string")
+    delta = spark.createDataFrame(
+        [("del", 2, "b"), ("ins", 3, "c")], "op string, k long, v string"
+    )
+    got = sorted(map(tuple, apply_view_delta(old_view, delta).collect()))
+    assert got == [(1, "a"), (2, "b"), (3, "c")]  # bag-minus removes ONE copy
+
+
+def test_streaming_maintained_join_view_over_wal_spool(spark, tmp_path):
+    """End-to-end incremental view maintenance under the custom streaming
+    source: segments → wal_spool → foreachBatch apply + per-batch
+    touched-key-scoped view delta → versioned materialized view. After
+    every drain the maintained view equals a full join recompute —
+    including through an update, a delete, and a PK-less path."""
+    from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
+    from connemara_spark.operators.ivm import MaintainedJoinView
+    from connemara_spark.pipeline import ParquetStore
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+    from connemara_spark.testing import make_event
+
+    spec = TableSpec(
+        database="db1", schema="public", table="items",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text")],
+        pk_cols=["id"],
+    )
+    cat = EngineCatalog()
+    cat.register(spec)
+    spec = cat.get("db1", "public", "items")
+    store = ParquetStore(spark, str(tmp_path / "silver"))
+    dim = spark.createDataFrame(
+        [(i, f"tier{i % 2}") for i in range(1, 8)], "id long, tier string"
+    )
+    view = MaintainedJoinView(
+        spark, store, spec, dim=dim, key_a="id", key_b="id",
+        view_cols=["id", "v", "tier"], view_dir=str(tmp_path / "view"),
+    )
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+        maintainers=[view],
+    )
+
+    def seg(events, name):
+        write_segment(str(tmp_path / "spool"), [dict(e) for e in events], name)
+
+    def check():
+        a = store.read(spec)
+        want = sorted(
+            (r["id"], r["v"], f"tier{r['id'] % 2}") for r in a.collect()
+        )
+        got = sorted(map(tuple, view.read_view().collect()))
+        assert got == want, (got, want)
+
+    seg([make_event(spec, "insert", lsn=1, row={"id": 1, "v": "a"}),
+         make_event(spec, "insert", lsn=2, row={"id": 2, "v": "b"}),
+         make_event(spec, "insert", lsn=3, row={"id": 3, "v": "c"})], "seg-001")
+    sr.run_until_drained()
+    check()
+
+    # batch 2: update + delete + fresh insert; view patches, never recomputes
+    seg([make_event(spec, "update", lsn=4, row={"id": 1, "v": "a2"}, old_key={"id": 1}),
+         make_event(spec, "delete", lsn=5, old_key={"id": 2}),
+         make_event(spec, "insert", lsn=6, row={"id": 4, "v": "d"})], "seg-002")
+    sr.run_until_drained()
+    check()
+
+    # batch 3: PK-change update (old key 3 -> new key 5): both keys touched
+    seg([make_event(spec, "update", lsn=7, row={"id": 5, "v": "c2"}, old_key={"id": 3})],
+        "seg-003")
+    sr.run_until_drained()
+    check()
+    assert view._current() == 3  # one view version per batch, no recomputes
