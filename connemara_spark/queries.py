@@ -848,6 +848,74 @@ def cdc_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_temporal_join",
+    """
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               'cdc#' || CAST(event_id AS VARCHAR) AS c_name,
+               value AS c_acctbal
+        FROM events
+    ),
+    v AS (
+        SELECT *, LEAD(event_id) OVER (PARTITION BY c_custkey ORDER BY event_id)
+                      AS valid_to_lsn
+        FROM chg
+    ),
+    versions AS (
+        SELECT c_custkey, c_name, c_acctbal, event_id AS valid_from_lsn, valid_to_lsn
+        FROM v WHERE op <> 'delete'
+    ),
+    probe AS (
+        SELECT o_orderkey, CAST(o_custkey % 200 + 1 AS BIGINT) AS c_custkey,
+               CAST(o_orderkey % 100000 AS BIGINT) AS at_lsn
+        FROM orders
+    ),
+    matched AS (
+        SELECT p.o_orderkey, p.c_custkey, p.at_lsn,
+               ver.c_name, ver.c_acctbal, ver.valid_from_lsn, ver.valid_to_lsn,
+               ROW_NUMBER() OVER (PARTITION BY p.o_orderkey
+                                  ORDER BY ver.valid_from_lsn DESC) AS rn
+        FROM probe p JOIN versions ver
+          ON ver.c_custkey = p.c_custkey AND ver.valid_from_lsn <= p.at_lsn
+    )
+    SELECT o_orderkey, c_custkey, at_lsn, c_name, c_acctbal, valid_from_lsn
+    FROM matched
+    WHERE rn = 1 AND (valid_to_lsn IS NULL OR at_lsn < valid_to_lsn)
+    """,
+    "temporal (SCD2 as-of) join: each order probes the customer VERSION valid at "
+    "its LSN — the time-travel lookup a consolidation store serves to auditors; "
+    "Spark side reuses scd2_history + the single-shuffle union+window as-of join "
+    "(no range-join explosion), then filters versions closed before the probe LSN",
+)
+def cdc_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.asof import asof_join
+    from connemara_spark.operators.scd2 import scd2_history
+
+    bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    versions = scd2_history(parse_events(bronze), CUSTOMER_SPEC).select(
+        "c_custkey", "c_name", "c_acctbal",
+        "valid_from_lsn", "valid_to_lsn",
+    )
+    probe = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 200 + 1).cast("long").alias("c_custkey"),
+        (F.col("o_orderkey") % 100000).cast("long").alias("at_lsn"),
+    )
+    joined = asof_join(
+        probe, versions,
+        on="c_custkey", left_ts="at_lsn", right_ts="valid_from_lsn",
+        how="inner", direction="backward",
+    )
+    # a version closed at-or-before the probe LSN is not valid there (the
+    # key was deleted or superseded exactly at valid_to)
+    return joined.filter(
+        F.col("valid_to_lsn").isNull() | (F.col("at_lsn") < F.col("valid_to_lsn"))
+    ).select("o_orderkey", "c_custkey", "at_lsn", "c_name", "c_acctbal", "valid_from_lsn")
+
+
+@register(
     "events_sessionize",
     EVENTS_CTE + """
     SELECT user_id, session_id,
@@ -1591,6 +1659,39 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(topn)
     w = Window.orderBy(F.col("bm25").desc(), "doc_id")
     return top.withColumn("rk", F.row_number().over(w)).select("doc_id", "bm25", "rk")
+
+
+@register(
+    "doc_chunk_overlap",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 24)) AS st FROM t)
+    SELECT doc_id,
+           CAST((st - 1) / 24 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, st, st + 31)) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(toks, st, st + 31), ' ')) AS chunk_digest
+    FROM s
+    """,
+    "overlapping-window document chunking (size=32 tokens, overlap=8 — the RAG / "
+    "long-context training-prep splitter): per-row sequence + slice, zero "
+    "shuffle; chunk content pinned by md5 digest so the gate checks exact "
+    "boundaries and overlap bytes",
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size, stride = 32, 24
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    s = toks.select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(stride))).alias("st"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("st"), size)
+    return s.select(
+        "doc_id",
+        ((F.col("st") - 1) / stride).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_digest"),
+    )
 
 
 @register(
