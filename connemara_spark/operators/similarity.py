@@ -1369,7 +1369,7 @@ def kmeans_fixed_point(
     iters: int = 3,
     seed: int = 42,
     scale_bits: int = 20,
-) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+) -> tuple[DataFrame, list[tuple[int, list[int]]], dict[int, int]]:
     """Distributed Lloyd's k-means in ALL-INTEGER arithmetic — the semantic
     clustering primitive (SemDeDup-style cluster-then-dedup, domain mixture
     discovery) built so the result is bit-identical across engines,
@@ -1398,12 +1398,14 @@ def kmeans_fixed_point(
     is a map scan + one k·dim-sized shuffle; nothing accumulates state on
     any executor.
 
-    Returns ``(assignments, centroids)``: assignments is the LAST
+    Returns ``(assignments, centroids, counts)``: assignments is the LAST
     iteration's ``(id, vf array<long>, cluster long)`` (computed against
     the pre-update centroids — Lloyd's step order); centroids are
     ``(cluster_id, integer centroid)`` pairs UPDATED FROM those
     assignments — pairs, because emptied clusters drop and ids keep their
-    identity.
+    identity; counts maps cluster_id -> member count of the last
+    assignment (already aggregated by the update shuffle — consumers need
+    no extra count job).
     """
     mult = 1 << scale_bits
     vf = F.transform(
@@ -1430,11 +1432,12 @@ def kmeans_fixed_point(
             .collect()
         )
         # exact integer mean; emptied clusters drop (same as the SQL twin)
+        counts = {r["cluster"]: r["n"] for r in upd}
         cents = sorted(
             (r["cluster"], [_floordiv(r[f"s{i}"], r["n"]) for i in range(dim)])
             for r in upd
         )
-    return assigned, [(c, list(v)) for c, v in cents]
+    return assigned, [(c, list(v)) for c, v in cents], counts
 
 
 def _floordiv(a: int, n: int) -> int:

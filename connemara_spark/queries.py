@@ -3800,13 +3800,11 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.operators.similarity import kmeans_fixed_point
 
     emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    assigned, cents = kmeans_fixed_point(emb, k=8, iters=3, seed=42)
-    sums = spark.createDataFrame(
-        [(c, sum(v)) for c, v in cents], "cluster long, centroid_sum long"
-    )
-    counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
-    return counts.join(F.broadcast(sums), "cluster").select(
-        "cluster", "n_members", "centroid_sum"
+    _assigned, cents, counts = kmeans_fixed_point(emb, k=8, iters=3, seed=42)
+    # counts + sums both come out of the final update shuffle — no extra job
+    return spark.createDataFrame(
+        [(c, counts[c], sum(v)) for c, v in cents],
+        "cluster long, n_members long, centroid_sum long",
     )
 
 

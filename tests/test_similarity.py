@@ -303,8 +303,12 @@ def test_kmeans_fixed_point_matches_python_reference(spark):
     df = spark.createDataFrame(
         [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
     )
-    got_assign, got_cents = kmeans_fixed_point(
+    got_assign, got_cents, got_counts = kmeans_fixed_point(
         df, dim=dim, k=k, iters=iters, seed=seed
     )
     assert {r["id"]: r["cluster"] for r in got_assign.collect()} == assign
     assert [(c, v) for c, v in got_cents] == cents
+    want_counts = {}
+    for c in assign.values():
+        want_counts[c] = want_counts.get(c, 0) + 1
+    assert dict(got_counts) == want_counts
