@@ -268,6 +268,56 @@ def _fold_expr(spec: TableSpec, events_col: str | Column, init_exists: Column, i
     return F.aggregate(evs, init, _make_fold(spec))
 
 
+def _prune_to_keys(
+    ev: DataFrame, snapshot: DataFrame, spec: TableSpec, keys: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Semi-join-prune BOTH fold inputs (projected events + snapshot) to a
+    touched-key set (columns = ``spec.pk_cols``). Semantics-preserving for
+    state AT the kept keys: the per-key fold is independent across keys —
+    an event at key k (including either half of a split PK change) only
+    ever touches state at k. Shared by every fold variant so pruning
+    semantics can never diverge between them."""
+    k = F.broadcast(
+        keys.select(
+            F.struct(*[F.col(c).alias(c) for c in spec.pk_cols]).alias("__pk")
+        ).distinct()
+    )
+    ev = ev.join(k, on="__pk", how="left_semi")
+    snapshot = snapshot.join(
+        k.select(*[F.col(f"__pk.{c}").alias(c) for c in spec.pk_cols]),
+        on=spec.pk_cols,
+        how="left_semi",
+    )
+    return ev, snapshot
+
+
+def _stage_snapshot(snapshot: DataFrame, spec: TableSpec) -> DataFrame:
+    """Snapshot rows as ``(__pk struct, __snap_vals struct)`` — the join-side
+    staging every fold variant shares."""
+    snap_key = F.struct(*[F.col(c).alias(c) for c in spec.pk_cols])
+    return snapshot.select(
+        snap_key.alias("__pk"),
+        F.struct(*[F.col(c.name).alias(c.name) for c in spec.columns]).alias(
+            "__snap_vals"
+        ),
+    )
+
+
+def _project_result(folded: DataFrame, spec: TableSpec, state_col: str) -> DataFrame:
+    """Existing rows of a folded state column, snapshot-shaped (PKs from the
+    authoritative join key)."""
+    return folded.filter(F.col(f"{state_col}.exists")).select(
+        *[
+            (
+                F.col(f"__pk.{c.name}")
+                if c.name in spec.pk_cols
+                else F.col(f"{state_col}.vals.{c.name}")
+            ).alias(c.name)
+            for c in spec.columns
+        ]
+    )
+
+
 def apply_changes(
     snapshot: DataFrame,
     events: DataFrame,
@@ -299,29 +349,13 @@ def apply_changes(
     """
     spec, _whole_row = _effective_spec(spec)
     ev = events_for_table(events, spec)
-
     if keys is not None:
-        k = F.broadcast(
-            keys.select(
-                F.struct(*[F.col(c).alias(c) for c in spec.pk_cols]).alias("__pk")
-            ).distinct()
-        )
-        ev = ev.join(k, on="__pk", how="left_semi")
-        snapshot = snapshot.join(
-            k.select(*[F.col(f"__pk.{c}").alias(c) for c in spec.pk_cols]),
-            on=spec.pk_cols,
-            how="left_semi",
-        )
+        ev, snapshot = _prune_to_keys(ev, snapshot, spec, keys)
 
     # One shuffle: group per key, events in exact apply order (the ordering
     # contract lives in _events_per_key).
     per_key = _events_per_key(ev)
-
-    snap_key = F.struct(*[F.col(k).alias(k) for k in spec.pk_cols])
-    snap = snapshot.select(
-        snap_key.alias("__pk"),
-        F.struct(*[F.col(c.name).alias(c.name) for c in spec.columns]).alias("__snap_vals"),
-    )
+    snap = _stage_snapshot(snapshot, spec)
 
     # Sort-merge full outer join on the PK struct; AQE handles skew.
     joined = snap.join(per_key, on="__pk", how="full_outer")
@@ -353,17 +387,9 @@ def apply_changes(
         .alias("__state"),
     )
 
-    result = (
-        folded.filter(F.col("__state.exists"))
-        .select(
-            *[
-                # PK columns come from the join key (authoritative); the fold
-                # keeps them consistent for insert/update events anyway.
-                (F.col(f"__pk.{c.name}") if c.name in spec.pk_cols else F.col(f"__state.vals.{c.name}")).alias(c.name)
-                for c in spec.columns
-            ]
-        )
-    )
+    # PK columns come from the join key (authoritative); the fold keeps
+    # them consistent for insert/update events anyway.
+    result = _project_result(folded, spec, "__state")
 
     if not with_metrics:
         return result
@@ -418,17 +444,7 @@ def apply_changes_bounded(
     spec, _whole_row = _effective_spec(spec)
     ev = events_for_table(events, spec)
     if keys is not None:
-        k = F.broadcast(
-            keys.select(
-                F.struct(*[F.col(c).alias(c) for c in spec.pk_cols]).alias("__pk")
-            ).distinct()
-        )
-        ev = ev.join(k, on="__pk", how="left_semi")
-        snapshot = snapshot.join(
-            k.select(*[F.col(f"__pk.{c}").alias(c) for c in spec.pk_cols]),
-            on=spec.pk_cols,
-            how="left_semi",
-        )
+        ev, snapshot = _prune_to_keys(ev, snapshot, spec, keys)
 
     cols = [c.name for c in spec.columns]
     null_vals = F.struct(
@@ -496,13 +512,7 @@ def apply_changes_bounded(
             s["exists_out"].alias("exists"), viol.alias("violations"), vals.alias("vals")
         )
 
-    snap_key = F.struct(*[F.col(c).alias(c) for c in spec.pk_cols])
-    snap = snapshot.select(
-        snap_key.alias("__pk"),
-        F.struct(*[F.col(c.name).alias(c.name) for c in spec.columns]).alias(
-            "__snap_vals"
-        ),
-    )
+    snap = _stage_snapshot(snapshot, spec)
     joined = snap.join(per_key, on="__pk", how="full_outer")
     init = F.struct(
         F.col("__snap_vals").isNotNull().alias("exists"),
@@ -515,16 +525,7 @@ def apply_changes_bounded(
         .otherwise(init)
         .alias("__state"),
     )
-    result = folded.filter(F.col("__state.exists")).select(
-        *[
-            (
-                F.col(f"__pk.{c.name}")
-                if c.name in spec.pk_cols
-                else F.col(f"__state.vals.{c.name}")
-            ).alias(c.name)
-            for c in spec.columns
-        ]
-    )
+    result = _project_result(folded, spec, "__state")
     if not with_metrics:
         return result
     metrics = folded.agg(
@@ -581,26 +582,10 @@ def apply_changes_cut(
     )
 
     if keys is not None:
-        k = F.broadcast(
-            keys.select(
-                F.struct(*[F.col(c).alias(c) for c in spec.pk_cols]).alias("__pk")
-            ).distinct()
-        )
-        ev = ev.join(k, on="__pk", how="left_semi")
-        snapshot = snapshot.join(
-            k.select(*[F.col(f"__pk.{c}").alias(c) for c in spec.pk_cols]),
-            on=spec.pk_cols,
-            how="left_semi",
-        )
+        ev, snapshot = _prune_to_keys(ev, snapshot, spec, keys)
 
     per_key = _events_per_key(ev)
-    snap_key = F.struct(*[F.col(c).alias(c) for c in spec.pk_cols])
-    snap = snapshot.select(
-        snap_key.alias("__pk"),
-        F.struct(*[F.col(c.name).alias(c.name) for c in spec.columns]).alias(
-            "__snap_vals"
-        ),
-    )
+    snap = _stage_snapshot(snapshot, spec)
     joined = snap.join(per_key, on="__pk", how="full_outer")
 
     init_exists = F.col("__snap_vals").isNotNull()
@@ -634,19 +619,11 @@ def apply_changes_cut(
     if materialize:
         flat = flat.localCheckpoint(eager=True)
 
-    def out(state: str) -> DataFrame:
-        return flat.filter(F.col(f"{state}.exists")).select(
-            *[
-                (
-                    F.col(f"__pk.{c.name}")
-                    if c.name in spec.pk_cols
-                    else F.col(f"{state}.vals.{c.name}")
-                ).alias(c.name)
-                for c in spec.columns
-            ]
-        )
-
-    return out("__s0"), out("__s1"), flat
+    return (
+        _project_result(flat, spec, "__s0"),
+        _project_result(flat, spec, "__s1"),
+        flat,
+    )
 
 
 def apply_delta(snapshot: DataFrame, events: DataFrame, spec: TableSpec) -> DataFrame:
@@ -857,16 +834,5 @@ def apply_changes_states(
             ),
         ).otherwise(passthrough)
         folded = joined.select("__pk", state.alias("__state"))
-        outs.append(
-            folded.filter(F.col("__state.exists")).select(
-                *[
-                    (
-                        F.col(f"__pk.{c.name}")
-                        if c.name in spec.pk_cols
-                        else F.col(f"__state.vals.{c.name}")
-                    ).alias(c.name)
-                    for c in spec.columns
-                ]
-            )
-        )
+        outs.append(_project_result(folded, spec, "__state"))
     return outs

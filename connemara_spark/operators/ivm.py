@@ -123,6 +123,17 @@ class MaintainedJoinView:
         self.store = store
         self.spec = spec
         self.dim = dim
+        # The touched-key set is computed in PK space (touched_keys), and
+        # join_view_delta prunes on key_a — those spaces must coincide or
+        # the pruning silently misses changed rows and the view goes stale.
+        # A non-PK join column would need touched keys derived in key_a
+        # space from the old+new states at the touched PKs; not supported.
+        if spec.pk_cols != [key_a]:
+            raise ValueError(
+                f"MaintainedJoinView requires key_a == the spec's single PK "
+                f"column (got key_a={key_a!r}, pk_cols={spec.pk_cols!r}): "
+                "touched-key pruning happens in PK space"
+            )
         self.key_a = key_a
         self.key_b = key_b
         self.view_cols = view_cols

@@ -1407,6 +1407,8 @@ def kmeans_fixed_point(
     assignment (already aggregated by the update shuffle — consumers need
     no extra count job).
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     mult = 1 << scale_bits
     vf = F.transform(
         vec_col if isinstance(vec_col, Column) else F.col(vec_col),

@@ -231,13 +231,22 @@ class Replayer:
         # are appended to an archive zone when enabled.
         self.archive = archive
 
-    def apply_batch(self, bronze: DataFrame) -> BatchMetrics:
-        metrics = BatchMetrics()
-        if self.archive is not None:
-            self.archive.append(bronze)
+    def parse_batch(self, bronze: DataFrame) -> DataFrame:
+        """Parse + filter a bronze batch exactly as ``apply_batch`` will —
+        exposed so per-batch consumers (view maintainers, metrics taps) can
+        share ONE parse instead of re-parsing the JSON payloads, and see
+        the same slot/standard filtering the apply sees."""
         events = standard_filters(parse_events(bronze))
         if self.excluded_databases or self.allowed_slots:
             events = slot_restriction(events, self.excluded_databases, self.allowed_slots)
+        return events
+
+    def apply_batch(self, bronze: DataFrame, *, events: DataFrame | None = None) -> BatchMetrics:
+        metrics = BatchMetrics()
+        if self.archive is not None:
+            self.archive.append(bronze)
+        if events is None:
+            events = self.parse_batch(bronze)
         ddl_df, dml = split_ddl_dml(events)
 
         # DDL is rare; pull it to the driver ordered (replay.pl:867 — the

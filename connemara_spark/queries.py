@@ -1590,7 +1590,7 @@ def _bm25_oracle(*, k1: float = 1.2, b: float = 0.75, topn: int = 10) -> str:
     contribs AS (
         SELECT tf.doc_id, tf.word,
                ln(1.0 + (CAST(s.nd AS DOUBLE) - df + 0.5) / (df + 0.5))
-                 * ((tf * ({k1} + 1.0))
+                 * ((tf * CAST({k1} + 1.0 AS DOUBLE))
                     / (tf + {k1} * (1.0 - {b} + {b} * CAST(dl.len AS DOUBLE) / s.avgdl)))
                AS contrib
         FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id) CROSS JOIN stats s
@@ -2078,35 +2078,39 @@ def dq_referential_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
 
-    def row(check, table, viol_df_count, total):
-        return spark.range(1).select(
-            F.lit(check).alias("check_name"),
-            F.lit(table).alias("table_name"),
-            F.lit(viol_df_count).cast("long").alias("n_violations"),
-            F.lit(total).cast("long").alias("n_total"),
-        )
-
-    n_li, n_o, n_c = li.count(), orders.count(), cust.count()
+    # ONE aggregation job per table fuses count + dup-PK + null-rate (each
+    # table scanned once), plus the two anti-join probes — 5 jobs total,
+    # result assembled driver-side (6 tuples)
+    li_stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.struct("l_orderkey", "l_linenumber")).alias("nd"),
+    ).collect()[0]
+    c_stats = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("c_custkey").alias("nd"),
+        F.count("c_nationkey").alias("nn"),
+    ).collect()[0]
+    o_stats = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderdate").alias("nn"),
+    ).collect()[0]
     orphan_li = li.join(
         orders.select("o_orderkey"), li["l_orderkey"] == F.col("o_orderkey"), "left_anti"
     ).count()
     orphan_o = orders.join(
         cust.select("c_custkey"), orders["o_custkey"] == F.col("c_custkey"), "left_anti"
     ).count()
-    dup_c = n_c - cust.select("c_custkey").distinct().count()
-    dup_li = n_li - li.select("l_orderkey", "l_linenumber").distinct().count()
-    null_c = n_c - cust.filter(F.col("c_nationkey").isNotNull()).count()
-    null_o = n_o - orders.filter(F.col("o_orderdate").isNotNull()).count()
-    out = row("orphan_fk", "lineitem", orphan_li, n_li)
-    for args in [
-        ("orphan_fk", "orders", orphan_o, n_o),
-        ("dup_pk", "customer", dup_c, n_c),
-        ("dup_pk", "lineitem", dup_li, n_li),
-        ("null_rate", "customer", null_c, n_c),
-        ("null_rate", "orders", null_o, n_o),
-    ]:
-        out = out.unionAll(row(*args))
-    return out
+    rows = [
+        ("orphan_fk", "lineitem", orphan_li, li_stats["n"]),
+        ("orphan_fk", "orders", orphan_o, o_stats["n"]),
+        ("dup_pk", "customer", c_stats["n"] - c_stats["nd"], c_stats["n"]),
+        ("dup_pk", "lineitem", li_stats["n"] - li_stats["nd"], li_stats["n"]),
+        ("null_rate", "customer", c_stats["n"] - c_stats["nn"], c_stats["n"]),
+        ("null_rate", "orders", o_stats["n"] - o_stats["nn"], o_stats["n"]),
+    ]
+    return spark.createDataFrame(
+        rows, "check_name string, table_name string, n_violations long, n_total long"
+    )
 
 
 @register(
@@ -2220,15 +2224,16 @@ def _hll_oracle(*, p: int = 9) -> str:
                     ELSE 52 - length(bin(hv // {m})) END AS rho
         FROM h
     ),
-    regs AS (SELECT register, MAX(rho) AS rho FROM rr GROUP BY register),
+    regs AS (SELECT register, MAX(rho) AS rho, COUNT(*) AS nv FROM rr GROUP BY register),
     state AS (
         SELECT COUNT(*) AS n_occ,
+               CAST(SUM(nv) AS BIGINT) AS n_exact,
                CAST(SUM(CAST(1 AS BIGINT) << (52 - rho)) AS BIGINT) AS z_occ,
                CAST(SUM(rho) AS BIGINT) AS register_checksum
         FROM regs
     ),
     summary AS (
-        SELECT CAST((SELECT COUNT(*) FROM vals) AS BIGINT) AS n_exact,
+        SELECT n_exact,
                CAST(n_occ AS BIGINT) AS nonzero_registers,
                CAST(z_occ + ({m} - n_occ) * CAST(4503599627370496 AS BIGINT) AS BIGINT) AS z_fp,
                register_checksum
@@ -2269,17 +2274,21 @@ def corpus_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hv") % m).alias("register"),
         F.when(w == 0, F.lit(52)).otherwise(F.lit(52) - F.length(F.bin(w))).alias("rho"),
     )
-    regs = rr.groupBy("register").agg(F.max("rho").alias("rho"))
-    n_exact = vals.count()
+    # per-register value counts ride the SAME shuffle, so the exact
+    # distinct count needs no second scan of the (dominant) input subtree
+    regs = rr.groupBy("register").agg(
+        F.max("rho").alias("rho"), F.count(F.lit(1)).alias("nv")
+    )
     state = regs.agg(
         F.count(F.lit(1)).alias("n_occ"),
+        F.sum("nv").alias("n_exact"),
         F.sum(F.expr("shiftleft(cast(1 as bigint), cast(52 - rho as int))")).alias("z_occ"),
         F.sum("rho").alias("register_checksum"),
     )
     two52 = 4503599627370496
     alpha_num = 0.7213 / (1.0 + 1.079 / float(m))
     return state.select(
-        F.lit(n_exact).cast("long").alias("n_exact"),
+        F.col("n_exact").cast("long").alias("n_exact"),
         F.col("n_occ").cast("long").alias("nonzero_registers"),
         (F.col("z_occ") + (F.lit(m) - F.col("n_occ")) * F.lit(two52)).cast("long").alias("z_fp"),
         F.col("register_checksum").cast("long").alias("register_checksum"),

@@ -185,18 +185,20 @@ class WalSpoolStreamReader(DataSourceStreamReader):
             )
         self._last_names: list[str] = []
         self._floor: int | None = self._read_floor()
-        if self._floor is None:
-            # No sidecar -> this spool has never been planned from: arm the
-            # floor at 0 EAGERLY so even the very first latestOffset — the
-            # backlog-drain batch the cap most needs to bound — is capped at
-            # min(n, cap). A restart whose sidecar was deleted out-of-band
-            # (while the checkpoint survived) would be indistinguishable
-            # from brand-new here, but the sidecar lives IN the spool dir:
-            # losing one and not the other means the spool itself was
-            # tampered with, and partitions() still fail-fasts on any
-            # resulting listing inconsistency.
+        if self._floor is None and self._write_floor(0):
+            # No sidecar AND we can persist one -> this spool has never been
+            # planned from: arm the floor at 0 EAGERLY so even the very
+            # first latestOffset — the backlog-drain batch the cap most
+            # needs to bound — is capped at min(n, cap). If the eager write
+            # FAILS (read-only spool), stay floor-less: a capped first
+            # offset without a durable floor could undercut a surviving
+            # checkpoint's committed offset and make Spark re-plan consumed
+            # segments — the uncapped first drain is the safe fallback
+            # there. A sidecar deleted out-of-band while the checkpoint
+            # survived is still indistinguishable from brand-new; the
+            # backwards-batch guard in partitions() turns that silent
+            # redelivery into a fail-fast (W9).
             self._floor = 0
-            self._write_floor(0)
 
     def _read_floor(self) -> int | None:
         try:
@@ -206,14 +208,16 @@ class WalSpoolStreamReader(DataSourceStreamReader):
         except (OSError, ValueError, json.JSONDecodeError):
             return None
 
-    def _write_floor(self, n: int) -> None:
+    def _write_floor(self, n: int) -> bool:
         tmp = self.progress_path + ".tmp"
         try:
+            os.makedirs(self.spool_dir, exist_ok=True)
             with open(tmp, "w") as fh:
                 json.dump({"planned_segments": n}, fh)
             os.replace(tmp, self.progress_path)
+            return True
         except OSError:
-            pass  # planning floor is an optimization; the checkpoint rules
+            return False  # planning floor is an optimization; the checkpoint rules
 
     def _check_ordering(self, names: list[str]) -> None:
         if names[: len(self._last_names)] != self._last_names:
@@ -240,6 +244,20 @@ class WalSpoolStreamReader(DataSourceStreamReader):
         return {"segments": n}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if end["segments"] < start["segments"]:
+            # A backwards batch means latestOffset undercut the checkpoint's
+            # committed offset (floor lost while the checkpoint survived).
+            # Silently returning [] would COMMIT the regressed offset and
+            # redeliver every segment between the two on the next batch —
+            # fail fast instead (W9) so the operator restores the sidecar
+            # or clears the checkpoint deliberately.
+            raise ValueError(
+                f"wal_spool: planned batch runs backwards (start="
+                f"{start['segments']}, end={end['segments']}) — the planning"
+                " floor regressed below the checkpoint's committed offset;"
+                " restore the spool sidecar or restart from a fresh"
+                " checkpoint"
+            )
         # Spark replays the last planned batch from the checkpoint on
         # restart: its offsets are the authoritative floor for the cap
         self._floor = max(self._floor or 0, start["segments"], end["segments"])

@@ -113,13 +113,14 @@ class StreamingReplayer:
 
     def _foreach_batch(self, bronze: DataFrame, batch_id: int) -> None:
         fresh = self.watermark.filter_applied(bronze)
+        parsed = None
         if self.maintainers:
-            from connemara_spark.events import parse_events
-
-            parsed = parse_events(fresh)
+            # ONE parse shared with the apply, with the same slot/standard
+            # filters — maintainers must never see events the replayer drops
+            parsed = self.replayer.parse_batch(fresh)
             for m in self.maintainers:
                 m.before_apply(parsed)
-        self.replayer.apply_batch(fresh)
+        self.replayer.apply_batch(fresh, events=parsed)
         for m in self.maintainers:
             m.after_apply()
         maxes = (

@@ -301,6 +301,28 @@ def test_wal_spool_max_segments_per_trigger(spark, tmp_path):
     r4 = WalSpoolStreamReader({"path": spool3, "maxSegmentsPerTrigger": "2"})
     assert r4.latestOffset() == {"segments": 2}
 
+    # sidecar lost but checkpoint survived: a capped latestOffset can
+    # undercut the committed offset — the resulting backwards batch must
+    # FAIL FAST, never commit the regressed offset (silent redelivery)
+    with pytest.raises(ValueError, match="backwards"):
+        r4.partitions({"segments": 4}, {"segments": 2})
+
+    # unwritable spool (eager floor write fails): fall back to the
+    # uncapped-first-drain behavior — a cap without a durable floor could
+    # undercut a surviving checkpoint (chmod can't simulate this as root;
+    # patch the write to fail like a read-only mount would)
+    spool4 = str(tmp_path / "spool4")
+    for i in range(5):
+        write_segment(spool4, [{"database": "db1", "lsn_start": i, "payload": f"p{i}"}], f"seg-{i:03d}")
+    orig = WalSpoolStreamReader._write_floor
+    WalSpoolStreamReader._write_floor = lambda self, n: False
+    try:
+        r5 = WalSpoolStreamReader({"path": spool4, "maxSegmentsPerTrigger": "2"})
+        assert r5._floor is None
+        assert r5.latestOffset() == {"segments": 5}  # uncapped first drain
+    finally:
+        WalSpoolStreamReader._write_floor = orig
+
 
 def test_wal_spool_continuous_trigger_commits_and_caps(spark, tmp_path):
     """Under a real processing-time trigger, maxSegmentsPerTrigger caps
