@@ -157,6 +157,36 @@ class ParquetStore:
             return self.spark.createDataFrame([], spec.spark_schema())
         return self.spark.read.parquet(self._dir(spec.target_name, v))
 
+    def read_version(self, spec: TableSpec, version: int) -> DataFrame:
+        """Time travel: read the table AS OF an earlier commit. Every
+        ``write`` leaves its versioned directory in place (the
+        idempotent-recovery points, W3), so any batch boundary remains
+        queryable until retention GC removes it — the store-level analog
+        of the LSN-bounded ``cdc_state_at_lsn`` fold."""
+        import os
+
+        d = self._dir(spec.target_name, version)
+        if not os.path.isdir(d):
+            raise ValueError(
+                f"no version {version} for {spec.target_name} "
+                f"(current: {self.current_version(spec.target_name)})"
+            )
+        return self.spark.read.parquet(d)
+
+    def versions(self, spec: TableSpec) -> list[int]:
+        """All retained commit versions, ascending."""
+        import os
+        import re
+
+        tdir = os.path.join(self.root, spec.target_name)
+        if not os.path.isdir(tdir):
+            return []
+        return sorted(
+            int(m.group(1))
+            for e in os.listdir(tdir)
+            if (m := re.fullmatch(r"v(\d{6})", e))
+        )
+
     def write(self, spec: TableSpec, df: DataFrame) -> None:
         v = (self.current_version(spec.target_name) or 0) + 1
         df.write.mode("overwrite").parquet(self._dir(spec.target_name, v))

