@@ -91,6 +91,56 @@ def test_distributed_apply_equals_serial_apply(seed, n_events, pk_change_prob, p
                 assert g == w, (k, c.name, g, w)
 
 
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_events=st.integers(min_value=1, max_value=120),
+    pk_change_prob=st.sampled_from([0.0, 0.2]),
+    lsn_bucket=st.sampled_from([1, 3, 17, 1_000_000]),
+    cut_frac=st.sampled_from([0.0, 0.3, 0.7, 1.0]),
+)
+def test_fold_variants_agree_for_any_stream(seed, n_events, pk_change_prob, lsn_bucket, cut_frac):
+    """apply_changes == apply_changes_bounded (any bucket size) ==
+    apply_changes_cut's final state, and the cut state == apply_changes over
+    the truncated stream — for ANY random stream and ANY cut position."""
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.apply import apply_changes_bounded, apply_changes_cut
+
+    spark = _get_spark()
+    base = [
+        {"id": i, "name": f"n{i}", "qty": i * 2, "price": float(i) + 0.25}
+        for i in range(1, 8)
+    ]
+    evs = random_event_stream(
+        SPEC, base, n_events=n_events, seed=seed, pk_change_prob=pk_change_prob
+    )
+    snapshot = spark.createDataFrame(
+        [tuple(r[c.name] for c in SPEC.columns) for r in base], schema=SPEC.spark_schema()
+    )
+    bronze = spark.createDataFrame(
+        [tuple(r[f.name] for f in BRONZE_SCHEMA.fields) for r in evs], schema=BRONZE_SCHEMA
+    )
+    ev = parse_events(bronze)
+    want_final = sorted(map(tuple, apply_changes(snapshot, ev, SPEC).collect()))
+
+    got_b = apply_changes_bounded(snapshot, ev, SPEC, lsn_bucket=lsn_bucket)
+    assert sorted(map(tuple, got_b.collect())) == want_final
+
+    max_lsn = max(e["lsn_start"] for e in evs)
+    cut = int(max_lsn * cut_frac)
+    s0, s1, _ = apply_changes_cut(snapshot, ev, SPEC, cut=lambda e: e["lsn_start"] <= cut)
+    assert sorted(map(tuple, s1.collect())) == want_final
+    want_cut = sorted(
+        map(tuple, apply_changes(snapshot, ev.filter(F.col("lsn_start") <= cut), SPEC).collect())
+    )
+    assert sorted(map(tuple, s0.collect())) == want_cut
+
+
 @settings(max_examples=50, deadline=None)
 @given(
     tags=st.lists(
