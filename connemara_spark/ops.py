@@ -179,6 +179,65 @@ class Maintenance:
 
 
 @dataclass
+@dataclass
+class ForgetReport:
+    table: str
+    rows_removed: int
+    new_version: int | None
+
+
+def forget_keys(
+    store,
+    specs: list,
+    key_col: str,
+    key_values: list,
+    *,
+    tombstone_path: str | None = None,
+) -> list[ForgetReport]:
+    """Targeted erasure (right-to-be-forgotten): remove every row whose
+    ``key_col`` is in ``key_values`` from each listed silver table,
+    committing a NEW store version per table (the versioned store makes the
+    operation atomic-per-table and auditable) and appending a tombstone
+    record so downstream consumers (training-data exports, maintained
+    views) can re-filter historical versions.
+
+    Scale shape: one broadcast semi-join-style filter per table — a full
+    scan + rewrite, the honest cost of erasure on immutable storage (the
+    same cost Delta/Iceberg DELETE pays); tables without ``key_col`` are
+    skipped with a zero-row report. NOTE: earlier store versions retain
+    the rows until retention GC drops them — erasure completes when GC
+    passes; the tombstone records what must stay filtered until then.
+    """
+    import json as _json
+
+    reports: list[ForgetReport] = []
+    vals = set(key_values)
+    for spec in specs:
+        df = store.read(spec)
+        if key_col not in df.columns:
+            reports.append(ForgetReport(spec.target_name, 0, None))
+            continue
+        hit = df.filter(F.col(key_col).isin(*vals))
+        n = hit.count()
+        if n:
+            store.write(spec, df.filter(~F.col(key_col).isin(*vals)))
+        reports.append(
+            ForgetReport(
+                spec.target_name, n, store.current_version(spec.target_name)
+            )
+        )
+    if tombstone_path:
+        rec = {
+            "key_col": key_col,
+            "key_values": sorted(map(str, key_values)),
+            "tables": {r.table: r.rows_removed for r in reports},
+        }
+        os.makedirs(os.path.dirname(tombstone_path) or ".", exist_ok=True)
+        with open(tombstone_path, "a") as fh:
+            fh.write(_json.dumps(rec) + "\n")
+    return reports
+
+
 class StuckDDL:
     database: str
     lsn_start: int

@@ -2300,6 +2300,118 @@ def corpus_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_sliding_oracle(*, p: int = 7, span: int = 7) -> str:
+    """Sliding-window distinct counts from MERGED daily HLL sketches — the
+    mergeability property under the gate: register MAX is the sketch union,
+    so a 7-day window never rescans raw data, it folds 7 tiny register
+    sets. Same md5-60bit hash + integer-exact Z as ``corpus_hll_distinct``."""
+    m = 1 << p
+    return f"""
+    WITH ev AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d_idx,
+               user_id
+        FROM events
+    ),
+    h AS (
+        SELECT DISTINCT d_idx,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM ev
+    ),
+    daily AS (
+        SELECT d_idx, hv % {m} AS register,
+               MAX(CASE WHEN hv // {m} = 0 THEN 52
+                        ELSE 52 - length(bin(hv // {m})) END) AS rho
+        FROM h GROUP BY d_idx, hv % {m}
+    ),
+    wins AS (SELECT DISTINCT d_idx AS w_end FROM daily),
+    merged AS (
+        SELECT w.w_end, s.register, MAX(s.rho) AS rho,
+               COUNT(DISTINCT s.d_idx) AS nd
+        FROM wins w JOIN daily s
+          ON s.d_idx BETWEEN w.w_end - {span - 1} AND w.w_end
+        GROUP BY w.w_end, s.register
+    ),
+    state AS (
+        SELECT w_end,
+               CAST(MAX(nd) AS BIGINT) AS n_days,
+               COUNT(*) AS n_occ,
+               CAST(SUM(CAST(1 AS BIGINT) << (52 - rho)) AS BIGINT) AS z_occ,
+               CAST(SUM(rho) AS BIGINT) AS register_checksum
+        FROM merged GROUP BY w_end
+    )
+    SELECT w_end, n_days,
+           CAST(z_occ + ({m} - n_occ) * CAST(4503599627370496 AS BIGINT) AS BIGINT) AS z_fp,
+           register_checksum,
+           ROUND((0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0
+                 * 4503599627370496.0
+                 / (z_occ + ({m} - n_occ) * CAST(4503599627370496 AS BIGINT)), 4)
+             AS hll_estimate
+    FROM state
+    """
+
+
+@register(
+    "events_hll_sliding_users",
+    _hll_sliding_oracle(),
+    "sliding 7-day distinct-user counts from MERGED daily HyperLogLog sketches "
+    "(p=7): the mergeability that matters at 100 TB — each window folds 7 "
+    "128-row register sets by MAX instead of rescanning raw events; daily "
+    "sketch build is one keyed shuffle, the window merge joins tiny register "
+    "tables only; estimate integer-exact as in corpus_hll_distinct",
+)
+def events_hll_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, span = 7, 7
+    m = 1 << p
+    ev = spread(load(spark, sf_dir, "events")).select(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d_idx"),
+        "user_id",
+    )
+    h = ev.select(
+        "d_idx",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    w_ = F.expr(f"hv div {m}")
+    daily = (
+        h.select(
+            "d_idx",
+            (F.col("hv") % m).alias("register"),
+            F.when(w_ == 0, F.lit(52)).otherwise(F.lit(52) - F.length(F.bin(w_))).alias("rho"),
+        )
+        .groupBy("d_idx", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    wins = daily.select(F.col("d_idx").alias("w_end")).distinct()
+    merged = (
+        wins.join(
+            daily,
+            (F.col("d_idx") >= F.col("w_end") - (span - 1)) & (F.col("d_idx") <= F.col("w_end")),
+        )
+        .groupBy("w_end", "register")
+        .agg(F.max("rho").alias("rho"), F.countDistinct("d_idx").alias("nd"))
+    )
+    state = merged.groupBy("w_end").agg(
+        F.max("nd").cast("long").alias("n_days"),
+        F.count(F.lit(1)).alias("n_occ"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(52 - rho as int))")).alias("z_occ"),
+        F.sum("rho").cast("long").alias("register_checksum"),
+    )
+    two52 = 4503599627370496
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    z_fp = F.col("z_occ") + (F.lit(m) - F.col("n_occ")) * F.lit(two52)
+    return state.select(
+        "w_end", "n_days",
+        z_fp.cast("long").alias("z_fp"),
+        "register_checksum",
+        F.round(
+            F.lit(alpha) * float(m) * float(m) * F.lit(float(two52)) / z_fp.cast("long"), 4
+        ).alias("hll_estimate"),
+    )
+
+
 def _triangle_oracle() -> str:
     """Exact triangle counting in SQL: same degree-ordered orientation as
     the Spark plan — each triangle materializes exactly one wedge at its

@@ -146,3 +146,41 @@ def test_fixer_head_apply_skip(spark, tmp_path):
 
     fixer.skip(head2)
     assert fixer.head() is None
+
+
+def test_forget_keys_erases_and_tombstones(spark, tmp_path):
+    """Targeted erasure removes the keys from every table that has the
+    column, commits new versions, skips tables without it, and appends an
+    auditable tombstone; prior versions still hold the rows (retention GC's
+    job, documented)."""
+    from connemara_spark.catalog import ColumnSpec, TableSpec
+    from connemara_spark.ops import forget_keys
+    from connemara_spark.pipeline import ParquetStore
+
+    users = TableSpec(database="db1", schema="public", table="users",
+                      columns=[ColumnSpec("user_id", "bigint"), ColumnSpec("name", "text")],
+                      pk_cols=["user_id"])
+    orders = TableSpec(database="db1", schema="public", table="ords",
+                       columns=[ColumnSpec("o_id", "bigint"), ColumnSpec("user_id", "bigint")],
+                       pk_cols=["o_id"])
+    other = TableSpec(database="db1", schema="public", table="other",
+                      columns=[ColumnSpec("k", "bigint")], pk_cols=["k"])
+    store = ParquetStore(spark, str(tmp_path / "silver"))
+    store.write(users, spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "user_id long, name string"))
+    store.write(orders, spark.createDataFrame([(10, 1), (11, 2), (12, 1)], "o_id long, user_id long"))
+    store.write(other, spark.createDataFrame([(7,)], "k long"))
+
+    ts = str(tmp_path / "tombstones.jsonl")
+    reports = forget_keys(store, [users, orders, other], "user_id", [1], tombstone_path=ts)
+    by_table = {r.table: r for r in reports}
+    assert by_table[users.target_name].rows_removed == 1
+    assert by_table[orders.target_name].rows_removed == 2
+    assert by_table[other.target_name].rows_removed == 0
+    assert sorted(r["user_id"] for r in store.read(users).collect()) == [2, 3]
+    assert sorted(r["user_id"] for r in store.read(orders).collect()) == [2]
+    # prior version retains the rows until GC (documented)
+    assert sorted(r["user_id"] for r in store.read_version(users, 1).collect()) == [1, 2, 3]
+    import json as _json
+
+    rec = _json.loads(open(ts).read().strip())
+    assert rec["key_col"] == "user_id" and rec["key_values"] == ["1"]
