@@ -5297,7 +5297,9 @@ def cdc_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         late.select(((F.col("user_id") * 31 + F.col("event_id") % 100) % 200 + 1).cast("long").alias("k"))
         .union(late.select(F.col("user_id").alias("k")))
         .distinct()
-        .localCheckpoint()  # computed once, broadcast into both folds
+        # no materialization: the set is recomputed inside each fold job
+        # (cheap scan+distinct) — an eager localCheckpoint here added a
+        # serial job barrier and measured no faster
     )
 
     # One STAGED fold per stream (apply_changes_cut): a single parse +
