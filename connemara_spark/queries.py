@@ -848,6 +848,52 @@ def cdc_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_lag_report",
+    """
+    WITH b AS (
+        SELECT 'db' || CAST(user_id % 3 + 1 AS VARCHAR) AS database,
+               'slot_' || CAST(user_id % 3 + 1 AS VARCHAR) AS source_slotname,
+               event_id AS lsn_start,
+               ts AS xid_timestamp,
+               ts + (event_id % 300) * INTERVAL 1 SECOND AS insert_timestamp
+        FROM events
+    )
+    SELECT database, source_slotname,
+           COUNT(*) AS n_pending,
+           MAX(lsn_start) AS max_lsn,
+           CAST(epoch_us(MAX(insert_timestamp)) - epoch_us(MAX(xid_timestamp)) AS BIGINT)
+             AS lag_us
+    FROM b GROUP BY database, source_slotname
+    """,
+    "replication lag report per (database, slot): pending spool depth, LSN "
+    "high-water mark, and source-commit-to-spool lag — the ops dashboard row "
+    "the reference surfaces through pg_replication_origin progress; one "
+    "map-side-combined aggregation over the spool",
+)
+def cdc_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load(spark, sf_dir, "events"))
+    b = ev.select(
+        F.concat(F.lit("db"), (F.col("user_id") % 3 + 1).cast("string")).alias("database"),
+        F.concat(F.lit("slot_"), (F.col("user_id") % 3 + 1).cast("string")).alias("source_slotname"),
+        F.col("event_id").alias("lsn_start"),
+        F.col("ts").alias("xid_timestamp"),
+        F.expr("ts + (event_id % 300) * INTERVAL 1 SECOND").alias("insert_timestamp"),
+    )
+    # lag as EXACT integer microseconds (unix_micros on the UTC-pinned LTZ
+    # cast == DuckDB epoch_us on naive) — a double-seconds difference cast
+    # to long would trip the round-vs-truncate engine divergence
+    lag = (
+        F.unix_micros(F.max("insert_timestamp").cast("timestamp"))
+        - F.unix_micros(F.max("xid_timestamp").cast("timestamp"))
+    )
+    return b.groupBy("database", "source_slotname").agg(
+        F.count(F.lit(1)).alias("n_pending"),
+        F.max("lsn_start").alias("max_lsn"),
+        lag.cast("long").alias("lag_us"),
+    )
+
+
+@register(
     "cdc_temporal_join",
     """
     WITH chg AS (
