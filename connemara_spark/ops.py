@@ -179,7 +179,6 @@ class Maintenance:
 
 
 @dataclass
-@dataclass
 class ForgetReport:
     table: str
     rows_removed: int
@@ -208,8 +207,6 @@ def forget_keys(
     the rows until retention GC drops them — erasure completes when GC
     passes; the tombstone records what must stay filtered until then.
     """
-    import json as _json
-
     reports: list[ForgetReport] = []
     vals = set(key_values)
     for spec in specs:
@@ -220,7 +217,13 @@ def forget_keys(
         hit = df.filter(F.col(key_col).isin(*vals))
         n = hit.count()
         if n:
-            store.write(spec, df.filter(~F.col(key_col).isin(*vals)))
+            # NULL-keyed rows must SURVIVE: ~isin is NULL (not true) for
+            # them under three-valued logic, which would silently destroy
+            # every NULL-keyed row beyond the requested erasure
+            store.write(
+                spec,
+                df.filter(~F.col(key_col).isin(*vals) | F.col(key_col).isNull()),
+            )
         reports.append(
             ForgetReport(
                 spec.target_name, n, store.current_version(spec.target_name)
@@ -234,10 +237,11 @@ def forget_keys(
         }
         os.makedirs(os.path.dirname(tombstone_path) or ".", exist_ok=True)
         with open(tombstone_path, "a") as fh:
-            fh.write(_json.dumps(rec) + "\n")
+            fh.write(json.dumps(rec) + "\n")
     return reports
 
 
+@dataclass
 class StuckDDL:
     database: str
     lsn_start: int

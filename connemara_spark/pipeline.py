@@ -162,29 +162,35 @@ class ParquetStore:
         ``write`` leaves its versioned directory in place (the
         idempotent-recovery points, W3), so any batch boundary remains
         queryable until retention GC removes it — the store-level analog
-        of the LSN-bounded ``cdc_state_at_lsn`` fold."""
+        of the LSN-bounded ``cdc_state_at_lsn`` fold. Only COMMITTED
+        versions qualify: a directory left by a crashed write (data
+        written, CURRENT never advanced) is not a recovery point — it may
+        be partial and its slot will be overwritten by the next write."""
         import os
 
+        cur = self.current_version(spec.target_name)
         d = self._dir(spec.target_name, version)
-        if not os.path.isdir(d):
+        if cur is None or version > cur or version < 1 or not os.path.isdir(d):
             raise ValueError(
-                f"no version {version} for {spec.target_name} "
-                f"(current: {self.current_version(spec.target_name)})"
+                f"no committed version {version} for {spec.target_name} "
+                f"(current: {cur})"
             )
         return self.spark.read.parquet(d)
 
     def versions(self, spec: TableSpec) -> list[int]:
-        """All retained commit versions, ascending."""
+        """All retained COMMITTED versions, ascending (orphaned
+        directories from crashed writes are excluded)."""
         import os
         import re
 
         tdir = os.path.join(self.root, spec.target_name)
         if not os.path.isdir(tdir):
             return []
+        cur = self.current_version(spec.target_name) or 0
         return sorted(
-            int(m.group(1))
+            v
             for e in os.listdir(tdir)
-            if (m := re.fullmatch(r"v(\d{6})", e))
+            if (m := re.fullmatch(r"v(\d+)", e)) and (v := int(m.group(1))) <= cur
         )
 
     def write(self, spec: TableSpec, df: DataFrame) -> None:

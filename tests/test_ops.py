@@ -184,3 +184,22 @@ def test_forget_keys_erases_and_tombstones(spark, tmp_path):
 
     rec = _json.loads(open(ts).read().strip())
     assert rec["key_col"] == "user_id" and rec["key_values"] == ["1"]
+
+
+def test_forget_keys_preserves_null_keyed_rows(spark, tmp_path):
+    """Three-valued logic: ~isin is NULL for NULL keys — the erasure filter
+    must keep NULL-keyed rows, never destroy data beyond the request."""
+    from connemara_spark.catalog import ColumnSpec, TableSpec
+    from connemara_spark.ops import forget_keys
+    from connemara_spark.pipeline import ParquetStore
+
+    t = TableSpec(database="db1", schema="public", table="nul",
+                  columns=[ColumnSpec("o_id", "bigint"), ColumnSpec("user_id", "bigint")],
+                  pk_cols=["o_id"])
+    store = ParquetStore(spark, str(tmp_path / "silver"))
+    store.write(t, spark.createDataFrame([(1, 5), (2, None), (3, 6)], "o_id long, user_id long"))
+    reports = forget_keys(store, [t], "user_id", [5])
+    assert reports[0].rows_removed == 1
+    assert sorted((r["o_id"], r["user_id"]) for r in store.read(t).collect()) == [
+        (2, None), (3, 6)
+    ]

@@ -321,5 +321,14 @@ def test_parquet_store_time_travel(spark, tmp_path):
     assert sorted(map(tuple, store.read_version(spec, 1).collect())) == [(1, "a")]
     assert sorted(map(tuple, store.read_version(spec, 2).collect())) == [(1, "a2"), (2, "b")]
     assert sorted(map(tuple, store.read(spec).collect())) == [(1, "a2"), (2, "b")]
-    with _pytest.raises(ValueError, match="no version 9"):
+    with _pytest.raises(ValueError, match="no committed version 9"):
         store.read_version(spec, 9)
+    # an orphaned directory from a crashed write (CURRENT never advanced)
+    # is NOT a commit: invisible to versions(), unreadable via read_version
+    import os, shutil
+    v2 = os.path.join(str(tmp_path / "silver"), spec.target_name, "v000002")
+    v3 = os.path.join(str(tmp_path / "silver"), spec.target_name, "v000003")
+    shutil.copytree(v2, v3)
+    assert store.versions(spec) == [1, 2]
+    with _pytest.raises(ValueError, match="no committed version 3"):
+        store.read_version(spec, 3)
