@@ -177,6 +177,33 @@ class ParquetStore:
             )
         return self.spark.read.parquet(d)
 
+    def gc_versions(self, spec: TableSpec, *, keep_last: int = 1) -> list[int]:
+        """Retention GC: drop committed version directories older than the
+        newest ``keep_last`` (plus any orphaned never-committed dirs below
+        CURRENT). This is what completes a ``forget_keys`` erasure — rows
+        removed from the current version persist in older recovery points
+        until this runs. Never touches CURRENT or versions above it.
+        Returns the version numbers removed."""
+        import os
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (CURRENT must survive)")
+        cur = self.current_version(spec.target_name)
+        if cur is None:
+            return []
+        keep = set(self.versions(spec)[-keep_last:]) | {cur}
+        removed = []
+        tdir = os.path.join(self.root, spec.target_name)
+        import re
+
+        for e in os.listdir(tdir):
+            m = re.fullmatch(r"v(\d+)", e)
+            if m and (v := int(m.group(1))) <= cur and v not in keep:
+                shutil.rmtree(os.path.join(tdir, e))
+                removed.append(v)
+        return sorted(removed)
+
     def versions(self, spec: TableSpec) -> list[int]:
         """All retained COMMITTED versions, ascending (orphaned
         directories from crashed writes are excluded)."""

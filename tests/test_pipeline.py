@@ -332,3 +332,25 @@ def test_parquet_store_time_travel(spark, tmp_path):
     assert store.versions(spec) == [1, 2]
     with _pytest.raises(ValueError, match="no committed version 3"):
         store.read_version(spec, 3)
+
+
+def test_parquet_store_gc_versions(spark, tmp_path):
+    """GC drops old recovery points (completing forget_keys erasure) but
+    never CURRENT; orphan dirs below CURRENT are swept too."""
+    from connemara_spark.catalog import ColumnSpec, TableSpec
+    from connemara_spark.pipeline import ParquetStore
+
+    spec = TableSpec(database="db1", schema="public", table="gc",
+                     columns=[ColumnSpec("id", "bigint")], pk_cols=["id"])
+    store = ParquetStore(spark, str(tmp_path / "silver"))
+    for i in range(4):
+        store.write(spec, spark.createDataFrame([(i,)], "id long"))
+    assert store.versions(spec) == [1, 2, 3, 4]
+    removed = store.gc_versions(spec, keep_last=2)
+    assert removed == [1, 2]
+    assert store.versions(spec) == [3, 4]
+    assert [r["id"] for r in store.read(spec).collect()] == [3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_last"):
+        store.gc_versions(spec, keep_last=0)
