@@ -1468,3 +1468,71 @@ def _kmeans_assign(base: DataFrame, cents: list[tuple[int, list[int]]]) -> DataF
     cluster_ids = F.array(*[F.lit(c).cast("long") for c, _ in cents])
     cl = F.element_at(cluster_ids, F.array_position(ds, F.array_min(ds)).cast("int"))
     return staged.select("id", "vf", cl.alias("cluster"))
+
+
+# --------------------------------------------------------------------------
+# Subspace balance (OPQ-lite): variance-balanced dimension permutation
+# --------------------------------------------------------------------------
+
+
+def dim_variance_scores(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale_bits: int = 20,
+) -> list[int]:
+    """Deterministic integer per-dimension variance scores:
+    ``(sum(vf^2) div n) - (sum(vf) div n)^2`` over the fixed-point
+    components ``vf = floor(x * 2^scale_bits)`` — exact BIGINT sums, so the
+    ordering is engine/partitioning/retry-independent (the property the
+    balanced layout below depends on). One aggregation, 2·dim sum columns,
+    dim ints to the driver."""
+    mult = 1 << scale_bits
+    vf = F.transform(
+        F.col(vec_col), lambda e: F.floor(e.cast("double") * mult).cast("long")
+    )
+    base = emb.select(vf.alias("vf"))
+    row = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("vf")[i]).alias(f"s{i}") for i in range(dim)],
+        *[F.sum(F.col("vf")[i] * F.col("vf")[i]).alias(f"q{i}") for i in range(dim)],
+    ).collect()[0]
+    n = row["n"]
+    # truncating division (SQL semantics; python // floors for negatives)
+    return [
+        _floordiv(row[f"q{i}"], n) - _floordiv(row[f"s{i}"], n) ** 2
+        for i in range(dim)
+    ]
+
+
+def balanced_subspace_permutation(scores: list[int], m: int) -> list[int]:
+    """Variance-balanced dimension→subspace layout (the OPQ idea without
+    the rotation matrix — a PERMUTATION is metadata-free and exactly
+    invertible): sort dims by (score desc, dim asc), deal them serpentine
+    across the ``m`` subspaces so each gets an even mix of high- and
+    low-variance dims. Product quantizers lose most accuracy when one
+    subspace carries most of the energy (Jégou et al. 2011 §V; OPQ, Ge et
+    al. 2013 motivates the same balance with a learned rotation).
+
+    Returns ``perm`` with ``perm[j*sd + t]`` = the t-th original dimension
+    of subspace ``j``."""
+    dim = len(scores)
+    sd = dim // m
+    order = sorted(range(dim), key=lambda i: (-scores[i], i))
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    for p, d in enumerate(order):
+        r = p // m
+        j = p % m if r % 2 == 0 else m - 1 - p % m
+        buckets[j].append(d)
+    assert all(len(b) == sd for b in buckets)
+    return [d for b in buckets for d in b]
+
+
+def subspace_variance_totals(
+    scores: list[int], perm: list[int], m: int
+) -> list[int]:
+    """Total variance score per subspace under a layout (exact int sums)."""
+    dim = len(scores)
+    sd = dim // m
+    return [sum(scores[perm[j * sd + t]] for t in range(sd)) for j in range(m)]

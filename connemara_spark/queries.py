@@ -3880,6 +3880,77 @@ def embedding_ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, k=10, n_cells=32, n_probe=4, codebooks=books, rerank=50)
 
 
+def _subspace_balance_oracle(sf_dir: str, *, dim: int = 64, m: int = 8) -> str:
+    """Spark-free replica (pyarrow + pure python) of the variance-balanced
+    layout: same fixed-point scores, same serpentine deal — rendered as a
+    VALUES literal, so a green row is a cross-implementation claim over the
+    ENTIRE pipeline (scores, ordering, layout, per-subspace totals)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from connemara_spark.operators.similarity import (
+        balanced_subspace_permutation, subspace_variance_totals,
+    )
+
+    tbl = _pq.read_table(_os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"])
+    vecs = tbl["embedding"].to_pylist()
+    n = len(vecs)
+    mult = 1 << 20
+    s = [0] * dim
+    q = [0] * dim
+    for v in vecs:
+        for i in range(dim):
+            x = int(float(v[i]) * mult // 1)
+            s[i] += x
+            q[i] += x * x
+
+    def tdiv(a, b):
+        r = abs(a) // b
+        return r if a >= 0 else -r
+
+    scores = [tdiv(q[i], n) - tdiv(s[i], n) ** 2 for i in range(dim)]
+    ident = list(range(dim))
+    bal = balanced_subspace_permutation(scores, m)
+    rows = []
+    for layout, perm in (("identity", ident), ("balanced", bal)):
+        for j, tot in enumerate(subspace_variance_totals(scores, perm, m)):
+            rows.append(f"('{layout}', {j}, {tot})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(layout, subspace, var_fp)"
+    )
+
+
+@register(
+    "embedding_subspace_balance",
+    None,
+    "variance-balanced PQ dimension layout (the OPQ idea as a metadata-free "
+    "permutation): exact-integer per-dim variance scores (one aggregation, "
+    "2*dim sums), serpentine deal across subspaces; per-subspace variance "
+    "totals for identity vs balanced layouts — gate checks a Spark-free "
+    "replica of the whole pipeline bit-for-bit",
+    oracle_fn=_subspace_balance_oracle,
+)
+def embedding_subspace_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.similarity import (
+        balanced_subspace_permutation, dim_variance_scores, subspace_variance_totals,
+    )
+
+    m, dim = 8, 64
+    emb = spread(load(spark, sf_dir, "embeddings")).select("embedding")
+    scores = dim_variance_scores(emb, dim=dim)
+    rows = []
+    for layout, perm in (
+        ("identity", list(range(dim))),
+        ("balanced", balanced_subspace_permutation(scores, m)),
+    ):
+        for j, tot in enumerate(subspace_variance_totals(scores, perm, m)):
+            rows.append((layout, j, tot))
+    return spark.createDataFrame(rows, "layout string, subspace int, var_fp long")
+
+
 def _pq_recon_oracle(*, dim: int = 64, m: int = 8, k_cb: int = 16, pq_seed: int = 7) -> str:
     from connemara_spark.operators.similarity import pq_codebooks_lit, pq_tables_sql
 

@@ -312,3 +312,22 @@ def test_kmeans_fixed_point_matches_python_reference(spark):
     for c in assign.values():
         want_counts[c] = want_counts.get(c, 0) + 1
     assert dict(got_counts) == want_counts
+
+
+def test_balanced_permutation_improves_subspace_balance(spark, sf_dir):
+    """The serpentine deal provably narrows the per-subspace variance
+    spread vs the identity layout (the property PQ accuracy rides on), and
+    the permutation is a true permutation."""
+    from connemara_spark.operators.similarity import (
+        balanced_subspace_permutation, dim_variance_scores, subspace_variance_totals,
+    )
+    from connemara_spark.queries import load, spread
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("embedding")
+    scores = dim_variance_scores(emb)
+    perm = balanced_subspace_permutation(scores, 8)
+    assert sorted(perm) == list(range(64))
+    ident = subspace_variance_totals(scores, list(range(64)), 8)
+    bal = subspace_variance_totals(scores, perm, 8)
+    assert sum(ident) == sum(bal)  # same mass, different deal
+    assert max(bal) - min(bal) <= max(ident) - min(ident)
