@@ -441,6 +441,12 @@ def apply_changes_bounded(
     (insert_timestamp, lsn_start, sub_ord). PK-change delete+insert pairs
     share ``lsn_start`` and therefore never straddle a bucket boundary.
     """
+    if lsn_bucket < 1:
+        # lsn_bucket=0 would make `lsn_start div 0` NULL for every event,
+        # collapsing each key into a single NULL bucket — silently
+        # reinstating the unbounded per-key array this function exists to
+        # prevent.
+        raise ValueError(f"lsn_bucket must be >= 1 (got {lsn_bucket})")
     spec, _whole_row = _effective_spec(spec)
     ev = events_for_table(events, spec)
     if keys is not None:

@@ -67,6 +67,76 @@ def join_view_delta(
     )
 
 
+def join_view_delta_staged(
+    a_flat: DataFrame,
+    b_flat: DataFrame,
+    *,
+    key_a: str,
+    key_b: str,
+    cols_a: list[str],
+    cols_b: list[str],
+) -> DataFrame:
+    """View delta computed DIRECTLY from two staged folds' per-key frames
+    (``apply_changes_cut``'s ``flat`` output: ``__pk, __s0, __s1``) —
+    skipping the materialize-two-views-and-exceptAll detour entirely.
+
+    With single-column PKs each side contributes at most ONE row per join
+    key to the view, so the per-key delta is decidable locally after one
+    |Δ|-sized full-outer join of the two flat frames: the old view row
+    exists iff both sides' ``__s0.exists``; same for new; emit del/ins
+    when the rows differ (null-safe struct compare). ``exceptAll`` is a
+    bag set-diff — two extra hash-aggregation shuffles over both full view
+    states — that this shape never needs: same rows, ~half the exchanges.
+
+    ``cols_a``/``cols_b``: the view columns taken from each side, in view
+    order (concatenated a-side then b-side). The join key must be in
+    ``cols_a`` position-compatible with the caller's view contract.
+    """
+    a = a_flat.select(
+        F.col(f"__pk.{key_a}").alias("__ka"),
+        F.col("__s0.exists").alias("__a0e"),
+        F.col("__s0.vals").alias("__a0v"),
+        F.col("__s1.exists").alias("__a1e"),
+        F.col("__s1.vals").alias("__a1v"),
+    )
+    b = b_flat.select(
+        F.col(f"__pk.{key_b}").alias("__kb"),
+        F.col("__s0.exists").alias("__b0e"),
+        F.col("__s0.vals").alias("__b0v"),
+        F.col("__s1.exists").alias("__b1e"),
+        F.col("__s1.vals").alias("__b1v"),
+    )
+    j = a.join(b, a["__ka"] == b["__kb"], "inner")
+
+    def row(av: str, bv: str) -> F.Column:
+        return F.struct(
+            *[F.col(f"{av}.{c}").alias(c) for c in cols_a],
+            *[F.col(f"{bv}.{c}").alias(c) for c in cols_b],
+        )
+
+    old_e = F.coalesce(F.col("__a0e"), F.lit(False)) & F.coalesce(
+        F.col("__b0e"), F.lit(False)
+    )
+    new_e = F.coalesce(F.col("__a1e"), F.lit(False)) & F.coalesce(
+        F.col("__b1e"), F.lit(False)
+    )
+    old_r = F.when(old_e, row("__a0v", "__b0v"))
+    new_r = F.when(new_e, row("__a1v", "__b1v"))
+    changed = ~old_r.eqNullSafe(new_r)
+    out_cols = [*cols_a, *cols_b]
+    emitted = F.array_compact(
+        F.array(
+            F.when(changed & old_e, F.struct(F.lit("del").alias("op"), old_r.alias("r"))),
+            F.when(changed & new_e, F.struct(F.lit("ins").alias("op"), new_r.alias("r"))),
+        )
+    )
+    ex = j.select(F.explode(emitted).alias("e"))
+    return ex.select(
+        F.col("e.op").alias("op"),
+        *[F.col(f"e.r.{c}").alias(c) for c in out_cols],
+    )
+
+
 def touched_keys(events: DataFrame, spec) -> DataFrame:
     """Distinct PKs a parsed CDC batch can affect — including BOTH halves
     of a PK-change split (the delete'd old key and the insert'd new key).
@@ -100,9 +170,20 @@ class MaintainedJoinView:
     state (the store's current version — ParquetStore reads are
     version-pinned, so the frame stays old through the apply) and the
     batch's touched keys; after the replayer applies the batch,
-    ``after_apply()`` computes the touched-key-scoped view delta and
-    patches the materialized view (versioned parquet, same
-    write-then-advance pointer discipline as the silver store).
+    ``after_apply()`` patches the materialized view (versioned parquet,
+    same write-then-advance pointer discipline as the silver store).
+
+    The patch is REPLACEMENT at the touched keys — drop every view row
+    whose join key is touched, re-insert the join of the NEW state at
+    those keys — not an old-vs-new diff. Replacement makes recovery
+    idempotent: if the process dies after the store advanced but before
+    the view pointer moved, the restarted stream re-applies the batch
+    (store apply is idempotent) and ``before_apply`` pins a state that
+    already CONTAINS the batch. A diff of that state against itself is
+    empty and would silently lose the batch's view changes forever;
+    replacement recomputes the same correct rows from the new state
+    alone, so the retry converges. Work remains |Δ|-scoped either way:
+    the touched set broadcasts and prunes the state before the join.
     """
 
     def __init__(
@@ -133,6 +214,13 @@ class MaintainedJoinView:
                 f"MaintainedJoinView requires key_a == the spec's single PK "
                 f"column (got key_a={key_a!r}, pk_cols={spec.pk_cols!r}): "
                 "touched-key pruning happens in PK space"
+            )
+        # Replacement-at-key patching deletes view rows by join key, so the
+        # materialized rows must carry it.
+        if key_a not in view_cols:
+            raise ValueError(
+                f"view_cols must include the join key {key_a!r} "
+                "(touched-key replacement deletes view rows by key)"
             )
         self.key_a = key_a
         self.key_b = key_b
@@ -179,22 +267,28 @@ class MaintainedJoinView:
         import os
 
         new = self.store.read(self.spec)
-        delta = join_view_delta(
-            self._old, new, self.dim, self.dim,
-            key_a=self.key_a, key_b=self.key_b,
-            touched=self._touched,
-            view_cols=self.view_cols,
+        t = F.broadcast(
+            self._touched.select(
+                F.col(self._touched.columns[0]).alias("__k")
+            ).distinct()
         )
+        # replacement rows: the NEW state's join restricted to touched keys
+        # (semi-join prunes before the dim join — |Δ|-sized work)
+        a_t = new.join(t, new[self.key_a] == t["__k"], "left_semi")
+        repl = self._join(a_t)
         # base view: the materialized version if one exists, else the join
-        # of the PINNED OLD state (the store has already advanced past the
-        # apply by now — joining the new state here would double-apply)
+        # of the PINNED OLD state (first materialization only; on a retry
+        # after a post-apply crash the pinned state may already contain the
+        # batch — harmless, replacement overwrites the touched keys either
+        # way)
         v0 = self._current()
         base = (
             self._join(self._old)
             if v0 == 0
             else self.spark.read.parquet(os.path.join(self.view_dir, f"v{v0:06d}"))
         )
-        patched = apply_view_delta(base, delta)
+        kept = base.join(t, base[self.key_a] == t["__k"], "left_anti")
+        patched = kept.unionByName(repl)
         v = self._current() + 1
         patched.write.mode("overwrite").parquet(
             os.path.join(self.view_dir, f"v{v:06d}")

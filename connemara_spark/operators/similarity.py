@@ -125,12 +125,28 @@ def cosine_pairs(
     )
 
 
+def _require_small_index(emb: DataFrame, *, tool: str, cap: int, alternative: str) -> None:
+    """Enforce the single-node tools' regime instead of trusting docstrings:
+    they ``collect()`` the full index to the driver, so a caller pointing
+    one at a 100 TB table gets an explicit error naming the distributed
+    path — the same honest-boundary contract as the media codecs'
+    NotImplementedError. The ``count()`` is a cheap column-pruned scan
+    next to the collect it guards."""
+    n = emb.count()
+    if n > cap:
+        raise ValueError(
+            f"{tool} collects the full index to the driver and is capped at "
+            f"{cap:,} rows (index has {n:,}); use {alternative} at this scale"
+        )
+
+
 def cosine_pairs_blocked(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     *,
     threshold: float = 0.95,
+    index_cap: int = 10_000_000,
 ) -> DataFrame:
     """``cosine_pairs`` computed as blocked BLAS matmuls: the L2-normalized
     index matrix broadcasts to every task; each Arrow batch of rows does one
@@ -146,6 +162,10 @@ def cosine_pairs_blocked(
     import numpy as np
     import pandas as pd
 
+    _require_small_index(
+        emb, tool="cosine_pairs_blocked", cap=index_cap,
+        alternative="cosine_pairs_gemm (distributed) or srp_lsh_topk (approximate)",
+    )
     spark = emb.sparkSession
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -684,6 +704,7 @@ def numpy_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    index_cap: int = 10_000_000,
 ) -> DataFrame:
     """Vectorized exact top-k: broadcast the full (id, matrix) index to every
     task; each Arrow batch of queries does one BLAS matmul.
@@ -695,6 +716,10 @@ def numpy_topk(
     import numpy as np
     import pandas as pd
 
+    _require_small_index(
+        emb, tool="numpy_topk", cap=index_cap,
+        alternative="topk_cosine (distributed exact) or srp_lsh_topk (approximate)",
+    )
     spark = emb.sparkSession
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -1418,6 +1443,16 @@ def kmeans_fixed_point(
 
     h = F.md5(F.concat_ws("|", F.lit(seed).cast("string"), F.col("id").cast("string")))
     init_rows = base.select("vf", h.alias("__h"), "id").orderBy("__h", "id").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(
+            f"k={k} clusters but the corpus has only {len(init_rows)} vectors"
+        )
+    short = next((r for r in init_rows if len(r["vf"]) < dim), None)
+    if short is not None:
+        raise ValueError(
+            f"dim={dim} exceeds the vector length {len(short['vf'])} "
+            f"(id={short['id']!r})"
+        )
     cents: list[tuple[int, list[int]]] = [(c, list(r["vf"])) for c, r in enumerate(init_rows)]
 
     assigned = None
@@ -1518,6 +1553,10 @@ def balanced_subspace_permutation(scores: list[int], m: int) -> list[int]:
     Returns ``perm`` with ``perm[j*sd + t]`` = the t-th original dimension
     of subspace ``j``."""
     dim = len(scores)
+    if m < 1 or dim % m:
+        # A bare assert would vanish under `python -O` and return a
+        # malformed short permutation; this is an input contract.
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
     sd = dim // m
     order = sorted(range(dim), key=lambda i: (-scores[i], i))
     buckets: list[list[int]] = [[] for _ in range(m)]

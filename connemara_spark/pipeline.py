@@ -29,7 +29,7 @@ from connemara_spark.catalog import EngineCatalog, TableSpec
 from connemara_spark.ddl.executor import DDLExecutor
 from connemara_spark.ddl.rewriter import DDLAction, classify_ddl
 from connemara_spark.events import parse_events, slot_restriction, split_ddl_dml, standard_filters
-from connemara_spark.operators.apply import apply_changes
+from connemara_spark.operators.apply import apply_changes, apply_changes_bounded
 
 
 def parse_command_tags(tags: str | None) -> list[str]:
@@ -177,15 +177,28 @@ class ParquetStore:
             )
         return self.spark.read.parquet(d)
 
-    def gc_versions(self, spec: TableSpec, *, keep_last: int = 1) -> list[int]:
+    def gc_versions(
+        self, spec: TableSpec, *, keep_last: int = 1, min_age_seconds: float = 0.0
+    ) -> list[int]:
         """Retention GC: drop committed version directories older than the
         newest ``keep_last`` (plus any orphaned never-committed dirs below
         CURRENT). This is what completes a ``forget_keys`` erasure — rows
         removed from the current version persist in older recovery points
         until this runs. Never touches CURRENT or versions above it.
-        Returns the version numbers removed."""
+        Returns the version numbers removed.
+
+        CONCURRENCY: Spark DataFrames are lazy — a frame pinned to an old
+        version (``read_version``, or a maintainer's pre-apply pin between
+        ``before_apply``/``after_apply``) scans its directory at ACTION
+        time, so GC'ing that version mid-flight fails the consumer's job.
+        Run GC from the same single-writer process that owns the store (the
+        reference's async-maintenance discipline, W10), after in-flight
+        consumers finish — or pass ``min_age_seconds`` so only directories
+        untouched for that long are eligible, which bounds the race to
+        pins older than the window."""
         import os
         import shutil
+        import time
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1 (CURRENT must survive)")
@@ -197,10 +210,14 @@ class ParquetStore:
         tdir = os.path.join(self.root, spec.target_name)
         import re
 
+        now = time.time()
         for e in os.listdir(tdir):
             m = re.fullmatch(r"v(\d+)", e)
             if m and (v := int(m.group(1))) <= cur and v not in keep:
-                shutil.rmtree(os.path.join(tdir, e))
+                d = os.path.join(tdir, e)
+                if min_age_seconds > 0 and now - os.path.getmtime(d) < min_age_seconds:
+                    continue
+                shutil.rmtree(d)
                 removed.append(v)
         return sorted(removed)
 
@@ -279,6 +296,7 @@ class Replayer:
         md5_blocklist: set[str] | None = None,
         dml_hook=None,
         archive=None,
+        lsn_bucket: int | None = 100_000,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -286,6 +304,20 @@ class Replayer:
         self.excluded_databases = excluded_databases
         self.allowed_slots = allowed_slots
         self.md5_blocklist = md5_blocklist or set()
+        # Hot-key safety on the PRODUCTION apply path: per-key state in the
+        # fold is bounded at bucket occupancy (apply_changes_bounded), so a
+        # counter-like row with millions of updates in one batch can never
+        # build an unbounded collect_list array on an executor — matching
+        # the reference's O(1) serial bound (replay.pl:879-960)
+        # distributively. The bounded fold requires per-key
+        # insert_timestamp order consistent with lsn_start order, which the
+        # WAL spool guarantees (segments are written in LSN order; the
+        # reference's cursor orders by (insert_timestamp, lsn) the same
+        # way). ``lsn_bucket=None`` selects the single-shuffle unbounded
+        # fold for transports without that guarantee.
+        if lsn_bucket is not None and lsn_bucket < 1:
+            raise ValueError(f"lsn_bucket must be >= 1 or None (got {lsn_bucket})")
+        self.lsn_bucket = lsn_bucket
         self.executor = DDLExecutor(catalog, store)
         # fix_object_dml analog (D14, connemara_rewrite.pm:136-140):
         # callable(db, schema, table) -> bool keep
@@ -361,7 +393,12 @@ class Replayer:
             if spec is None:
                 continue  # unregistered table: events ignored (no target)
             snapshot = self.store.read(spec)
-            new_state = apply_changes(snapshot, seg, spec)
+            if self.lsn_bucket is not None:
+                new_state = apply_changes_bounded(
+                    snapshot, seg, spec, lsn_bucket=self.lsn_bucket
+                )
+            else:
+                new_state = apply_changes(snapshot, seg, spec)
             self.store.write(spec, new_state)
             metrics.tables_touched += 1
 

@@ -5402,7 +5402,7 @@ def cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
-    from connemara_spark.operators.ivm import join_view_delta
+    from connemara_spark.operators.ivm import join_view_delta_staged
 
     cut = 5000
     snapshot = load(spark, sf_dir, "customer")
@@ -5414,23 +5414,28 @@ def cdc_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         late.select(((F.col("user_id") * 31 + F.col("event_id") % 100) % 200 + 1).cast("long").alias("k"))
         .union(late.select(F.col("user_id").alias("k")))
         .distinct()
-        # no materialization: the set is recomputed inside each fold job
-        # (cheap scan+distinct) — an eager localCheckpoint here added a
-        # serial job barrier and measured no faster
+        # materialized ONCE (tiny: distinct keys) so the four semi-join
+        # pruning sites below broadcast the same frame instead of each
+        # re-running the events scan+distinct inside the single fold job
+        .localCheckpoint(eager=True)
     )
 
     # One STAGED fold per stream (apply_changes_cut): a single parse +
     # shuffle + sorted per-key fold yields BOTH states (at the LSN cut and
     # final — the post-cut fold seeds from the pre-cut result), semi-join-
-    # PRUNED to the touched-key set BEFORE the fold (keys=), and the small
-    # per-key two-state frame is localCheckpointed so the exceptAll diff's
-    # two plan references don't re-execute the fold pipeline. Fold cost
-    # scales with |delta|; the heavy subtree runs exactly once per stream.
-    # (Previous shape: four independent full-stream folds, each executed
-    # twice through the exceptAll branches — 8.66s at sf0.1.)
+    # PRUNED to the touched-key set BEFORE the fold (keys=). The delta is
+    # then emitted DIRECTLY from the two per-key (__s0, __s1) frames —
+    # join_view_delta_staged: one |Δ|-sized inner join + per-row null-safe
+    # struct compare — so neither view state is ever materialized and the
+    # exceptAll set-diffs (two extra shuffles over both full view states,
+    # plus the localCheckpoint barriers that kept them from re-executing
+    # the folds) disappear. History: four independent folds + exceptAll =
+    # 8.66s; staged folds + exceptAll = 6.8s; this shape runs as ONE job.
     lsn_cut = lambda e: e["lsn_start"] <= cut
     tk_c = touched.select(F.col("k").alias("c_custkey"))
-    c0, c1, _ = apply_changes_cut(snapshot, c_ev, CUSTOMER_SPEC, cut=lsn_cut, keys=tk_c)
+    _, _, c_flat = apply_changes_cut(
+        snapshot, c_ev, CUSTOMER_SPEC, cut=lsn_cut, keys=tk_c, materialize=False
+    )
 
     acct_schema = T.StructType(
         [
@@ -5442,14 +5447,13 @@ def cdc_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_ev = parse_events(_account_cdc_bronze(spark, sf_dir))
     empty = spark.createDataFrame([], acct_schema)
     tk_a = touched.select(F.col("k").alias("a_userkey"))
-    a0, a1, _ = apply_changes_cut(empty, a_ev, ACCOUNT_SPEC, cut=lsn_cut, keys=tk_a)
-    # (An overlapped-materialization variant — persist both flat frames,
-    # trigger with one union count — measured SLOWER here, 9-11s vs ~6s:
-    # cache write amplification beats the lost overlap on this box.)
-    return join_view_delta(
-        c0, c1, a0, a1,
-        key_a="c_custkey", key_b="a_userkey", touched=touched,
-        view_cols=["c_custkey", "c_name", "a_last_type", "a_balance"],
+    _, _, a_flat = apply_changes_cut(
+        empty, a_ev, ACCOUNT_SPEC, cut=lsn_cut, keys=tk_a, materialize=False
+    )
+    return join_view_delta_staged(
+        c_flat, a_flat,
+        key_a="c_custkey", key_b="a_userkey",
+        cols_a=["c_custkey", "c_name"], cols_b=["a_last_type", "a_balance"],
     )
 
 

@@ -211,6 +211,11 @@ def hll_distinct_stream(df: DataFrame, *, group_col: str, value_col: str) -> Dat
             F.col(group_col).cast("string").alias("group_key"),
             F.col(value_col).cast("string").alias("v"),
         )
+        # NULLs never reach the register fold: str() over a pandas null
+        # would hash the literal 'None'/'nan' as a distinct element,
+        # diverging from the batch construction (concat_ws never yields
+        # NULL hash inputs). Matches batch bit-for-bit only with this drop.
+        .filter(F.col("group_key").isNotNull() & F.col("v").isNotNull())
         .groupBy("group_key")
         .applyInPandasWithState(
             _hll_fn,

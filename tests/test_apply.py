@@ -615,3 +615,18 @@ def test_apply_changes_keys_pruning_matches_unpruned_at_kept_keys(spark):
         snapshot, ev, CUST, cut=lambda e: e["lsn_start"] <= 150, keys=keys
     )
     assert sorted(map(tuple, s1.collect())) == sorted(want)
+
+
+def test_apply_changes_bounded_rejects_zero_bucket(spark):
+    """lsn_bucket=0 would NULL every bucket id (`x div 0`), collapsing each
+    key to ONE unbounded array — the exact failure mode the bounded fold
+    exists to prevent. Must be an explicit error."""
+    import pytest
+
+    from connemara_spark.operators.apply import apply_changes_bounded
+
+    snap = spark.createDataFrame([], CUST.spark_schema())
+    ev = spark.createDataFrame([], BRONZE_SCHEMA)
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="lsn_bucket"):
+            apply_changes_bounded(snap, ev, CUST, lsn_bucket=bad)

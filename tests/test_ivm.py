@@ -152,3 +152,77 @@ def test_streaming_maintained_join_view_over_wal_spool(spark, tmp_path):
     sr.run_until_drained()
     check()
     assert view._current() == 3  # one view version per batch, no recomputes
+
+
+def test_maintained_view_retry_after_post_apply_crash(spark, tmp_path):
+    """Crash-recovery idempotence: the process dies AFTER the store applied
+    a batch but BEFORE the view was patched. The restarted stream re-applies
+    the batch (store apply is idempotent) and calls before_apply on a state
+    that already contains it — under a diff-based patch the delta would be
+    empty and the view would silently miss the batch forever; replacement at
+    the touched keys must converge to the correct view."""
+    from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
+    from connemara_spark.events import BRONZE_SCHEMA
+    from connemara_spark.operators.ivm import MaintainedJoinView
+    from connemara_spark.pipeline import ParquetStore, Replayer
+    from connemara_spark.testing import make_event
+
+    spec = TableSpec(
+        database="db1", schema="public", table="items",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text")],
+        pk_cols=["id"],
+    )
+    cat = EngineCatalog()
+    cat.register(spec)
+    spec = cat.get("db1", "public", "items")
+    store = ParquetStore(spark, str(tmp_path / "silver"))
+    rep = Replayer(spark, cat, store)
+    dim = spark.createDataFrame(
+        [(i, f"tier{i % 2}") for i in range(1, 8)], "id long, tier string"
+    )
+    view = MaintainedJoinView(
+        spark, store, spec, dim=dim, key_a="id", key_b="id",
+        view_cols=["id", "v", "tier"], view_dir=str(tmp_path / "view"),
+    )
+
+    def bronze(events):
+        return spark.createDataFrame(
+            [tuple(e[f.name] for f in BRONZE_SCHEMA.fields) for e in events],
+            schema=BRONZE_SCHEMA,
+        )
+
+    def run_batch(events):
+        b = bronze(events)
+        parsed = rep.parse_batch(b)
+        view.before_apply(parsed)
+        rep.apply_batch(b, events=parsed)
+        view.after_apply()
+
+    def check():
+        a = store.read(spec)
+        want = sorted((r["id"], r["v"], f"tier{r['id'] % 2}") for r in a.collect())
+        got = sorted(map(tuple, view.read_view().collect()))
+        assert got == want, (got, want)
+
+    run_batch([
+        make_event(spec, "insert", lsn=1, row={"id": 1, "v": "a"}),
+        make_event(spec, "insert", lsn=2, row={"id": 2, "v": "b"}),
+    ])
+    check()
+
+    # batch 2 crashes between store apply and view patch
+    crash = [
+        make_event(spec, "update", lsn=3, row={"id": 1, "v": "a2"}, old_key={"id": 1}),
+        make_event(spec, "delete", lsn=4, old_key={"id": 2}),
+        make_event(spec, "insert", lsn=5, row={"id": 3, "v": "c"}),
+    ]
+    b = bronze(crash)
+    parsed = rep.parse_batch(b)
+    view.before_apply(parsed)
+    rep.apply_batch(b, events=parsed)
+    # -- crash here: after_apply never runs; view still at version 1 --
+    assert view._current() == 1
+
+    # restart: the whole batch replays (watermark never advanced)
+    run_batch(crash)
+    check()  # view caught up despite before_apply pinning a post-batch state

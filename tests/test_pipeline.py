@@ -354,3 +354,10 @@ def test_parquet_store_gc_versions(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="keep_last"):
         store.gc_versions(spec, keep_last=0)
+
+    # min-age guard: directories younger than the window are not eligible
+    # (bounds the race against in-flight consumers pinned to old versions)
+    store.write(spec, spark.createDataFrame([(9,)], "id long"))
+    assert store.gc_versions(spec, keep_last=1, min_age_seconds=3600) == []
+    assert store.versions(spec) == [3, 4, 5]
+    assert store.gc_versions(spec, keep_last=1) == [3, 4]

@@ -331,3 +331,46 @@ def test_balanced_permutation_improves_subspace_balance(spark, sf_dir):
     bal = subspace_variance_totals(scores, perm, 8)
     assert sum(ident) == sum(bal)  # same mass, different deal
     assert max(bal) - min(bal) <= max(ident) - min(ident)
+
+
+def test_validation_guards(spark):
+    """Input-contract errors are explicit ValueErrors, not -O-strippable
+    asserts or opaque downstream failures."""
+    import pytest
+
+    from connemara_spark.operators.similarity import (
+        balanced_subspace_permutation, kmeans_fixed_point,
+    )
+
+    with pytest.raises(ValueError, match="divisible"):
+        balanced_subspace_permutation([1] * 10, 3)
+    with pytest.raises(ValueError, match="divisible"):
+        balanced_subspace_permutation([1] * 10, 0)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(3)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="only 3 vectors"):
+        kmeans_fixed_point(emb, dim=4, k=8)
+    with pytest.raises(ValueError, match="exceeds the vector length"):
+        kmeans_fixed_point(emb, dim=64, k=2)
+
+
+def test_single_node_tools_reject_oversized_index(spark):
+    """The driver-collect tools enforce their regime: above the index cap
+    they raise and name the distributed alternative (same honest-boundary
+    contract as the media codecs)."""
+    import pytest
+
+    from connemara_spark.operators.similarity import cosine_pairs_blocked, numpy_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(20)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="cosine_pairs_gemm"):
+        cosine_pairs_blocked(emb, index_cap=10)
+    with pytest.raises(ValueError, match="srp_lsh_topk"):
+        numpy_topk(emb, index_cap=10)
+    # within the cap both still work
+    assert cosine_pairs_blocked(emb, threshold=0.99, index_cap=100).count() > 0
+    assert numpy_topk(emb, k=2, index_cap=100).count() == 40

@@ -113,6 +113,10 @@ def test_hll_distinct_stream_matches_batch_registers(spark, tmp_path):
 
     landing = str(tmp_path / "landing")
     rows1 = [(i, _t(1), i % 3, "t", float(i)) for i in range(200)]
+    # NULL values must not be hashed as the strings 'None'/'nan' — the batch
+    # construction (concat_ws) never yields NULL hash inputs, and bit-parity
+    # requires the stream to drop them too
+    rows1 += [(None, _t(1), uid, "t", 0.0) for uid in range(3)]
     rows2 = [(i, _t(2), i % 3, "t", float(i)) for i in range(150, 400)]  # overlap
     _land(spark, rows1, landing)
 
@@ -147,7 +151,8 @@ def test_hll_distinct_stream_matches_batch_registers(spark, tmp_path):
     # batch replica over the union of both batches
     by_key: dict[str, set] = {}
     for eid, _ts, uid, _t_, _v in rows1 + rows2:
-        by_key.setdefault(str(uid), set()).add(eid)
+        if eid is not None:  # stream drops NULL values pre-hash
+            by_key.setdefault(str(uid), set()).add(eid)
     for k, vals in by_key.items():
         regs = _hll_fold(bytearray(512), _hll_hash60(sorted(vals)))
         est, nonzero, checksum = _hll_estimate(regs)

@@ -115,3 +115,45 @@ def test_stream_ddl_mid_stream(spark, tmp_path):
     ], landing)
     sr.run_until_drained()
     assert cat.get("db1", "public", "items").column_names == ["id", "v", "note"]
+
+
+def test_streaming_hot_key_through_bounded_fold(spark, tmp_path):
+    """The PRODUCTION apply path (StreamingReplayer → Replayer.apply_batch)
+    defaults to the bounded fold: a hot key with 20k updates in one batch
+    drains correctly with per-key state bounded at bucket occupancy, and
+    the result matches the unbounded fold bit-for-bit."""
+    import json
+
+    landing = str(tmp_path / "landing")
+    cat = _catalog()
+    store = ParquetStore(spark, str(tmp_path / "silver"))
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=landing, checkpoint_dir=str(tmp_path / "ckpt"),
+        lsn_bucket=1_000,
+    )
+    assert sr.replayer.lsn_bucket == 1_000  # kwargs thread through
+    spec = cat.get("db1", "public", "items")
+
+    n = 20_000
+    rows = [make_event(spec, "insert", lsn=1, row={"id": 1, "v": "v0"})]
+    rows += [
+        make_event(spec, "update", lsn=i, row={"id": 1, "v": f"v{i}"}, old_key={"id": 1})
+        for i in range(2, n + 1)
+    ]
+    rows.append(make_event(spec, "insert", lsn=n + 1, row={"id": 2, "v": "other"}))
+    _land(spark, rows, landing)
+    sr.run_until_drained()
+    got = {r["id"]: r["v"] for r in store.read(spec).collect()}
+    assert got == {1: f"v{n}", 2: "other"}
+
+    # replica through the unbounded fold on the same landing data
+    from connemara_spark.pipeline import Replayer
+
+    store2 = MemoryStore(spark)
+    store2.create_table(spec)
+    rep2 = Replayer(spark, cat, store2, lsn_bucket=None)
+    rep2.apply_batch(spark.read.schema(BRONZE_SCHEMA).parquet(landing))
+    assert sorted(map(tuple, store2.read(spec).collect())) == sorted(
+        map(tuple, store.read(spec).collect())
+    )
