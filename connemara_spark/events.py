@@ -86,7 +86,9 @@ def split_malformed(bronze: DataFrame) -> tuple[DataFrame, DataFrame]:
     return bronze.filter(~bad), bronze.filter(bad)
 
 
-def parse_events(bronze: DataFrame, *, on_malformed: str = "fail") -> DataFrame:
+def parse_events(
+    bronze: DataFrame, *, on_malformed: str = "fail", pushdown_barrier: bool = True
+) -> DataFrame:
     """Spool rows -> typed CDC events (one row per row-change).
 
     Equivalent of the dispatcher's JSON projections (replay.pl:818-833) plus
@@ -101,6 +103,22 @@ def parse_events(bronze: DataFrame, *, on_malformed: str = "fail") -> DataFrame:
       a null-field event would corrupt the target;
     - ``"ignore"``: malformed rows pass through with null fields (callers
       pre-splitting with ``split_malformed`` use this on the clean side).
+
+    ``pushdown_barrier`` (default True): pin the JSON parse to ONE
+    evaluation per row. Without it, Catalyst rewrites downstream
+    parsed-field filters (table routing, op splits) through this
+    projection — each rewritten site re-inlines the ``from_json`` tree, and
+    the filters pushed into the scan re-parse every payload there (measured
+    4 evaluations per row on the fold path; 1.63s -> 0.36s per stream at
+    sf0.1). The barrier is a never-true non-deterministic branch folded
+    into ``op`` — non-determinism is the one thing Catalyst will neither
+    push a predicate through nor collapse a projection across, and the
+    branch itself is dead at runtime. Cost: transport-column filters
+    (database/slot/lsn) applied ABOVE the parse no longer reach the file
+    scan — apply those to the BRONZE frame (as the replayer's watermark
+    filter does) where scan pruning actually matters; parsed-field filters
+    could never prune a JSON payload scan anyway. Set False only for a
+    plan that needs post-parse predicates pushed into the source.
     """
     if on_malformed not in ("fail", "ignore"):
         raise ValueError(f"unknown on_malformed policy {on_malformed!r}")
@@ -118,7 +136,7 @@ def parse_events(bronze: DataFrame, *, on_malformed: str = "fail") -> DataFrame:
                 )
             ).cast("string"),
         ).otherwise(F.col("ev.kind"))
-    return bronze.select(
+    parsed = bronze.select(
         "insert_timestamp",
         "database",
         "source_slotname",
@@ -140,6 +158,19 @@ def parse_events(bronze: DataFrame, *, on_malformed: str = "fail") -> DataFrame:
         F.col("ev.columnnames").alias("columnnames"),
         F.col("ev.columnvalues").alias("columnvalues"),
         F.col("ev.oldkeys").alias("oldkeys"),
+    )
+    if not pushdown_barrier:
+        return parsed
+    # Never-true non-deterministic branch: semantically `op`, but Catalyst
+    # cannot push predicates through or collapse projections across a
+    # non-deterministic projection, so from_json stays single-evaluation.
+    guarded = (
+        F.when(F.monotonically_increasing_id() < 0, F.lit(None).cast("string"))
+        .otherwise(F.col("op"))
+        .alias("op")
+    )
+    return parsed.select(
+        *[guarded if c == "op" else c for c in parsed.columns]
     )
 
 

@@ -1,0 +1,213 @@
+"""Persisted IVF-PQ index: the ANN index as a durable on-disk artifact.
+
+``pq_train_codebooks`` + ``ivfpq_topk`` cover the in-session shape; a real
+deployment trains ONCE, writes the index, and every query session after
+that just reads it — the index outlives any SparkSession. This module is
+that lifecycle:
+
+- :func:`build_ann_index` — train codebooks on the bounded deterministic
+  sample, code every vector, and write the artifact:
+
+  ``{index_dir}/entries.parquet/cell=N/``  (vec_id, codes array<int>) —
+      partitioned by IVF cell, so a probe-side read PRUNES to the probed
+      cells at the file listing (the on-disk analog of the inverted list);
+  ``{index_dir}/codebooks.parquet``  (subspace, code, codeword
+      array<double>) — float32-representable values stored as double
+      (exact roundtrip);
+  ``{index_dir}/META.json`` — build params + a fingerprint of the source
+      embeddings parquet (size + mtime), checked on load so a stale index
+      is rebuilt rather than silently served.
+
+- :func:`load_ann_index` — read META + codebooks (k_cb·m tiny rows to the
+  driver) + the entries DataFrame in a FRESH session.
+- :func:`ivfpq_topk_indexed` — the pure read-join query: probes/tables for
+  the query vectors via the shared Arrow prep kernel, candidates from the
+  PERSISTED entries, ranking through the same ``_ivfpq_rank`` used by the
+  in-session path, so the two paths cannot diverge.
+
+At 100 TB the entries table is the only large artifact; it is written
+cell-partitioned (append-friendly, prunable) and never collected. The
+codebooks are m·k_cb rows regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connemara_spark.operators.similarity import (
+    _ivfpq_prep_map,
+    _ivfpq_rank,
+    ivf_centroids_lit,
+    pq_train_codebooks,
+)
+
+_META = "META.json"
+
+
+def _fingerprint(path: str) -> str:
+    """Cheap source-data fingerprint: size + mtime of the parquet file/dir.
+    Catches the driver regenerating testdata between rounds — content
+    hashing would cost a full read for the same decision."""
+    if os.path.isdir(path):
+        parts = sorted(
+            (e, os.path.getsize(os.path.join(path, e)))
+            for e in os.listdir(path)
+            if not e.startswith(("_", "."))
+        )
+        return f"dir:{parts}:{int(os.path.getmtime(path))}"
+    st = os.stat(path)
+    return f"file:{st.st_size}:{int(st.st_mtime)}"
+
+
+def build_ann_index(
+    emb: DataFrame,
+    index_dir: str,
+    *,
+    source_path: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 32,
+    m: int = 8,
+    k_cb: int = 16,
+    seed: int = 42,
+    train_seed: int = 3,
+    sample_n: int = 20000,
+    iters: int = 12,
+) -> dict:
+    """Train and persist the IVF-PQ index; returns the written META dict.
+
+    One training collect (bounded ``sample_n`` rows, md5-deterministic),
+    one distributed coding pass (Arrow kernel, zero shuffle), one
+    cell-partitioned write. Write-then-rename on META commits the build:
+    a crashed build leaves no META and is rebuilt from scratch.
+    """
+    books = pq_train_codebooks(
+        emb, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k_cb=k_cb,
+        sample_n=sample_n, iters=iters, seed=train_seed,
+    )
+    centroids = ivf_centroids_lit(dim, n_cells, seed)
+    prep = _ivfpq_prep_map(centroids, books, 1, id_col, vec_col)
+    entries = (
+        emb.select(id_col, vec_col)
+        .mapInPandas(
+            prep,
+            "id long, probes array<int>, codes array<int>, tables array<array<double>>",
+        )
+        .select(
+            F.col("id").alias("vec_id"),
+            "codes",
+            F.element_at("probes", 1).alias("cell"),
+        )
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    entries.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, "entries.parquet")
+    )
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(len(books))
+            for c in range(len(books[j]))
+        ],
+        "subspace int, code int, codeword array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "codebooks.parquet")
+    )
+    meta = {
+        "dim": dim, "n_cells": n_cells, "m": m, "k_cb": k_cb,
+        "seed": seed, "train_seed": train_seed, "sample_n": sample_n,
+        "iters": iters, "id_col": id_col, "vec_col": vec_col,
+        "source_fingerprint": _fingerprint(source_path) if source_path else None,
+    }
+    tmp = os.path.join(index_dir, _META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(index_dir, _META))
+    return meta
+
+
+def load_ann_index(
+    spark: SparkSession, index_dir: str
+) -> tuple[dict, list[list[list[float]]], DataFrame]:
+    """Load a committed index: (meta, codebooks, entries DataFrame).
+    Raises FileNotFoundError when no committed build exists."""
+    meta_path = os.path.join(index_dir, _META)
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(f"no committed ANN index at {index_dir}")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "codebooks.parquet"))
+        .orderBy("subspace", "code")
+        .collect()
+    )
+    m, k_cb = meta["m"], meta["k_cb"]
+    books = [[None] * k_cb for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]][r["code"]] = list(r["codeword"])
+    entries = spark.read.parquet(os.path.join(index_dir, "entries.parquet"))
+    return meta, books, entries
+
+
+def ensure_ann_index(
+    emb: DataFrame, index_dir: str, *, source_path: str | None = None, **params
+) -> tuple[dict, list[list[list[float]]], DataFrame]:
+    """Load the index, (re)building first when it is missing, was built
+    with different params, or its source fingerprint no longer matches —
+    a stale index must never be silently served."""
+    spark = emb.sparkSession
+    try:
+        meta, books, entries = load_ann_index(spark, index_dir)
+        fresh = source_path is None or meta.get("source_fingerprint") == _fingerprint(
+            source_path
+        )
+        if fresh and all(meta.get(k) == v for k, v in params.items()):
+            return meta, books, entries
+    except FileNotFoundError:
+        pass
+    build_ann_index(emb, index_dir, source_path=source_path, **params)
+    return load_ann_index(spark, index_dir)
+
+
+def ivfpq_topk_indexed(
+    emb: DataFrame,
+    index_dir: str,
+    *,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 0,
+) -> DataFrame:
+    """ANN top-k against the PERSISTED index: candidates come from the
+    cell-partitioned entries table (a pure read-join — no index-side
+    compute), queries get probes + ADC tables from the shared Arrow prep
+    kernel, and ranking runs through the same ``_ivfpq_rank`` as the
+    in-session path. Row-identical to ``ivfpq_topk(..., codebooks=books)``
+    with this index's parameters (test-pinned)."""
+    spark = emb.sparkSession
+    meta, books, entries = load_ann_index(spark, index_dir)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    centroids = ivf_centroids_lit(meta["dim"], meta["n_cells"], meta["seed"])
+    prep = _ivfpq_prep_map(centroids, books, n_probe, id_col, vec_col)
+    queries = (
+        emb.select(id_col, vec_col)
+        .mapInPandas(
+            prep,
+            "id long, probes array<int>, codes array<int>, tables array<array<double>>",
+        )
+        .select(
+            F.col("id").alias("query_id"),
+            F.explode("probes").alias("cell"),
+            F.col("tables").alias("qt"),
+        )
+    )
+    index = entries.select(F.col("vec_id").alias("neighbor_id"), "cell", "codes")
+    return _ivfpq_rank(
+        queries, index, emb, id_col=id_col, vec_col=vec_col,
+        dim=meta["dim"], m=meta["m"], k=k, rerank=rerank,
+    )

@@ -1209,6 +1209,32 @@ def ivfpq_topk(
         F.col("tables").alias("qt"),
     )
 
+    return _ivfpq_rank(
+        queries, index, emb, id_col=id_col, vec_col=vec_col,
+        dim=dim, m=m, k=k, rerank=rerank,
+    )
+
+
+def _ivfpq_rank(
+    queries: DataFrame,
+    index: DataFrame,
+    emb: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    k: int,
+    rerank: int,
+) -> DataFrame:
+    """Candidate join + ADC + top-k (+ optional exact rerank) — the
+    query-time half of IVF-PQ, shared by the in-session path
+    (:func:`ivfpq_topk`) and the persisted-index path
+    (``operators/annindex.ivfpq_topk_indexed``) so the two can never
+    diverge. ``queries`` = (query_id, cell, qt); ``index`` =
+    (neighbor_id, cell, codes)."""
+    from pyspark.sql.window import Window
+
     cand = queries.join(index, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     # ADC: m array lookups + a flat left-assoc double chain — the same text
     # as the oracle's q.l{j}[c{j}+1] chain (Spark arrays are 0-based).

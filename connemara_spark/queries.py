@@ -13,6 +13,7 @@ TPC-H-ish tables (TESTDATA.md). Conventions for oracle parity:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -3792,6 +3793,100 @@ def embedding_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_index_root() -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(repo, "spark-warehouse", "ann_index")
+
+
+ANN_INDEX_PARAMS = dict(dim=64, n_cells=32, m=8, k_cb=16, seed=42, train_seed=3)
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str):
+    """Build-if-stale + load the persisted IVF-PQ index for this sf_dir
+    (fingerprinted against the embeddings parquet, so regenerated testdata
+    triggers a rebuild instead of serving stale cells)."""
+    from connemara_spark.operators.annindex import ensure_ann_index
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    return (
+        os.path.join(_ann_index_root(), tag),
+        ensure_ann_index(
+            emb,
+            os.path.join(_ann_index_root(), tag),
+            source_path=os.path.join(sf_dir, "embeddings.parquet"),
+            **ANN_INDEX_PARAMS,
+        ),
+    )
+
+
+def _ann_index_build_oracle(sf_dir: str) -> str:
+    """DuckDB derivation of the PERSISTED index content: cell = argmax
+    centroid dot (ties to higher cell, as ranked_cells), codes = per-subspace
+    argmin distance-table entry — with the trained books rendered from the
+    independent Spark-free trainer. A green row means the artifact on disk
+    equals an independent recomputation of the whole index."""
+    dim, n_cells, seed, m = 64, 32, 42, 8
+    from connemara_spark.operators.similarity import (
+        ivf_centroids_lit, ivf_lit_dot_sql, pq_tables_sql, train_books_offline,
+    )
+
+    books = train_books_offline(sf_dir, k_cb=16)
+    cents = ivf_centroids_lit(dim, n_cells, seed)
+    tables = pq_tables_sql(books, "embedding[{i}]", one_based=True, arr_fmt="[{}]")
+    dls_cols = ", ".join(f"{t} AS l{j}" for j, t in enumerate(tables))
+    code_cols = ", ".join(
+        f"list_position(l{j}, list_min(l{j})) - 1 AS c{j}" for j in range(m)
+    )
+    csv = " || ',' || ".join(f"CAST(c{j} AS VARCHAR)" for j in range(m))
+    cell_unions = " UNION ALL ".join(
+        f"SELECT vec_id, {c} AS cell, ({ivf_lit_dot_sql(cents[c], 'embedding[{i}]')}) AS d FROM embeddings"
+        for c in range(n_cells)
+    )
+    return f"""
+    WITH dls AS (SELECT vec_id, {dls_cols} FROM embeddings),
+    codes AS (SELECT vec_id, {code_cols} FROM dls),
+    dots AS ({cell_unions}),
+    ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS cr
+        FROM dots
+    )
+    SELECT c.vec_id, CAST(r.cell AS INT) AS cell, {csv} AS codes_csv
+    FROM codes c JOIN ranked r ON r.vec_id = c.vec_id AND r.cr = 1
+    """
+
+
+@register(
+    "ann_index_build",
+    None,
+    "IVF-PQ index BUILD as a durable artifact: train books, code + cell-assign every "
+    "vector, write cell-partitioned parquet + codebooks + fingerprinted META; the "
+    "query returns the artifact read back FROM DISK, gated against an independent "
+    "DuckDB recomputation of the whole index",
+    oracle_fn=_ann_index_build_oracle,
+)
+def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.annindex import build_ann_index
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    index_dir = os.path.join(_ann_index_root(), tag)
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    # unconditional build: this entry IS the build step (its bench time is
+    # the honest index-construction cost); readers use _ensure_index
+    build_ann_index(
+        emb, index_dir,
+        source_path=os.path.join(sf_dir, "embeddings.parquet"),
+        **ANN_INDEX_PARAMS,
+    )
+    entries = spark.read.parquet(os.path.join(index_dir, "entries.parquet"))
+    return entries.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.array_join("codes", ",").alias("codes_csv"),
+    )
+
+
 def _ivfpq_trained_oracle(sf_dir: str) -> str:
     """DuckDB oracle for the TRAINED IVF-PQ + exact-rerank pipeline: same
     shape as ``_ivfpq_lit_oracle`` but with the data-trained books rendered
@@ -3867,17 +3962,19 @@ def _ivfpq_trained_oracle(sf_dir: str) -> str:
 @register(
     "embedding_ann_ivfpq_trained",
     None,
-    "IVF-PQ with k-means-trained codebooks + exact shortlist rerank — the production "
-    "configuration, now fully under the value-hash gate (trained books render as "
-    "literals into the DuckDB twin)",
+    "IVF-PQ with k-means-trained codebooks + exact shortlist rerank, served from the "
+    "PERSISTED index (ann_index_build artifact; build-if-stale): a pure read-join "
+    "query — candidates from cell-partitioned parquet, no index-side recompute — "
+    "fully under the value-hash gate (trained books render as literals into the "
+    "DuckDB twin)",
     oracle_fn=_ivfpq_trained_oracle,
 )
 def embedding_ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from connemara_spark.operators.similarity import ivfpq_topk
+    from connemara_spark.operators.annindex import ivfpq_topk_indexed
 
+    index_dir, _ = _ensure_index(spark, sf_dir)
     emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    books = _trained_books(spark, sf_dir)
-    return ivfpq_topk(emb, k=10, n_cells=32, n_probe=4, codebooks=books, rerank=50)
+    return ivfpq_topk_indexed(emb, index_dir, k=10, n_probe=4, rerank=50)
 
 
 def _subspace_balance_oracle(sf_dir: str, *, dim: int = 64, m: int = 8) -> str:
@@ -5408,7 +5505,10 @@ def cdc_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot = load(spark, sf_dir, "customer")
     c_ev = parse_events(_customer_cdc_bronze(spark, sf_dir))
 
-    ev = spread(load(spark, sf_dir, "events"))
+    # No spread(): this subtree is a narrow scan + partial-agg distinct, not
+    # expression-heavy per-row work — the repartition shuffle cost more than
+    # the parallelism bought (1.7s -> 0.6s at sf0.1).
+    ev = load(spark, sf_dir, "events")
     late = ev.filter(F.col("event_id") > cut)
     touched = (
         late.select(((F.col("user_id") * 31 + F.col("event_id") % 100) % 200 + 1).cast("long").alias("k"))
@@ -5874,6 +5974,10 @@ DRIVER_SAMPLE_PRIORITY = [
     "events_props_json",
     "q2_cheapest_supplier_per_part",
     "graph_pagerank_orders",
+    # new this round: the persisted-index build (build must precede the
+    # trained read-join query, which _ensure_index also guarantees)
+    "ann_index_build",
+    "embedding_ann_ivfpq_trained",
 ]
 
 

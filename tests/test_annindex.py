@@ -1,0 +1,95 @@
+"""Persisted IVF-PQ index: build/load lifecycle, path identity, staleness."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+def _emb(spark, sf_dir):
+    from connemara_spark.queries import load, spread
+
+    return spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+
+
+PARAMS = dict(dim=64, n_cells=32, m=8, k_cb=16, seed=42, train_seed=3)
+
+
+def test_indexed_path_matches_in_session(spark, sf_dir, tmp_path):
+    """The persisted-index query path returns row-identical results to the
+    in-session ivfpq_topk with the same trained books — the two paths share
+    _ivfpq_rank, and this pins the artifact roundtrip (f32 books through
+    double parquet, codes through int arrays, cells through partition
+    values)."""
+    from connemara_spark.operators.annindex import build_ann_index, ivfpq_topk_indexed
+    from connemara_spark.operators.similarity import ivfpq_topk, pq_train_codebooks
+
+    emb = _emb(spark, sf_dir)
+    d = str(tmp_path / "idx")
+    build_ann_index(emb, d, **PARAMS)
+    got = ivfpq_topk_indexed(emb, d, k=10, n_probe=4, rerank=50)
+
+    books = pq_train_codebooks(emb, k_cb=16)
+    want = ivfpq_topk(emb, k=10, n_cells=32, n_probe=4, codebooks=books, rerank=50)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_fresh_session_load_and_commit_protocol(spark, sf_dir, tmp_path):
+    """load_ann_index needs only the directory (deployment shape: a fresh
+    session reads the artifact, no retraining); an uncommitted build (no
+    META) refuses to load."""
+    from connemara_spark.operators.annindex import (
+        build_ann_index, load_ann_index,
+    )
+
+    d = str(tmp_path / "idx")
+    with pytest.raises(FileNotFoundError):
+        load_ann_index(spark, d)
+
+    emb = _emb(spark, sf_dir)
+    meta_written = build_ann_index(emb, d, **PARAMS)
+    meta, books, entries = load_ann_index(spark, d)
+    assert meta == meta_written
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(cw) == 8 for b in books for cw in b)
+    n = emb.count()
+    assert entries.count() == n
+    # every vector coded, cells within range, partition pruning available
+    assert entries.filter("cell < 0 OR cell >= 32").count() == 0
+    cell_dirs = [e for e in os.listdir(os.path.join(d, "entries.parquet")) if e.startswith("cell=")]
+    assert len(cell_dirs) > 1  # cell-partitioned layout on disk
+
+
+def test_ensure_rebuilds_on_stale_fingerprint(spark, sf_dir, tmp_path):
+    """A source-data change (regenerated testdata) or a param change makes
+    ensure_ann_index rebuild instead of serving the stale artifact."""
+    from connemara_spark.operators.annindex import ensure_ann_index
+
+    emb = _emb(spark, sf_dir)
+    d = str(tmp_path / "idx")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    ensure_ann_index(emb, d, source_path=src, **PARAMS)
+    meta_path = os.path.join(d, "META.json")
+    t0 = os.path.getmtime(meta_path)
+
+    # same source + params: served, not rebuilt
+    ensure_ann_index(emb, d, source_path=src, **PARAMS)
+    assert os.path.getmtime(meta_path) == t0
+
+    # tampered fingerprint simulates regenerated source data: rebuild
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["source_fingerprint"] = "stale"
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    ensure_ann_index(emb, d, source_path=src, **PARAMS)
+    with open(meta_path) as fh:
+        assert json.load(fh)["source_fingerprint"] != "stale"
+
+    # param change: rebuild
+    changed = dict(PARAMS, n_cells=16)
+    ensure_ann_index(emb, d, source_path=src, **changed)
+    with open(meta_path) as fh:
+        assert json.load(fh)["n_cells"] == 16
