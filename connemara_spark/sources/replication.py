@@ -48,11 +48,18 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from connemara_spark.events import BRONZE_SCHEMA
 
 _BRONZE_FIELDS = [f.name for f in BRONZE_SCHEMA.fields]
+
+# deliver=paths mode: the source emits one row per planned segment and the
+# consumer expands them JVM-side (expand_segment_paths) — offset planning
+# and exactly-once stay in the Python source, the per-line JSONL parse
+# moves into Spark's native text reader + from_json (the Python worker was
+# the measured drain bottleneck; see SCALE.md streaming throughput).
+PATHS_SCHEMA = StructType([StructField("segment_path", StringType())])
 
 
 def _parse_lsn_text(v) -> int | None:
@@ -121,6 +128,10 @@ class SegmentPartition(InputPartition):
         self.path = path
 
 
+def _deliver_paths(options) -> bool:
+    return str(options.get("deliver", "rows")).lower() == "paths"
+
+
 class WalSpoolBatchReader(DataSourceReader):
     """Batch backfill over the whole spool — same parse path as the stream."""
 
@@ -128,6 +139,7 @@ class WalSpoolBatchReader(DataSourceReader):
         self.spool_dir = options.get("path")
         if not self.spool_dir:
             raise ValueError("wal_spool requires a path option (the spool directory)")
+        self.paths_mode = _deliver_paths(options)
 
     def partitions(self) -> Sequence[InputPartition]:
         return [SegmentPartition(p) for p in _list_segments(self.spool_dir)] or [
@@ -137,6 +149,8 @@ class WalSpoolBatchReader(DataSourceReader):
     def read(self, partition: SegmentPartition) -> Iterator[tuple]:
         if not partition.path:
             return iter(())
+        if self.paths_mode:
+            return iter([(partition.path,)])
         return _read_segment(partition.path)
 
 
@@ -175,6 +189,7 @@ class WalSpoolStreamReader(DataSourceStreamReader):
         self.spool_dir = options.get("path")
         if not self.spool_dir:
             raise ValueError("wal_spool requires a path option (the spool directory)")
+        self.paths_mode = _deliver_paths(options)
         self.progress_path = os.path.join(self.spool_dir, "_receiver_progress.json")
         cap = options.get("maxSegmentsPerTrigger")
         self.max_per_trigger = int(cap) if cap is not None else None
@@ -275,6 +290,8 @@ class WalSpoolStreamReader(DataSourceStreamReader):
         return [SegmentPartition(p) for p in listing[start["segments"] : end["segments"]]]
 
     def read(self, partition: SegmentPartition) -> Iterator[tuple]:
+        if self.paths_mode:
+            return iter([(partition.path,)])
         return _read_segment(partition.path)
 
     def commit(self, end: dict) -> None:
@@ -306,7 +323,7 @@ class WalSpoolDataSource(DataSource):
         return "wal_spool"
 
     def schema(self) -> StructType:
-        return BRONZE_SCHEMA
+        return PATHS_SCHEMA if _deliver_paths(self.options) else BRONZE_SCHEMA
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return WalSpoolBatchReader(self.options)
@@ -317,6 +334,86 @@ class WalSpoolDataSource(DataSource):
 
 def register_wal_spool(spark) -> None:
     spark.dataSource.register(WalSpoolDataSource)
+
+
+def expand_segment_paths(spark, paths_df) -> "DataFrame":
+    """JVM-side segment expansion for ``deliver=paths`` batches: the
+    handful of planned segment paths collect to the driver (one short
+    string per segment — the microbatch plan, not data), then Spark's
+    native text reader + ``from_json`` produce BRONZE_SCHEMA rows. This
+    keeps the Python DataSource on the control plane only (offset
+    planning, ordering, backpressure) and runs the per-line JSONL parse
+    in the JVM, which is the measured drain bottleneck of the rows mode
+    (SCALE.md): the Python worker pays per-line json.loads + datetime
+    conversion + Arrow serialization; the JVM path is one codegen'd
+    projection.
+
+    Accepts the same value shapes as ``_read_segment``: LSNs as PG
+    ``%X/%X`` text or integers, timestamps as ISO-8601 text or epoch
+    microseconds. Fail-fast on malformed JSON lines (W9) with the
+    offending file in the error."""
+    from pyspark.sql import functions as F
+
+    paths = [r["segment_path"] for r in paths_df.select("segment_path").collect()]
+    if not paths:
+        return spark.createDataFrame([], BRONZE_SCHEMA)
+    line_schema = StructType(
+        [
+            StructField("insert_timestamp", StringType()),
+            StructField("database", StringType()),
+            StructField("source_slotname", StringType()),
+            StructField("lsn_start", StringType()),
+            StructField("xid", StringType()),
+            StructField("xid_timestamp", StringType()),
+            StructField("payload", StringType()),
+        ]
+    )
+
+    def ts(col: str):
+        s = F.col(f"r.{col}")
+        return (
+            F.when(s.rlike("^[0-9]+$"), F.timestamp_micros(s.cast("long")))
+            .otherwise(F.to_timestamp(s))
+            .alias(col)
+        )
+
+    def lsn(col: str):
+        s = F.col(f"r.{col}")
+        hi = F.conv(F.split(s, "/")[0], 16, 10).cast("long")
+        lo = F.conv(F.split(s, "/")[1], 16, 10).cast("long")
+        return (
+            F.when(s.contains("/"), F.shiftleft(hi, 32) + lo)
+            .otherwise(s.cast("long"))
+            .alias(col)
+        )
+
+    raw = spark.read.text(paths).filter(F.trim("value") != "")
+    parsed = raw.select(
+        F.from_json("value", line_schema).alias("r"), "value", F.input_file_name().alias("__f")
+    )
+    # from_json yields a NULL struct only for non-JSON input (a JSON object
+    # with missing keys parses to null FIELDS) — same failure surface as
+    # _read_segment's json.loads fail-fast
+    guard = F.when(
+        F.col("r").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("malformed spool line in "),
+                F.col("__f"),
+                F.lit(": "),
+                F.substring("value", 1, 120),
+            )
+        ).cast("string"),
+    ).otherwise(F.col("r.database"))
+    return parsed.select(
+        ts("insert_timestamp"),
+        guard.alias("database"),
+        F.col("r.source_slotname").alias("source_slotname"),
+        lsn("lsn_start"),
+        F.col("r.xid").cast("long").alias("xid"),
+        ts("xid_timestamp"),
+        F.col("r.payload").alias("payload"),
+    )
 
 
 def write_segment(spool_dir: str, rows: list[dict], name: str) -> str:

@@ -94,6 +94,7 @@ class StreamingReplayer:
         landing_format: str = "parquet",
         max_files_per_trigger: int | None = None,
         maintainers: list | None = None,
+        jvm_parse: bool = True,
         **replayer_kwargs,
     ):
         self.spark = spark
@@ -102,6 +103,12 @@ class StreamingReplayer:
         self.checkpoint_dir = checkpoint_dir
         self.landing_format = landing_format
         self.max_files_per_trigger = max_files_per_trigger
+        # wal_spool only: deliver=paths — the Python source plans offsets
+        # and emits segment PATHS; the batch expands them JVM-side
+        # (expand_segment_paths), keeping the per-line JSONL parse out of
+        # the Python worker (the measured drain bottleneck, SCALE.md).
+        # False restores row delivery (the same parse in the Python source).
+        self.jvm_parse = jvm_parse and landing_format == "wal_spool"
         # incremental consumers (e.g. ivm.MaintainedJoinView): each gets
         # before_apply(parsed_events) with the batch + the version-pinned
         # pre-apply store, then after_apply() once the batch has landed
@@ -112,6 +119,12 @@ class StreamingReplayer:
         self.batches_applied = 0
 
     def _foreach_batch(self, bronze: DataFrame, batch_id: int) -> None:
+        if self.jvm_parse:
+            # paths-mode batch: expand the planned segment paths into
+            # BRONZE rows JVM-side (native text scan + from_json)
+            from connemara_spark.sources.replication import expand_segment_paths
+
+            bronze = expand_segment_paths(self.spark, bronze)
         # The batch frame is a PLAN, not data: every action below (DDL
         # collect, per-segment applies, watermark max — 3+ jobs) would
         # re-execute the source read, and for a Python DataSource batch
@@ -155,6 +168,8 @@ class StreamingReplayer:
             reader = self.spark.readStream.format("wal_spool").option(
                 "path", self.landing_dir
             )
+            if self.jvm_parse:
+                reader = reader.option("deliver", "paths")
             if self.max_files_per_trigger:
                 # W6 backpressure maps onto the source's segment cap
                 reader = reader.option("maxSegmentsPerTrigger", self.max_files_per_trigger)

@@ -376,3 +376,60 @@ def test_wal_spool_continuous_trigger_commits_and_caps(spark, tmp_path):
         assert batches and max(batches) <= 2  # every batch bounded, first included
     finally:
         q.stop()
+
+
+def test_expand_segment_paths_matches_python_parse(spark, tmp_path):
+    """JVM-side expansion (deliver=paths -> spark.read.text + from_json)
+    produces EXACTLY the rows of the Python-worker parse across every value
+    shape the source accepts: %X/%X vs integer LSNs, ISO (naive and
+    tz-offset) vs epoch-us timestamps, null fields, blank lines."""
+    from connemara_spark.sources.replication import expand_segment_paths
+
+    spool = str(tmp_path / "spool")
+    register_wal_spool(spark)
+    rows = [
+        {
+            "insert_timestamp": "2026-01-01T00:00:00",
+            "database": "db1",
+            "source_slotname": "s1",
+            "lsn_start": "A/16B6C50",
+            "xid": 100,
+            "xid_timestamp": "2026-01-01T02:00:00+02:00",
+            "payload": '{"kind":"insert","columnnames":["a"],"columnvalues":["1"]}',
+        },
+        {
+            "insert_timestamp": 1767225600000000,
+            "database": "db2",
+            "source_slotname": "s2",
+            "lsn_start": 12345,
+            "xid": None,
+            "xid_timestamp": None,
+            "payload": None,
+        },
+        {
+            "insert_timestamp": "2026-01-01 12:30:45.123456",
+            "database": "db3",
+            "source_slotname": "s3",
+            "lsn_start": "0/0",
+            "xid": 9007199254740993,  # > 2^53: long fidelity through parse
+            "xid_timestamp": "2026-01-01T12:30:45.123456",
+            "payload": '{"kind":"delete"}',
+        },
+    ]
+    write_segment(spool, rows, "0000000000000001")
+    with open(f"{spool}/0000000000000001.jsonl", "a") as fh:
+        fh.write("\n")  # trailing blank line is skipped, not malformed
+
+    want = spark.read.format("wal_spool").option("path", spool).load().collect()
+    paths = spark.read.format("wal_spool").option("path", spool).option(
+        "deliver", "paths"
+    ).load()
+    assert paths.columns == ["segment_path"]
+    got = expand_segment_paths(spark, paths).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # empty path set: empty BRONZE frame, not an error
+    from connemara_spark.events import BRONZE_SCHEMA
+
+    empty = expand_segment_paths(spark, paths.limit(0))
+    assert empty.count() == 0 and empty.schema == BRONZE_SCHEMA

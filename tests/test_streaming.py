@@ -130,9 +130,10 @@ def test_streaming_hot_key_through_bounded_fold(spark, tmp_path):
     sr = StreamingReplayer(
         spark, cat, store,
         landing_dir=landing, checkpoint_dir=str(tmp_path / "ckpt"),
-        lsn_bucket=1_000,
+        lsn_bucket=1_000, bounded_threshold=10_000,
     )
     assert sr.replayer.lsn_bucket == 1_000  # kwargs thread through
+    assert sr.replayer.bounded_threshold == 10_000
     spec = cat.get("db1", "public", "items")
 
     n = 20_000
@@ -157,3 +158,48 @@ def test_streaming_hot_key_through_bounded_fold(spark, tmp_path):
     assert sorted(map(tuple, store2.read(spec).collect())) == sorted(
         map(tuple, store.read(spec).collect())
     )
+
+
+def test_bounded_fold_auto_selection(spark, tmp_path):
+    """The bounded fold is selected per (batch, table) by event count:
+    below bounded_threshold the single-shuffle unbounded fold runs (a key's
+    array is capped by the batch count anyway); above it the hot-key-safe
+    two-level fold runs. Both produce identical states."""
+    from connemara_spark.pipeline import MemoryStore, Replayer
+
+    cat = _catalog()
+    spec = cat.get("db1", "public", "items")
+
+    def bronze(n):
+        rows = [make_event(spec, "insert", lsn=1, row={"id": 1, "v": "x"})]
+        rows += [
+            make_event(spec, "update", lsn=i, row={"id": 1, "v": f"v{i}"}, old_key={"id": 1})
+            for i in range(2, n + 1)
+        ]
+        return spark.createDataFrame(
+            [tuple(r[f.name] for f in BRONZE_SCHEMA.fields) for r in rows],
+            schema=BRONZE_SCHEMA,
+        )
+
+    # small batch: stays on the unbounded fold
+    store = MemoryStore(spark)
+    store.create_table(spec)
+    rep = Replayer(spark, cat, store, lsn_bucket=100, bounded_threshold=1_000)
+    m = rep.apply_batch(bronze(50))
+    assert m.bounded_folds == 0 and m.tables_touched == 1
+
+    # big batch: routed through the bounded fold
+    store2 = MemoryStore(spark)
+    store2.create_table(spec)
+    rep2 = Replayer(spark, cat, store2, lsn_bucket=100, bounded_threshold=1_000)
+    m2 = rep2.apply_batch(bronze(2_000))
+    assert m2.bounded_folds == 1 and m2.tables_touched == 1
+    assert {r["id"]: r["v"] for r in store2.read(spec).collect()} == {1: "v2000"}
+
+    # lsn_bucket=None disables the bounded path regardless of size
+    store3 = MemoryStore(spark)
+    store3.create_table(spec)
+    rep3 = Replayer(spark, cat, store3, lsn_bucket=None, bounded_threshold=0)
+    m3 = rep3.apply_batch(bronze(2_000))
+    assert m3.bounded_folds == 0
+    assert {r["id"]: r["v"] for r in store3.read(spec).collect()} == {1: "v2000"}
