@@ -119,6 +119,47 @@ def stratified_sample(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    n_shards: int,
+    epoch: int = 0,
+    seed: int = 42,
+    family: str = "md5",
+) -> DataFrame:
+    """Deterministic global training order for one epoch: every row gets a
+    ``(shard, shard_pos)`` address such that reading shards in order, each
+    sorted by ``shard_pos``, visits the corpus in a pseudo-random
+    permutation that changes per ``epoch`` but is bit-stable across runs,
+    engines, partitionings, and retries (the hash plays the RNG — no
+    ``rand()``, the reproducibility contract every training run wants for
+    resumable data loaders).
+
+    Scale shape: shard assignment is a pure per-row hash; the position is
+    a row_number over a window PARTITIONED BY shard — with ``n_shards``
+    sized to the writer parallelism (hundreds+) no single task ever sees
+    more than ~corpus/n_shards rows, and there is no global sort or
+    single-partition window anywhere. The downstream writer is
+    ``partitionBy(shard)`` — one file per shard, the WebDataset layout
+    (``sources/shards.py``) these addresses feed."""
+    from pyspark.sql.window import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    h = _hash_hex8(F.col(id_col), seed + epoch, family)
+    # shard = top hex nibbles mod n_shards via exact integer conv on the
+    # 8-hex prefix (32-bit value — conv is exact), portable to any engine
+    shard = (F.conv(h, 16, 10).cast("long") % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("shard_pos", F.row_number().over(w))
+        .drop("__h")
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     bench: DataFrame,

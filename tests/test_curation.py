@@ -278,3 +278,36 @@ def test_distributed_ntile_matches_global_window(spark):
             ).collect()
         }
         assert got == want, (n_rows, n_buckets)
+
+
+def test_epoch_shuffle_properties(spark):
+    """Epoch shuffle: a true permutation (every row addressed exactly once),
+    bit-stable across re-runs and partitionings, different across epochs."""
+    from connemara_spark.operators.curation import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+
+    a = epoch_shuffle(df, "doc_id", n_shards=8, epoch=0).collect()
+    addr = {(r["shard"], r["shard_pos"]) for r in a}
+    assert len(addr) == 500  # unique addresses
+    assert {r["doc_id"] for r in a} == set(range(500))
+    per_shard = {}
+    for r in a:
+        per_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    for shard, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))  # dense 1..n per shard
+
+    # determinism under repartitioning
+    b = epoch_shuffle(df.repartition(13), "doc_id", n_shards=8, epoch=0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # a different epoch is a different permutation
+    c = epoch_shuffle(df, "doc_id", n_shards=8, epoch=1).collect()
+    order0 = [r["doc_id"] for r in sorted(a, key=lambda r: (r["shard"], r["shard_pos"]))]
+    order1 = [r["doc_id"] for r in sorted(c, key=lambda r: (r["shard"], r["shard_pos"]))]
+    assert order0 != order1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle(df, "doc_id", n_shards=0)
