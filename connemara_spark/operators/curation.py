@@ -41,6 +41,25 @@ def _hash_hex8(id_col: Column, seed: int, family: str) -> Column:
     raise ValueError(f"unknown hash family {family!r}")
 
 
+def _prefix_offsets(
+    per_group: DataFrame, group_col: str, value_col: str, out_col: str
+) -> DataFrame:
+    """EXCLUSIVE prefix sum over a tiny per-group totals frame (bands /
+    shards — bounded at a few thousand rows by construction) WITHOUT the
+    single-partition window a bare ``ORDER BY`` would plan: WindowExec
+    funnels even a 256-row frame through one task and logs a degradation
+    warning. An inequality self-join + sum is O(groups²) pairs — trivial
+    at this cardinality — and stays fully parallel."""
+    a = per_group.select(F.col(group_col).alias("__ga"))
+    b = per_group.select(F.col(group_col).alias("__gb"), F.col(value_col).alias("__v"))
+    return (
+        a.join(F.broadcast(b), F.col("__gb") < F.col("__ga"), "left")
+        .groupBy("__ga")
+        .agg(F.coalesce(F.sum("__v"), F.lit(0)).alias(out_col))
+        .withColumnRenamed("__ga", group_col)
+    )
+
+
 def fraction_threshold_hex(fraction: float) -> str:
     """Hex threshold t such that P[hex8 < t] == fraction for a uniform
     32-bit hash."""
@@ -236,12 +255,7 @@ def pack_sequences(
     )
     t = t.withColumn("__cum_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
     totals = t.groupBy("__shard").agg(F.sum("n_tokens").alias("__tot"))
-    w_off = (
-        Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
-    )  # 256 rows: the one tiny single-partition window, by design
-    offsets = totals.withColumn(
-        "__off", F.coalesce(F.sum("__tot").over(w_off), F.lit(0))
-    ).select("__shard", "__off")
+    offsets = _prefix_offsets(totals, "__shard", "__tot", "__off")
     return (
         t.join(F.broadcast(offsets), "__shard")
         .select(
@@ -571,10 +585,7 @@ def distributed_ntile(
     s = df.withColumn("__band", band)
     w_in = Window.partitionBy("__band").orderBy(order_col, id_col)
     counts = s.groupBy("__band").agg(F.count(F.lit(1)).alias("__c"))
-    w_off = Window.orderBy("__band").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "__off", F.coalesce(F.sum("__c").over(w_off), F.lit(0))
-    ).select("__band", "__off")
+    offsets = _prefix_offsets(counts, "__band", "__c", "__off")
     ranked = (
         s.join(F.broadcast(offsets), "__band")
         .withColumn("__rank", F.row_number().over(w_in) + F.col("__off"))
