@@ -159,6 +159,147 @@ def apply_view_delta(old_view: DataFrame, delta: DataFrame) -> DataFrame:
     return old_view.exceptAll(dels).unionByName(inss)
 
 
+class MaintainedAggView:
+    """Keep a grouped aggregate ``(group, n_rows, total)`` over a CDC-fed
+    table materialized and CURRENT, incrementally — the deployment shape
+    of ``incremental_group_agg``: per microbatch the patch costs
+    O(touched keys), never a base-table rescan.
+
+    Protocol (driven by ``StreamingReplayer(maintainers=[...])``):
+    ``before_apply(parsed_events)`` pins the batch's touched keys and the
+    pre-apply store version; ``after_apply()`` diffs the table's state
+    BETWEEN STORE VERSIONS at the touched keys and merges the -old/+new
+    group deltas into the materialized aggregate.
+
+    Crash recovery is version-anchored (the ParquetStore-native variant
+    of the join view's replacement patch): the view pointer persists the
+    STORE version it incorporates (``store_version``), and the delta is
+    always computed from ``read_version(store_version)`` → current. If
+    the process dies after the store advanced but before the view moved,
+    the restarted batch recomputes the same old→new diff — the pinned
+    frame a diff-from-memory would have lost is re-read from the retained
+    version directory. Consequence: ``gc_versions`` must keep at least
+    the view's ``store_version`` (keep_last >= 2 while a maintainer is
+    attached); GC'ing it makes the next patch fail loudly (read_version
+    raises), never silently.
+    """
+
+    def __init__(
+        self,
+        spark,
+        store,
+        spec,
+        *,
+        group_col: str,
+        sum_col: str,
+        sum_type: str = "decimal(12,2)",
+        view_dir: str,
+    ):
+        import os
+
+        self.spark = spark
+        self.store = store
+        self.spec = spec
+        self.group_col = group_col
+        self.sum_col = sum_col
+        self.sum_type = sum_type
+        self.view_dir = view_dir
+        os.makedirs(view_dir, exist_ok=True)
+        self._touched = None
+        self._v_pre = None
+
+    def _meta(self) -> dict:
+        import json
+        import os
+
+        ptr = os.path.join(self.view_dir, "CURRENT")
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                return json.load(fh)
+        return {"version": 0, "store_version": None}
+
+    def read_view(self) -> DataFrame:
+        import os
+
+        m = self._meta()
+        if m["version"] == 0:
+            return self._full_agg(self.store.read(self.spec))
+        return self.spark.read.parquet(
+            os.path.join(self.view_dir, f"v{m['version']:06d}")
+        )
+
+    def _full_agg(self, state: DataFrame) -> DataFrame:
+        return state.groupBy(self.group_col).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(self.sum_col).cast(self.sum_type))
+            .cast(self.sum_type)
+            .alias("total"),
+        )
+
+    def before_apply(self, parsed_events: DataFrame) -> None:
+        self._touched = touched_keys(parsed_events, self.spec).localCheckpoint()
+        self._v_pre = self.store.current_version(self.spec.target_name)
+
+    def after_apply(self) -> None:
+        import json
+        import os
+
+        from connemara_spark.operators.apply import incremental_group_agg
+
+        m = self._meta()
+        # the store version this view last incorporated: committed metadata
+        # when it exists; the pre-apply pin only for the very first batch
+        # (on a first-batch retry the pin is post-batch — then old == new,
+        # the delta is empty, and the bootstrap aggregate below already
+        # contains the batch: still correct)
+        applied = m["store_version"] if m["version"] > 0 else self._v_pre
+        old = (
+            self.store.read_version(self.spec, applied)
+            if applied
+            else self.spark.createDataFrame([], self.spec.spark_schema())
+        )
+        new = self.store.read(self.spec)
+        v_now = self.store.current_version(self.spec.target_name)
+
+        pk = list(self.spec.pk_cols)
+        t = F.broadcast(self._touched.distinct())
+        old_t = old.join(t, on=pk, how="left_semi")
+        new_t = new.join(t, on=pk, how="left_semi")
+        key = F.struct(*[F.col(c) for c in pk])
+        val = F.struct(F.col(self.group_col), F.col(self.sum_col))
+        o = old_t.select(key.alias("__pk"), val.alias("__v"))
+        n = new_t.select(key.alias("__pk"), val.alias("__v"))
+        d = o.alias("o").join(
+            n.alias("n"), F.col("o.__pk") == F.col("n.__pk"), "full_outer"
+        )
+        delta = d.select(
+            F.col("o.__pk").isNotNull().alias("old_exists"),
+            F.col("o.__v").alias("old_vals"),
+            F.col("n.__pk").isNotNull().alias("new_exists"),
+            F.col("n.__v").alias("new_vals"),
+        )
+        base = (
+            self._full_agg(old)
+            if m["version"] == 0
+            else self.spark.read.parquet(
+                os.path.join(self.view_dir, f"v{m['version']:06d}")
+            )
+        )
+        patched = incremental_group_agg(
+            base, delta,
+            group_col=self.group_col, sum_col=self.sum_col, sum_type=self.sum_type,
+        )
+        v = m["version"] + 1
+        patched.write.mode("overwrite").parquet(
+            os.path.join(self.view_dir, f"v{v:06d}")
+        )
+        tmp = os.path.join(self.view_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "store_version": v_now}, fh)
+        os.replace(tmp, os.path.join(self.view_dir, "CURRENT"))
+        self._touched = self._v_pre = None
+
+
 class MaintainedJoinView:
     """Keep an equi-join view ``A ⋈ dim`` materialized and CURRENT under a
     CDC stream, incrementally — the deployment shape of the delta rule:

@@ -226,3 +226,124 @@ def test_maintained_view_retry_after_post_apply_crash(spark, tmp_path):
     # restart: the whole batch replays (watermark never advanced)
     run_batch(crash)
     check()  # view caught up despite before_apply pinning a post-batch state
+
+
+def _agg_spec_setup(spark, tmp_path):
+    from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
+    from connemara_spark.pipeline import ParquetStore
+
+    spec = TableSpec(
+        database="db1", schema="public", table="sales",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("grp", "text"),
+                 ColumnSpec("amount", "double precision")],
+        pk_cols=["id"],
+    )
+    cat = EngineCatalog()
+    cat.register(spec)
+    spec = cat.get("db1", "public", "sales")
+    store = ParquetStore(spark, str(tmp_path / "silver"))
+    return cat, spec, store
+
+
+def test_maintained_agg_view_streaming(spark, tmp_path):
+    """End-to-end incremental AGGREGATE maintenance over wal_spool: after
+    every drain the maintained (group, n_rows, total) equals a full
+    recompute — through inserts, group-moving updates, and deletes."""
+    from connemara_spark.operators.ivm import MaintainedAggView
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+    from connemara_spark.testing import make_event
+
+    cat, spec, store = _agg_spec_setup(spark, tmp_path)
+    view = MaintainedAggView(
+        spark, store, spec, group_col="grp", sum_col="amount",
+        view_dir=str(tmp_path / "aggview"),
+    )
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+        maintainers=[view],
+    )
+
+    def seg(events, name):
+        write_segment(str(tmp_path / "spool"), [dict(e) for e in events], name)
+
+    def check():
+        want = sorted(
+            map(tuple, view._full_agg(store.read(spec)).collect())
+        )
+        got = sorted(map(tuple, view.read_view().collect()))
+        assert got == want, (got, want)
+
+    seg([make_event(spec, "insert", lsn=1, row={"id": 1, "grp": "a", "amount": 10.0}),
+         make_event(spec, "insert", lsn=2, row={"id": 2, "grp": "a", "amount": 5.0}),
+         make_event(spec, "insert", lsn=3, row={"id": 3, "grp": "b", "amount": 7.0})],
+        "seg-001")
+    sr.run_until_drained()
+    check()
+
+    # update moves id=2 a->b (both groups patch), delete id=3 (group b may
+    # shrink), insert new group c
+    seg([make_event(spec, "update", lsn=4, row={"id": 2, "grp": "b", "amount": 6.0}, old_key={"id": 2}),
+         make_event(spec, "delete", lsn=5, old_key={"id": 3}),
+         make_event(spec, "insert", lsn=6, row={"id": 4, "grp": "c", "amount": 1.0})],
+        "seg-002")
+    sr.run_until_drained()
+    check()
+    # group 'b' now holds only id=2; 'a' only id=1; no ghost zero-groups
+    got = {r["grp"]: (r["n_rows"], float(r["total"])) for r in view.read_view().collect()}
+    assert got == {"a": (1, 10.0), "b": (1, 6.0), "c": (1, 1.0)}
+    assert view._meta()["version"] == 2  # one view version per batch
+
+
+def test_maintained_agg_view_retry_after_post_apply_crash(spark, tmp_path):
+    """Version-anchored recovery: store advanced, view patch crashed, batch
+    replays. The delta re-reads the RETAINED pre-batch store version, so
+    the retried patch produces the correct aggregate (a pinned-frame diff
+    would have seen old==new and lost the batch)."""
+    from connemara_spark.events import BRONZE_SCHEMA
+    from connemara_spark.operators.ivm import MaintainedAggView
+    from connemara_spark.pipeline import Replayer
+    from connemara_spark.testing import make_event
+
+    cat, spec, store = _agg_spec_setup(spark, tmp_path)
+    rep = Replayer(spark, cat, store)
+    view = MaintainedAggView(
+        spark, store, spec, group_col="grp", sum_col="amount",
+        view_dir=str(tmp_path / "aggview"),
+    )
+
+    def bronze(events):
+        return spark.createDataFrame(
+            [tuple(e[f.name] for f in BRONZE_SCHEMA.fields) for e in events],
+            schema=BRONZE_SCHEMA,
+        )
+
+    def run_batch(events):
+        b = bronze(events)
+        parsed = rep.parse_batch(b)
+        view.before_apply(parsed)
+        rep.apply_batch(b, events=parsed)
+        view.after_apply()
+
+    run_batch([
+        make_event(spec, "insert", lsn=1, row={"id": 1, "grp": "a", "amount": 10.0}),
+        make_event(spec, "insert", lsn=2, row={"id": 2, "grp": "b", "amount": 3.0}),
+    ])
+
+    crash = [
+        make_event(spec, "update", lsn=3, row={"id": 1, "grp": "b", "amount": 11.0}, old_key={"id": 1}),
+        make_event(spec, "insert", lsn=4, row={"id": 5, "grp": "a", "amount": 2.0}),
+    ]
+    b = bronze(crash)
+    parsed = rep.parse_batch(b)
+    view.before_apply(parsed)
+    rep.apply_batch(b, events=parsed)
+    # -- crash: after_apply never runs; view still at version 1 --
+    assert view._meta()["version"] == 1
+
+    run_batch(crash)  # restart replays the batch
+    got = {r["grp"]: (r["n_rows"], float(r["total"])) for r in view.read_view().collect()}
+    assert got == {"a": (1, 2.0), "b": (2, 14.0)}
