@@ -411,7 +411,25 @@ class Replayer:
             spec = self.catalog.maybe_get(db, schema, table)
             if spec is None:
                 continue  # unregistered table: events ignored (no target)
-            snapshot = self.store.read(spec)
+            # Delta-scoped storage (stores.BucketStore): the fold reads and
+            # rewrites ONLY the hash buckets the batch's touched keys fall
+            # into — batch IO is O(touched buckets), never O(table). The
+            # fold semantics are unchanged: a bucket slice is a complete
+            # per-key world (the fold key IS the bucket key), so folding
+            # the batch onto the slice equals the full fold restricted to
+            # those buckets.
+            partial = hasattr(self.store, "write_partial")
+            buckets = None
+            if partial:
+                from connemara_spark.operators.apply import _effective_spec
+                from connemara_spark.operators.ivm import touched_keys
+
+                espec, _ = _effective_spec(spec)
+                keys = touched_keys(seg, espec)
+                buckets = self.store.buckets_of(espec, keys)
+                snapshot = self.store.read_buckets(spec, buckets)
+            else:
+                snapshot = self.store.read(spec)
             if self.lsn_bucket is not None and touched[(db, schema, table)] > self.bounded_threshold:
                 new_state = apply_changes_bounded(
                     snapshot, seg, spec, lsn_bucket=self.lsn_bucket
@@ -419,7 +437,10 @@ class Replayer:
                 metrics.bounded_folds += 1
             else:
                 new_state = apply_changes(snapshot, seg, spec)
-            self.store.write(spec, new_state)
+            if partial:
+                self.store.write_partial(spec, new_state, buckets=buckets)
+            else:
+                self.store.write(spec, new_state)
             metrics.tables_touched += 1
 
     def _execute_ddl_event(self, row, metrics: BatchMetrics) -> None:

@@ -1,0 +1,264 @@
+"""BucketStore: O(touched-buckets) partial rewrite, manifest snapshots,
+reference-counted GC, Replayer integration equivalence."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
+from connemara_spark.events import BRONZE_SCHEMA
+from connemara_spark.pipeline import MemoryStore, Replayer
+from connemara_spark.stores import BucketStore
+from connemara_spark.testing import make_event, random_event_stream
+
+SPEC = TableSpec(
+    database="db1", schema="public", table="items",
+    columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text")],
+    pk_cols=["id"],
+)
+
+
+def _catalog():
+    cat = EngineCatalog()
+    cat.register(
+        TableSpec(
+            database=SPEC.database, schema=SPEC.schema, table=SPEC.table,
+            columns=[ColumnSpec(c.name, c.pg_type) for c in SPEC.columns],
+            pk_cols=list(SPEC.pk_cols),
+        )
+    )
+    return cat
+
+
+def _bronze(spark, events):
+    return spark.createDataFrame(
+        [tuple(e[f.name] for f in BRONZE_SCHEMA.fields) for e in events],
+        schema=BRONZE_SCHEMA,
+    )
+
+
+def test_roundtrip_and_partial_write_scope(spark, tmp_path):
+    """write_partial rewrites ONLY the touched buckets' directories; the
+    committed version still reads as a complete snapshot."""
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=8)
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "id long, v string")
+    store.write(SPEC, base)
+    assert store.current_version(SPEC.target_name) == 1
+
+    # patch keys 1 and 2 through the partial path
+    keys = spark.createDataFrame([(1,), (2,)], "id long")
+    touched = store.buckets_of(SPEC, keys)
+    slice_df = store.read_for_keys(SPEC, keys)
+    patched = slice_df.withColumn(
+        "v", F.when(F.col("id").isin(1, 2), F.lit("patched")).otherwise(F.col("v"))
+    )
+    store.write_partial(SPEC, patched, buckets=touched)
+
+    # physical: v2 holds only the touched bucket dirs
+    v2 = os.path.join(str(tmp_path / "s"), SPEC.target_name, "v000002")
+    got_dirs = sorted(int(e[1:]) for e in os.listdir(v2) if e.startswith("b"))
+    assert got_dirs == touched and len(touched) < 8
+
+    # logical: complete table, with the patch applied
+    rows = {r["id"]: r["v"] for r in store.read(SPEC).collect()}
+    assert len(rows) == 100
+    assert rows[1] == rows[2] == "patched" and rows[50] == "v50"
+
+    # time travel: v1 still shows the pre-patch values
+    old = {r["id"]: r["v"] for r in store.read_version(SPEC, 1).collect()}
+    assert old[1] == "v1"
+
+
+def test_read_buckets_touches_only_selected_paths(spark, tmp_path):
+    """Bucket reads are pure path selection: the scan's file list contains
+    only the requested buckets' directories."""
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=8)
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(200)], "id long, v string")
+    store.write(SPEC, base)
+    keys = spark.createDataFrame([(7,)], "id long")
+    (b,) = store.buckets_of(SPEC, keys)
+    df = store.read_buckets(SPEC, [b])
+    files = df.inputFiles()
+    assert files and all(f"b{b:05d}" in f for f in files)
+    # the slice is the complete per-key world for its bucket: folding on it
+    # can never lose a row of that bucket
+    want = base.withColumn("__b", store.bucket_expr(SPEC)).filter(F.col("__b") == b)
+    assert df.count() == want.count()
+
+
+def test_deleted_bucket_becomes_empty(spark, tmp_path):
+    """A partial write whose fold emptied a bucket commits an absent
+    directory — readers see zero rows for it, not a stale carry-forward."""
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=4)
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    store.write(SPEC, base)
+    keys = spark.createDataFrame([(1,), (2,)], "id long")
+    touched = store.buckets_of(SPEC, keys)
+    empty = spark.createDataFrame([], "id long, v string")
+    store.write_partial(SPEC, empty, buckets=touched)
+    assert store.read(SPEC).count() == 0
+
+
+def test_partial_write_rejects_stray_buckets(spark, tmp_path):
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=8)
+    store.write(SPEC, spark.createDataFrame([(1, "a")], "id long, v string"))
+    keys = spark.createDataFrame([(1,)], "id long")
+    stray = spark.createDataFrame([(i, "x") for i in range(50)], "id long, v string")
+    with pytest.raises(ValueError, match="outside the touched buckets"):
+        store.write_partial(SPEC, stray, keys=keys)
+
+
+def test_crash_leaves_no_committed_trace(spark, tmp_path):
+    """A version directory without a manifest/CURRENT swap (simulated
+    crash) is invisible to readers and to versions()."""
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=4)
+    store.write(SPEC, spark.createDataFrame([(1, "a")], "id long, v string"))
+    # simulate a crashed write: data lands, commit never happens
+    store._write_buckets(SPEC, spark.createDataFrame([(2, "b")], "id long, v string"), 2)
+    assert store.versions(SPEC) == [1]
+    assert {r["id"] for r in store.read(SPEC).collect()} == {1}
+    # next successful write claims the slot cleanly
+    store.write(SPEC, spark.createDataFrame([(3, "c")], "id long, v string"))
+    assert store.current_version(SPEC.target_name) == 2
+    assert {r["id"] for r in store.read(SPEC).collect()} == {3}
+
+
+def test_gc_is_reference_counted(spark, tmp_path):
+    """An old version directory survives GC while any retained manifest
+    still references one of its buckets, and dies when the last reference
+    is rewritten away."""
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=4)
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "id long, v string")
+    store.write(SPEC, base)  # v1: all buckets
+    keys = spark.createDataFrame([(1,)], "id long")
+    touched = store.buckets_of(SPEC, keys)
+    patched = store.read_for_keys(SPEC, keys).withColumn(
+        "v", F.when(F.col("id") == 1, F.lit("p")).otherwise(F.col("v"))
+    )
+    store.write_partial(SPEC, patched, buckets=touched)  # v2: one bucket
+
+    # v2's manifest still points most buckets at v1 -> v1 must survive
+    assert store.gc_versions(SPEC, keep_last=1) == []
+    assert store.versions(SPEC) == [1, 2]
+
+    # full rewrite makes v3 self-contained -> v1 and v2 become unreferenced
+    store.write(SPEC, store.read(SPEC))
+    assert store.gc_versions(SPEC, keep_last=1) == [1, 2]
+    assert store.versions(SPEC) == [3]
+    rows = {r["id"]: r["v"] for r in store.read(SPEC).collect()}
+    assert rows[1] == "p" and len(rows) == 40
+
+
+def test_replayer_partial_apply_matches_full(spark, tmp_path):
+    """The Replayer through a BucketStore (delta-scoped reads/writes)
+    produces bit-identical table state to the MemoryStore full path over a
+    randomized mixed stream, across multiple batches."""
+    cat = _catalog()
+    spec = cat.get("db1", "public", "items")
+    bstore = BucketStore(spark, str(tmp_path / "b"), n_buckets=64)
+    mstore = MemoryStore(spark)
+    base = [{"id": i, "v": f"v{i}"} for i in range(50)]
+    init = spark.createDataFrame([(r["id"], r["v"]) for r in base], spec.spark_schema())
+    bstore.write(spec, init)
+    mstore.write(spec, init)
+    rep_b = Replayer(spark, cat, bstore)
+    rep_m = Replayer(spark, _catalog(), mstore)
+
+    events = random_event_stream(spec, base, n_events=120, seed=11)
+    for lo in range(0, 120, 40):  # three batches
+        b = _bronze(spark, events[lo:lo + 40])
+        rep_b.apply_batch(b)
+        rep_m.apply_batch(b)
+        got = sorted(map(tuple, bstore.read(spec).collect()))
+        want = sorted(map(tuple, mstore.read(spec).collect()))
+        assert got == want
+    # three partial commits happened (plus the seed write)
+    assert bstore.current_version(spec.target_name) == 4
+    # and none of them was a full rewrite
+    tdir = os.path.join(str(tmp_path / "b"), spec.target_name)
+    for v in (2, 3, 4):
+        bdirs = [e for e in os.listdir(os.path.join(tdir, f"v{v:06d}")) if e.startswith("b")]
+        assert 0 < len(bdirs) < 64
+
+
+def test_pk_change_lands_in_both_buckets(spark, tmp_path):
+    """A PK-change update touches BOTH the old and new key's buckets: the
+    old row disappears from its bucket, the new row appears in the
+    other."""
+    cat = _catalog()
+    spec = cat.get("db1", "public", "items")
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=8)
+    store.write(spec, spark.createDataFrame([(1, "a"), (2, "b")], spec.spark_schema()))
+    rep = Replayer(spark, cat, store)
+    rep.apply_batch(_bronze(spark, [
+        make_event(spec, "update", lsn=1, row={"id": 9, "v": "moved"}, old_key={"id": 1}),
+    ]))
+    rows = {r["id"]: r["v"] for r in store.read(spec).collect()}
+    assert rows == {9: "moved", 2: "b"}
+
+
+def test_schema_evolution_full_rewrite(spark, tmp_path):
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=4)
+    store.write(SPEC, spark.createDataFrame([(1, "a")], "id long, v string"))
+    from pyspark.sql import types as T
+
+    store.evolve_add_column(SPEC, "note", T.StringType())
+    df = store.read_version(SPEC, 2) if False else None  # evolution committed as v2
+    man = store._manifest(SPEC.target_name, store.current_version(SPEC.target_name))
+    assert set(man["buckets"].values()) == {2}  # self-contained version
+    # reading via an evolved spec sees the new column
+    evolved = TableSpec(
+        database="db1", schema="public", table="items",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text"),
+                 ColumnSpec("note", "text")],
+        pk_cols=["id"],
+    )
+    rows = store.read(evolved).collect()
+    assert rows[0]["note"] is None
+
+
+def test_n_buckets_mismatch_rejected(spark, tmp_path):
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=4)
+    store.write(SPEC, spark.createDataFrame([(1, "a")], "id long, v string"))
+    other = BucketStore(spark, str(tmp_path / "s"), n_buckets=8)
+    keys = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="n_buckets"):
+        other.buckets_of(SPEC, keys)
+    with pytest.raises(ValueError, match="n_buckets"):
+        BucketStore(spark, str(tmp_path / "x"), n_buckets=0)
+
+
+def test_streaming_replayer_over_bucket_store(spark, tmp_path):
+    """Full wal_spool streaming path writing through BucketStore: every
+    microbatch commits a partial version; state matches the events."""
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+
+    cat = _catalog()
+    spec = cat.get("db1", "public", "items")
+    store = BucketStore(spark, str(tmp_path / "silver"), n_buckets=16)
+    store.write(spec, spark.createDataFrame([(1, "a"), (2, "b")], spec.spark_schema()))
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+    )
+    write_segment(str(tmp_path / "spool"), [dict(e) for e in [
+        make_event(spec, "update", lsn=1, row={"id": 1, "v": "a2"}, old_key={"id": 1}),
+        make_event(spec, "insert", lsn=2, row={"id": 3, "v": "c"}),
+    ]], "seg-001")
+    sr.run_until_drained()
+    assert {r["id"]: r["v"] for r in store.read(spec).collect()} == {1: "a2", 2: "b", 3: "c"}
+
+    write_segment(str(tmp_path / "spool"), [dict(e) for e in [
+        make_event(spec, "delete", lsn=3, old_key={"id": 2}),
+    ]], "seg-002")
+    sr.run_until_drained()
+    assert {r["id"]: r["v"] for r in store.read(spec).collect()} == {1: "a2", 3: "c"}
+    # each drained batch committed a version; all partial after the seed
+    assert store.current_version(spec.target_name) == 3
