@@ -203,9 +203,13 @@ def forget_keys(
     Scale shape: one broadcast semi-join-style filter per table — a full
     scan + rewrite, the honest cost of erasure on immutable storage (the
     same cost Delta/Iceberg DELETE pays); tables without ``key_col`` are
-    skipped with a zero-row report. NOTE: earlier store versions retain
-    the rows until retention GC drops them — erasure completes when GC
-    passes; the tombstone records what must stay filtered until then.
+    skipped with a zero-row report. When the store supports partial
+    rewrites (``stores.BucketStore``) AND the erasure key IS the table's
+    PK, only the buckets the erased keys hash into are rewritten —
+    erasure cost drops from O(table) to O(touched buckets). NOTE: earlier
+    store versions retain the rows until retention GC drops them —
+    erasure completes when GC passes; the tombstone records what must
+    stay filtered until then.
     """
     reports: list[ForgetReport] = []
     vals = set(key_values)
@@ -220,10 +224,20 @@ def forget_keys(
             # NULL-keyed rows must SURVIVE: ~isin is NULL (not true) for
             # them under three-valued logic, which would silently destroy
             # every NULL-keyed row beyond the requested erasure
-            store.write(
-                spec,
-                df.filter(~F.col(key_col).isin(*vals) | F.col(key_col).isNull()),
-            )
+            survivors = ~F.col(key_col).isin(*vals) | F.col(key_col).isNull()
+            if hasattr(store, "write_partial") and spec.pk_cols == [key_col]:
+                # bucket pruning is sound only when the erasure key is the
+                # bucket key (the PK): a non-PK key's rows can live in any
+                # bucket
+                keys = hit.select(key_col).distinct()
+                buckets = store.buckets_of(spec, keys)
+                store.write_partial(
+                    spec,
+                    store.read_buckets(spec, buckets).filter(survivors),
+                    buckets=buckets,
+                )
+            else:
+                store.write(spec, df.filter(survivors))
         reports.append(
             ForgetReport(
                 spec.target_name, n, store.current_version(spec.target_name)

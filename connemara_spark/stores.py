@@ -296,6 +296,16 @@ class BucketStore:
         }
         self._commit(spec.target_name, v, manifest)
 
+    def compact(self, spec: TableSpec) -> int:
+        """Rewrite the table as one self-contained version (every bucket
+        hosted by the new version), releasing every older directory's last
+        reference so the next ``gc_versions`` can drop them. Run it when
+        the version chain gets long — partial rewrites keep old versions
+        alive as bucket hosts (see ``gc_versions``), and compaction is the
+        explicit cut point. Returns the new version number."""
+        self.write(spec, self.read(spec))
+        return self.current_version(spec.target_name)
+
     # -- retention ---------------------------------------------------------
     def versions(self, spec: TableSpec) -> list[int]:
         cur = self.current_version(spec.target_name)

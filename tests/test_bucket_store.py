@@ -262,3 +262,71 @@ def test_streaming_replayer_over_bucket_store(spark, tmp_path):
     assert {r["id"]: r["v"] for r in store.read(spec).collect()} == {1: "a2", 3: "c"}
     # each drained batch committed a version; all partial after the seed
     assert store.current_version(spec.target_name) == 3
+
+
+def test_forget_keys_partial_and_compact(spark, tmp_path):
+    """PK-keyed erasure through BucketStore rewrites only the touched
+    buckets; compact() then makes the chain GC-able while preserving the
+    erased state."""
+    from connemara_spark.ops import forget_keys
+
+    cat = _catalog()
+    spec = cat.get("db1", "public", "items")
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=16)
+    store.write(spec, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(64)], spec.spark_schema()))
+
+    reports = forget_keys(store, [spec], "id", [5, 6],
+                          tombstone_path=str(tmp_path / "tomb.jsonl"))
+    assert reports[0].rows_removed == 2
+    v2 = os.path.join(str(tmp_path / "s"), spec.target_name, "v000002")
+    bdirs = [e for e in os.listdir(v2) if e.startswith("b")]
+    assert 0 < len(bdirs) < 16  # partial, not a full rewrite
+    ids = {r["id"] for r in store.read(spec).collect()}
+    assert 5 not in ids and 6 not in ids and len(ids) == 62
+    # erased rows persist in v1 until GC — v1 still referenced (partial)
+    assert store.gc_versions(spec, keep_last=1) == []
+    v = store.compact(spec)
+    assert store.gc_versions(spec, keep_last=1) == [1, 2]
+    assert store.current_version(spec.target_name) == v
+    assert {r["id"] for r in store.read(spec).collect()} == ids
+
+
+def test_maintained_agg_view_over_bucket_store(spark, tmp_path):
+    """MaintainedAggView's version-anchored recovery protocol composes
+    with BucketStore (read_version resolves the old manifest)."""
+    from connemara_spark.operators.ivm import MaintainedAggView
+    from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
+
+    spec = TableSpec(
+        database="db1", schema="public", table="sales",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("grp", "text"),
+                 ColumnSpec("amount", "double precision")],
+        pk_cols=["id"],
+    )
+    cat = EngineCatalog()
+    cat.register(spec)
+    spec = cat.get("db1", "public", "sales")
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=8)
+    rep = Replayer(spark, cat, store)
+    view = MaintainedAggView(
+        spark, store, spec, group_col="grp", sum_col="amount",
+        view_dir=str(tmp_path / "aggview"),
+    )
+
+    def run_batch(events):
+        b = _bronze(spark, events)
+        parsed = rep.parse_batch(b)
+        view.before_apply(parsed)
+        rep.apply_batch(b, events=parsed)
+        view.after_apply()
+
+    run_batch([
+        make_event(spec, "insert", lsn=1, row={"id": 1, "grp": "a", "amount": 4.0}),
+        make_event(spec, "insert", lsn=2, row={"id": 2, "grp": "a", "amount": 6.0}),
+    ])
+    run_batch([
+        make_event(spec, "update", lsn=3, row={"id": 2, "grp": "b", "amount": 7.0}, old_key={"id": 2}),
+    ])
+    got = {r["grp"]: (r["n_rows"], float(r["total"])) for r in view.read_view().collect()}
+    assert got == {"a": (1, 4.0), "b": (1, 7.0)}
