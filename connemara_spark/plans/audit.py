@@ -85,10 +85,33 @@ HEADLINES = [
     ),
     (
         "cdc_join_view_delta",
-        "Incremental join-view delta: the touched-key set broadcasts into LEFT-SEMI prunes of the "
-        "fold INPUTS (events + snapshot, apply_changes keys=), each stream folds ONCE into both "
-        "states (apply_changes_cut), and the localCheckpointed per-key frames stop exceptAll's "
-        "plan references from re-executing the fold pipeline.",
+        "Incremental join-view delta (r5 staged shape): the materialized touched-key set "
+        "broadcasts into LEFT-SEMI prunes of the fold INPUTS (events + snapshot, apply_changes "
+        "keys=), each stream folds ONCE into both states (apply_changes_cut), and the delta "
+        "emits DIRECTLY from the two per-key (s0, s1) frames — one |delta|-sized join + "
+        "null-safe struct compare, no view materialization, no exceptAll. 8.66s -> 3.0-3.5s "
+        "warm across two rounds.",
+    ),
+    (
+        "q21_exclusive_return_suppliers",
+        "EXISTS + NOT-EXISTS decorrelated: one per-order double-distinct aggregate replaces two "
+        "correlated subqueries; single fact scan feeds both the aggregate and the blamed join.",
+    ),
+    (
+        "q8_market_share",
+        "Market share: five broadcast dim joins around one fact scan; numerator/denominator are "
+        "exact DECIMAL conditional sums in ONE aggregation (no ratio, no second pass).",
+    ),
+    (
+        "embedding_ann_ivfpq_trained",
+        "Persisted-index ANN: the index side is a cell-partitioned parquet READ (no index-side "
+        "compute in the plan); query probes/tables from one Arrow prep stage; candidates join on "
+        "the int cell key, ADC + rerank as in the in-session path.",
+    ),
+    (
+        "doc_epoch_shuffle",
+        "Epoch shuffle: per-row hash + shard assignment map-side; the ONLY shuffle is the "
+        "per-shard row_number window — no global sort anywhere.",
     ),
     (
         "cdc_apply_customer_bounded",

@@ -74,6 +74,25 @@ EVENTS_CTE = (
 )
 
 
+
+def _ranked_topk(top: DataFrame, score_col: str, id_col: str, out: str = "rk") -> DataFrame:
+    """1-based dense rank over an ALREADY top-k-limited frame (score DESC,
+    id ASC tiebreak) via an inequality self-join count — k^2 pairs over
+    <= topn rows, fully parallel. A bare ORDER BY window here would plan a
+    single-partition WindowExec (and `partitionBy(lit(0))` doesn't help:
+    Catalyst folds constant partition keys away)."""
+    a, b = top.alias("__a"), top.alias("__b")
+    before = (F.col(f"__b.{score_col}") > F.col(f"__a.{score_col}")) | (
+        (F.col(f"__b.{score_col}") == F.col(f"__a.{score_col}"))
+        & (F.col(f"__b.{id_col}") < F.col(f"__a.{id_col}"))
+    )
+    return (
+        a.join(F.broadcast(b), before, "left")
+        .groupBy(F.col(f"__a.{id_col}").alias(id_col), F.col(f"__a.{score_col}").alias(score_col))
+        .agg((F.count(F.col(f"__b.{id_col}")) + 1).cast("int").alias(out))
+    )
+
+
 def _dec(c: str, t: str = DEC_PRICE) -> F.Column:
     return F.col(c).cast(t)
 
@@ -1702,10 +1721,10 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         add_chain = c if add_chain is None else add_chain + c
     scored = pivoted.select("doc_id", F.round(add_chain, 6).alias("bm25"))
     # distributed top-k (TakeOrderedAndProject), never a global one-partition
-    # window over all scored docs; the rank window then runs on topn rows
+    # window over all scored docs; ranks derive from a k^2 self-join over the
+    # topn rows (see _ranked_topk)
     top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(topn)
-    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    return top.withColumn("rk", F.row_number().over(w)).select("doc_id", "bm25", "rk")
+    return _ranked_topk(top, "bm25", "doc_id").select("doc_id", "bm25", "rk")
 
 
 @register(
@@ -2559,10 +2578,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    # distributed top-k first; the rank window then sorts only 20 rows
+    # distributed top-k first; ranks from a k^2 self-join over the 20 rows
     top = pernode.orderBy(F.col("n_triangles").desc(), "node").limit(20)
-    w = Window.orderBy(F.col("n_triangles").desc(), "node")
-    return top.withColumn("rk", F.row_number().over(w)).select("node", "n_triangles", "rk")
+    return _ranked_topk(top, "n_triangles", "node").select("node", "n_triangles", "rk")
 
 
 def _mojibake_oracle() -> str:
