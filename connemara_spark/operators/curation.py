@@ -42,22 +42,37 @@ def _hash_hex8(id_col: Column, seed: int, family: str) -> Column:
 
 
 def _prefix_offsets(
-    per_group: DataFrame, group_col: str, value_col: str, out_col: str
+    per_group: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str,
+    *,
+    domain_max: int,
 ) -> DataFrame:
     """EXCLUSIVE prefix sum over a tiny per-group totals frame (bands /
     shards — bounded at a few thousand rows by construction) WITHOUT the
     single-partition window a bare ``ORDER BY`` would plan: WindowExec
     funnels even a 256-row frame through one task and logs a degradation
-    warning. An inequality self-join + sum is O(groups²) pairs — trivial
-    at this cardinality — and stays fully parallel."""
-    a = per_group.select(F.col(group_col).alias("__ga"))
-    b = per_group.select(F.col(group_col).alias("__gb"), F.col(value_col).alias("__v"))
-    return (
-        a.join(F.broadcast(b), F.col("__gb") < F.col("__ga"), "left")
-        .groupBy("__ga")
-        .agg(F.coalesce(F.sum("__v"), F.lit(0)).alias(out_col))
-        .withColumnRenamed("__ga", group_col)
+    warning. ``group_col`` must be an integer id in ``[0, domain_max]``
+    (the group domains here are fixed by construction): each group's total
+    explodes to every HIGHER group id, then one equi-keyed aggregation
+    yields the offsets — O(groups²) rows, trivial at this cardinality,
+    fully parallel, and (unlike an inequality self-join) never a
+    nested-loop join in the plan."""
+    contrib = (
+        per_group.filter(F.col(group_col) < domain_max)
+        .select(
+            F.explode(
+                F.sequence(F.col(group_col) + 1, F.lit(domain_max))
+            ).alias(group_col),
+            F.col(value_col).alias("__v"),
+        )
     )
+    # Only groups with a NONZERO offset appear — callers left-join and
+    # coalesce to 0, which keeps this a single reference of ``per_group``
+    # (joining back here would re-execute the totals subtree per plan
+    # reference).
+    return contrib.groupBy(group_col).agg(F.sum("__v").alias(out_col))
 
 
 def fraction_threshold_hex(fraction: float) -> str:
@@ -255,13 +270,24 @@ def pack_sequences(
     )
     t = t.withColumn("__cum_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
     totals = t.groupBy("__shard").agg(F.sum("n_tokens").alias("__tot"))
-    offsets = _prefix_offsets(totals, "__shard", "__tot", "__off")
+    # shard ids are 2-hex-char prefixes: a fixed [0, 255] integer domain
+    tot_i = totals.select(
+        F.conv("__shard", 16, 10).cast("int").alias("__gi"), "__shard", "__tot"
+    )
+    offsets = _prefix_offsets(
+        tot_i.select("__gi", "__tot"), "__gi", "__tot", "__off", domain_max=255
+    ).select(
+        F.lower(F.lpad(F.hex("__gi"), 2, "0")).alias("__shard"), "__off"
+    )
     return (
-        t.join(F.broadcast(offsets), "__shard")
+        t.join(F.broadcast(offsets), "__shard", "left")  # absent = offset 0
         .select(
             F.col(id_col),
             F.col("n_tokens"),
-            F.floor((F.col("__off") + F.col("__cum_in")) / F.lit(float(budget)))
+            F.floor(
+                (F.coalesce(F.col("__off"), F.lit(0)) + F.col("__cum_in"))
+                / F.lit(float(budget))
+            )
             .cast("long")
             .alias("bin_id"),
         )
@@ -412,8 +438,6 @@ def dsir_log_weights(
     exact decimal addition — order-independent, hence reproducible across
     partitionings and engines (a raw double Σ would depend on reduce
     order)."""
-    from pyspark.sql.window import Window
-
     n_buckets = 16 ** prefix_len
     raw_feats = dsir_features(df, id_col, text_col, prefix_len=prefix_len)
     tgt_feats = dsir_features(target, id_col, text_col, prefix_len=prefix_len)
@@ -422,12 +446,16 @@ def dsir_log_weights(
     stats = raw_counts.join(tgt_counts, "bucket", "left").select(
         "bucket", "c_r", F.coalesce("c_t", F.lit(0)).alias("c_t")
     )
-    # Totals via unpartitioned windows over the BUCKET AGGREGATE — bounded
-    # cardinality (≤ n_buckets rows) at any corpus size, same pattern as
-    # corpus_mixture_weights.
-    w = Window.partitionBy()
-    tot_r = F.sum("c_r").over(w).cast("double")
-    tot_t = F.sum("c_t").over(w).cast("double")
+    # Feature totals inlined as literal scalars (one bounded agg job over
+    # the ≤ n_buckets-row table — the doc_tfidf pattern): an unpartitioned
+    # window would plan a single-partition WindowExec, and a 1-row
+    # cross-join a nested-loop join; both are plan smells the literals
+    # avoid.
+    trow = stats.agg(
+        F.sum("c_r").alias("__tot_r"), F.sum("c_t").alias("__tot_t")
+    ).collect()[0]
+    tot_r = F.lit(float(trow["__tot_r"] or 0))
+    tot_t = F.lit(float(trow["__tot_t"] or 0))
     lr = (
         F.log((F.col("c_t") + F.lit(smoothing)) / (tot_t + F.lit(smoothing * n_buckets)))
         - F.log((F.col("c_r") + F.lit(smoothing)) / (tot_r + F.lit(smoothing * n_buckets)))
@@ -585,10 +613,13 @@ def distributed_ntile(
     s = df.withColumn("__band", band)
     w_in = Window.partitionBy("__band").orderBy(order_col, id_col)
     counts = s.groupBy("__band").agg(F.count(F.lit(1)).alias("__c"))
-    offsets = _prefix_offsets(counts, "__band", "__c", "__off")
+    offsets = _prefix_offsets(counts, "__band", "__c", "__off", domain_max=bands - 1)
     ranked = (
-        s.join(F.broadcast(offsets), "__band")
-        .withColumn("__rank", F.row_number().over(w_in) + F.col("__off"))
+        s.join(F.broadcast(offsets), "__band", "left")  # absent = offset 0
+        .withColumn(
+            "__rank",
+            F.row_number().over(w_in) + F.coalesce(F.col("__off"), F.lit(0)),
+        )
     )
     q, r = total // n, total % n
     if q == 0:

@@ -1928,16 +1928,18 @@ def doc_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "temperature-based corpus mixture weights (alpha=0.7 upsampling, the multilingual LM standard): per-language natural vs adjusted sampling fractions",
 )
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = spread(load(spark, sf_dir, "documents")).select("lang")
     g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    # The unpartitioned windows run over the LANGUAGE aggregate — bounded
-    # cardinality (dozens of rows at any corpus size), not the data.
-    w = Window.partitionBy()
-    nat = F.col("n_docs").cast("double") / F.sum(F.col("n_docs").cast("double")).over(w)
+    # Corpus totals inlined as literal scalars (one bounded agg job over
+    # the LANGUAGE aggregate — the doc_tfidf pattern; an unpartitioned
+    # window would be a single-partition WindowExec, a 1-row cross-join a
+    # nested-loop join). n_docs total sums as LONG — exact in any order.
     pw = F.exp(F.lit(0.7) * F.log(F.col("n_docs").cast("double")))
-    adj = pw / F.sum(pw).over(w)
+    trow = g.agg(
+        F.sum("n_docs").alias("__tot_docs"), F.sum(pw).alias("__tot_pw")
+    ).collect()[0]
+    nat = F.col("n_docs").cast("double") / F.lit(float(trow["__tot_docs"]))
+    adj = pw / F.lit(float(trow["__tot_pw"]))
     return g.select(
         "lang",
         "n_docs",
@@ -5354,19 +5356,22 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as a pure hash filter — reproducible under retries and re-partitioning, no rand()",
 )
 def doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "lang")
     g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    # windows run over the LANGUAGE aggregate — bounded rows at any scale
-    wall = Window.partitionBy()
-    nat = F.col("n_docs").cast("double") / F.sum(F.col("n_docs").cast("double")).over(wall)
+    # corpus totals + max weight inlined as literal scalars (two bounded
+    # agg jobs over the LANGUAGE aggregate — the doc_tfidf pattern; no
+    # single-partition WindowExec, no 1-row nested-loop join)
     pw = F.exp(F.lit(0.7) * F.log(F.col("n_docs").cast("double")))
-    adj = pw / F.sum(pw).over(wall)
+    trow = g.agg(
+        F.sum("n_docs").alias("__tot_docs"), F.sum(pw).alias("__tot_pw")
+    ).collect()[0]
+    nat = F.col("n_docs").cast("double") / F.lit(float(trow["__tot_docs"]))
+    adj = pw / F.lit(float(trow["__tot_pw"]))
     w = g.select("lang", "n_docs", (adj / nat).alias("wt"))
+    max_wt = w.agg(F.max("wt")).collect()[0][0]
     acc = w.select(
         "lang", "n_docs",
-        (F.col("wt") / F.max("wt").over(wall)).alias("p_accept"),
+        (F.col("wt") / F.lit(float(max_wt))).alias("p_accept"),
     )
     u = (
         F.conv(F.substring(F.md5(F.concat(F.lit("77|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
@@ -5877,8 +5882,6 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DECIMAL-rounded before the order-independent per-doc mean",
 )
 def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     uni = (
@@ -5886,9 +5889,11 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("cu"))
     )
-    # total token count over the unigram AGGREGATE — bounded rows
-    total = F.sum("cu").over(Window.partitionBy())
-    uni = uni.withColumn("total", total)
+    # total token count inlined as a literal LONG scalar (exact in any
+    # aggregation order) — not an unpartitioned window over the vocab
+    # aggregate, not a 1-row cross-join
+    n_total = uni.agg(F.sum("cu")).collect()[0][0] or 0
+    uni = uni.withColumn("total", F.lit(int(n_total)))
     big = toks.select(
         "doc_id",
         F.explode(
