@@ -242,3 +242,33 @@ def test_pagerank_broadcasts_contributions_no_cartesian(spark, sf_dir):
     df = q("graph_pagerank_orders", spark, sf_dir)
     plans.assert_no_cartesian(df)
     plans.assert_no_python_udf(df)
+
+
+def test_no_partition_less_window_anywhere(spark, sf_dir):
+    """Registry-wide lint: NO query plans a partition-less WindowExec —
+    the accidental-global-window scale killer (all data through one task).
+    Deliberately-bounded global operations in this repo are expressed as
+    distributed top-k + self-join rank, banded prefix-sums, or inlined
+    scalar literals instead; a window spec whose first element is an
+    ordering (ordered global window) or a frame (unordered global window)
+    fails here."""
+    import re
+
+    from connemara_spark.operators import similarity
+
+    old = similarity.EAGER_INDEX_CACHE
+    similarity.EAGER_INDEX_CACHE = False  # plan-only: skip the Arrow prep job
+    try:
+        offenders = []
+        for name, qd in REGISTRY.items():
+            p = qd.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+                first = m.group(1).split(",")[0].strip()
+                if " ASC" in first or " DESC" in first or first.startswith(
+                    "specifiedwindowframe"
+                ):
+                    offenders.append(name)
+                    break
+        assert not offenders, f"partition-less windows in: {offenders}"
+    finally:
+        similarity.EAGER_INDEX_CACHE = old
