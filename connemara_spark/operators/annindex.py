@@ -132,6 +132,50 @@ def build_ann_index(
     return meta
 
 
+def append_to_ann_index(
+    emb_new: DataFrame, index_dir: str, *, source_path: str | None = None
+) -> dict:
+    """Incrementally ADD vectors to a committed index without retraining:
+    the new batch is coded with the EXISTING codebooks/centroids (the
+    deployment norm — books are frozen at train time, fresh data streams
+    in) and appended to the cell-partitioned entries table; META's
+    fingerprint refreshes via write-then-rename. Queries over the grown
+    index are row-identical to coding old+new in one build with the same
+    books (test-pinned). Retraining (codebook drift) is a deliberate
+    rebuild: ``build_ann_index``/``ensure_ann_index``.
+
+    The append is a parquet APPEND into the probed cells only — at scale
+    this is the streaming-ingest path: no rewrite of existing entries,
+    no index-wide operation of any kind."""
+    spark = emb_new.sparkSession
+    meta, books, _entries = load_ann_index(spark, index_dir)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    centroids = ivf_centroids_lit(meta["dim"], meta["n_cells"], meta["seed"])
+    prep = _ivfpq_prep_map(centroids, books, 1, id_col, vec_col)
+    entries = (
+        emb_new.select(id_col, vec_col)
+        .mapInPandas(
+            prep,
+            "id long, probes array<int>, codes array<int>, tables array<array<double>>",
+        )
+        .select(
+            F.col("id").alias("vec_id"),
+            "codes",
+            F.element_at("probes", 1).alias("cell"),
+        )
+    )
+    entries.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "entries.parquet")
+    )
+    if source_path:
+        meta["source_fingerprint"] = _fingerprint(source_path)
+    tmp = os.path.join(index_dir, _META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(index_dir, _META))
+    return meta
+
+
 def load_ann_index(
     spark: SparkSession, index_dir: str
 ) -> tuple[dict, list[list[list[float]]], DataFrame]:

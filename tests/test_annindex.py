@@ -115,3 +115,32 @@ def test_entries_partition_pruning(spark, sf_dir, tmp_path):
     data_filters = part[1].split("PushedFilters", 1)[0]
     assert "cell" in data_filters
     assert set(r["cell"] for r in probed.select("cell").distinct().collect()) <= {3, 7}
+
+
+def test_incremental_append_matches_one_shot_build(spark, sf_dir, tmp_path):
+    """Streaming-ingest path: vectors appended to a committed index (coded
+    with the frozen books, parquet append into their cells only) serve
+    queries row-identically to coding everything in one build with the
+    same books."""
+    from connemara_spark.operators.annindex import (
+        append_to_ann_index, build_ann_index, ivfpq_topk_indexed, load_ann_index,
+    )
+    from connemara_spark.operators.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+
+    d = str(tmp_path / "idx")
+    build_ann_index(half_a, d, **PARAMS)
+    meta, books, entries0 = load_ann_index(spark, d)
+    n0 = entries0.count()
+
+    append_to_ann_index(half_b, d)
+    meta2, books2, entries1 = load_ann_index(spark, d)
+    assert books2 == books  # frozen at train time
+    assert entries1.count() == emb.count() and n0 == half_a.count()
+
+    got = ivfpq_topk_indexed(emb, d, k=10, n_probe=4, rerank=50)
+    want = ivfpq_topk(emb, k=10, n_cells=32, n_probe=4, codebooks=books, rerank=50)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
