@@ -6473,6 +6473,11 @@ DRIVER_SAMPLE_PRIORITY = [
     # trained read-join query, which _ensure_index also guarantees)
     "ann_index_build",
     "embedding_ann_ivfpq_trained",
+    # round-5 additions with the most novel query patterns — surfaced so
+    # their first driver sample is their introduction round
+    "q21_exclusive_return_suppliers",
+    "q8_market_share",
+    "doc_epoch_shuffle",
 ]
 
 
