@@ -128,3 +128,58 @@ def test_snapshot_from_jdbc_contract_derby(spark):
     assert {r["ID"] for r in acc.select("ID").collect()} == set(range(1, 21))
     assert store.read(by_name["tags"]).count() == 1
     assert cat.get("db1", "APP", "accounts").pk_cols == ["ID"]
+
+
+def test_bootstrap_snapshot_skips_prewatermark_spool_overlap(spark, tmp_path):
+    """The bootstrap hazard every real deployment hits: the spool already
+    holds events from BEFORE the snapshot's consistent LSN (the receiver
+    started first — the reference coordinates the basebackup LSN with the
+    replication origin for exactly this). Seeding the watermark at the
+    snapshot LSN must make the streaming drain skip the pre-snapshot
+    overlap and apply only the tail — double-applying an insert that the
+    snapshot already contains would corrupt the target."""
+    from connemara_spark.catalog import ColumnSpec, TableSpec
+    from connemara_spark.pipeline import ParquetStore
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+
+    cat = EngineCatalog()
+    spec = TableSpec(
+        database="db1", schema="public", table="items",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text")],
+        pk_cols=["id"],
+    )
+    cat.register(spec)
+    spec = cat.get("db1", "public", "items")
+    store = ParquetStore(spark, str(tmp_path / "silver"))
+    wm_path = str(tmp_path / "wm.json")
+
+    # snapshot consistent at LSN 100: contains the effect of events <= 100
+    # (id=1 updated at lsn 98 to 'new1', id=2 inserted at lsn 99)
+    snap = spark.createDataFrame([(1, "new1"), (2, "b")], spec.spark_schema())
+    store.write(spec, snap)
+    wm = LsnWatermark(wm_path)
+    wm.advance({("db1", "slot_db1"): 100})
+
+    # the spool overlaps the snapshot: 95..100 are ALREADY in the snapshot
+    spool = str(tmp_path / "spool")
+    overlap = [
+        make_event(spec, "insert", lsn=95, row={"id": 1, "v": "old1"}),
+        make_event(spec, "update", lsn=98, row={"id": 1, "v": "new1"}, old_key={"id": 1}),
+        make_event(spec, "insert", lsn=99, row={"id": 2, "v": "b"}),
+    ]
+    tail = [
+        make_event(spec, "update", lsn=101, row={"id": 2, "v": "b2"}, old_key={"id": 2}),
+        make_event(spec, "insert", lsn=102, row={"id": 3, "v": "c"}),
+    ]
+    write_segment(spool, [dict(e) for e in overlap + tail], "seg-001")
+
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=spool, checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool", watermark_path=wm_path,
+    )
+    sr.run_until_drained()
+    got = {r["id"]: r["v"] for r in store.read(spec).collect()}
+    assert got == {1: "new1", 2: "b2", 3: "c"}
+    assert sr.watermark.get("db1", "slot_db1") == 102
