@@ -159,6 +159,130 @@ def apply_view_delta(old_view: DataFrame, delta: DataFrame) -> DataFrame:
     return old_view.exceptAll(dels).unionByName(inss)
 
 
+class MaintainedTwoTableJoinView:
+    """Keep an equi-join view over TWO CDC-fed tables materialized and
+    CURRENT — the consolidation engine's defining query (cross-source
+    joins are the reference's reason to exist, docs/index.rst:9-12) as an
+    incrementally-maintained artifact. Both sides stream: a batch may
+    touch either or both tables, and the view patch covers the union of
+    their touched join keys.
+
+    Same replacement-at-touched-keys discipline as ``MaintainedJoinView``
+    (retry-idempotent: the patch derives from the NEW states alone), with
+    the join-key set = touched A-side PKs ∪ touched B-side PKs. Both join
+    columns must be their table's single PK — that is what makes a B-side
+    delta addressable as a set of join keys without before-images (a
+    non-PK join column would need the old AND new join-key values of each
+    changed B row).
+    """
+
+    def __init__(
+        self,
+        spark,
+        store,
+        spec_a,
+        spec_b,
+        *,
+        key_a: str,
+        key_b: str,
+        view_cols: list[str],
+        view_dir: str,
+    ):
+        import os
+
+        for spec, key, side in ((spec_a, key_a, "A"), (spec_b, key_b, "B")):
+            if spec.pk_cols != [key]:
+                raise ValueError(
+                    f"{side}-side join column {key!r} must be the table's "
+                    f"single PK (got pk_cols={spec.pk_cols!r}): touched-key "
+                    "pruning happens in PK space on both sides"
+                )
+        if key_a not in view_cols:
+            raise ValueError(
+                f"view_cols must include the join key {key_a!r} "
+                "(touched-key replacement deletes view rows by key)"
+            )
+        self.spark = spark
+        self.store = store
+        self.spec_a = spec_a
+        self.spec_b = spec_b
+        self.key_a = key_a
+        self.key_b = key_b
+        self.view_cols = view_cols
+        self.view_dir = view_dir
+        os.makedirs(view_dir, exist_ok=True)
+        self._touched = None
+
+    def _current(self) -> int:
+        import json
+        import os
+
+        ptr = os.path.join(self.view_dir, "CURRENT")
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                return json.load(fh)["version"]
+        return 0
+
+    def _join(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        j = a.join(b, a[self.key_a] == b[self.key_b])
+        return j.select(
+            *[
+                (a[c] if c in a.columns else b[c]).alias(c)
+                for c in self.view_cols
+            ]
+        )
+
+    def read_view(self) -> DataFrame:
+        import os
+
+        v = self._current()
+        if v == 0:
+            return self._join(
+                self.store.read(self.spec_a), self.store.read(self.spec_b)
+            )
+        return self.spark.read.parquet(os.path.join(self.view_dir, f"v{v:06d}"))
+
+    def before_apply(self, parsed_events: DataFrame) -> None:
+        ta = touched_keys(parsed_events, self.spec_a).select(
+            F.col(self.key_a).alias("__k")
+        )
+        tb = touched_keys(parsed_events, self.spec_b).select(
+            F.col(self.key_b).alias("__k")
+        )
+        self._touched = ta.union(tb).distinct().localCheckpoint()
+
+    def after_apply(self) -> None:
+        import json
+        import os
+
+        new_a = self.store.read(self.spec_a)
+        new_b = self.store.read(self.spec_b)
+        t = F.broadcast(self._touched)
+        a_t = new_a.join(t, new_a[self.key_a] == t["__k"], "left_semi")
+        b_t = new_b.join(t, new_b[self.key_b] == t["__k"], "left_semi")
+        repl = self._join(a_t, b_t)
+        v0 = self._current()
+        base = (
+            # first materialization: full join of the CURRENT states (they
+            # already include this batch — replacement overwrites the
+            # touched keys either way, so this is retry-safe too)
+            self._join(new_a, new_b)
+            if v0 == 0
+            else self.spark.read.parquet(os.path.join(self.view_dir, f"v{v0:06d}"))
+        )
+        kept = base.join(t, base[self.key_a] == t["__k"], "left_anti")
+        patched = kept.unionByName(repl)
+        v = v0 + 1
+        patched.write.mode("overwrite").parquet(
+            os.path.join(self.view_dir, f"v{v:06d}")
+        )
+        tmp = os.path.join(self.view_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v}, fh)
+        os.replace(tmp, os.path.join(self.view_dir, "CURRENT"))
+        self._touched = None
+
+
 class MaintainedAggView:
     """Keep a grouped aggregate ``(group, n_rows, total)`` over a CDC-fed
     table materialized and CURRENT, incrementally — the deployment shape

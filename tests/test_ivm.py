@@ -347,3 +347,85 @@ def test_maintained_agg_view_retry_after_post_apply_crash(spark, tmp_path):
     run_batch(crash)  # restart replays the batch
     got = {r["grp"]: (r["n_rows"], float(r["total"])) for r in view.read_view().collect()}
     assert got == {"a": (1, 2.0), "b": (2, 14.0)}
+
+
+def test_maintained_two_table_join_view_streaming(spark, tmp_path):
+    """Cross-table IVM — the consolidation engine's defining query as a
+    maintained artifact: a join view over TWO CDC-fed tables stays equal
+    to a full recompute through batches touching either or both sides."""
+    from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
+    from connemara_spark.operators.ivm import MaintainedTwoTableJoinView
+    from connemara_spark.pipeline import ParquetStore
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+    from connemara_spark.testing import make_event
+
+    cat = EngineCatalog()
+    spec_c = TableSpec(
+        database="db1", schema="public", table="cust",
+        columns=[ColumnSpec("ck", "bigint"), ColumnSpec("name", "text")],
+        pk_cols=["ck"],
+    )
+    spec_o = TableSpec(
+        database="db1", schema="public", table="acct",
+        columns=[ColumnSpec("ak", "bigint"), ColumnSpec("bal", "double precision")],
+        pk_cols=["ak"],
+    )
+    cat.register(spec_c)
+    cat.register(spec_o)
+    spec_c = cat.get("db1", "public", "cust")
+    spec_o = cat.get("db1", "public", "acct")
+    store = ParquetStore(spark, str(tmp_path / "silver"))
+    store.create_table(spec_c)
+    store.create_table(spec_o)
+    view = MaintainedTwoTableJoinView(
+        spark, store, spec_c, spec_o, key_a="ck", key_b="ak",
+        view_cols=["ck", "name", "bal"], view_dir=str(tmp_path / "view"),
+    )
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+        maintainers=[view],
+    )
+
+    def seg(events, name):
+        write_segment(str(tmp_path / "spool"), [dict(e) for e in events], name)
+
+    def check():
+        want = sorted(map(tuple, view._join(
+            store.read(spec_c), store.read(spec_o)).collect()))
+        got = sorted(map(tuple, view.read_view().collect()))
+        assert got == want, (got, want)
+
+    # batch 1: A-side only
+    seg([make_event(spec_c, "insert", lsn=1, row={"ck": 1, "name": "a"}),
+         make_event(spec_c, "insert", lsn=2, row={"ck": 2, "name": "b"})], "s1")
+    sr.run_until_drained()
+    check()
+
+    # batch 2: B-side only — rows appear in the view as matches form
+    seg([make_event(spec_o, "insert", lsn=3, row={"ak": 1, "bal": 10.0}),
+         make_event(spec_o, "insert", lsn=4, row={"ak": 3, "bal": 5.0})], "s2")
+    sr.run_until_drained()
+    check()
+    assert {r["ck"] for r in view.read_view().collect()} == {1}
+
+    # batch 3: both sides in ONE batch (update A, insert matching B, delete B)
+    seg([make_event(spec_c, "update", lsn=5, row={"ck": 1, "name": "a2"}, old_key={"ck": 1}),
+         make_event(spec_o, "insert", lsn=6, row={"ak": 2, "bal": 7.0}),
+         make_event(spec_o, "delete", lsn=7, old_key={"ak": 1})], "s3")
+    sr.run_until_drained()
+    check()
+    got = {(r["ck"], r["name"], r["bal"]) for r in view.read_view().collect()}
+    assert got == {(2, "b", 7.0)}
+
+    # validation: non-PK join columns are rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="single PK"):
+        MaintainedTwoTableJoinView(
+            spark, store, spec_c, spec_o, key_a="name", key_b="ak",
+            view_cols=["name", "bal"], view_dir=str(tmp_path / "v2"),
+        )
