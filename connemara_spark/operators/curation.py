@@ -451,6 +451,10 @@ def dsir_log_weights(
     # window would plan a single-partition WindowExec, and a 1-row
     # cross-join a nested-loop join; both are plan smells the literals
     # avoid.
+    # persist the bounded bucket table: the totals collect below and the
+    # ratios projection both read it — without the cache the feature-count
+    # aggregation subtree would execute twice
+    stats = stats.persist()
     trow = stats.agg(
         F.sum("c_r").alias("__tot_r"), F.sum("c_t").alias("__tot_t")
     ).collect()[0]

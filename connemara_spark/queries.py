@@ -1929,7 +1929,8 @@ def doc_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents")).select("lang")
-    g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # persisted: the totals collect and the final projection both read it
+    g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).persist()
     # Corpus totals inlined as literal scalars (one bounded agg job over
     # the LANGUAGE aggregate — the doc_tfidf pattern; an unpartitioned
     # window would be a single-partition WindowExec, a 1-row cross-join a
@@ -5357,7 +5358,8 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "lang")
-    g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # persisted: three readers (totals collect, max-wt collect, acceptance)
+    g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).persist()
     # corpus totals + max weight inlined as literal scalars (two bounded
     # agg jobs over the LANGUAGE aggregate — the doc_tfidf pattern; no
     # single-partition WindowExec, no 1-row nested-loop join)
@@ -5891,7 +5893,9 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # total token count inlined as a literal LONG scalar (exact in any
     # aggregation order) — not an unpartitioned window over the vocab
-    # aggregate, not a 1-row cross-join
+    # aggregate, not a 1-row cross-join. The vocab aggregate persists:
+    # the total collect and the per-bigram join both read it.
+    uni = uni.persist()
     n_total = uni.agg(F.sum("cu")).collect()[0][0] or 0
     uni = uni.withColumn("total", F.lit(int(n_total)))
     big = toks.select(
