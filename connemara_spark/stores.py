@@ -228,7 +228,13 @@ class BucketStore:
         staged = df.select(*[c.name for c in spec.columns]).withColumn(
             "__bucket", self.bucket_expr(spec)
         )
-        staged.write.mode("overwrite").partitionBy("__bucket").parquet(vdir)
+        # repartition on the partition key: without it every task writes a
+        # file into every bucket directory it sees (tasks x buckets tiny
+        # files + commit overhead); one file per bucket per version is the
+        # layout the manifest reader wants
+        staged.repartition("__bucket").write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(vdir)
         written: set[int] = set()
         for e in os.listdir(vdir):
             if e.startswith("__bucket="):
@@ -285,7 +291,9 @@ class BucketStore:
         pk = [c for c in spec.pk_cols if c in df.columns] or list(df.columns)
         bucket = F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(self.n_buckets)).cast("int")
         staged = df.withColumn("__bucket", bucket)
-        staged.write.mode("overwrite").partitionBy("__bucket").parquet(vdir)
+        staged.repartition("__bucket").write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(vdir)
         for e in os.listdir(vdir):
             if e.startswith("__bucket="):
                 b = int(e.split("=", 1)[1])
