@@ -148,7 +148,8 @@ class DDLExecutor:
 
     def execute(self, decision: DDLDecision, database: str, source_schema: str = "public") -> str:
         """Execute one EXECUTE-classified DDL. Returns a short action tag."""
-        assert decision.action == DDLAction.EXECUTE and decision.sql is not None
+        if decision.action != DDLAction.EXECUTE or decision.sql is None:
+            raise ValueError(f"execute() got a non-EXECUTE decision: {decision.action}")
         sql = decision.sql.strip().rstrip(";")
         low = sql.lower()
 

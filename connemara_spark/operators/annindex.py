@@ -141,22 +141,44 @@ def build_ann_index(
 
 
 def append_to_ann_index(
-    emb_new: DataFrame, index_dir: str, *, source_path: str | None = None
+    emb_new: DataFrame,
+    index_dir: str,
+    *,
+    source_path: str | None = None,
+    batch_id: str | None = None,
 ) -> dict:
     """Incrementally ADD vectors to a committed index without retraining:
     the new batch is coded with the EXISTING codebooks/centroids (the
     deployment norm — books are frozen at train time, fresh data streams
-    in) and appended to the cell-partitioned entries table; META's
-    fingerprint refreshes via write-then-rename. Queries over the grown
-    index are row-identical to coding old+new in one build with the same
-    books (test-pinned). Retraining (codebook drift) is a deliberate
-    rebuild: ``build_ann_index``/``ensure_ann_index``.
+    in) and written as a NEW cell-partitioned append directory that META
+    commits via write-then-rename. Queries over the grown index are
+    row-identical to coding old+new in one build with the same books
+    (test-pinned). Retraining (codebook drift) is a deliberate rebuild:
+    ``build_ann_index``/``ensure_ann_index``.
 
-    The append is a parquet APPEND into the probed cells only — at scale
-    this is the streaming-ingest path: no rewrite of existing entries,
-    no index-wide operation of any kind."""
+    Crash/retry safety: each batch stages under
+    ``appends/b{batch_id}/`` (mode=overwrite) and becomes visible only
+    when META's ``appends`` list names it — a crash before the META
+    rename leaves an orphan directory readers never see, and the retry
+    overwrites that same staging dir instead of duplicating vectors
+    (duplicates would occupy multiple top-k slots in
+    ``ivfpq_topk_indexed`` and displace true neighbors). ``batch_id``
+    defaults to the next sequence number, so a blind retry of a crashed
+    append lands on the same directory.
+
+    At scale this is the streaming-ingest path: no rewrite of existing
+    entries, no index-wide operation of any kind — each append touches
+    only its own cells' files."""
     spark = emb_new.sparkSession
     meta, books, _entries = load_ann_index(spark, index_dir)
+    committed = list(meta.get("appends", []))
+    if batch_id is None:
+        batch_id = str(len(committed) + 1)
+    if batch_id in committed:
+        raise ValueError(
+            f"append batch {batch_id!r} is already committed to {index_dir} — "
+            f"re-appending it would duplicate vectors"
+        )
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     centroids = ivf_centroids_lit(meta["dim"], meta["n_cells"], meta["seed"])
     prep = _ivfpq_prep_map(centroids, books, 1, id_col, vec_col)
@@ -172,9 +194,10 @@ def append_to_ann_index(
             F.element_at("probes", 1).alias("cell"),
         )
     )
-    entries.repartition("cell").write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, "entries.parquet")
+    entries.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        _append_dir(index_dir, batch_id)
     )
+    meta["appends"] = committed + [batch_id]
     if source_path:
         meta["source_fingerprint"] = _fingerprint(source_path)
     tmp = os.path.join(index_dir, _META + ".tmp")
@@ -182,6 +205,10 @@ def append_to_ann_index(
         json.dump(meta, fh)
     os.replace(tmp, os.path.join(index_dir, _META))
     return meta
+
+
+def _append_dir(index_dir: str, batch_id: str) -> str:
+    return os.path.join(index_dir, "appends", f"b{batch_id}")
 
 
 def load_ann_index(
@@ -204,6 +231,12 @@ def load_ann_index(
     for r in rows:
         books[r["subspace"]][r["code"]] = list(r["codeword"])
     entries = spark.read.parquet(os.path.join(index_dir, "entries.parquet"))
+    for b in meta.get("appends", []):
+        # only META-committed append batches are visible; orphan staging
+        # dirs from crashed appends are never read. Each root is its own
+        # cell-partitioned tree, so union (not multi-path read) keeps
+        # partition discovery — and cell pruning — per root.
+        entries = entries.unionByName(spark.read.parquet(_append_dir(index_dir, b)))
     return meta, books, entries
 
 

@@ -453,20 +453,27 @@ def dsir_log_weights(
     # avoid.
     # persist the bounded bucket table: the totals collect below and the
     # ratios projection both read it — without the cache the feature-count
-    # aggregation subtree would execute twice
+    # aggregation subtree would execute twice. The cache is RELEASED before
+    # returning (a persist with no unpersist accumulates cached frames
+    # across a long-lived session); the returned plan reads the
+    # localCheckpoint-ed ratios (≤ n_buckets rows), whose storage the
+    # ContextCleaner frees once the frame is unreferenced.
     stats = stats.persist()
-    trow = stats.agg(
-        F.sum("c_r").alias("__tot_r"), F.sum("c_t").alias("__tot_t")
-    ).collect()[0]
-    tot_r = F.lit(float(trow["__tot_r"] or 0))
-    tot_t = F.lit(float(trow["__tot_t"] or 0))
-    lr = (
-        F.log((F.col("c_t") + F.lit(smoothing)) / (tot_t + F.lit(smoothing * n_buckets)))
-        - F.log((F.col("c_r") + F.lit(smoothing)) / (tot_r + F.lit(smoothing * n_buckets)))
-    )
-    ratios = stats.select(
-        "bucket", F.round(lr, 6).cast("decimal(16,6)").alias("log_ratio")
-    )
+    try:
+        trow = stats.agg(
+            F.sum("c_r").alias("__tot_r"), F.sum("c_t").alias("__tot_t")
+        ).collect()[0]
+        tot_r = F.lit(float(trow["__tot_r"] or 0))
+        tot_t = F.lit(float(trow["__tot_t"] or 0))
+        lr = (
+            F.log((F.col("c_t") + F.lit(smoothing)) / (tot_t + F.lit(smoothing * n_buckets)))
+            - F.log((F.col("c_r") + F.lit(smoothing)) / (tot_r + F.lit(smoothing * n_buckets)))
+        )
+        ratios = stats.select(
+            "bucket", F.round(lr, 6).cast("decimal(16,6)").alias("log_ratio")
+        ).localCheckpoint()
+    finally:
+        stats.unpersist()
     return (
         raw_feats.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)

@@ -316,7 +316,8 @@ def simhash_pairs(
     any pair within distance max_hamming matches on ≥1 full chunk — block on
     chunk value, verify with bit_count(xor). Output: (id_a, id_b, hamming).
     """
-    assert bands > max_hamming
+    if bands <= max_hamming:  # pigeonhole needs > max_hamming chunks
+        raise ValueError(f"bands ({bands}) must exceed max_hamming ({max_hamming})")
     width = 64 // bands
     sh = simhash(df, id_col, text_col)
     chunks = sh.select(
@@ -370,7 +371,8 @@ def simhash_md5(df: DataFrame, id_col: str, text_col: str, *, n_bits: int = 60) 
     shift/sum arithmetic inside a signed 64-bit integer in BOTH engines (no
     sign-bit or overflow divergence). Output: (id, simhash bigint).
     """
-    assert n_bits <= 60 and n_bits % 4 == 0
+    if n_bits > 60 or n_bits % 4:
+        raise ValueError(f"n_bits ({n_bits}) must be <= 60 and a multiple of 4")
     # Decode each token's hex tail ONCE to a bigint (conv base-16→10 — the
     # whole decode stays JVM-side), then reuse the same single-pass fold as
     # the xxhash64 variant. Bit-identical to the per-nibble instr() decode
@@ -398,7 +400,11 @@ def simhash_pairs_md5(
     """Near-dup pairs by md5-SimHash Hamming distance — oracle-checkable
     twin of ``simhash_pairs`` (same pigeonhole banding, same verification).
     Output: (id_a, id_b, hamming)."""
-    assert bands > max_hamming and n_bits % bands == 0
+    if bands <= max_hamming or n_bits % bands:
+        raise ValueError(
+            f"need bands ({bands}) > max_hamming ({max_hamming}) and "
+            f"n_bits ({n_bits}) divisible by bands"
+        )
     width = n_bits // bands
     sh = simhash_md5(df, id_col, text_col, n_bits=n_bits)
     chunk_structs = ", ".join(

@@ -202,6 +202,22 @@ class MaintainedTwoTableJoinView:
                 f"view_cols must include the join key {key_a!r} "
                 "(touched-key replacement deletes view rows by key)"
             )
+        cols_a = {c.name for c in spec_a.columns}
+        cols_b = {c.name for c in spec_b.columns}
+        ambiguous = [
+            c
+            for c in view_cols
+            if c != key_a and c != key_b and c in cols_a and c in cols_b
+        ]
+        if ambiguous:
+            # _join would silently resolve these to the A side; a caller
+            # expecting the B-side value would get wrong view contents with
+            # no error — refuse instead
+            raise ValueError(
+                f"view_cols {ambiguous!r} exist in both {spec_a.target_name} "
+                f"and {spec_b.target_name} — rename one side's column in its "
+                "spec or drop the ambiguous name from view_cols"
+            )
         self.spark = spark
         self.store = store
         self.spec_a = spec_a

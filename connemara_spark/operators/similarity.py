@@ -130,13 +130,17 @@ def _require_small_index(emb: DataFrame, *, tool: str, cap: int, alternative: st
     they ``collect()`` the full index to the driver, so a caller pointing
     one at a 100 TB table gets an explicit error naming the distributed
     path — the same honest-boundary contract as the media codecs'
-    NotImplementedError. The ``count()`` is a cheap column-pruned scan
-    next to the collect it guards."""
-    n = emb.count()
+    NotImplementedError. The probe is ``limit(cap+1).count()``: it stops
+    scanning once cap+1 rows are seen (LocalLimit short-circuits each
+    task, GlobalLimit the job), which still decides over/under the cap —
+    a bare ``count()`` would re-execute the FULL upstream plan of a
+    computed frame, and at the scale the guard exists for the count
+    itself would be a full scan."""
+    n = emb.limit(cap + 1).count()
     if n > cap:
         raise ValueError(
             f"{tool} collects the full index to the driver and is capped at "
-            f"{cap:,} rows (index has {n:,}); use {alternative} at this scale"
+            f"{cap:,} rows (index has more); use {alternative} at this scale"
         )
 
 
@@ -1590,7 +1594,8 @@ def balanced_subspace_permutation(scores: list[int], m: int) -> list[int]:
         r = p // m
         j = p % m if r % 2 == 0 else m - 1 - p % m
         buckets[j].append(d)
-    assert all(len(b) == sd for b in buckets)
+    if not all(len(b) == sd for b in buckets):  # invariant of the deal
+        raise RuntimeError(f"serpentine deal produced uneven subspaces: {buckets}")
     return [d for b in buckets for d in b]
 
 

@@ -573,6 +573,56 @@ def cdc_apply_customer_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes_bounded(snapshot, events, CUSTOMER_SPEC, lsn_bucket=1000)
 
 
+@register(
+    "cdc_apply_customer_bucketed",
+    REGISTRY["cdc_apply_customer"].oracle,
+    "CDC apply hosted in the BucketStore silver store (the 100 TB batch-IO "
+    "answer): snapshot seeded as v1, the stream applied in three LSN-ordered "
+    "batches through the production Replayer path, each committing a PARTIAL "
+    "rewrite of only the hash buckets its touched keys fall into — batch IO "
+    "O(touched buckets), never O(table); same oracle as cdc_apply_customer",
+)
+def cdc_apply_customer_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.pipeline import Replayer
+    from connemara_spark.stores import BucketStore
+
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    # fresh store per invocation: the query is a pure function of sf_dir,
+    # so state from an earlier run must never leak into the result
+    store = BucketStore(
+        spark, tempfile.mkdtemp(prefix="connemara_bucketed_"), n_buckets=32
+    )
+    spec = TableSpec(
+        database=CUSTOMER_SPEC.database,
+        schema=CUSTOMER_SPEC.schema,
+        table=CUSTOMER_SPEC.table,
+        columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+        pk_cols=list(CUSTOMER_SPEC.pk_cols),
+    )
+    store.write(spec, snapshot)
+    cat = EngineCatalog()
+    cat.register(spec)
+    rep = Replayer(spark, cat, store)
+    # three contiguous LSN ranges: batch boundaries preserve per-key apply
+    # order (order here is purely lsn_start), exactly a microbatch drain
+    row = bronze.agg(
+        F.min("lsn_start").alias("lo"), F.max("lsn_start").alias("hi")
+    ).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    step = max((hi - lo) // 3 + 1, 1)
+    for b0 in range(lo, hi + 1, step):
+        rep.apply_batch(
+            bronze.filter(
+                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            )
+        )
+    return store.read(spec)
+
+
 def _customer_partial_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """wal2json update stream with PARTIAL column lists (J2): every event
     sets c_acctbal; only 'signup' events also carry c_name — other columns
@@ -1929,8 +1979,11 @@ def doc_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents")).select("lang")
-    # persisted: the totals collect and the final projection both read it
-    g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).persist()
+    # cached for the two jobs below (totals collect + final projection),
+    # released before returning: the localCheckpoint pins the bounded
+    # per-language aggregate (ContextCleaner-freed when unreferenced),
+    # so the returned plan no longer needs the cache
+    g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).localCheckpoint()
     # Corpus totals inlined as literal scalars (one bounded agg job over
     # the LANGUAGE aggregate — the doc_tfidf pattern; an unpartitioned
     # window would be a single-partition WindowExec, a 1-row cross-join a
@@ -5358,8 +5411,10 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "lang")
-    # persisted: three readers (totals collect, max-wt collect, acceptance)
-    g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).persist()
+    # three readers (totals collect, max-wt collect, acceptance) — pinned
+    # via localCheckpoint (bounded per-language rows, ContextCleaner-freed
+    # when unreferenced) rather than persist, which would outlive the query
+    g = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).localCheckpoint()
     # corpus totals + max weight inlined as literal scalars (two bounded
     # agg jobs over the LANGUAGE aggregate — the doc_tfidf pattern; no
     # single-partition WindowExec, no 1-row nested-loop join)
@@ -5893,9 +5948,11 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # total token count inlined as a literal LONG scalar (exact in any
     # aggregation order) — not an unpartitioned window over the vocab
-    # aggregate, not a 1-row cross-join. The vocab aggregate persists:
-    # the total collect and the per-bigram join both read it.
-    uni = uni.persist()
+    # aggregate, not a 1-row cross-join. The vocab aggregate is pinned via
+    # localCheckpoint (the total collect and the per-bigram join both read
+    # it); unlike persist, its storage is ContextCleaner-freed once the
+    # query result is unreferenced instead of outliving the session.
+    uni = uni.localCheckpoint()
     n_total = uni.agg(F.sum("cu")).collect()[0][0] or 0
     uni = uni.withColumn("total", F.lit(int(n_total)))
     big = toks.select(

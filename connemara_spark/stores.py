@@ -22,7 +22,12 @@ Layout (one table)::
 The manifest maps every bucket to the VERSION whose directory holds its
 current file — unchanged buckets carry the older version's entry
 forward, so a version is a complete logical snapshot while holding only
-its delta physically. Readers resolve the manifest to a path list
+its delta physically. A bucket that is logically EMPTY (no rows, so its
+host version wrote no directory for it) is recorded as ``null`` in the
+manifest, so readers can tell "empty by design" apart from "host
+directory missing" — the latter is corruption (or a GC bug) and raises
+instead of silently returning partial data. Readers resolve the
+manifest to a path list
 (pruned to specific buckets when the caller knows its keys); writers
 write new bucket dirs + MANIFEST into the next version dir and then
 swap CURRENT — the same write-then-advance commit as ParquetStore, so
@@ -106,11 +111,19 @@ class BucketStore:
         )
         out = []
         for b, v in sel:
-            if v is None:
+            if v is None:  # logically empty bucket — its host wrote no dir
                 continue
             d = self._bdir(spec_name, v, int(b))
-            if os.path.isdir(d):  # empty buckets write no directory
-                out.append(d)
+            if not os.path.isdir(d):
+                # the manifest says v physically hosts this bucket; a missing
+                # directory means the host was GC'd or the tree is corrupt —
+                # returning the remaining paths would be a silently partial
+                # snapshot, which violates the read contract
+                raise RuntimeError(
+                    f"bucket {b} of {spec_name} is hosted by v{v} but {d} is "
+                    f"missing — host version GC'd or store corrupted"
+                )
+            out.append(d)
         return out
 
     # -- reads -------------------------------------------------------------
@@ -132,6 +145,11 @@ class BucketStore:
         if cur is None or version > cur or version < 1 or not os.path.isdir(d):
             raise ValueError(
                 f"no committed version {version} for {spec.target_name} (current: {cur})"
+            )
+        if not os.path.exists(os.path.join(d, _MANIFEST)):
+            raise ValueError(
+                f"version {version} of {spec.target_name} survives only as a "
+                f"bucket host (its snapshot was GC'd) — not readable"
             )
         return self._read_manifest(spec, self._manifest(spec.target_name, version))
 
@@ -171,10 +189,13 @@ class BucketStore:
         """Full rewrite: every bucket lands in the new version (initial
         snapshot load, schema evolution, truncate, erasure rewrite)."""
         v = (self.current_version(spec.target_name) or 0) + 1
-        self._write_buckets(spec, df, v)
+        written = self._write_buckets(spec, df, v)
         manifest = {
             "n_buckets": self.n_buckets,
-            "buckets": {str(b): v for b in range(self.n_buckets)},
+            "buckets": {
+                str(b): (v if b in written else None)
+                for b in range(self.n_buckets)
+            },
         }
         self._commit(spec.target_name, v, manifest)
 
@@ -217,7 +238,10 @@ class BucketStore:
                 f"{name} was written with {manifest['n_buckets']}"
             )
         for b in buckets:
-            manifest["buckets"][str(b)] = v
+            # a touched bucket whose fold result is empty (all rows deleted)
+            # writes no directory — record it as logically empty, not as a
+            # reference to a directory that does not exist
+            manifest["buckets"][str(b)] = v if b in written else None
         self._commit(name, v, manifest)
 
     def _write_buckets(self, spec: TableSpec, df: DataFrame, v: int) -> set[int]:
@@ -294,13 +318,18 @@ class BucketStore:
         staged.repartition("__bucket").write.mode("overwrite").partitionBy(
             "__bucket"
         ).parquet(vdir)
+        written: set[int] = set()
         for e in os.listdir(vdir):
             if e.startswith("__bucket="):
                 b = int(e.split("=", 1)[1])
                 os.replace(os.path.join(vdir, e), self._bdir(spec.target_name, v, b))
+                written.add(b)
         manifest = {
             "n_buckets": self.n_buckets,
-            "buckets": {str(b): v for b in range(self.n_buckets)},
+            "buckets": {
+                str(b): (v if b in written else None)
+                for b in range(self.n_buckets)
+            },
         }
         self._commit(spec.target_name, v, manifest)
 
@@ -337,7 +366,14 @@ class BucketStore:
         flat store, an old version dir can stay alive purely as a bucket
         host — partial rewrites make physical lifetime longer than logical
         lifetime, and deleting a still-referenced host would corrupt every
-        newer snapshot that carries its buckets forward."""
+        newer snapshot that carries its buckets forward.
+
+        Versions that survive ONLY as bucket hosts are demoted: their
+        MANIFEST.json is deleted, so ``versions()`` stops listing them and
+        ``read_version`` refuses them. Without the demotion a host-only
+        version would still present itself as a readable snapshot while
+        the versions ITS manifest references may already be gone —
+        ``read_version`` would return silently partial data."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1 (CURRENT must survive)")
         name = spec.target_name
@@ -348,10 +384,32 @@ class BucketStore:
         retained = set(vs[-keep_last:]) | {cur}
         referenced = set(retained)
         for v in retained:
-            referenced.update(self._manifest(name, v)["buckets"].values())
+            referenced.update(
+                h
+                for h in self._manifest(name, v)["buckets"].values()
+                if h is not None
+            )
         removed = []
-        for v in vs:
+        tdir = self._tdir(name)
+        # sweep EVERY version directory, not just manifest-bearing ones:
+        # versions demoted to host-only in an earlier GC pass must still be
+        # physically removed once their last bucket reference is rewritten
+        # away, or they leak forever
+        all_vs = sorted(
+            int(e[1:])
+            for e in os.listdir(tdir)
+            if e.startswith("v") and e[1:].isdigit() and int(e[1:]) <= cur
+        )
+        for v in all_vs:
             if v not in referenced:
                 shutil.rmtree(self._vdir(name, v), ignore_errors=True)
                 removed.append(v)
+            elif v not in retained:
+                # alive purely as a bucket host: no longer a readable
+                # snapshot — drop its manifest so read_version refuses it
+                # instead of resolving references that may be GC'd
+                try:
+                    os.remove(os.path.join(self._vdir(name, v), _MANIFEST))
+                except FileNotFoundError:
+                    pass
         return sorted(removed)

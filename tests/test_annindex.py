@@ -144,3 +144,43 @@ def test_incremental_append_matches_one_shot_build(spark, sf_dir, tmp_path):
     got = ivfpq_topk_indexed(emb, d, k=10, n_probe=4, rerank=50)
     want = ivfpq_topk(emb, k=10, n_cells=32, n_probe=4, codebooks=books, rerank=50)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_append_crash_retry_does_not_duplicate(spark, sf_dir, tmp_path):
+    """A crashed append (staging dir written, META never renamed) is
+    invisible to readers, and the retry overwrites the same staging dir —
+    no duplicate vectors ever reach the query path, where they could fill
+    multiple top-k slots and displace true neighbors."""
+    import json
+
+    from connemara_spark.operators.annindex import (
+        _append_dir, append_to_ann_index, build_ann_index, load_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+    d = str(tmp_path / "idx")
+    build_ann_index(half_a, d, **PARAMS)
+
+    # simulate the crash: the staged batch directory exists (copied from a
+    # real append, then rolled back in META) but META never named it
+    append_to_ann_index(half_b, d, batch_id="1")
+    meta_path = os.path.join(d, "META.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["appends"] = []
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    _, _, entries = load_ann_index(spark, d)
+    assert entries.count() == half_a.count()  # orphan staging dir invisible
+
+    # blind retry lands on the same batch id, overwrites the orphan
+    append_to_ann_index(half_b, d)
+    _, _, entries2 = load_ann_index(spark, d)
+    assert entries2.count() == emb.count()
+    assert entries2.select("vec_id").distinct().count() == emb.count()
+
+    # re-appending a COMMITTED batch id is refused
+    with pytest.raises(ValueError, match="already committed"):
+        append_to_ann_index(half_b, d, batch_id="1")

@@ -141,11 +141,20 @@ def test_gc_is_reference_counted(spark, tmp_path):
     )
     store.write_partial(SPEC, patched, buckets=touched)  # v2: one bucket
 
-    # v2's manifest still points most buckets at v1 -> v1 must survive
+    # v2's manifest still points most buckets at v1 -> v1's DIRECTORY must
+    # survive as a bucket host, but it is demoted from the readable-snapshot
+    # list (its own references are no longer GC-protected, so read_version
+    # refuses it instead of risking silently partial data)
     assert store.gc_versions(SPEC, keep_last=1) == []
-    assert store.versions(SPEC) == [1, 2]
+    assert os.path.isdir(os.path.join(str(tmp_path / "s"), SPEC.target_name, "v000001"))
+    assert store.versions(SPEC) == [2]
+    with pytest.raises(ValueError, match="bucket host"):
+        store.read_version(SPEC, 1)
+    rows = {r["id"]: r["v"] for r in store.read(SPEC).collect()}
+    assert rows[1] == "p" and len(rows) == 40
 
-    # full rewrite makes v3 self-contained -> v1 and v2 become unreferenced
+    # full rewrite makes v3 self-contained -> v1 (demoted host) and v2
+    # become unreferenced and are physically removed
     store.write(SPEC, store.read(SPEC))
     assert store.gc_versions(SPEC, keep_last=1) == [1, 2]
     assert store.versions(SPEC) == [3]
@@ -209,7 +218,10 @@ def test_schema_evolution_full_rewrite(spark, tmp_path):
     store.evolve_add_column(SPEC, "note", T.StringType())
     df = store.read_version(SPEC, 2) if False else None  # evolution committed as v2
     man = store._manifest(SPEC.target_name, store.current_version(SPEC.target_name))
-    assert set(man["buckets"].values()) == {2}  # self-contained version
+    # self-contained version: every NON-EMPTY bucket is hosted by v2;
+    # empty buckets are recorded as null, never as a dirless host reference
+    hosts = set(man["buckets"].values())
+    assert hosts - {None} == {2} and len(man["buckets"]) == 4
     # reading via an evolved spec sees the new column
     evolved = TableSpec(
         database="db1", schema="public", table="items",
@@ -330,3 +342,20 @@ def test_maintained_agg_view_over_bucket_store(spark, tmp_path):
     ])
     got = {r["grp"]: (r["n_rows"], float(r["total"])) for r in view.read_view().collect()}
     assert got == {"a": (1, 4.0), "b": (1, 7.0)}
+
+
+def test_missing_host_dir_raises_not_partial(spark, tmp_path):
+    """A manifest referencing a bucket host whose directory is gone
+    (corruption / external deletion) must RAISE — returning the remaining
+    paths would be a silently partial snapshot. Logically empty buckets
+    (null manifest entries) still read as zero rows."""
+    import shutil
+
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=4)
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "id long, v string")
+    store.write(SPEC, base)
+    manifest = store._manifest(SPEC.target_name, 1)
+    hosted = [b for b, v in manifest["buckets"].items() if v is not None]
+    shutil.rmtree(store._bdir(SPEC.target_name, 1, int(hosted[0])))
+    with pytest.raises(RuntimeError, match="missing"):
+        store.read(SPEC)

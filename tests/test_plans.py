@@ -272,3 +272,44 @@ def test_no_partition_less_window_anywhere(spark, sf_dir):
         assert not offenders, f"partition-less windows in: {offenders}"
     finally:
         similarity.EAGER_INDEX_CACHE = old
+
+
+def _from_json_count(df) -> int:
+    """JsonToStructs occurrences in the OPTIMIZED plan — each one is a
+    full JSON parse of every payload row at runtime."""
+    import re
+
+    return len(
+        re.findall(
+            r"from_json\(", df._jdf.queryExecution().optimizedPlan().toString()
+        )
+    )
+
+
+def test_parse_barrier_pins_single_json_parse(spark, sf_dir):
+    """The CDC family's cost model assumes ONE from_json evaluation per
+    payload row (events.py parse_events pushdown_barrier — measured 4x->1x,
+    1.63s->0.36s per stream). The barrier leans on Catalyst's treatment of
+    nondeterministic projections, which a Spark version bump could change
+    silently: this lint pins the parse count in the optimized plans, one
+    per bronze stream."""
+    assert _from_json_count(q("cdc_apply_customer", spark, sf_dir)) == 1
+    # two CDC streams (customer + account) -> exactly two parses
+    assert _from_json_count(q("cdc_join_view_delta", spark, sf_dir)) == 2
+    assert _from_json_count(q("cdc_incremental_rollup", spark, sf_dir)) == 2
+    assert _from_json_count(q("cdc_apply_metrics", spark, sf_dir)) == 1
+
+
+def test_parse_barrier_lint_detects_regression(spark, sf_dir):
+    """Negative control: the same frame WITHOUT the barrier, with the
+    fold path's parsed-field predicates on top, re-inlines the parse into
+    every rewritten site — the exact regression the lint above must catch
+    if Catalyst ever starts collapsing across nondeterministic
+    projections."""
+    from connemara_spark.events import parse_events
+    from connemara_spark.queries import _customer_cdc_bronze
+
+    bronze = _customer_cdc_bronze(spark, sf_dir)
+    flt = "table = 'customer' and op = 'insert'"
+    assert _from_json_count(parse_events(bronze, pushdown_barrier=False).filter(flt)) > 1
+    assert _from_json_count(parse_events(bronze, pushdown_barrier=True).filter(flt)) == 1
