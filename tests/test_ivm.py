@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from connemara_spark.operators.ivm import join_view_delta
 
 
@@ -429,3 +431,75 @@ def test_maintained_two_table_join_view_streaming(spark, tmp_path):
             spark, store, spec_c, spec_o, key_a="name", key_b="ak",
             view_cols=["name", "bal"], view_dir=str(tmp_path / "v2"),
         )
+
+
+def test_streaming_crash_between_store_advance_and_view_write_recovers(spark, tmp_path):
+    """The ADVICE scenario, end-to-end THROUGH the streaming driver: the
+    process dies after the silver store advanced but before the maintained
+    view's patch landed. The streaming checkpoint never committed the
+    microbatch, so a restarted stream replays it: the store re-apply is
+    idempotent, and MaintainedAggView's version-anchored delta re-reads
+    the RETAINED pre-batch store version — the restarted drain converges
+    to the correct view instead of silently losing the batch."""
+    from connemara_spark.operators.ivm import MaintainedAggView
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+    from connemara_spark.testing import make_event
+
+    cat, spec, store = _agg_spec_setup(spark, tmp_path)
+
+    def seg(events, name):
+        write_segment(str(tmp_path / "spool"), [dict(e) for e in events], name)
+
+    def make_sr(maintainers):
+        return StreamingReplayer(
+            spark, cat, store,
+            landing_dir=str(tmp_path / "spool"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            landing_format="wal_spool",
+            maintainers=maintainers,
+        )
+
+    view = MaintainedAggView(
+        spark, store, spec, group_col="grp", sum_col="amount",
+        view_dir=str(tmp_path / "aggview"),
+    )
+    seg([make_event(spec, "insert", lsn=1, row={"id": 1, "grp": "a", "amount": 10.0}),
+         make_event(spec, "insert", lsn=2, row={"id": 2, "grp": "b", "amount": 3.0})],
+        "seg-001")
+    make_sr([view]).run_until_drained()
+    assert view._meta()["version"] == 1
+
+    class CrashAfterStoreAdvance:
+        """Maintainer ordered AFTER the view's before_apply but whose
+        after_apply fires FIRST — the view's write never happens, the
+        store's apply already did: exactly the crash window."""
+
+        def before_apply(self, parsed):
+            pass
+
+        def after_apply(self):
+            raise RuntimeError("injected crash between store advance and view write")
+
+    seg([make_event(spec, "update", lsn=3, row={"id": 1, "grp": "b", "amount": 11.0}, old_key={"id": 1}),
+         make_event(spec, "insert", lsn=4, row={"id": 5, "grp": "a", "amount": 2.0})],
+        "seg-002")
+    crasher = CrashAfterStoreAdvance()
+    # fail-fast (W9): the injected error kills the query; awaitTermination
+    # surfaces it as a StreamingQueryException wrapping our RuntimeError
+    with pytest.raises(Exception, match="injected crash"):
+        make_sr([crasher, view]).run_until_drained()
+    # store advanced, view did not, stream checkpoint did not commit
+    assert view._meta()["version"] == 1
+    assert store.current_version(spec.target_name) > 1
+
+    # restart: fresh driver + fresh view object (process death), same dirs
+    view2 = MaintainedAggView(
+        spark, store, spec, group_col="grp", sum_col="amount",
+        view_dir=str(tmp_path / "aggview"),
+    )
+    make_sr([view2]).run_until_drained()
+    got = {r["grp"]: (r["n_rows"], float(r["total"])) for r in view2.read_view().collect()}
+    assert got == {"a": (1, 2.0), "b": (2, 14.0)}
+    want = sorted(map(tuple, view2._full_agg(store.read(spec)).collect()))
+    assert sorted(map(tuple, view2.read_view().collect())) == want
