@@ -615,11 +615,18 @@ def cdc_apply_customer_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = row["lo"], row["hi"]
     step = max((hi - lo) // 3 + 1, 1)
     for b0 in range(lo, hi + 1, step):
-        rep.apply_batch(
-            bronze.filter(
-                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
-            )
+        batch = bronze.filter(
+            (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
         )
+        # cache the parsed batch: apply_batch runs several driver-
+        # synchronous jobs over it (DDL collect, touched-bucket pricing,
+        # fold) and each would re-execute the JSON parse otherwise — the
+        # same reason the streaming driver caches its microbatch
+        parsed = rep.parse_batch(batch).persist()
+        try:
+            rep.apply_batch(batch, events=parsed)
+        finally:
+            parsed.unpersist()
     return store.read(spec)
 
 
@@ -696,12 +703,16 @@ def cdc_maintained_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
         )
         # the maintainer protocol exactly as StreamingReplayer drives it:
-        # one shared parse, touched keys pinned pre-apply, view patched
-        # post-apply inside the same batch commit
-        parsed = rep.parse_batch(batch)
-        view.before_apply(parsed)
-        rep.apply_batch(batch, events=parsed)
-        view.after_apply()
+        # one shared parse (cached — apply + maintainer run several jobs
+        # over it), touched keys pinned pre-apply, view patched post-apply
+        # inside the same batch commit
+        parsed = rep.parse_batch(batch).persist()
+        try:
+            view.before_apply(parsed)
+            rep.apply_batch(batch, events=parsed)
+            view.after_apply()
+        finally:
+            parsed.unpersist()
     return view.read_view()
 
 
