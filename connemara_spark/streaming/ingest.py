@@ -283,3 +283,113 @@ def streaming_dedup_within_watermark(
     with the anti-join for all-time exactness).
     """
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+class StreamingAnnIngest:
+    """Keep the PERSISTED ANN index (operators/annindex.py) current under a
+    continuous embedding stream: each micro-batch of (vec_id, embedding)
+    rows is coded with the index's FROZEN codebooks and committed as one
+    META-gated append batch — the streaming face of ``append_to_ann_index``.
+
+    Exactly-once composition: the append's batch id is derived from the
+    STREAM's batch id, so the two commit logs agree about identity. A crash
+    after the append committed but before the stream checkpoint advanced
+    replays the micro-batch — the wrapper sees its batch id already in
+    META's ``appends`` list and skips it (idempotent replay), while a crash
+    before the META rename leaves an invisible staging dir the retry
+    overwrites. Either way no vector is ever indexed twice, which matters
+    because duplicate entries occupy multiple top-k slots and displace true
+    neighbors.
+
+    ``bootstrap=True``: when no committed index exists, the FIRST batch
+    trains and builds it (``build_ann_index``); every later batch appends
+    with those frozen books — the deployment norm (retraining is a
+    deliberate offline rebuild).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        landing_dir: str,
+        index_dir: str,
+        checkpoint_dir: str,
+        bootstrap: bool = True,
+        max_files_per_trigger: int = 16,
+        build_params: dict | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        dim: int = 64,
+    ):
+        self.spark = spark
+        self.landing_dir = landing_dir
+        self.index_dir = index_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.bootstrap = bootstrap
+        self.max_files_per_trigger = max_files_per_trigger
+        self.build_params = build_params or {}
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.dim = dim
+        self.batches_appended = 0
+        self.batches_skipped = 0
+
+    def _schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(self.id_col, T.LongType()),
+                T.StructField(self.vec_col, T.ArrayType(T.FloatType())),
+            ]
+        )
+
+    def _foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
+        import json as _json
+
+        from connemara_spark.operators.annindex import (
+            append_to_ann_index, build_ann_index, _META,
+        )
+
+        meta_path = os.path.join(self.index_dir, _META)
+        if not os.path.exists(meta_path):
+            if not self.bootstrap:
+                raise FileNotFoundError(
+                    f"no committed ANN index at {self.index_dir} and bootstrap=False"
+                )
+            build_ann_index(
+                batch, self.index_dir,
+                id_col=self.id_col, vec_col=self.vec_col, dim=self.dim,
+                **self.build_params,
+            )
+            self.batches_appended += 1
+            return
+        with open(meta_path) as fh:
+            committed = _json.load(fh).get("appends", [])
+        bid = f"stream-{batch_id}"
+        if bid in committed:
+            # checkpoint-replayed micro-batch whose append already
+            # committed: idempotent skip, never a duplicate index entry
+            self.batches_skipped += 1
+            return
+        append_to_ann_index(batch, self.index_dir, batch_id=bid)
+        self.batches_appended += 1
+
+    def start(self, *, available_now: bool = False, processing_time: str = "15 seconds"):
+        stream = (
+            self.spark.readStream.schema(self._schema())
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.landing_dir)
+        )
+        writer = stream.writeStream.foreachBatch(self._foreach_batch).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_until_drained(self, timeout_sec: int = 300) -> None:
+        q = self.start(available_now=True)
+        q.awaitTermination(timeout_sec)
+        if q.exception() is not None:
+            raise q.exception()

@@ -227,3 +227,56 @@ def test_streaming_neardup_agrees_with_batch_ground_truth(spark, tmp_path, sf_di
     assert bad == 0
     # and it must not be trivially empty — real docs largely survive
     assert corpus.count() >= 100
+
+
+def test_streaming_ann_ingest_bootstrap_append_and_replay(spark, sf_dir, tmp_path):
+    """Streaming ANN index maintenance: the first drain bootstraps the
+    index from the first micro-batch (frozen books), later drains append
+    their batches META-gated; queries over the streamed index are
+    row-identical to a one-shot build with the same books, and a
+    checkpoint-replayed micro-batch is an idempotent skip — no vector is
+    indexed twice."""
+    import os
+
+    from connemara_spark.operators.annindex import load_ann_index, ivfpq_topk_indexed
+    from connemara_spark.operators.similarity import ivfpq_topk
+    from connemara_spark.streaming.ingest import StreamingAnnIngest
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+
+    landing = str(tmp_path / "landing")
+    ingest = StreamingAnnIngest(
+        spark,
+        landing_dir=landing,
+        index_dir=str(tmp_path / "idx"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        build_params=dict(n_cells=32, m=8, k_cb=16, sample_n=2000, iters=4),
+    )
+    # batch 1 bootstraps (trains + builds), batch 2 appends frozen-book
+    half_a.repartition(1).write.mode("append").parquet(landing)
+    ingest.run_until_drained()
+    meta, books, entries = load_ann_index(spark, str(tmp_path / "idx"))
+    assert entries.count() == half_a.count() and ingest.batches_appended == 1
+
+    half_b.repartition(1).write.mode("append").parquet(landing)
+    ingest.run_until_drained()
+    _, books2, entries2 = load_ann_index(spark, str(tmp_path / "idx"))
+    assert books2 == books  # frozen at bootstrap
+    assert entries2.count() == emb.count()
+
+    # streamed index serves queries identically to the in-session path
+    got = ivfpq_topk_indexed(emb, str(tmp_path / "idx"), k=5, n_probe=4, rerank=50)
+    want = ivfpq_topk(emb, k=5, n_cells=32, n_probe=4, codebooks=books, rerank=50)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # crash-replay simulation: the same stream batch id fires again after
+    # its append committed (checkpoint lost the commit) — idempotent skip
+    ingest._foreach_batch(half_b, 1)
+    assert ingest.batches_skipped == 1
+    _, _, entries3 = load_ann_index(spark, str(tmp_path / "idx"))
+    assert entries3.count() == emb.count()
+    assert entries3.select("vec_id").distinct().count() == emb.count()
