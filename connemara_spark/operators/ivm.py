@@ -271,13 +271,26 @@ class MaintainedTwoTableJoinView:
         import json
         import os
 
-        new_a = self.store.read(self.spec_a)
-        new_b = self.store.read(self.spec_b)
+        v0 = self._current()
+        # steady state over a bucketed silver store: both new-state reads
+        # prune to the touched keys' buckets at path selection (replacement
+        # only needs touched keys). The first materialization (v0 == 0)
+        # reads full — its base is the complete join.
+        prune = v0 > 0 and hasattr(self.store, "read_for_keys")
+        if prune:
+            new_a = self.store.read_for_keys(
+                self.spec_a, self._touched.select(F.col("__k").alias(self.key_a))
+            )
+            new_b = self.store.read_for_keys(
+                self.spec_b, self._touched.select(F.col("__k").alias(self.key_b))
+            )
+        else:
+            new_a = self.store.read(self.spec_a)
+            new_b = self.store.read(self.spec_b)
         t = F.broadcast(self._touched)
         a_t = new_a.join(t, new_a[self.key_a] == t["__k"], "left_semi")
         b_t = new_b.join(t, new_b[self.key_b] == t["__k"], "left_semi")
         repl = self._join(a_t, b_t)
-        v0 = self._current()
         base = (
             # first materialization: full join of the CURRENT states (they
             # already include this batch — replacement overwrites the
@@ -393,12 +406,29 @@ class MaintainedAggView:
         # the delta is empty, and the bootstrap aggregate below already
         # contains the batch: still correct)
         applied = m["store_version"] if m["version"] > 0 else self._v_pre
-        old = (
-            self.store.read_version(self.spec, applied)
-            if applied
-            else self.spark.createDataFrame([], self.spec.spark_schema())
-        )
-        new = self.store.read(self.spec)
+        # Steady state over a bucketed silver store: prune BOTH version
+        # reads to the touched keys' buckets at path selection — the diff
+        # below only inspects touched keys, and a bucket is the complete
+        # per-key world for everything in it, so untouched buckets of
+        # either version are never listed or read. The bootstrap batch
+        # (m["version"] == 0) still reads full: its base aggregate needs
+        # the whole old state.
+        prune = hasattr(self.store, "buckets_of") and m["version"] > 0
+        if prune:
+            bks = self.store.buckets_of(self.spec, self._touched)
+            old = (
+                self.store.read_version(self.spec, applied, buckets=bks)
+                if applied
+                else self.spark.createDataFrame([], self.spec.spark_schema())
+            )
+            new = self.store.read_buckets(self.spec, bks)
+        else:
+            old = (
+                self.store.read_version(self.spec, applied)
+                if applied
+                else self.spark.createDataFrame([], self.spec.spark_schema())
+            )
+            new = self.store.read(self.spec)
         v_now = self.store.current_version(self.spec.target_name)
 
         pk = list(self.spec.pk_cols)
@@ -547,7 +577,14 @@ class MaintainedJoinView:
         import json
         import os
 
-        new = self.store.read(self.spec)
+        # bucketed silver store: the new-state read prunes to the touched
+        # keys' buckets at path selection (replacement only needs touched
+        # keys; the semi join below narrows the bucket superset to them)
+        new = (
+            self.store.read_for_keys(self.spec, self._touched)
+            if hasattr(self.store, "read_for_keys")
+            else self.store.read(self.spec)
+        )
         t = F.broadcast(
             self._touched.select(
                 F.col(self._touched.columns[0]).alias("__k")

@@ -139,7 +139,14 @@ class BucketStore:
             return self.spark.createDataFrame([], spec.spark_schema())
         return self.spark.read.schema(spec.spark_schema()).parquet(*paths)
 
-    def read_version(self, spec: TableSpec, version: int) -> DataFrame:
+    def read_version(
+        self, spec: TableSpec, version: int, *, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Time travel to ``version`` — optionally PRUNED to specific
+        buckets (pure path selection against that version's manifest), the
+        read shape incremental view maintenance wants: diffing old→new at a
+        batch's touched keys never needs untouched buckets of either
+        version."""
         cur = self.current_version(spec.target_name)
         d = self._vdir(spec.target_name, version)
         if cur is None or version > cur or version < 1 or not os.path.isdir(d):
@@ -151,7 +158,9 @@ class BucketStore:
                 f"version {version} of {spec.target_name} survives only as a "
                 f"bucket host (its snapshot was GC'd) — not readable"
             )
-        return self._read_manifest(spec, self._manifest(spec.target_name, version))
+        return self._read_manifest(
+            spec, self._manifest(spec.target_name, version), buckets
+        )
 
     def read_for_keys(self, spec: TableSpec, keys: DataFrame) -> DataFrame:
         """Current rows of ONLY the buckets the given PK keys hash into —

@@ -343,6 +343,25 @@ def test_maintained_agg_view_over_bucket_store(spark, tmp_path):
     got = {r["grp"]: (r["n_rows"], float(r["total"])) for r in view.read_view().collect()}
     assert got == {"a": (1, 4.0), "b": (1, 7.0)}
 
+    # steady state exercises the bucket-pruned delta path (version > 0 +
+    # BucketStore): a third batch moving one key still patches correctly
+    run_batch([
+        make_event(spec, "insert", lsn=4, row={"id": 9, "grp": "c", "amount": 2.5}),
+        make_event(spec, "delete", lsn=5, old_key={"id": 1}),
+    ])
+    got = {r["grp"]: (r["n_rows"], float(r["total"])) for r in view.read_view().collect()}
+    assert got == {"b": (1, 7.0), "c": (1, 2.5)}
+
+    # the pruned time-travel read lists ONLY the requested buckets' paths
+    keys = spark.createDataFrame([(9,)], "id long")
+    bks = store.buckets_of(spec, keys)
+    pruned = store.read_version(
+        spec, store.current_version(spec.target_name), buckets=bks
+    )
+    assert pruned.inputFiles() and all(
+        any(f"b{b:05d}" in f for b in bks) for f in pruned.inputFiles()
+    )
+
 
 def test_missing_host_dir_raises_not_partial(spark, tmp_path):
     """A manifest referencing a bucket host whose directory is gone
