@@ -211,6 +211,47 @@ def _append_dir(index_dir: str, batch_id: str) -> str:
     return os.path.join(index_dir, "appends", f"b{batch_id}")
 
 
+def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
+    """Merge all committed append batches into ONE entries tree and clear
+    the appends list — the explicit cut point for a long append chain
+    (same role as ``BucketStore.compact``): reads become a single
+    cell-partitioned tree instead of a union per batch, and the retired
+    append directories are swept. Codebooks and build params are
+    untouched — compaction never recodes.
+
+    Commit discipline: the merged tree is written to a NEW generation
+    directory (``entries-gNNN.parquet``); the single atomic META rename
+    then flips ``entries_dir`` AND empties ``appends`` together. A crash
+    before the rename leaves the old META intact (readers see base +
+    appends, correct); a crash after it leaves the new META (readers see
+    the merged tree, correct). There is no window where a reader can see
+    the appends twice or not at all. Superseded generation/append dirs
+    are swept post-commit; sweeping is repeatable, so a crash mid-sweep
+    only leaves orphans a later compact removes."""
+    import shutil
+
+    meta, _books, entries = load_ann_index(spark, index_dir)
+    committed = meta.get("appends", [])
+    if not committed:
+        return meta
+    old_dir = meta.get("entries_dir", "entries.parquet")
+    gen = meta.get("generation", 0) + 1
+    new_dir = f"entries-g{gen:03d}.parquet"
+    entries.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, new_dir)
+    )
+    meta["entries_dir"] = new_dir
+    meta["generation"] = gen
+    meta["appends"] = []
+    tmp = os.path.join(index_dir, _META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(index_dir, _META))
+    shutil.rmtree(os.path.join(index_dir, old_dir), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "appends"), ignore_errors=True)
+    return meta
+
+
 def load_ann_index(
     spark: SparkSession, index_dir: str
 ) -> tuple[dict, list[list[list[float]]], DataFrame]:
@@ -230,13 +271,21 @@ def load_ann_index(
     books = [[None] * k_cb for _ in range(m)]
     for r in rows:
         books[r["subspace"]][r["code"]] = list(r["codeword"])
-    entries = spark.read.parquet(os.path.join(index_dir, "entries.parquet"))
+    entries = spark.read.parquet(
+        os.path.join(index_dir, meta.get("entries_dir", "entries.parquet"))
+    )
     for b in meta.get("appends", []):
         # only META-committed append batches are visible; orphan staging
         # dirs from crashed appends are never read. Each root is its own
         # cell-partitioned tree, so union (not multi-path read) keeps
-        # partition discovery — and cell pruning — per root.
-        entries = entries.unionByName(spark.read.parquet(_append_dir(index_dir, b)))
+        # partition discovery — and cell pruning — per root. The schema is
+        # explicit: an EMPTY committed batch has no data files to infer
+        # from (the partitioned write of zero rows creates no cell dirs).
+        entries = entries.unionByName(
+            spark.read.schema("vec_id long, codes array<int>, cell int").parquet(
+                _append_dir(index_dir, b)
+            )
+        )
     return meta, books, entries
 
 

@@ -184,3 +184,39 @@ def test_append_crash_retry_does_not_duplicate(spark, sf_dir, tmp_path):
     # re-appending a COMMITTED batch id is refused
     with pytest.raises(ValueError, match="already committed"):
         append_to_ann_index(half_b, d, batch_id="1")
+
+
+def test_compact_merges_appends_into_one_generation(spark, sf_dir, tmp_path):
+    """Compaction merges base + committed appends into one new entries
+    generation with a single atomic META flip (entries_dir + appends
+    cleared together — no read window sees appends twice or not at all),
+    sweeps the retired dirs, and serves row-identical queries."""
+    from connemara_spark.operators.annindex import (
+        append_to_ann_index, build_ann_index, compact_ann_index,
+        ivfpq_topk_indexed, load_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+    d = str(tmp_path / "idx")
+    build_ann_index(half_a, d, **PARAMS)
+    append_to_ann_index(half_b, d)
+    before = sorted(map(tuple, ivfpq_topk_indexed(emb, d, k=5, n_probe=4).collect()))
+
+    meta = compact_ann_index(spark, d)
+    assert meta["appends"] == [] and meta["entries_dir"] == "entries-g001.parquet"
+    assert not os.path.isdir(os.path.join(d, "appends"))
+    assert not os.path.isdir(os.path.join(d, "entries.parquet"))
+    _, _, entries = load_ann_index(spark, d)
+    assert entries.count() == emb.count()
+    after = sorted(map(tuple, ivfpq_topk_indexed(emb, d, k=5, n_probe=4).collect()))
+    assert after == before
+
+    # idempotent no-op when nothing to merge
+    assert compact_ann_index(spark, d)["generation"] == 1
+    # the chain continues: append + compact again -> generation 2
+    append_to_ann_index(half_b.limit(0), d)  # empty batch still commits
+    compact_ann_index(spark, d)
+    m2, _, entries2 = load_ann_index(spark, d)
+    assert m2["generation"] == 2 and entries2.count() == emb.count()
