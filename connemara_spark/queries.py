@@ -131,6 +131,12 @@ def register(
     oracle_fn: Callable[[str], str] | None = None,
 ):
     def deco(fn):
+        if name in REGISTRY:
+            # a silent overwrite would retire a (possibly driver-verified)
+            # query under the same name with different semantics — the
+            # cumulative CORRECTNESS evidence is keyed by name, so that
+            # must be an explicit rename, never an accident
+            raise ValueError(f"registry name {name!r} is already registered")
         REGISTRY[name] = QueryDef(name, fn, oracle, description, oracle_fn)
         return fn
 
@@ -4541,56 +4547,6 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q8_market_share",
-    """
-    SELECT o_year,
-           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN amount ELSE 0 END) AS DOUBLE)
-                / CAST(SUM(amount) AS DOUBLE) AS DOUBLE) AS mkt_share
-    FROM (
-        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
-               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS amount,
-               n2.n_name AS supp_nation
-        FROM part JOIN lineitem ON p_partkey = l_partkey
-                  JOIN supplier ON s_suppkey = l_suppkey
-                  JOIN orders ON l_orderkey = o_orderkey
-                  JOIN customer ON o_custkey = c_custkey
-                  JOIN nation n1 ON c_nationkey = n1.n_nationkey
-                  JOIN region ON n1.n_regionkey = r_regionkey
-                  JOIN nation n2 ON s_nationkey = n2.n_nationkey
-        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
-    )
-    GROUP BY o_year
-    """,
-    "national market share within a region (TPC-H q8 shape): conditional-sum ratio",
-)
-def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = load(spark, sf_dir, "nation")
-    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    n1 = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
-    n2 = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    amount = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", DEC_RATE))).alias("amount")
-    enriched = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
-        .select(F.year("o_orderdate").alias("o_year"), amount, "supp_nation")
-    )
-    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("amount")).otherwise(F.lit(0)))
-    return enriched.groupBy("o_year").agg(
-        (num.cast("double") / F.sum("amount").cast("double")).cast("double").alias("mkt_share")
-    )
-
-
-@register(
     "q9_product_profit",
     """
     SELECT n_name AS nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
@@ -6575,243 +6531,6 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
-    )
-
-
-@register(
-    "q11_important_part_values",
-    """
-    WITH v AS (
-        SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
-        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation ON s_nationkey = n_nationkey
-        WHERE n_name = 'NATION_3'
-        GROUP BY l_partkey
-    )
-    SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
-    FROM v WHERE val * 500 > (SELECT SUM(val) FROM v)
-    ORDER BY val DESC, l_partkey
-    """,
-    "TPC-H Q11 shape (important stock): per-part value within one nation's "
-    "suppliers, kept when above a fraction of the nation total — the global "
-    "scalar inlined as an exact DECIMAL literal (no partsupp in this schema; "
-    "value observed via lineitem), threshold compared integer-scaled "
-    "(val*500 > total) so both engines decide ties identically",
-)
-def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
-    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    v = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("l_partkey")
-        .agg(F.sum(_dec("l_extendedprice")).alias("val"))
-    )
-    v = v.localCheckpoint()  # two readers: the total collect + the filter
-    total = v.agg(F.sum("val")).collect()[0][0]
-    return (
-        v.filter(F.col("val") * 500 > F.lit(total))
-        .select(
-            F.col("l_partkey").alias("p_partkey"),
-            F.col("val").cast("double").alias("part_value"),
-        )
-        .orderBy(F.col("part_value").desc(), "p_partkey")
-    )
-
-
-@register(
-    "q12_late_shipment_priority",
-    """
-    SELECT l_linestatus,
-           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
-    GROUP BY l_linestatus ORDER BY l_linestatus
-    """,
-    "TPC-H Q12 shape (shipping lateness vs priority): lines shipped >90 days "
-    "after order date (no commit/receipt dates in this schema), split into "
-    "high/low-priority counts per linestatus",
-)
-def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .groupBy("l_linestatus")
-        .agg(
-            F.sum(high.cast("int")).alias("high_line_count"),
-            F.sum((~high).cast("int")).alias("low_line_count"),
-        )
-        .orderBy("l_linestatus")
-    )
-
-
-@register(
-    "q13_customer_order_distribution",
-    """
-    WITH co AS (
-        SELECT c_custkey, COUNT(o_orderkey) AS c_count
-        FROM customer LEFT JOIN orders
-          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-        GROUP BY c_custkey
-    )
-    SELECT c_count, COUNT(*) AS custdist
-    FROM co GROUP BY c_count
-    ORDER BY custdist DESC, c_count DESC
-    """,
-    "TPC-H Q13 shape (customer order distribution): LEFT join with an ON-clause "
-    "exclusion (urgent orders stand in for the comment filter — no o_comment in "
-    "this schema), two-level aggregation producing the order-count histogram",
-)
-def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load(spark, sf_dir, "customer").select("c_custkey")
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority"
-    )
-    co = (
-        cust.join(
-            orders,
-            (cust.c_custkey == orders.o_custkey)
-            & (F.col("o_orderpriority") != "1-URGENT"),
-            "left",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return (
-        co.groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
-    )
-
-
-@register(
-    "q15_top_supplier",
-    """
-    WITH rev AS (
-        SELECT l_suppkey,
-               SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS tr
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
-        GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
-    FROM rev JOIN supplier ON s_suppkey = l_suppkey
-    WHERE tr = (SELECT MAX(tr) FROM rev)
-    ORDER BY s_suppkey
-    """,
-    "TPC-H Q15 shape (top supplier): quarterly revenue per supplier, equality "
-    "against the scalar max — the max inlined as an exact DECIMAL literal "
-    "(Spark side), so the tie decision is exact in both engines; no view "
-    "creation step (the CTE is the view)",
-)
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
-    )
-    rev = (
-        li.groupBy("l_suppkey")
-        .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", DEC_RATE))).alias("tr")
-        )
-        .localCheckpoint()  # two readers: max collect + equality filter
-    )
-    top = rev.agg(F.max("tr")).collect()[0][0]
-    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        rev.filter(F.col("tr") == F.lit(top))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", F.col("tr").cast("double").alias("total_revenue"))
-        .orderBy("s_suppkey")
-    )
-
-
-@register(
-    "q17_small_quantity_revenue",
-    """
-    WITH pq AS (
-        SELECT l_partkey AS pk,
-               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
-               COUNT(*) AS cnt
-        FROM lineitem GROUP BY l_partkey
-    )
-    SELECT COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
-    FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pq ON pk = l_partkey
-    WHERE p_brand = 'Brand#2'
-      AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sq
-    """,
-    "TPC-H Q17 shape (small-quantity revenue): lines below 20% of their part's "
-    "average quantity — the avg comparison rewritten integer-scaled "
-    "(qty*5*cnt < sum) so it is EXACT decimal arithmetic in both engines "
-    "instead of a float-division tie hazard; one division at the very end",
-)
-def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(_dec("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("cnt")
-    )
-    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2").select("p_partkey")
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(pq, li.l_partkey == pq.pk)
-        .filter(_dec("l_quantity") * 5 * F.col("cnt") < F.col("sq"))
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
-        )
-    )
-
-
-@register(
-    "q20_part_volume_suppliers",
-    """
-    WITH pa AS (
-        SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
-        FROM lineitem JOIN part ON p_partkey = l_partkey
-        WHERE p_name LIKE 'small%'
-        GROUP BY l_partkey, l_suppkey
-    ),
-    tot AS (SELECT l_partkey, SUM(sq) AS tq FROM pa GROUP BY l_partkey)
-    SELECT DISTINCT s_suppkey, s_name
-    FROM pa JOIN tot USING (l_partkey)
-    JOIN supplier ON s_suppkey = l_suppkey
-    WHERE sq * 8 > tq
-    ORDER BY s_suppkey
-    """,
-    "TPC-H Q20 shape (dominant part suppliers): suppliers shipping more than "
-    "1/8 of a 'small%'-part's total volume (no partsupp availqty in this "
-    "schema — dominance observed via shipped quantity), integer-scaled exact "
-    "DECIMAL comparison, distinct supplier list",
-)
-def q20_part_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
-    part = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("small")).select("p_partkey")
-    pa = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(_dec("l_quantity")).alias("sq"))
-    )
-    tot = pa.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
-    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        pa.join(tot, "l_partkey")
-        .filter(F.col("sq") * 8 > F.col("tq"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name")
-        .distinct()
-        .orderBy("s_suppkey")
     )
 
 
