@@ -583,7 +583,7 @@ def cdc_apply_customer_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_apply_customer_bucketed",
     REGISTRY["cdc_apply_customer"].oracle,
     "CDC apply hosted in the BucketStore silver store (the 100 TB batch-IO "
-    "answer): snapshot seeded as v1, the stream applied in three LSN-ordered "
+    "answer): snapshot seeded as v1, the stream applied in two LSN-ordered "
     "batches through the production Replayer path, each committing a PARTIAL "
     "rewrite of only the hash buckets its touched keys fall into — batch IO "
     "O(touched buckets), never O(table); same oracle as cdc_apply_customer",
@@ -613,13 +613,13 @@ def cdc_apply_customer_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = EngineCatalog()
     cat.register(spec)
     rep = Replayer(spark, cat, store)
-    # three contiguous LSN ranges: batch boundaries preserve per-key apply
+    # two contiguous LSN ranges: batch boundaries preserve per-key apply
     # order (order here is purely lsn_start), exactly a microbatch drain
     row = bronze.agg(
         F.min("lsn_start").alias("lo"), F.max("lsn_start").alias("hi")
     ).collect()[0]
     lo, hi = row["lo"], row["hi"]
-    step = max((hi - lo) // 3 + 1, 1)
+    step = max((hi - lo) // 2 + 1, 1)
     for b0 in range(lo, hi + 1, step):
         batch = bronze.filter(
             (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
@@ -667,7 +667,7 @@ def cdc_apply_customer_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM state GROUP BY c_mktsegment
     """,
     "incrementally-maintained grouped aggregate over the CDC-fed customer state "
-    "(MaintainedAggView through the Replayer maintainer protocol, three LSN-ordered "
+    "(MaintainedAggView through the Replayer maintainer protocol, two LSN-ordered "
     "batches): each batch patches the materialized (group, n_rows, total) at its "
     "touched keys only — O(|delta|) per batch, never a base-table rescan; the final "
     "view must equal a full recompute of the folded state",
@@ -703,7 +703,7 @@ def cdc_maintained_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lsn_start").alias("lo"), F.max("lsn_start").alias("hi")
     ).collect()[0]
     lo, hi = row["lo"], row["hi"]
-    step = max((hi - lo) // 3 + 1, 1)
+    step = max((hi - lo) // 2 + 1, 1)
     for b0 in range(lo, hi + 1, step):
         batch = bronze.filter(
             (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
