@@ -258,6 +258,20 @@ class MaintainedTwoTableJoinView:
             )
         return self.spark.read.parquet(os.path.join(self.view_dir, f"v{v:06d}"))
 
+    def check_schema(self, catalog) -> None:
+        """Fail loudly when DDL removed a column this view projects from
+        either table (see MaintainedAggView.check_schema)."""
+        for spec in (self.spec_a, self.spec_b):
+            cur = catalog.get(spec.database, spec.schema, spec.table)
+            mine = {c.name for c in spec.columns}
+            need = set(spec.pk_cols) | {c for c in self.view_cols if c in mine}
+            missing = sorted(need - set(cur.column_names))
+            if missing:
+                raise RuntimeError(
+                    f"maintained two-table join view lost column(s) {missing} "
+                    f"of {spec.target_name} to DDL — drop and rebuild the view"
+                )
+
     def before_apply(self, parsed_events: DataFrame) -> None:
         ta = touched_keys(parsed_events, self.spec_a).select(
             F.col(self.key_a).alias("__k")
@@ -388,6 +402,23 @@ class MaintainedAggView:
             .cast(self.sum_type)
             .alias("total"),
         )
+
+    def check_schema(self, catalog) -> None:
+        """Fail LOUDLY when mid-stream DDL removed a column this view
+        aggregates (driven by StreamingReplayer after any batch that
+        executed DDL). Without the check, the pinned spec would keep
+        projecting the dropped column out of newer store files as NULLs
+        and the aggregate would drift silently — violating the view's
+        fail-loudly contract. An unrelated ADD COLUMN passes: the view's
+        projection is a subset either way."""
+        cur = catalog.get(self.spec.database, self.spec.schema, self.spec.table)
+        need = set(self.spec.pk_cols) | {self.group_col, self.sum_col}
+        missing = sorted(need - set(cur.column_names))
+        if missing:
+            raise RuntimeError(
+                f"maintained aggregate over {self.spec.target_name} lost "
+                f"column(s) {missing} to DDL — drop and rebuild the view"
+            )
 
     def before_apply(self, parsed_events: DataFrame) -> None:
         self._touched = touched_keys(parsed_events, self.spec).localCheckpoint()
@@ -568,6 +599,19 @@ class MaintainedJoinView:
                 for c in self.view_cols
             ]
         )
+
+    def check_schema(self, catalog) -> None:
+        """Fail loudly when DDL removed a column this view projects from
+        its table (see MaintainedAggView.check_schema)."""
+        cur = catalog.get(self.spec.database, self.spec.schema, self.spec.table)
+        mine = {c.name for c in self.spec.columns}
+        need = set(self.spec.pk_cols) | {c for c in self.view_cols if c in mine}
+        missing = sorted(need - set(cur.column_names))
+        if missing:
+            raise RuntimeError(
+                f"maintained join view over {self.spec.target_name} lost "
+                f"column(s) {missing} to DDL — drop and rebuild the view"
+            )
 
     def before_apply(self, parsed_events: DataFrame) -> None:
         self._old = self.store.read(self.spec)  # version-pinned OLD state

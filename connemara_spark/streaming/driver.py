@@ -140,7 +140,15 @@ class StreamingReplayer:
                 parsed = self.replayer.parse_batch(fresh)
                 for m in self.maintainers:
                     m.before_apply(parsed)
-            self.replayer.apply_batch(fresh, events=parsed)
+            metrics = self.replayer.apply_batch(fresh, events=parsed)
+            if metrics.ddl_executed:
+                # mid-stream DDL may have evolved a maintained view's base
+                # table: verify each view's columns survived BEFORE
+                # patching, so a dropped/renamed aggregate column fails
+                # loudly here instead of silently null-filling the view
+                for m in self.maintainers:
+                    if hasattr(m, "check_schema"):
+                        m.check_schema(self.replayer.catalog)
             for m in self.maintainers:
                 m.after_apply()
             maxes = (

@@ -378,3 +378,105 @@ def test_missing_host_dir_raises_not_partial(spark, tmp_path):
     shutil.rmtree(store._bdir(SPEC.target_name, 1, int(hosted[0])))
     with pytest.raises(RuntimeError, match="missing"):
         store.read(SPEC)
+
+
+def _ddl_event(lsn, query, database="db1"):
+    import datetime
+    import json as j
+
+    payload = {
+        "kind": "insert",
+        "schema": "public",
+        "table": "sql_ddl_statements",
+        "columnnames": ["id", "current_query", "search_path", "command_tags"],
+        "columnvalues": [str(lsn), query, '"$user", public', "{DDL}"],
+    }
+    ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=lsn)
+    return {
+        "insert_timestamp": ts,
+        "database": database,
+        "source_slotname": f"slot_{database}",
+        "lsn_start": lsn,
+        "xid": 1000 + lsn,
+        "xid_timestamp": ts,
+        "payload": j.dumps(payload),
+    }
+
+
+def test_ddl_barrier_evolves_bucket_store_mid_batch(spark, tmp_path):
+    """The ParquetStore DDL-barrier contract holds over BucketStore: an
+    ADD COLUMN between two inserts evolves the bucketed table (full
+    rewrite — bucket files share one schema per version) and the
+    post-barrier insert lands with the new column, all in one batch."""
+    cat = _catalog()
+    spec = cat.get("db1", "public", "items")
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=8)
+    rep = Replayer(spark, cat, store)
+    rows = [
+        make_event(spec, "insert", lsn=1, row={"id": 1, "v": "a"}),
+        _ddl_event(2, "ALTER TABLE public.items ADD COLUMN note text"),
+    ]
+    m = rep.apply_batch(_bronze(spark, rows))
+    assert m.ddl_executed == 1 and m.segments == 2
+    spec2 = cat.get("db1", "public", "items")
+    assert spec2.column_names == ["id", "v", "note"]
+    rep.apply_batch(_bronze(spark, [
+        make_event(spec2, "insert", lsn=3, row={"id": 3, "v": "c", "note": "hi"}),
+    ]))
+    out = {r["id"]: (r["v"], r["note"]) for r in store.read(spec2).collect()}
+    assert out == {1: ("a", None), 3: ("c", "hi")}
+
+
+def test_maintained_view_survives_unrelated_ddl_and_fails_loudly_on_drop(spark, tmp_path):
+    """Mid-stream DDL vs a maintained view, through the streaming driver:
+    an ADD COLUMN the view does not project passes and the view stays
+    correct; dropping the view's aggregated column raises (fail loudly —
+    the pinned spec would otherwise null-fill the dropped column out of
+    newer store files and the aggregate would drift silently)."""
+    from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
+    from connemara_spark.operators.ivm import MaintainedAggView
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+
+    spec = TableSpec(
+        database="db1", schema="public", table="sales",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("grp", "text"),
+                 ColumnSpec("amount", "double precision")],
+        pk_cols=["id"],
+    )
+    cat = EngineCatalog()
+    cat.register(spec)
+    spec = cat.get("db1", "public", "sales")
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=8)
+    view = MaintainedAggView(
+        spark, store, spec, group_col="grp", sum_col="amount",
+        view_dir=str(tmp_path / "view"),
+    )
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+        maintainers=[view],
+    )
+
+    def seg(events, name):
+        write_segment(str(tmp_path / "spool"), [dict(e) for e in events], name)
+
+    seg([make_event(spec, "insert", lsn=1, row={"id": 1, "grp": "a", "amount": 4.0}),
+         make_event(spec, "insert", lsn=2, row={"id": 2, "grp": "b", "amount": 6.0})],
+        "seg-001")
+    sr.run_until_drained()
+
+    # unrelated ADD COLUMN + more data: view continues, stays correct
+    seg([_ddl_event(3, "ALTER TABLE public.sales ADD COLUMN region text"),
+         make_event(spec, "insert", lsn=4, row={"id": 5, "grp": "a", "amount": 1.0})],
+        "seg-002")
+    sr.run_until_drained()
+    got = {r["grp"]: (r["n_rows"], float(r["total"])) for r in view.read_view().collect()}
+    assert got == {"a": (2, 5.0), "b": (1, 6.0)}
+
+    # dropping the aggregated column must kill the stream loudly
+    seg([_ddl_event(5, "ALTER TABLE public.sales DROP COLUMN amount")], "seg-003")
+    with pytest.raises(Exception, match="lost column"):
+        sr.run_until_drained()
