@@ -147,10 +147,27 @@ class Maintenance:
     by PK — keeps scan counts low and point-lookup merges cheap at scale.
     """
 
-    def __init__(self, store, catalog: EngineCatalog, *, target_partitions: int = 8):
+    def __init__(
+        self,
+        store,
+        catalog: EngineCatalog,
+        *,
+        target_partitions: int = 8,
+        max_chain: int = 32,
+        keep_last: int = 2,
+    ):
         self.store = store
         self.catalog = catalog
         self.target_partitions = target_partitions
+        # version-chain policy for chained stores (BucketStore): partial
+        # rewrites keep old versions alive as bucket hosts, growing read
+        # fan-in; once a table's physical chain exceeds ``max_chain`` the
+        # idle pass compacts it into one self-contained version and runs
+        # reference-counted GC. ``keep_last`` defaults to 2 so a
+        # MaintainedAggView's version-anchored recovery point survives
+        # (ivm.py docstring: GC'ing it fails the next patch loudly).
+        self.max_chain = max_chain
+        self.keep_last = keep_last
 
     @staticmethod
     def stream_is_idle(progress: dict | None) -> bool:
@@ -172,7 +189,26 @@ class Maintenance:
     def run(self, *, progress: dict | None = None) -> list[CompactionReport]:
         if not self.stream_is_idle(progress):
             return []
-        return [self.compact_table(spec) for spec in self.catalog.tables()]
+        out = []
+        for spec in self.catalog.tables():
+            if hasattr(self.store, "chain_length"):
+                # chained store: compaction is a FULL rewrite, so pay it
+                # only when the version chain has actually fragmented —
+                # short chains are exactly what the partial-rewrite store
+                # exists to keep cheap
+                if self.store.chain_length(spec) <= self.max_chain:
+                    continue
+                before = self.store.chain_length(spec)
+                self.store.compact(spec)
+                self.store.gc_versions(spec, keep_last=self.keep_last)
+                out.append(
+                    CompactionReport(
+                        spec.target_name, before, self.store.chain_length(spec)
+                    )
+                )
+            else:
+                out.append(self.compact_table(spec))
+        return out
 
 
 # ------------------------------------------------------------------ fixer (D15)

@@ -342,6 +342,19 @@ class BucketStore:
         }
         self._commit(spec.target_name, v, manifest)
 
+    def chain_length(self, spec: TableSpec) -> int:
+        """Number of PHYSICAL version directories alive for the table —
+        including host-only versions demoted by GC. This is the quantity
+        partial rewrites grow and ``compact`` resets: every live version
+        adds one directory per hosted bucket to the read fan-in ceiling,
+        so maintenance policies gate on it."""
+        tdir = self._tdir(spec.target_name)
+        if not os.path.isdir(tdir):
+            return 0
+        return sum(
+            1 for e in os.listdir(tdir) if e.startswith("v") and e[1:].isdigit()
+        )
+
     def compact(self, spec: TableSpec) -> int:
         """Rewrite the table as one self-contained version (every bucket
         hosted by the new version), releasing every older directory's last

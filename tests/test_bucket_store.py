@@ -480,3 +480,48 @@ def test_maintained_view_survives_unrelated_ddl_and_fails_loudly_on_drop(spark, 
     seg([_ddl_event(5, "ALTER TABLE public.sales DROP COLUMN amount")], "seg-003")
     with pytest.raises(Exception, match="lost column"):
         sr.run_until_drained()
+
+
+def test_idle_maintenance_compacts_long_chains_only(spark, tmp_path):
+    """W10 idle maintenance over a chained store: partial rewrites grow
+    the physical version chain; the idle pass leaves short chains alone
+    (compaction is a full rewrite — the cost the partial store avoids)
+    and compacts + GCs once the chain passes max_chain, preserving data
+    and the maintained-view recovery point (keep_last=2)."""
+    from connemara_spark.ops import Maintenance
+
+    cat = _catalog()
+    spec = cat.get("db1", "public", "items")
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=8)
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "id long, v string")
+    store.write(spec, base)
+
+    def patch_one(i, tag):
+        keys = spark.createDataFrame([(i,)], "id long")
+        touched = store.buckets_of(spec, keys)
+        patched = store.read_for_keys(spec, keys).withColumn(
+            "v", F.when(F.col("id") == i, F.lit(tag)).otherwise(F.col("v"))
+        )
+        store.write_partial(spec, patched, buckets=touched)
+
+    for n in range(6):
+        patch_one(n % 5, f"p{n}")
+    maint = Maintenance(store, cat, max_chain=10)
+    assert maint.run() == []  # chain of 7 is healthy — no full rewrite
+    assert store.chain_length(spec) == 7
+
+    for n in range(6, 12):
+        patch_one(n % 5, f"p{n}")
+    reports = maint.run(progress={"inputRowsPerSecond": 0.0})
+    assert len(reports) == 1 and reports[0].files_before == 13
+    # keep_last=2 retains the pre-compact version AND the hosts its
+    # manifest references (the maintained-view recovery point must stay
+    # fully reconstructable) — so the chain shrinks but does not collapse
+    # to 1 until the next compaction cycle retires that version
+    assert store.chain_length(spec) < 13
+    assert store.chain_length(spec) == reports[0].files_after
+    rows = {r["id"]: r["v"] for r in store.read(spec).collect()}
+    assert len(rows) == 40 and rows[0] == "p10" and rows[1] == "p11"
+
+    # busy stream: never compacts regardless of chain length
+    assert maint.run(progress={"inputRowsPerSecond": 5.0}) == []
