@@ -3,7 +3,9 @@ throughput'): 100k mixed wal2json events over a 5k-row table, 10
 LSN-ordered spool segments of 10k, wal_spool source -> foreachBatch apply
 on local[32]. Prints drain seconds for the full backlog.
 
-Usage: python tools/streaming_probe.py [rows|paths] [n_events]
+Usage: python tools/streaming_probe.py [rows|paths|bucketed] [n_events]
+``bucketed`` drains into a BucketStore (JVM parse): the Replayer
+auto-detects the store and commits PARTIAL rewrites per batch.
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ def main() -> None:
     from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
     from connemara_spark.pipeline import ParquetStore
     from connemara_spark.session import get_spark
+    from connemara_spark.stores import BucketStore
     from connemara_spark.sources.replication import write_segment
     from connemara_spark.streaming import StreamingReplayer
     from connemara_spark.testing import make_event, random_event_stream
@@ -44,7 +47,11 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="probe-")
     try:
-        store = ParquetStore(spark, f"{work}/silver")
+        store = (
+            BucketStore(spark, f"{work}/silver", n_buckets=64)
+            if mode == "bucketed"
+            else ParquetStore(spark, f"{work}/silver")
+        )
         store.write(spec, spark.createDataFrame(
             [(r["id"], r["v"], r["n"]) for r in base], spec.spark_schema()))
         seg_size = max(1, n // 10)
@@ -53,7 +60,7 @@ def main() -> None:
         sr = StreamingReplayer(
             spark, cat, store,
             landing_dir=f"{work}/spool", checkpoint_dir=f"{work}/ckpt",
-            landing_format="wal_spool", jvm_parse=(mode == "paths"),
+            landing_format="wal_spool", jvm_parse=(mode in ("paths", "bucketed")),
         )
         t0 = time.monotonic()
         sr.run_until_drained(timeout_sec=600)
