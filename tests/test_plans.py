@@ -313,3 +313,30 @@ def test_parse_barrier_lint_detects_regression(spark, sf_dir):
     flt = "table = 'customer' and op = 'insert'"
     assert _from_json_count(parse_events(bronze, pushdown_barrier=False).filter(flt)) > 1
     assert _from_json_count(parse_events(bronze, pushdown_barrier=True).filter(flt)) == 1
+
+
+def test_driver_sample_order_self_rotates(spark, sf_dir):
+    """The driver checks the first ~50 of queries() order; _ordered ranks
+    names with no committed CORRECTNESS row first, so committing a round's
+    CORRECTNESS file IS the rotation — no per-round list surgery. With an
+    injected 'everything sampled but X' set, X leads; with nothing
+    sampled, DRIVER_SAMPLE_PRIORITY leads."""
+    from connemara_spark.queries import DRIVER_SAMPLE_PRIORITY, REGISTRY, _ordered
+
+    all_names = set(REGISTRY)
+    # nothing sampled yet (fresh checkout): priority list leads verbatim
+    fresh = _ordered(set())
+    want_head = [n for n in DRIVER_SAMPLE_PRIORITY if n in REGISTRY]
+    assert fresh[: len(want_head)] == want_head
+    assert sorted(fresh) == sorted(all_names)
+
+    # everything sampled except two stragglers: they lead, rest keeps
+    # priority-then-registration order
+    stragglers = {"q1_pricing_summary", "exact_dedup_documents"}
+    order = _ordered(all_names - stragglers)
+    assert set(order[:2]) == stragglers
+    assert sorted(order) == sorted(all_names)
+
+    # everything sampled: pure priority-then-registration order again
+    full = _ordered(all_names)
+    assert full[: len(want_head)] == want_head
