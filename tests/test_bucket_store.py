@@ -525,3 +525,62 @@ def test_idle_maintenance_compacts_long_chains_only(spark, tmp_path):
 
     # busy stream: never compacts regardless of chain length
     assert maint.run(progress={"inputRowsPerSecond": 5.0}) == []
+
+
+def test_randomized_lifecycle_against_model(spark, tmp_path):
+    """Model-based lifecycle fuzz: a seeded random sequence of full
+    writes, partial patches, deletes-via-partial, compactions and GCs must
+    keep (a) the current read equal to a dict model, (b) every version
+    listed by versions() fully readable (the demotion contract: GC either
+    keeps a snapshot readable or removes it from the list — never a
+    silently partial read), (c) partial writes confined to touched
+    buckets."""
+    import random
+
+    rng = random.Random(1234)
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=8)
+    model: dict[int, str] = {i: f"v{i}" for i in range(60)}
+    store.write(
+        SPEC, spark.createDataFrame(sorted(model.items()), "id long, v string")
+    )
+
+    def df_of(d):
+        return (
+            spark.createDataFrame(sorted(d.items()), "id long, v string")
+            if d
+            else spark.createDataFrame([], "id long, v string")
+        )
+
+    for step in range(18):
+        op = rng.choice(["patch", "patch", "patch", "delete", "full", "gc", "compact"])
+        if op in ("patch", "delete"):
+            ids = rng.sample(sorted(model) or [0], k=min(len(model), rng.randint(1, 6)))
+            if not ids:
+                continue
+            keys = spark.createDataFrame([(i,) for i in ids], "id long")
+            touched = store.buckets_of(SPEC, keys)
+            world = {r["id"]: r["v"] for r in store.read_buckets(SPEC, touched).collect()}
+            if op == "patch":
+                for i in ids:
+                    world[i] = f"s{step}"
+                    model[i] = f"s{step}"
+            else:
+                for i in ids:
+                    world.pop(i, None)
+                    model.pop(i, None)
+            store.write_partial(SPEC, df_of(world), buckets=touched)
+        elif op == "full":
+            new_id = 1000 + step
+            model[new_id] = f"n{step}"
+            store.write(SPEC, df_of(model))
+        elif op == "gc":
+            store.gc_versions(SPEC, keep_last=rng.choice([1, 2]))
+        else:
+            store.compact(SPEC)
+
+        got = {r["id"]: r["v"] for r in store.read(SPEC).collect()}
+        assert got == model, f"divergence at step {step} after {op}"
+        # every LISTED version must be fully readable (count() forces the
+        # path resolution that raises on a GC'd host)
+        for v in store.versions(SPEC):
+            store.read_version(SPEC, v).count()
