@@ -220,3 +220,74 @@ def test_compact_merges_appends_into_one_generation(spark, sf_dir, tmp_path):
     compact_ann_index(spark, d)
     m2, _, entries2 = load_ann_index(spark, d)
     assert m2["generation"] == 2 and entries2.count() == emb.count()
+
+
+def test_randomized_index_lifecycle_against_model(spark, sf_dir, tmp_path):
+    """Model-based lifecycle fuzz for the persisted index: a seeded random
+    sequence of appends, crash-orphaned appends (staged dir without META
+    commit), blind retries, and compactions must keep the visible entry
+    set equal to a model of committed vec_ids — never a duplicate, never
+    a lost batch — and keep load round-trippable."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.annindex import (
+        _append_dir, append_to_ann_index, build_ann_index, compact_ann_index,
+        load_ann_index,
+    )
+
+    rng = random.Random(77)
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    base_ids = {r[0] for r in emb.filter("vec_id % 4 = 0").select("vec_id").collect()}
+    remaining = sorted(
+        r[0] for r in emb.filter("vec_id % 4 != 0").select("vec_id").collect()
+    )
+    d = str(tmp_path / "idx")
+    build_ann_index(emb.filter("vec_id % 4 = 0"), d, **PARAMS)
+    model = set(base_ids)
+    pending_crash = None  # batch whose staging dir exists but META never named it
+
+    for step in range(8):
+        op = rng.choice(["append", "crash", "retry", "compact"])
+        if op == "append" and remaining:
+            take = [remaining.pop() for _ in range(min(len(remaining), rng.randint(5, 40)))]
+            batch = emb.filter(F.col("vec_id").isin(take))
+            append_to_ann_index(batch, d)
+            model |= set(take)
+        elif op == "crash" and remaining and pending_crash is None:
+            # stage-by-append then roll META back: the on-disk state of a
+            # crash between the parquet write and the META rename
+            take = [remaining.pop() for _ in range(min(len(remaining), rng.randint(5, 20)))]
+            batch = emb.filter(F.col("vec_id").isin(take))
+            import json as _json
+
+            with open(os.path.join(d, "META.json")) as fh:
+                before = _json.load(fh)
+            meta = append_to_ann_index(batch, d)
+            crashed_id = meta["appends"][-1]
+            with open(os.path.join(d, "META.json"), "w") as fh:
+                _json.dump(before, fh)
+            pending_crash = (crashed_id, take)
+        elif op == "retry" and pending_crash is not None:
+            crashed_id, take = pending_crash
+            batch = emb.filter(F.col("vec_id").isin(take))
+            append_to_ann_index(batch, d, batch_id=crashed_id)
+            model |= set(take)
+            pending_crash = None
+        elif op == "compact":
+            compact_ann_index(spark, d)
+            if pending_crash is not None and not os.path.isdir(
+                _append_dir(d, pending_crash[0])
+            ):
+                # compaction swept the orphan staging dir with appends/;
+                # its ids were never committed, so the model is unchanged
+                # and a later retry would stage fresh — drop the pending
+                remaining.extend(pending_crash[1])
+                pending_crash = None
+
+        _, _, entries = load_ann_index(spark, d)
+        got = {r[0] for r in entries.select("vec_id").collect()}
+        assert got == model, f"step {step} after {op}: {len(got)} vs {len(model)}"
+        assert entries.count() == len(model)  # no duplicates hiding in the bag
