@@ -1,0 +1,185 @@
+"""JDBC apply sink: push CDC-folded state into a LIVE relational target.
+
+The reference's apply sink IS a relational database — the Perl replayer
+executes INSERT/UPDATE/DELETE directly against consolidation PostgreSQL
+(``replayer/connemara_replay.pl:416-426``). This engine folds into its
+own silver store; this module closes the loop for deployments that ALSO
+serve a downstream RDBMS (reporting replicas, serving tables): per batch
+it ships the touched-key slice of the new state over JDBC and merges it
+into the target.
+
+Spark-idiomatic shape (executors cannot speak JDBC-with-transactions
+row-by-row from Python, and per-row DML from the driver would be the
+reference's single-writer bottleneck): the batch's touched-key slice is
+written DISTRIBUTEDLY to a staging table with ``df.write.jdbc`` (the
+parallel, dumb-append fast path), and ONE driver-side transaction then
+reconciles target <- staging:
+
+    DELETE FROM target WHERE pk IN (SELECT pk FROM staging_keys);
+    INSERT INTO target SELECT ... FROM staging;
+    INSERT INTO ledger VALUES (batch_id);  -- same transaction
+    COMMIT;
+
+Delete-then-insert-at-touched-keys is REPLACEMENT, the same idempotent
+discipline as ``MaintainedJoinView``: a replayed batch (streaming
+checkpoint rollback) converges because replacement overwrites rather
+than diffs. The ledger row makes the whole apply exactly-once — a batch
+id already in the ledger is skipped before any work, and the ledger
+insert commits atomically WITH the data, so a crash either applied
+nothing or recorded the application.
+
+Protocol: ``before_apply(parsed_events)`` pins the batch's touched keys
+(same hook as the view maintainers — StreamingReplayer drives this class
+via ``maintainers=[...]``); ``after_apply()`` ships and merges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from connemara_spark.operators.ivm import touched_keys
+
+
+class JdbcApplySink:
+    """Replicate a silver table's CDC-applied state into a JDBC target,
+    |Δ|-scoped per batch, exactly-once via a ledger table."""
+
+    def __init__(
+        self,
+        spark,
+        store,
+        spec,
+        *,
+        url: str,
+        target_table: str,
+        properties: dict[str, str] | None = None,
+        staging_table: str | None = None,
+        ledger_table: str | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.spec = spec
+        self.url = url
+        self.target = target_table
+        self.props = properties or {}
+        self.staging = staging_table or f"{target_table}_staging"
+        self.ledger = ledger_table or f"{target_table}_apply_ledger"
+        self._touched = None
+        self._batch_seq = 0
+        self._ensure_ledger()
+
+    # -- maintainer protocol (driven by StreamingReplayer) -----------------
+    def before_apply(self, parsed_events) -> None:
+        self._touched = touched_keys(parsed_events, self.spec).localCheckpoint()
+
+    def after_apply(self, batch_id: str | None = None) -> None:
+        if self._touched is None:
+            raise RuntimeError("before_apply must run first")
+        if batch_id is None:
+            self._batch_seq += 1
+            batch_id = f"seq-{self._batch_seq}"
+        try:
+            self.apply_touched(self._touched, batch_id=batch_id)
+        finally:
+            self._touched = None
+
+    # -- core --------------------------------------------------------------
+    def apply_touched(self, keys, *, batch_id: str) -> bool:
+        """Replace the target's rows at ``keys`` with the silver store's
+        CURRENT rows at those keys. Returns False when ``batch_id`` was
+        already applied (exactly-once skip)."""
+        if self._ledger_has(batch_id):
+            return False
+        pk = list(self.spec.pk_cols)
+        if not pk:
+            raise ValueError(f"{self.spec.target_name}: JDBC apply needs PK columns")
+        # the new state at the touched keys — over a BucketStore this read
+        # prunes to the touched buckets at path selection
+        new = (
+            self.store.read_for_keys(self.spec, keys)
+            if hasattr(self.store, "read_for_keys")
+            else self.store.read(self.spec)
+        )
+        t = F.broadcast(keys.select(*pk).distinct())
+        slice_df = new.join(t, on=pk, how="left_semi")
+        # the touched keys ride along so DELETED rows (touched, absent
+        # from the new state) still reach the reconcile step
+        keys_df = t.select(*pk)
+        # distributed fast path: dumb append into staging (truncated first)
+        cols = [c.name for c in self.spec.columns]
+        slice_df.select(*cols).write.mode("overwrite").option(
+            "truncate", "true"
+        ).jdbc(self.url, self.staging, properties=self.props)
+        keys_df.write.mode("overwrite").option("truncate", "true").jdbc(
+            self.url, f"{self.staging}_keys", properties=self.props
+        )
+        self._reconcile(batch_id, pk, cols)
+        return True
+
+    # -- driver-side JDBC --------------------------------------------------
+    def _connect(self):
+        jvm = self.spark._jvm
+        driver = self.props.get("driver")
+        if driver:
+            jvm.java.lang.Class.forName(driver)
+        return jvm.java.sql.DriverManager.getConnection(self.url)
+
+    def _ensure_ledger(self) -> None:
+        con = self._connect()
+        try:
+            st = con.createStatement()
+            try:
+                st.execute(
+                    f"CREATE TABLE {self.ledger} (batch_id VARCHAR(128) PRIMARY KEY)"
+                )
+            except Exception:
+                pass  # exists
+            con.commit()
+        finally:
+            con.close()
+
+    def _ledger_has(self, batch_id: str) -> bool:
+        con = self._connect()
+        try:
+            ps = con.prepareStatement(
+                f"SELECT 1 FROM {self.ledger} WHERE batch_id = ?"
+            )
+            ps.setString(1, batch_id)
+            rs = ps.executeQuery()
+            return rs.next()
+        finally:
+            con.close()
+
+    def _reconcile(self, batch_id: str, pk: list[str], cols: list[str]) -> None:
+        """ONE transaction: replacement at touched keys + ledger record.
+        Crash before COMMIT leaves the target untouched and the batch
+        unrecorded — the retry redoes everything; crash after COMMIT makes
+        the retry a ledger-skip."""
+        # Spark's JDBC writer creates staging columns QUOTED in the
+        # DataFrame's exact case; the user-created target resolves
+        # unquoted (standard case folding) — reference each side its way
+        on = " AND ".join(f't.{c} = k."{c}"' for c in pk)
+        con = self._connect()
+        try:
+            con.setAutoCommit(False)
+            st = con.createStatement()
+            st.execute(
+                f"DELETE FROM {self.target} t WHERE EXISTS "
+                f"(SELECT 1 FROM {self.staging}_keys k WHERE {on})"
+            )
+            st.execute(
+                f"INSERT INTO {self.target} ({', '.join(cols)}) "
+                f"SELECT {', '.join(f'{chr(34)}{c}{chr(34)}' for c in cols)} "
+                f"FROM {self.staging}"
+            )
+            ps = con.prepareStatement(
+                f"INSERT INTO {self.ledger} (batch_id) VALUES (?)"
+            )
+            ps.setString(1, batch_id)
+            ps.executeUpdate()
+            con.commit()
+        except Exception:
+            con.rollback()
+            raise
+        finally:
+            con.close()

@@ -1,0 +1,135 @@
+"""JDBC apply sink: |delta|-scoped replacement into a live relational
+target with an exactly-once ledger — exercised against embedded Derby."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
+from connemara_spark.events import BRONZE_SCHEMA
+from connemara_spark.pipeline import Replayer
+from connemara_spark.sinks import JdbcApplySink
+from connemara_spark.stores import BucketStore
+from connemara_spark.testing import make_event
+
+PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _setup(spark, tmp_path, dbname):
+    url = f"jdbc:derby:memory:{dbname};create=true"
+    con = spark._jvm.java.sql.DriverManager.getConnection(url)
+    st = con.createStatement()
+    st.execute("CREATE TABLE items (id BIGINT PRIMARY KEY, v VARCHAR(64), n INT)")
+    con.commit()
+    con.close()
+
+    spec = TableSpec(
+        database="db1", schema="public", table="items",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text"),
+                 ColumnSpec("n", "integer")],
+        pk_cols=["id"],
+    )
+    cat = EngineCatalog()
+    cat.register(spec)
+    spec = cat.get("db1", "public", "items")
+    store = BucketStore(spark, str(tmp_path / "silver"), n_buckets=8)
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i) for i in range(20)], "id long, v string, n int"
+    )
+    store.write(spec, base)
+    rep = Replayer(spark, cat, store)
+    sink = JdbcApplySink(
+        spark, store, spec,
+        url=f"jdbc:derby:memory:{dbname}", target_table="items", properties=PROPS,
+    )
+    return url, spec, store, rep, sink
+
+
+def _bronze(spark, events):
+    return spark.createDataFrame(
+        [tuple(e[f.name] for f in BRONZE_SCHEMA.fields) for e in events],
+        schema=BRONZE_SCHEMA,
+    )
+
+
+def _target_rows(spark, url):
+    con = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = con.createStatement().executeQuery("SELECT id, v, n FROM items ORDER BY id")
+        out = {}
+        while rs.next():
+            out[rs.getLong(1)] = (rs.getString(2), rs.getInt(3))
+        return out
+    finally:
+        con.close()
+
+
+def test_jdbc_apply_replicates_store_state_exactly_once(spark, tmp_path):
+    url, spec, store, rep, sink = _setup(spark, tmp_path, "sinkdb1")
+
+    # seed the target with the snapshot (full first load: every key touched)
+    all_keys = store.read(spec).select("id")
+    assert sink.apply_touched(all_keys, batch_id="bootstrap")
+    assert _target_rows(spark, url) == {
+        i: (f"v{i}", i) for i in range(20)
+    }
+
+    # batch: update, delete, insert — driven through the maintainer protocol
+    events = [
+        make_event(spec, "update", lsn=1, row={"id": 2, "v": "patched", "n": 99}, old_key={"id": 2}),
+        make_event(spec, "delete", lsn=2, old_key={"id": 5}),
+        make_event(spec, "insert", lsn=3, row={"id": 50, "v": "new", "n": 1}),
+    ]
+    b = _bronze(spark, events)
+    parsed = rep.parse_batch(b)
+    sink.before_apply(parsed)
+    rep.apply_batch(b, events=parsed)
+    sink.after_apply(batch_id="batch-1")
+
+    got = _target_rows(spark, url)
+    assert got[2] == ("patched", 99) and got[50] == ("new", 1)
+    assert 5 not in got and len(got) == 20  # 20 - 1 deleted + 1 inserted
+    # target mirrors the silver store exactly
+    want = {r["id"]: (r["v"], r["n"]) for r in store.read(spec).collect()}
+    assert got == want
+
+    # exactly-once: replaying the SAME batch id is a no-op skip
+    assert sink.apply_touched(
+        spark.createDataFrame([(2,), (5,), (50,)], "id long"), batch_id="batch-1"
+    ) is False
+    assert _target_rows(spark, url) == want
+
+
+def test_jdbc_apply_retry_after_crash_converges(spark, tmp_path):
+    """Crash-before-commit leaves the target untouched and the ledger
+    unrecorded; the retry with the SAME batch id applies cleanly (and a
+    post-commit replay skips). Replacement semantics make the re-apply
+    idempotent even though the store already contains the batch."""
+    url, spec, store, rep, sink = _setup(spark, tmp_path, "sinkdb2")
+    sink.apply_touched(store.read(spec).select("id"), batch_id="bootstrap")
+
+    events = [
+        make_event(spec, "update", lsn=1, row={"id": 1, "v": "x", "n": 7}, old_key={"id": 1}),
+    ]
+    b = _bronze(spark, events)
+    parsed = rep.parse_batch(b)
+    sink.before_apply(parsed)
+    rep.apply_batch(b, events=parsed)
+    # crash: after_apply never runs; store advanced, target stale
+    assert _target_rows(spark, url)[1] == ("v1", 1)
+
+    # restart replays the batch: store re-apply is idempotent, sink applies
+    parsed2 = rep.parse_batch(b)
+    sink2 = JdbcApplySink(
+        spark, store, spec,
+        url=f"jdbc:derby:memory:sinkdb2", target_table="items", properties=PROPS,
+    )
+    sink2.before_apply(parsed2)
+    rep.apply_batch(b, events=parsed2)
+    sink2.after_apply(batch_id="batch-1")
+    assert _target_rows(spark, url)[1] == ("x", 7)
+    # and the duplicate delivery after success is skipped
+    assert sink2.apply_touched(
+        spark.createDataFrame([(1,)], "id long"), batch_id="batch-1"
+    ) is False
