@@ -65,14 +65,25 @@ class JdbcApplySink:
         self.staging = staging_table or f"{target_table}_staging"
         self.ledger = ledger_table or f"{target_table}_apply_ledger"
         self._touched = None
-        self._batch_seq = 0
         self._ensure_ledger()
+        # auto-assigned batch ids must survive process restarts: a fresh
+        # counter starting at 1 would collide with ledger entries from the
+        # previous process and silently SKIP real batches — resume from
+        # the highest committed sequence instead
+        self._batch_seq = self._max_committed_seq()
 
     # -- maintainer protocol (driven by StreamingReplayer) -----------------
     def before_apply(self, parsed_events) -> None:
         self._touched = touched_keys(parsed_events, self.spec).localCheckpoint()
 
     def after_apply(self, batch_id: str | None = None) -> None:
+        """Ship and merge the batch. With an explicit ``batch_id`` (one
+        derived from the source's offsets/stream batch id) delivery is
+        exactly-once via the ledger. Auto-assigned ids resume above the
+        ledger's highest committed sequence, so a restarted process never
+        collides-and-skips; a stream-replayed batch then applies under a
+        FRESH id — still convergent, because replacement overwrites the
+        touched keys with current state rather than diffing."""
         if self._touched is None:
             raise RuntimeError("before_apply must run first")
         if batch_id is None:
@@ -135,6 +146,21 @@ class JdbcApplySink:
             except Exception:
                 pass  # exists
             con.commit()
+        finally:
+            con.close()
+
+    def _max_committed_seq(self) -> int:
+        con = self._connect()
+        try:
+            rs = con.createStatement().executeQuery(
+                f"SELECT batch_id FROM {self.ledger}"
+            )
+            best = 0
+            while rs.next():
+                bid = rs.getString(1)
+                if bid.startswith("seq-") and bid[4:].isdigit():
+                    best = max(best, int(bid[4:]))
+            return best
         finally:
             con.close()
 

@@ -133,3 +133,64 @@ def test_jdbc_apply_retry_after_crash_converges(spark, tmp_path):
     assert sink2.apply_touched(
         spark.createDataFrame([(1,)], "id long"), batch_id="batch-1"
     ) is False
+
+
+def test_jdbc_sink_through_streaming_driver_with_restart(spark, tmp_path):
+    """The sink as a first-class streaming maintainer: wal_spool drains
+    keep the Derby target mirroring the silver store, and a RESTARTED
+    process (fresh sink object, counter reseeded from the ledger) neither
+    skips nor duplicates."""
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+
+    url0 = "jdbc:derby:memory:sinkdb3;create=true"
+    con = spark._jvm.java.sql.DriverManager.getConnection(url0)
+    con.createStatement().execute(
+        "CREATE TABLE items (id BIGINT PRIMARY KEY, v VARCHAR(64), n INT)"
+    )
+    con.commit()
+    con.close()
+
+    spec = TableSpec(
+        database="db1", schema="public", table="items",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text"),
+                 ColumnSpec("n", "integer")],
+        pk_cols=["id"],
+    )
+    cat = EngineCatalog()
+    cat.register(spec)
+    spec = cat.get("db1", "public", "items")
+    store = BucketStore(spark, str(tmp_path / "silver"), n_buckets=8)
+    store.write(spec, spark.createDataFrame([], spec.spark_schema()))
+
+    def make_sink():
+        return JdbcApplySink(
+            spark, store, spec,
+            url="jdbc:derby:memory:sinkdb3", target_table="items", properties=PROPS,
+        )
+
+    def make_sr(sink):
+        return StreamingReplayer(
+            spark, cat, store,
+            landing_dir=str(tmp_path / "spool"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            landing_format="wal_spool",
+            maintainers=[sink],
+        )
+
+    def seg(events, name):
+        write_segment(str(tmp_path / "spool"), [dict(e) for e in events], name)
+
+    seg([make_event(spec, "insert", lsn=i, row={"id": i, "v": f"v{i}", "n": i})
+         for i in range(1, 6)], "seg-001")
+    make_sr(make_sink()).run_until_drained()
+    want = {r["id"]: (r["v"], r["n"]) for r in store.read(spec).collect()}
+    assert _target_rows(spark, "jdbc:derby:memory:sinkdb3") == want and len(want) == 5
+
+    # restart: fresh sink (counter reseeded from the ledger) + new data
+    seg([make_event(spec, "update", lsn=6, row={"id": 1, "v": "x", "n": 9}, old_key={"id": 1}),
+         make_event(spec, "delete", lsn=7, old_key={"id": 2})], "seg-002")
+    make_sr(make_sink()).run_until_drained()
+    want = {r["id"]: (r["v"], r["n"]) for r in store.read(spec).collect()}
+    got = _target_rows(spark, "jdbc:derby:memory:sinkdb3")
+    assert got == want and got[1] == ("x", 9) and 2 not in got
