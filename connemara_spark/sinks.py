@@ -129,11 +129,18 @@ class JdbcApplySink:
 
     # -- driver-side JDBC --------------------------------------------------
     def _connect(self):
+        # the driver-side connections must authenticate the same way the
+        # executors' df.write.jdbc does: every connection property except
+        # the class name (user, password, ssl, ...) is forwarded verbatim
         jvm = self.spark._jvm
         driver = self.props.get("driver")
         if driver:
             jvm.java.lang.Class.forName(driver)
-        return jvm.java.sql.DriverManager.getConnection(self.url)
+        jprops = jvm.java.util.Properties()
+        for k, v in self.props.items():
+            if k != "driver":
+                jprops.setProperty(k, v)
+        return jvm.java.sql.DriverManager.getConnection(self.url, jprops)
 
     def _ensure_ledger(self) -> None:
         con = self._connect()

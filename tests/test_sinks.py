@@ -194,3 +194,37 @@ def test_jdbc_sink_through_streaming_driver_with_restart(spark, tmp_path):
     want = {r["id"]: (r["v"], r["n"]) for r in store.read(spec).collect()}
     got = _target_rows(spark, "jdbc:derby:memory:sinkdb3")
     assert got == want and got[1] == ("x", 9) and 2 not in got
+
+
+def test_driver_side_connections_forward_credentials(spark):
+    """The driver-side JDBC connections (_ensure_ledger/_ledger_has/
+    _reconcile) must authenticate with the SAME connection properties the
+    executors' df.write.jdbc uses — a sink configured with user/password
+    that only forwards them to the staging write would fail against any
+    authenticated target. Derby maps the `user` property to the session's
+    current schema, so forwarding is observable without configuring
+    Derby's authentication machinery."""
+    url = "jdbc:derby:memory:sinkauth;create=true"
+    con = spark._jvm.java.sql.DriverManager.getConnection(url)
+    con.close()
+
+    spec = TableSpec(
+        database="db1", schema="public", table="items",
+        columns=[ColumnSpec("id", "bigint")], pk_cols=["id"],
+    )
+    sink = JdbcApplySink(
+        spark, store=None, spec=spec,
+        url="jdbc:derby:memory:sinkauth", target_table="items",
+        properties={**PROPS, "user": "alice"},
+    )
+    c = sink._connect()
+    try:
+        assert c.getSchema() == "ALICE"
+    finally:
+        c.close()
+    # and the ledger the __init__ created lives in that schema
+    rs = sink._connect().createStatement().executeQuery(
+        "SELECT COUNT(*) FROM alice.items_apply_ledger"
+    )
+    rs.next()
+    assert rs.getInt(1) == 0
