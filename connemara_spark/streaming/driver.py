@@ -35,6 +35,17 @@ from connemara_spark.events import BRONZE_SCHEMA
 from connemara_spark.pipeline import Replayer
 
 
+def _accepts_batch_id(maintainer) -> bool:
+    """Whether the maintainer's after_apply takes a batch_id kwarg (the
+    JDBC sink does; the view maintainers don't)."""
+    import inspect
+
+    try:
+        return "batch_id" in inspect.signature(maintainer.after_apply).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 class LsnWatermark:
     """Per-(database, source_slotname) applied-LSN high watermark — the
     engine's replication origin (pg_replication_origin analog,
@@ -94,6 +105,7 @@ class StreamingReplayer:
         landing_format: str = "parquet",
         max_files_per_trigger: int | None = None,
         maintainers: list | None = None,
+        deterministic_sink_ids: bool = False,
         jvm_parse: bool = True,
         **replayer_kwargs,
     ):
@@ -113,6 +125,15 @@ class StreamingReplayer:
         # before_apply(parsed_events) with the batch + the version-pinned
         # pre-apply store, then after_apply() once the batch has landed
         self.maintainers = maintainers or []
+        # Spark's foreachBatch epoch id is stable across checkpoint-replays
+        # of the same microbatch — forwarding it as the sink batch id turns
+        # a replayed batch into a LEDGER SKIP at an external target (true
+        # exactly-once delivery) instead of a convergent re-apply. Opt-in
+        # because it couples the ledger to the checkpoint's lifetime: a
+        # FRESH checkpoint against an old ledger re-counts epochs from 0
+        # and would skip real batches — wipe or re-point the ledger
+        # whenever the checkpoint is wiped.
+        self.deterministic_sink_ids = deterministic_sink_ids
         self.watermark = LsnWatermark(
             watermark_path or os.path.join(checkpoint_dir, "lsn_watermark.json")
         )
@@ -150,7 +171,10 @@ class StreamingReplayer:
                     if hasattr(m, "check_schema"):
                         m.check_schema(self.replayer.catalog)
             for m in self.maintainers:
-                m.after_apply()
+                if self.deterministic_sink_ids and _accepts_batch_id(m):
+                    m.after_apply(batch_id=f"stream-{batch_id}")
+                else:
+                    m.after_apply()
             maxes = (
                 fresh.groupBy("database", "source_slotname")
                 .agg(F.max("lsn_start").alias("max_lsn"))

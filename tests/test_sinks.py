@@ -228,3 +228,85 @@ def test_driver_side_connections_forward_credentials(spark):
     )
     rs.next()
     assert rs.getInt(1) == 0
+
+
+def test_deterministic_stream_ids_make_replay_a_ledger_skip(spark, tmp_path):
+    """deterministic_sink_ids=True forwards Spark's foreachBatch epoch id
+    to the sink, so a checkpoint-replayed microbatch is a LEDGER SKIP at
+    the target (true exactly-once delivery): wiping the checkpoint and
+    re-draining the same spool re-delivers the same epochs, the ledger
+    already has them, and the target sees zero extra applies."""
+    import shutil
+
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+
+    url0 = "jdbc:derby:memory:sinkdet;create=true"
+    con = spark._jvm.java.sql.DriverManager.getConnection(url0)
+    con.createStatement().execute(
+        "CREATE TABLE items (id BIGINT PRIMARY KEY, v VARCHAR(64), n INT)"
+    )
+    con.commit()
+    con.close()
+
+    spec = TableSpec(
+        database="db1", schema="public", table="items",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text"),
+                 ColumnSpec("n", "integer")],
+        pk_cols=["id"],
+    )
+    cat = EngineCatalog()
+    cat.register(spec)
+    spec = cat.get("db1", "public", "items")
+    store = BucketStore(spark, str(tmp_path / "silver"), n_buckets=8)
+    store.write(spec, spark.createDataFrame([], spec.spark_schema()))
+
+    def make_sink():
+        return JdbcApplySink(
+            spark, store, spec,
+            url="jdbc:derby:memory:sinkdet", target_table="items",
+            properties=PROPS,
+        )
+
+    def drain(sink):
+        StreamingReplayer(
+            spark, cat, store,
+            landing_dir=str(tmp_path / "spool"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            landing_format="wal_spool",
+            maintainers=[sink],
+            deterministic_sink_ids=True,
+        ).run_until_drained()
+
+    write_segment(
+        str(tmp_path / "spool"),
+        [dict(make_event(spec, "insert", lsn=i, row={"id": i, "v": f"v{i}", "n": i}))
+         for i in range(1, 4)],
+        "seg-001",
+    )
+    drain(make_sink())
+    want = {r["id"]: (r["v"], r["n"]) for r in store.read(spec).collect()}
+    assert _target_rows(spark, "jdbc:derby:memory:sinkdet") == want and len(want) == 3
+
+    def ledger_ids():
+        c = spark._jvm.java.sql.DriverManager.getConnection("jdbc:derby:memory:sinkdet")
+        try:
+            rs = c.createStatement().executeQuery(
+                "SELECT batch_id FROM items_apply_ledger"
+            )
+            out = set()
+            while rs.next():
+                out.add(rs.getString(1))
+            return out
+        finally:
+            c.close()
+
+    ids = ledger_ids()
+    assert ids and all(i.startswith("stream-") for i in ids)
+
+    # simulate a lost checkpoint: the same spool replays the same epochs —
+    # the sink must skip every one of them on the ledger, not re-apply
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    drain(make_sink())
+    assert ledger_ids() == ids
+    assert _target_rows(spark, "jdbc:derby:memory:sinkdet") == want
