@@ -143,6 +143,9 @@ class JdbcApplySink:
         return jvm.java.sql.DriverManager.getConnection(self.url, jprops)
 
     def _ensure_ledger(self) -> None:
+        # NOTE: the connection is still in autocommit mode here — DDL commits
+        # itself, and calling con.commit() under autocommit is an error on
+        # PostgreSQL/MySQL drivers (works only on Derby), so we never do.
         con = self._connect()
         try:
             st = con.createStatement()
@@ -150,9 +153,17 @@ class JdbcApplySink:
                 st.execute(
                     f"CREATE TABLE {self.ledger} (batch_id VARCHAR(128) PRIMARY KEY)"
                 )
-            except Exception:
-                pass  # exists
-            con.commit()
+            except Exception as create_err:
+                # "already exists" is fine; auth/connectivity/permission
+                # errors are NOT — probe the table to tell them apart, and
+                # surface the ORIGINAL error when the probe fails too
+                try:
+                    rs = con.createStatement().executeQuery(
+                        f"SELECT batch_id FROM {self.ledger} WHERE 1=0"
+                    )
+                    rs.close()
+                except Exception:
+                    raise create_err
         finally:
             con.close()
 

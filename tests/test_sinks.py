@@ -230,6 +230,81 @@ def test_driver_side_connections_forward_credentials(spark):
     assert rs.getInt(1) == 0
 
 
+def _auth_db(spark, dbname):
+    """Boot an in-memory Derby with BUILTIN authentication: `admin` has
+    full access, `reader` is read-only. Requires a reboot for the static
+    requireAuthentication property to take effect."""
+    jvm = spark._jvm
+    url = f"jdbc:derby:memory:{dbname};create=true"
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    st = con.createStatement()
+    for k, v in [
+        ("derby.connection.requireAuthentication", "true"),
+        ("derby.authentication.provider", "BUILTIN"),
+        ("derby.user.admin", "adminpw"),
+        ("derby.user.reader", "readerpw"),
+        ("derby.database.fullAccessUsers", "admin"),
+        ("derby.database.defaultConnectionMode", "readOnlyAccess"),
+        # without this, Derby lets system-level property absence override
+        # the database-level auth settings and auth never activates
+        ("derby.database.propertiesOnly", "true"),
+    ]:
+        st.execute(f"CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY('{k}', '{v}')")
+    con.close()
+    try:  # reboot so the static auth properties activate (in-memory data survives)
+        jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:memory:{dbname};shutdown=true"
+        )
+    except Exception:
+        pass  # Derby signals successful shutdown via SQLState 08006
+
+
+def _items_spec():
+    return TableSpec(
+        database="db1", schema="public", table="items",
+        columns=[ColumnSpec("id", "bigint")], pk_cols=["id"],
+    )
+
+
+def test_wrong_password_raises_at_construction(spark):
+    """Auth/connectivity failures must surface in __init__ with the REAL
+    error — not be swallowed by the ledger-exists guard and resurface
+    later as a confusing missing-table stack."""
+    _auth_db(spark, "sinkauthfail")
+    with pytest.raises(Exception, match="08004|[Aa]uthentication"):
+        # Derby: "Connection authentication failure ... Invalid authentication"
+        JdbcApplySink(
+            spark, store=None, spec=_items_spec(),
+            url="jdbc:derby:memory:sinkauthfail", target_table="items",
+            properties={**PROPS, "user": "admin", "password": "WRONG"},
+        )
+
+
+def test_ledger_create_permission_error_raises_original(spark):
+    """Connection succeeds but CREATE TABLE fails for a reason OTHER than
+    already-exists (here: a read-only user). The construction must raise
+    the ORIGINAL create error (read-only, SQLState 25502/25503), not
+    defer to a missing-ledger SELECT failure."""
+    _auth_db(spark, "sinkro")
+    with pytest.raises(Exception, match="read-only|25502|25503"):
+        JdbcApplySink(
+            spark, store=None, spec=_items_spec(),
+            url="jdbc:derby:memory:sinkro", target_table="items",
+            properties={**PROPS, "user": "reader", "password": "readerpw"},
+        )
+
+
+def test_existing_ledger_is_not_an_error(spark):
+    """The exists-branch of _ensure_ledger: constructing a second sink
+    over the same target probes the ledger and proceeds silently."""
+    url = "jdbc:derby:memory:sinkexists;create=true"
+    spark._jvm.java.sql.DriverManager.getConnection(url).close()
+    kw = dict(url="jdbc:derby:memory:sinkexists", target_table="items",
+              properties=PROPS)
+    JdbcApplySink(spark, store=None, spec=_items_spec(), **kw)
+    JdbcApplySink(spark, store=None, spec=_items_spec(), **kw)  # no raise
+
+
 def test_deterministic_stream_ids_make_replay_a_ledger_skip(spark, tmp_path):
     """deterministic_sink_ids=True forwards Spark's foreachBatch epoch id
     to the sink, so a checkpoint-replayed microbatch is a LEDGER SKIP at
