@@ -78,6 +78,7 @@ def build_ann_index(
     train_seed: int = 3,
     sample_n: int = 20000,
     iters: int = 12,
+    bootstrap_batch: str | None = None,
 ) -> dict:
     """Train and persist the IVF-PQ index; returns the written META dict.
 
@@ -85,6 +86,12 @@ def build_ann_index(
     one distributed coding pass (Arrow kernel, zero shuffle), one
     cell-partitioned write. Write-then-rename on META commits the build:
     a crashed build leaves no META and is rebuilt from scratch.
+
+    ``bootstrap_batch`` records which STREAM batch id this build consumed
+    (META key ``bootstrap_batch``), so a streaming bootstrapper whose
+    checkpoint lags the build (crash between META commit and checkpoint
+    advance) can recognize the replayed batch and skip it instead of
+    re-appending every bootstrap vector.
     """
     books = pq_train_codebooks(
         emb, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k_cb=k_cb,
@@ -133,6 +140,8 @@ def build_ann_index(
         "iters": iters, "id_col": id_col, "vec_col": vec_col,
         "source_fingerprint": _fingerprint(source_path) if source_path else None,
     }
+    if bootstrap_batch is not None:
+        meta["bootstrap_batch"] = bootstrap_batch
     tmp = os.path.join(index_dir, _META + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -211,6 +220,36 @@ def _append_dir(index_dir: str, batch_id: str) -> str:
     return os.path.join(index_dir, "appends", f"b{batch_id}")
 
 
+def _sweep_orphans(index_dir: str, meta: dict) -> list[str]:
+    """Remove directories a crashed build/append/compact left behind that
+    the current META does not name: superseded entries generations and
+    uncommitted append staging dirs. Readers only ever follow META, so the
+    sweep is invisible to them; under the module's single-writer
+    discipline a removed staging dir is simply re-staged by the retry.
+    Returns the removed paths (index_dir-relative) for observability."""
+    import shutil
+
+    current = meta.get("entries_dir", "entries.parquet")
+    committed = {f"b{b}" for b in meta.get("appends", [])}
+    removed = []
+    for e in os.listdir(index_dir):
+        is_gen = e == "entries.parquet" or (
+            e.startswith("entries-g") and e.endswith(".parquet")
+        )
+        if is_gen and e != current:
+            shutil.rmtree(os.path.join(index_dir, e), ignore_errors=True)
+            removed.append(e)
+    appends_root = os.path.join(index_dir, "appends")
+    if os.path.isdir(appends_root):
+        for e in os.listdir(appends_root):
+            if e not in committed:
+                shutil.rmtree(os.path.join(appends_root, e), ignore_errors=True)
+                removed.append(f"appends/{e}")
+        if not os.listdir(appends_root):
+            os.rmdir(appends_root)
+    return removed
+
+
 def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
     """Merge all committed append batches into ONE entries tree and clear
     the appends list — the explicit cut point for a long append chain
@@ -226,15 +265,15 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
     appends, correct); a crash after it leaves the new META (readers see
     the merged tree, correct). There is no window where a reader can see
     the appends twice or not at all. Superseded generation/append dirs
-    are swept post-commit; sweeping is repeatable, so a crash mid-sweep
-    only leaves orphans a later compact removes."""
-    import shutil
-
+    are swept post-commit; sweeping is repeatable, and EVERY compact —
+    including a no-op call with nothing to merge — re-runs it, so
+    orphans from a crash mid-sweep are removed by the next call rather
+    than lingering until new appends accumulate."""
     meta, _books, entries = load_ann_index(spark, index_dir)
     committed = meta.get("appends", [])
     if not committed:
+        _sweep_orphans(index_dir, meta)
         return meta
-    old_dir = meta.get("entries_dir", "entries.parquet")
     gen = meta.get("generation", 0) + 1
     new_dir = f"entries-g{gen:03d}.parquet"
     entries.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
@@ -247,8 +286,10 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.replace(tmp, os.path.join(index_dir, _META))
-    shutil.rmtree(os.path.join(index_dir, old_dir), ignore_errors=True)
-    shutil.rmtree(os.path.join(index_dir, "appends"), ignore_errors=True)
+    # post-commit sweep: removes old_dir, any older orphan generations a
+    # crashed earlier compact left, and every append staging dir (the
+    # committed list is now empty)
+    _sweep_orphans(index_dir, meta)
     return meta
 
 

@@ -350,24 +350,31 @@ class StreamingAnnIngest:
         )
 
         meta_path = os.path.join(self.index_dir, _META)
+        bid = f"stream-{batch_id}"
         if not os.path.exists(meta_path):
             if not self.bootstrap:
                 raise FileNotFoundError(
                     f"no committed ANN index at {self.index_dir} and bootstrap=False"
                 )
+            # record WHICH stream batch bootstrapped the index: a crash
+            # between the build's META commit and the stream checkpoint
+            # advancing replays this batch against an existing META, and
+            # without the marker the replay would re-APPEND every
+            # bootstrap vector (duplicate index entries)
             build_ann_index(
                 batch, self.index_dir,
                 id_col=self.id_col, vec_col=self.vec_col, dim=self.dim,
+                bootstrap_batch=bid,
                 **self.build_params,
             )
             self.batches_appended += 1
             return
         with open(meta_path) as fh:
-            committed = _json.load(fh).get("appends", [])
-        bid = f"stream-{batch_id}"
-        if bid in committed:
-            # checkpoint-replayed micro-batch whose append already
-            # committed: idempotent skip, never a duplicate index entry
+            meta = _json.load(fh)
+        if bid in meta.get("appends", []) or bid == meta.get("bootstrap_batch"):
+            # checkpoint-replayed micro-batch whose append (or whose
+            # bootstrap build) already committed: idempotent skip, never
+            # a duplicate index entry
             self.batches_skipped += 1
             return
         append_to_ann_index(batch, self.index_dir, batch_id=bid)

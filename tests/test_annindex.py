@@ -222,6 +222,43 @@ def test_compact_merges_appends_into_one_generation(spark, sf_dir, tmp_path):
     assert m2["generation"] == 2 and entries2.count() == emb.count()
 
 
+def test_noop_compact_sweeps_crash_orphans(spark, sf_dir, tmp_path):
+    """A crash between the compact's META flip and its post-commit sweep
+    leaves the retired generation + appends tree on disk. With an EMPTY
+    appends list, the next compact has nothing to merge — but it must
+    still sweep those orphans rather than letting them linger until new
+    appends accumulate (the docstring's 'a later compact removes' claim)."""
+    import shutil
+
+    from connemara_spark.operators.annindex import (
+        append_to_ann_index, build_ann_index, compact_ann_index,
+        load_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    d = str(tmp_path / "idx")
+    build_ann_index(emb.filter("vec_id % 2 = 0"), d, **PARAMS)
+    append_to_ann_index(emb.filter("vec_id % 2 = 1"), d)
+    compact_ann_index(spark, d)
+
+    # simulate the mid-sweep crash: resurrect a retired generation and an
+    # uncommitted append staging dir that the crashed sweep never removed
+    shutil.copytree(
+        os.path.join(d, "entries-g001.parquet"), os.path.join(d, "entries.parquet")
+    )
+    shutil.copytree(
+        os.path.join(d, "entries-g001.parquet"), os.path.join(d, "appends", "b9")
+    )
+
+    meta = compact_ann_index(spark, d)  # nothing to merge — still sweeps
+    assert meta["generation"] == 1  # no new generation was written
+    assert not os.path.isdir(os.path.join(d, "entries.parquet"))
+    assert not os.path.isdir(os.path.join(d, "appends"))
+    _, _, entries = load_ann_index(spark, d)
+    assert entries.count() == emb.count()
+    assert entries.select("vec_id").distinct().count() == emb.count()
+
+
 def test_randomized_index_lifecycle_against_model(spark, sf_dir, tmp_path):
     """Model-based lifecycle fuzz for the persisted index: a seeded random
     sequence of appends, crash-orphaned appends (staged dir without META

@@ -280,3 +280,47 @@ def test_streaming_ann_ingest_bootstrap_append_and_replay(spark, sf_dir, tmp_pat
     _, _, entries3 = load_ann_index(spark, str(tmp_path / "idx"))
     assert entries3.count() == emb.count()
     assert entries3.select("vec_id").distinct().count() == emb.count()
+
+    # BOOTSTRAP crash-replay: a crash between build_ann_index committing
+    # META and the stream checkpoint advancing replays batch 0 against an
+    # existing META — the bootstrap_batch marker makes it a skip, not a
+    # re-append that would duplicate every bootstrap vector
+    assert meta.get("bootstrap_batch") == "stream-0"
+    ingest._foreach_batch(half_a, 0)
+    assert ingest.batches_skipped == 2
+    _, _, entries4 = load_ann_index(spark, str(tmp_path / "idx"))
+    assert entries4.count() == emb.count()
+    assert entries4.select("vec_id").distinct().count() == emb.count()
+
+
+def test_streaming_ann_bootstrap_replay_from_fresh_process(spark, sf_dir, tmp_path):
+    """The bootstrap-replay guard must survive a process restart: a NEW
+    StreamingAnnIngest over an index whose META records bootstrap_batch
+    skips the replayed batch 0 instead of appending it (the in-memory
+    counters are gone — only META carries the evidence)."""
+    import os
+
+    from connemara_spark.operators.annindex import load_ann_index
+    from connemara_spark.streaming.ingest import StreamingAnnIngest
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    ).limit(500)
+
+    def make():
+        return StreamingAnnIngest(
+            spark,
+            landing_dir=str(tmp_path / "landing"),
+            index_dir=str(tmp_path / "idx"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            build_params=dict(n_cells=8, m=8, k_cb=8, sample_n=500, iters=2),
+        )
+
+    make()._foreach_batch(emb, 0)  # bootstrap build, then "crash"
+    n = emb.count()
+    replayed = make()  # restart: fresh object, no in-memory state
+    replayed._foreach_batch(emb, 0)
+    assert replayed.batches_skipped == 1 and replayed.batches_appended == 0
+    _, _, entries = load_ann_index(spark, str(tmp_path / "idx"))
+    assert entries.count() == n
+    assert entries.select("vec_id").distinct().count() == n
