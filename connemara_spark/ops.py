@@ -195,10 +195,22 @@ class Maintenance:
                 # chained store: compaction is a FULL rewrite, so pay it
                 # only when the version chain has actually fragmented —
                 # short chains are exactly what the partial-rewrite store
-                # exists to keep cheap
-                if self.store.chain_length(spec) <= self.max_chain:
-                    continue
+                # exists to keep cheap. Buckets never fragment INTERNALLY
+                # (one file per bucket per hosting version), so there is
+                # no small-file debt to rewrite under the threshold; the
+                # debt a short chain does accrue is storage held by
+                # no-longer-referenced host versions, and retention GC is
+                # pure directory bookkeeping (zero Spark jobs) — run it
+                # every idle pass instead of waiting for a compaction.
                 before = self.store.chain_length(spec)
+                if before <= self.max_chain:
+                    self.store.gc_versions(spec, keep_last=self.keep_last)
+                    after = self.store.chain_length(spec)
+                    if after != before:
+                        out.append(
+                            CompactionReport(spec.target_name, before, after)
+                        )
+                    continue
                 self.store.compact(spec)
                 self.store.gc_versions(spec, keep_last=self.keep_last)
                 out.append(

@@ -507,24 +507,64 @@ def test_idle_maintenance_compacts_long_chains_only(spark, tmp_path):
     for n in range(6):
         patch_one(n % 5, f"p{n}")
     maint = Maintenance(store, cat, max_chain=10)
-    assert maint.run() == []  # chain of 7 is healthy — no full rewrite
-    assert store.chain_length(spec) == 7
+    v_healthy = store.current_version(spec.target_name)
+    maint.run()  # chain of 7 is healthy — GC bookkeeping only
+    assert store.current_version(spec.target_name) == v_healthy  # no rewrite
+    assert store.chain_length(spec) <= 7
 
     for n in range(6, 12):
         patch_one(n % 5, f"p{n}")
+    before = store.chain_length(spec)
+    assert before > 10  # over threshold -> full compaction this pass
     reports = maint.run(progress={"inputRowsPerSecond": 0.0})
-    assert len(reports) == 1 and reports[0].files_before == 13
+    assert len(reports) == 1 and reports[0].files_before == before
+    assert store.current_version(spec.target_name) > v_healthy + 6  # rewrote
     # keep_last=2 retains the pre-compact version AND the hosts its
     # manifest references (the maintained-view recovery point must stay
     # fully reconstructable) — so the chain shrinks but does not collapse
     # to 1 until the next compaction cycle retires that version
-    assert store.chain_length(spec) < 13
+    assert store.chain_length(spec) < before
     assert store.chain_length(spec) == reports[0].files_after
     rows = {r["id"]: r["v"] for r in store.read(spec).collect()}
     assert len(rows) == 40 and rows[0] == "p10" and rows[1] == "p11"
 
     # busy stream: never compacts regardless of chain length
     assert maint.run(progress={"inputRowsPerSecond": 5.0}) == []
+
+
+def test_idle_maintenance_gcs_unreferenced_hosts_under_threshold(spark, tmp_path):
+    """An UNDER-threshold chain still sheds storage debt each idle pass:
+    repeatedly patching the same key orphans every previous host of that
+    key's bucket, and retention GC (pure directory bookkeeping — no Spark
+    jobs, no rewrite) drops the unreferenced versions without waiting for
+    the chain to cross max_chain. The current snapshot is untouched."""
+    from connemara_spark.ops import Maintenance
+
+    cat = _catalog()
+    spec = cat.get("db1", "public", "items")
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=8)
+    store.write(
+        spec, spark.createDataFrame([(i, f"v{i}") for i in range(40)], "id long, v string")
+    )
+    for n in range(5):  # same key: each patch orphans the previous host
+        keys = spark.createDataFrame([(0,)], "id long")
+        patched = store.read_for_keys(spec, keys).withColumn(
+            "v", F.when(F.col("id") == 0, F.lit(f"p{n}")).otherwise(F.col("v"))
+        )
+        store.write_partial(spec, patched, buckets=store.buckets_of(spec, keys))
+
+    maint = Maintenance(store, cat, max_chain=10, keep_last=2)
+    before = store.chain_length(spec)
+    assert before == 6
+    v_cur = store.current_version(spec.target_name)
+    reports = maint.run()
+    assert len(reports) == 1
+    assert reports[0].files_before == before and reports[0].files_after < before
+    assert store.current_version(spec.target_name) == v_cur  # no rewrite
+    rows = {r["id"]: r["v"] for r in store.read(spec).collect()}
+    assert len(rows) == 40 and rows[0] == "p4" and rows[1] == "v1"
+    # a second idle pass finds nothing more to shed
+    assert maint.run() == []
 
 
 def test_randomized_lifecycle_against_model(spark, tmp_path):
