@@ -589,6 +589,7 @@ def cdc_apply_customer_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "O(touched buckets), never O(table); same oracle as cdc_apply_customer",
 )
 def cdc_apply_customer_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from connemara_spark.catalog import EngineCatalog
@@ -598,10 +599,12 @@ def cdc_apply_customer_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot = load(spark, sf_dir, "customer")
     bronze = _customer_cdc_bronze(spark, sf_dir).persist()
     # fresh store per invocation: the query is a pure function of sf_dir,
-    # so state from an earlier run must never leak into the result
-    store = BucketStore(
-        spark, tempfile.mkdtemp(prefix="connemara_bucketed_"), n_buckets=32
-    )
+    # so state from an earlier run must never leak into the result; the
+    # scratch dir is removed in the finally below (the result is
+    # localCheckpoint-materialized first), so repeated invocations —
+    # parity suites, bench loops — leave no disk growth
+    root = tempfile.mkdtemp(prefix="connemara_bucketed_")
+    store = BucketStore(spark, root, n_buckets=32)
     spec = TableSpec(
         database=CUSTOMER_SPEC.database,
         schema=CUSTOMER_SPEC.schema,
@@ -620,20 +623,26 @@ def cdc_apply_customer_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     lo, hi = row["lo"], row["hi"]
     step = max((hi - lo) // 2 + 1, 1)
-    for b0 in range(lo, hi + 1, step):
-        batch = bronze.filter(
-            (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
-        )
-        # cache the parsed batch: apply_batch runs several driver-
-        # synchronous jobs over it (DDL collect, touched-bucket pricing,
-        # fold) and each would re-execute the JSON parse otherwise — the
-        # same reason the streaming driver caches its microbatch
-        parsed = rep.parse_batch(batch).persist()
-        try:
-            rep.apply_batch(batch, events=parsed)
-        finally:
-            parsed.unpersist()
-    return store.read(spec)
+    try:
+        for b0 in range(lo, hi + 1, step):
+            batch = bronze.filter(
+                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            )
+            # cache the parsed batch: apply_batch runs several driver-
+            # synchronous jobs over it (DDL collect, touched-bucket pricing,
+            # fold) and each would re-execute the JSON parse otherwise — the
+            # same reason the streaming driver caches its microbatch
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                rep.apply_batch(batch, events=parsed)
+            finally:
+                parsed.unpersist()
+        # eager localCheckpoint pins the final state OFF the store paths
+        # (ContextCleaner frees the blocks when the result is dropped)
+        return store.read(spec).localCheckpoint()
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @register(
@@ -673,6 +682,7 @@ def cdc_apply_customer_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "view must equal a full recompute of the folded state",
 )
 def cdc_maintained_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from connemara_spark.catalog import EngineCatalog
@@ -681,6 +691,8 @@ def cdc_maintained_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     snapshot = load(spark, sf_dir, "customer")
     bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    # scratch store + view dir, removed in the finally once the result is
+    # localCheckpoint-materialized — repeated invocations leave no disk
     root = tempfile.mkdtemp(prefix="connemara_aggview_")
     spec = TableSpec(
         database=CUSTOMER_SPEC.database,
@@ -704,22 +716,26 @@ def cdc_maintained_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     lo, hi = row["lo"], row["hi"]
     step = max((hi - lo) // 2 + 1, 1)
-    for b0 in range(lo, hi + 1, step):
-        batch = bronze.filter(
-            (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
-        )
-        # the maintainer protocol exactly as StreamingReplayer drives it:
-        # one shared parse (cached — apply + maintainer run several jobs
-        # over it), touched keys pinned pre-apply, view patched post-apply
-        # inside the same batch commit
-        parsed = rep.parse_batch(batch).persist()
-        try:
-            view.before_apply(parsed)
-            rep.apply_batch(batch, events=parsed)
-            view.after_apply()
-        finally:
-            parsed.unpersist()
-    return view.read_view()
+    try:
+        for b0 in range(lo, hi + 1, step):
+            batch = bronze.filter(
+                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            )
+            # the maintainer protocol exactly as StreamingReplayer drives it:
+            # one shared parse (cached — apply + maintainer run several jobs
+            # over it), touched keys pinned pre-apply, view patched post-apply
+            # inside the same batch commit
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                view.before_apply(parsed)
+                rep.apply_batch(batch, events=parsed)
+                view.after_apply()
+            finally:
+                parsed.unpersist()
+        return view.read_view().localCheckpoint()
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _customer_partial_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:

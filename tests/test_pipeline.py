@@ -361,3 +361,33 @@ def test_parquet_store_gc_versions(spark, tmp_path):
     assert store.gc_versions(spec, keep_last=1, min_age_seconds=3600) == []
     assert store.versions(spec) == [3, 4, 5]
     assert store.gc_versions(spec, keep_last=1) == [3, 4]
+
+
+def test_pipeline_queries_leave_no_scratch_dirs(spark, sf_dir):
+    """The two multi-batch pipeline registry queries allocate a scratch
+    store per invocation; repeated invocation (parity suites, bench
+    loops) must leave no disk growth and no lingering cached bronze —
+    the result survives cleanup via its eager localCheckpoint."""
+    import glob
+    import tempfile
+
+    from connemara_spark.queries import REGISTRY
+
+    tmp = tempfile.gettempdir()
+
+    def scratch():
+        return set(glob.glob(f"{tmp}/connemara_bucketed_*")) | set(
+            glob.glob(f"{tmp}/connemara_aggview_*")
+        )
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    before = scratch()
+    cache_was_empty = cache_mgr.isEmpty()
+    for name in ("cdc_apply_customer_bucketed", "cdc_maintained_agg_view"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert scratch() == before  # cleaned up BEFORE the caller collects
+        assert df.count() > 0  # result readable after the store is gone
+    # and the bronze/parsed caches were released: these queries add no
+    # lingering entry to the CacheManager (other suites' caches tolerated)
+    if cache_was_empty:
+        assert cache_mgr.isEmpty()
