@@ -738,6 +738,102 @@ def cdc_maintained_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "cdc_jdbc_apply_customer",
+    REGISTRY["cdc_apply_customer"].oracle,
+    "the reference's ACTUAL sink: CDC state replicated into a LIVE relational "
+    "target (embedded Derby standing in for consolidation PostgreSQL, "
+    "connemara_replay.pl:416-426) through JdbcApplySink — per batch the "
+    "touched-key slice ships distributedly to staging and ONE driver "
+    "transaction replaces the target rows and records the batch id (exactly-"
+    "once ledger); the result is the target table READ BACK over JDBC, so the "
+    "oracle hard-verifies the staging-write + reconcile-transaction path "
+    "end-to-end; same oracle as cdc_apply_customer",
+)
+def cdc_jdbc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.pipeline import Replayer
+    from connemara_spark.sinks import JdbcApplySink
+    from connemara_spark.stores import BucketStore
+
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    # a FRESH in-memory Derby per invocation (pure function of sf_dir: no
+    # target rows or ledger entries may leak between runs), dropped in the
+    # finally once the read-back result is materialized
+    dbname = f"connemara_jdbc_{uuid.uuid4().hex}"
+    url = f"jdbc:derby:memory:{dbname}"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(props["driver"])
+    con = jvm.java.sql.DriverManager.getConnection(url + ";create=true")
+    con.createStatement().execute(
+        "CREATE TABLE customer (c_custkey BIGINT PRIMARY KEY, "
+        "c_name VARCHAR(128), c_nationkey INT, c_acctbal DOUBLE, "
+        "c_mktsegment VARCHAR(64))"
+    )
+    con.close()
+    root = tempfile.mkdtemp(prefix="connemara_jdbcsink_")
+    try:
+        spec = TableSpec(
+            database=CUSTOMER_SPEC.database,
+            schema=CUSTOMER_SPEC.schema,
+            table=CUSTOMER_SPEC.table,
+            columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+            pk_cols=list(CUSTOMER_SPEC.pk_cols),
+        )
+        store = BucketStore(spark, root, n_buckets=32)
+        store.write(spec, snapshot)
+        cat = EngineCatalog()
+        cat.register(spec)
+        rep = Replayer(spark, cat, store)
+        sink = JdbcApplySink(
+            spark, store, spec, url=url, target_table="customer", properties=props
+        )
+        # bootstrap load: every snapshot key is a touched key
+        sink.apply_touched(
+            store.read(spec).select("c_custkey"), batch_id="bootstrap"
+        )
+        row = bronze.agg(
+            F.min("lsn_start").alias("lo"), F.max("lsn_start").alias("hi")
+        ).collect()[0]
+        lo, hi = row["lo"], row["hi"]
+        step = max((hi - lo) // 2 + 1, 1)
+        for i, b0 in enumerate(range(lo, hi + 1, step)):
+            batch = bronze.filter(
+                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            )
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                # the maintainer protocol exactly as StreamingReplayer
+                # drives it: touched keys pinned pre-apply, the touched
+                # slice of the NEW state shipped post-apply
+                sink.before_apply(parsed)
+                rep.apply_batch(batch, events=parsed)
+                sink.after_apply(batch_id=f"batch-{i}")
+            finally:
+                parsed.unpersist()
+        # the RESULT is the live target read back over JDBC — value parity
+        # against the oracle proves the delete+insert reconcile transaction
+        # reproduced the folded state exactly
+        return (
+            spark.read.jdbc(url, "customer", properties=props)
+            .select(*[c.name for c in spec.columns])
+            .localCheckpoint()
+        )
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+        try:
+            jvm.java.sql.DriverManager.getConnection(url + ";drop=true")
+        except Exception:
+            pass  # Derby signals a successful drop via SQLState 08006
+
+
 def _customer_partial_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """wal2json update stream with PARTIAL column lists (J2): every event
     sets c_acctbal; only 'signup' events also carry c_name — other columns
