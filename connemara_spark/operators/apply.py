@@ -94,6 +94,45 @@ def events_for_table(events: DataFrame, spec: TableSpec) -> DataFrame:
     return _events_for_table(events, spec, whole_row)
 
 
+def touched_bucket_array(spec: TableSpec, n_buckets: int) -> Column:
+    """``array<int>`` of the hash-bucket ids THIS event's touched PKs fall
+    into under ``spec`` — exactly the ids ``BucketStore.buckets_of(
+    touched_keys(events, spec))`` would compute (property-test-pinned),
+    expressed inline so partial-rewrite pricing can ride the per-table
+    counts aggregation instead of paying its own collect per table.
+
+    Mirrors ``_events_for_table``'s __pk assignment: a PK-change update
+    touches BOTH the old and new key, an insert the new key, everything
+    else the old key. The caller must pass the EFFECTIVE spec
+    (``_effective_spec`` output) so no-PK tables key on the whole row."""
+    old_key = F.struct(*[c.alias(k) for c, k in zip(_old_key(spec), spec.pk_cols)])
+    new_key = F.struct(*[c.alias(k) for c, k in zip(_new_key(spec), spec.pk_cols)])
+    pk_present = None
+    for pk in spec.pk_cols:
+        c = F.array_contains(F.coalesce("columnnames", F.array()), pk)
+        pk_present = c if pk_present is None else (pk_present & c)
+    pk_changed = (
+        (F.col("op") == "update") & F.col("oldkeys").isNotNull() & pk_present
+    )
+    whole_row = set(spec.pk_cols) == {c.name for c in spec.columns}
+    if not whole_row:
+        pk_changed = pk_changed & ~old_key.eqNullSafe(new_key)
+
+    def bucket(key: Column) -> Column:
+        # same hash as stores.BucketStore.bucket_expr over the same typed
+        # values — struct fields carry the identical cast as the touched-
+        # keys frame's columns, so xxhash64 agrees bit-for-bit
+        return F.pmod(
+            F.xxhash64(*[key[c] for c in spec.pk_cols]), F.lit(n_buckets)
+        ).cast("int")
+
+    return (
+        F.when(pk_changed, F.array(bucket(old_key), bucket(new_key)))
+        .when(F.col("op") == "insert", F.array(bucket(new_key)))
+        .otherwise(F.array(bucket(old_key)))
+    )
+
+
 def _events_for_table(events: DataFrame, spec: TableSpec, whole_row: bool = False) -> DataFrame:
     """Filter + project the parsed event stream for one table.
 
@@ -697,20 +736,34 @@ def incremental_group_agg(
     zero-rows ghosts). Cost: the delta is O(touched keys); the merge join
     touches only affected groups.
     """
-    minus = delta.filter(F.col("old_exists")).select(
-        F.col(f"old_vals.{group_col}").alias(group_col),
-        F.lit(-1).cast("long").alias("__dn"),
-        (-F.col(f"old_vals.{sum_col}").cast(sum_type)).alias("__dt"),
+    # ONE pass over the delta: each row explodes into its -old and/or +new
+    # contribution. The earlier minus/plus self-UNION referenced ``delta``
+    # twice, and delta is typically an (expensive) diff-join frame — both
+    # union branches re-executed the whole diff per patch job.
+    minus_c = F.when(
+        F.col("old_exists"),
+        F.struct(
+            F.col(f"old_vals.{group_col}").alias("g"),
+            F.lit(-1).cast("long").alias("dn"),
+            (-F.col(f"old_vals.{sum_col}").cast(sum_type)).alias("dt"),
+        ),
     )
-    plus = delta.filter(F.col("new_exists")).select(
-        F.col(f"new_vals.{group_col}").alias(group_col),
-        F.lit(1).cast("long").alias("__dn"),
-        F.col(f"new_vals.{sum_col}").cast(sum_type).alias("__dt"),
+    plus_c = F.when(
+        F.col("new_exists"),
+        F.struct(
+            F.col(f"new_vals.{group_col}").alias("g"),
+            F.lit(1).cast("long").alias("dn"),
+            F.col(f"new_vals.{sum_col}").cast(sum_type).alias("dt"),
+        ),
     )
     net = (
-        minus.unionByName(plus)
-        .groupBy(group_col)
-        .agg(F.sum("__dn").alias("__dn"), F.sum("__dt").alias("__dt"))
+        delta.select(
+            F.explode(
+                F.filter(F.array(minus_c, plus_c), lambda x: x.isNotNull())
+            ).alias("__c")
+        )
+        .groupBy(F.col("__c.g").alias(group_col))
+        .agg(F.sum("__c.dn").alias("__dn"), F.sum("__c.dt").alias("__dt"))
     )
     # NULL-safe equality: a NULL group key must merge with the base row,
     # not duplicate beside it (plain equi-join never matches NULL = NULL)

@@ -279,7 +279,14 @@ class MaintainedTwoTableJoinView:
         tb = touched_keys(parsed_events, self.spec_b).select(
             F.col(self.key_b).alias("__k")
         )
-        self._touched = ta.union(tb).distinct().localCheckpoint()
+        # lazy, NOT localCheckpoint'd: both drivers of this protocol keep
+        # parsed_events cached until after_apply returns, so the pin costs
+        # zero jobs here and each consumer evaluates the |delta|-sized
+        # distinct over the warm cache (multi-batch pipelines are
+        # job-floor-bound; an eager pin was one whole job per maintainer
+        # per batch). Derivation is from the IMMUTABLE parsed batch only —
+        # never the store — so post-apply evaluation sees identical keys.
+        self._touched = ta.union(tb).distinct()
 
     def after_apply(self) -> None:
         import json
@@ -421,11 +428,30 @@ class MaintainedAggView:
             )
 
     def before_apply(self, parsed_events: DataFrame) -> None:
-        self._touched = touched_keys(parsed_events, self.spec).localCheckpoint()
+        # lazy pin (see MaintainedTwoTableJoinView.before_apply): derives
+        # from the immutable cached batch only, so evaluating it after the
+        # store advanced yields identical keys at zero extra jobs
+        self._touched = touched_keys(parsed_events, self.spec)
         self._v_pre = self.store.current_version(self.spec.target_name)
 
     def after_apply(self) -> None:
         import json
+        import os
+
+        m, patched, v_now = self._patch_frame()
+        v = m["version"] + 1
+        patched.write.mode("overwrite").parquet(
+            os.path.join(self.view_dir, f"v{v:06d}")
+        )
+        tmp = os.path.join(self.view_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "store_version": v_now}, fh)
+        os.replace(tmp, os.path.join(self.view_dir, "CURRENT"))
+        self._touched = self._v_pre = None
+
+    def _patch_frame(self):
+        """Build (meta, patched view frame, store version) WITHOUT
+        committing — ``after_apply`` writes it; plan audits explain it."""
         import os
 
         from connemara_spark.operators.apply import incremental_group_agg
@@ -463,7 +489,7 @@ class MaintainedAggView:
         v_now = self.store.current_version(self.spec.target_name)
 
         pk = list(self.spec.pk_cols)
-        t = F.broadcast(self._touched.distinct())
+        t = F.broadcast(self._touched)  # touched_keys output is distinct
         old_t = old.join(t, on=pk, how="left_semi")
         new_t = new.join(t, on=pk, how="left_semi")
         key = F.struct(*[F.col(c) for c in pk])
@@ -490,15 +516,7 @@ class MaintainedAggView:
             base, delta,
             group_col=self.group_col, sum_col=self.sum_col, sum_type=self.sum_type,
         )
-        v = m["version"] + 1
-        patched.write.mode("overwrite").parquet(
-            os.path.join(self.view_dir, f"v{v:06d}")
-        )
-        tmp = os.path.join(self.view_dir, "CURRENT.tmp")
-        with open(tmp, "w") as fh:
-            json.dump({"version": v, "store_version": v_now}, fh)
-        os.replace(tmp, os.path.join(self.view_dir, "CURRENT"))
-        self._touched = self._v_pre = None
+        return m, patched, v_now
 
 
 class MaintainedJoinView:
@@ -615,7 +633,8 @@ class MaintainedJoinView:
 
     def before_apply(self, parsed_events: DataFrame) -> None:
         self._old = self.store.read(self.spec)  # version-pinned OLD state
-        self._touched = touched_keys(parsed_events, self.spec).localCheckpoint()
+        # lazy pin (see MaintainedTwoTableJoinView.before_apply)
+        self._touched = touched_keys(parsed_events, self.spec)
 
     def after_apply(self) -> None:
         import json

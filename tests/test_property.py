@@ -239,3 +239,69 @@ def test_jpeg_q100_roundtrip_property(w, h, data):
     W, H, out = decode_jpeg(encode_jpeg(w, h, px, quality=100))
     assert (W, H) == (w, h)
     assert max(abs(a - b) for a, b in zip(px, out)) <= 2
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    n_events=st.integers(min_value=1, max_value=120),
+    pk_change_prob=st.sampled_from([0.0, 0.1, 0.3]),
+    partial_update_prob=st.sampled_from([0.0, 0.4, 0.9]),
+    n_buckets=st.sampled_from([1, 8, 64]),
+)
+def test_inlined_bucket_pricing_equals_buckets_of(
+    seed, n_events, pk_change_prob, partial_update_prob, n_buckets
+):
+    """The Replayer's merged batch summary prices partial rewrites with
+    ``touched_bucket_array`` INLINE on the counts job; a miss against the
+    reference pricing (``buckets_of(touched_keys(...))``) would make
+    ``write_partial`` drop rows — so the two must agree on the EXACT
+    bucket set for any event mix (PK changes, partial updates, deletes)."""
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.apply import (
+        _effective_spec,
+        touched_bucket_array,
+    )
+    from connemara_spark.operators.ivm import touched_keys
+
+    spark = _get_spark()
+    base = [
+        {"id": i, "name": f"n{i}", "qty": i * 2, "price": float(i) + 0.25}
+        for i in range(1, 8)
+    ]
+    evs = random_event_stream(
+        SPEC, base,
+        n_events=n_events, seed=seed,
+        pk_change_prob=pk_change_prob, partial_update_prob=partial_update_prob,
+    )
+    bronze = spark.createDataFrame(
+        [tuple(r[f.name] for f in BRONZE_SCHEMA.fields) for r in evs],
+        schema=BRONZE_SCHEMA,
+    )
+    events = parse_events(bronze)
+    espec, _ = _effective_spec(SPEC)
+
+    # reference pricing: distinct touched keys hashed the store's way
+    keys = touched_keys(events, espec)
+    want = sorted(
+        r["__b"]
+        for r in keys.select(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in espec.pk_cols]), F.lit(n_buckets)
+            ).cast("int").alias("__b")
+        ).distinct().collect()
+    )
+
+    # inlined pricing: per-event bucket arrays, deduped
+    got = sorted(
+        r["__b"]
+        for r in events.select(
+            F.explode(touched_bucket_array(espec, n_buckets)).alias("__b")
+        ).distinct().collect()
+    )
+    assert got == want
