@@ -75,10 +75,23 @@ class LsnWatermark:
             json.dump(self._state, fh)
         os.replace(tmp, self.path)
 
+    # Above this many origins the per-origin predicate chain becomes a
+    # very wide boolean tree (plan bloat + codegen pressure at hundreds of
+    # source databases); switch to a broadcast join against the watermark
+    # table. Below it the literal predicate keeps the filter inside the
+    # scan's codegen span with zero join machinery.
+    BROADCAST_THRESHOLD = 100
+
     def filter_applied(self, bronze: DataFrame) -> DataFrame:
-        """Drop events already applied (lsn <= watermark for their origin)."""
+        """Drop events already applied (lsn <= watermark for their origin);
+        events from origins the watermark has never seen pass through."""
         if not self._state:
             return bronze
+        if len(self._state) <= self.BROADCAST_THRESHOLD:
+            return self._filter_predicate(bronze)
+        return self._filter_broadcast(bronze)
+
+    def _filter_predicate(self, bronze: DataFrame) -> DataFrame:
         cond = F.lit(True)
         for k, lsn in self._state.items():
             db, slot = k.split("\t")
@@ -88,6 +101,25 @@ class LsnWatermark:
                 & (F.col("lsn_start") <= lsn)
             )
         return bronze.filter(cond)
+
+    def _filter_broadcast(self, bronze: DataFrame) -> DataFrame:
+        rows = []
+        for k, lsn in self._state.items():
+            db, slot = k.split("\t")
+            rows.append((db, slot, int(lsn)))
+        wm = bronze.sparkSession.createDataFrame(
+            rows, "database string, source_slotname string, __wm long"
+        )
+        return (
+            bronze.join(
+                F.broadcast(wm), on=["database", "source_slotname"], how="left"
+            )
+            .filter(F.col("__wm").isNull() | (F.col("lsn_start") > F.col("__wm")))
+            # the USING join reorders columns (join keys first); restore the
+            # bronze order so downstream consumers (archive appends) see an
+            # identical frame either path
+            .select(*bronze.columns)
+        )
 
 
 class StreamingReplayer:

@@ -203,3 +203,62 @@ def test_bounded_fold_auto_selection(spark, tmp_path):
     m3 = rep3.apply_batch(bronze(2_000))
     assert m3.bounded_folds == 0
     assert {r["id"]: r["v"] for r in store3.read(spec).collect()} == {1: "v2000"}
+
+
+def test_watermark_filter_broadcast_path_matches_predicate_at_1k_origins(
+    spark, tmp_path
+):
+    """LsnWatermark.filter_applied switches from the per-origin predicate
+    chain to a broadcast join above BROADCAST_THRESHOLD origins (the
+    many-hundreds-of-sources deployment would otherwise build a very wide
+    boolean tree). Property at 1k synthetic origins: the two paths keep
+    IDENTICAL semantics — rows at/below their origin's watermark drop,
+    rows above pass, rows from never-seen origins pass — and the broadcast
+    path preserves the bronze column order."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from connemara_spark.streaming.driver import LsnWatermark
+
+    rng = random.Random(7)
+    wm = LsnWatermark(str(tmp_path / "wm.json"))
+    updates = {
+        (f"db{i}", f"slot{i}"): rng.randint(0, 1000) for i in range(1000)
+    }
+    wm.advance(updates)
+    assert len(wm._state) == 1000 > wm.BROADCAST_THRESHOLD
+
+    # rows straddling each origin's watermark + rows from unknown origins
+    rows = []
+    for i in range(0, 1000, 7):
+        lsn = updates[(f"db{i}", f"slot{i}")]
+        for d in (-1, 0, 1):
+            rows.append((f"db{i}", f"slot{i}", lsn + d))
+    rows += [("dbX", "slotX", 0), ("dbY", "slotY", 10**9)]
+    bronze = spark.createDataFrame(
+        [(db, slot, lsn, f"p{lsn}") for db, slot, lsn in rows],
+        "database string, source_slotname string, lsn_start long, payload string",
+    )
+
+    got_b = wm._filter_broadcast(bronze)
+    assert got_b.columns == bronze.columns  # order preserved either path
+    got = sorted(map(tuple, got_b.collect()))
+    want_model = sorted(
+        (db, slot, lsn, f"p{lsn}")
+        for db, slot, lsn in rows
+        if lsn > updates.get((db, slot), -1)
+    )
+    assert got == want_model
+    # dispatch: 1k origins routes to the broadcast path, and the public
+    # entry point agrees with the model too
+    assert sorted(map(tuple, wm.filter_applied(bronze).collect())) == want_model
+
+    # the predicate path (forced) computes the same set on a small slice —
+    # full 1k-term chains are exactly what the threshold avoids building
+    few = LsnWatermark(str(tmp_path / "wm2.json"))
+    few.advance({(f"db{i}", f"slot{i}"): updates[(f"db{i}", f"slot{i}")] for i in range(5)})
+    small = bronze.filter(F.col("database").isin(["db0", "dbX"]))
+    assert sorted(map(tuple, few._filter_predicate(small).collect())) == sorted(
+        map(tuple, few._filter_broadcast(small).collect())
+    )
