@@ -296,7 +296,9 @@ def test_parse_barrier_pins_single_json_parse(spark, sf_dir):
     assert _from_json_count(q("cdc_apply_customer", spark, sf_dir)) == 1
     # two CDC streams (customer + account) -> exactly two parses
     assert _from_json_count(q("cdc_join_view_delta", spark, sf_dir)) == 2
-    assert _from_json_count(q("cdc_incremental_rollup", spark, sf_dir)) == 2
+    # single stream; was 2 until r7 — incremental_group_agg's minus/plus
+    # self-union double-referenced the delta (and with it the parse)
+    assert _from_json_count(q("cdc_incremental_rollup", spark, sf_dir)) == 1
     assert _from_json_count(q("cdc_apply_metrics", spark, sf_dir)) == 1
 
 
