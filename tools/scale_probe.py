@@ -113,6 +113,63 @@ def main():
         lambda: apply_changes_bounded(snapshot, events, spec, lsn_bucket=100_000).count(),
     )
 
+    # -- 1b. merged batch summary at 3M events (r7) -------------------------
+    # The Replayer prices every batch with ONE aggregation (_batch_summary:
+    # DDL rows + per-table counts + touched-bucket sets) where it used to
+    # pay three collects. Probe both shapes over the same CACHED parse so
+    # the delta is pure job structure, at 30x the bench batch size.
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.events import split_ddl_dml
+    from connemara_spark.operators.apply import _effective_spec
+    from connemara_spark.operators.ivm import touched_keys
+    from connemara_spark.pipeline import Replayer
+
+    class _BucketedStoreStub:
+        """Shape-only store: gives the summary its bucket arm (the probe
+        never reads or writes — it measures the pricing job itself)."""
+
+        n_buckets = 64
+
+        def write_partial(self, *a, **k):  # pragma: no cover - marker only
+            raise NotImplementedError
+
+    cat = EngineCatalog()
+    cat.register(
+        TableSpec(
+            database=spec.database, schema=spec.schema, table=spec.table,
+            columns=[ColumnSpec(c.name, c.pg_type) for c in spec.columns],
+            pk_cols=list(spec.pk_cols),
+        )
+    )
+    rep = Replayer(spark, cat, _BucketedStoreStub())
+    cached_events = events.persist()
+    cached_events.count()  # materialize the parse outside both timings
+    timed(
+        "batch_summary_merged_3m", n_ev,
+        lambda: sum(rep._batch_summary(cached_events)[1].values()),
+    )
+
+    def legacy_three_collects():
+        ddl_df, dml = split_ddl_dml(cached_events)
+        ddl_df.select("insert_timestamp", "lsn_start", "database",
+                      "columnnames", "columnvalues").collect()
+        counts = {
+            (r["database"], r["schema"], r["table"]): r["n"]
+            for r in dml.groupBy("database", "schema", "table")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        espec, _ = _effective_spec(cat.tables()[0])
+        keys = touched_keys(dml, espec)
+        keys.select(
+            F.pmod(F.xxhash64(*[F.col(c) for c in espec.pk_cols]),
+                   F.lit(64)).cast("int").alias("__b")
+        ).distinct().collect()
+        return sum(counts.values())
+
+    timed("batch_summary_legacy3_3m", n_ev, legacy_three_collects)
+    cached_events.unpersist()
+
     # -- 2. exact dedup: 2M docs, ~10% duplicates --------------------------
     n_docs = 2_000_000
     docs2m = spark.range(n_docs).select(
