@@ -835,10 +835,9 @@ def cdc_jdbc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink = JdbcApplySink(
             spark, store, spec, url=url, target_table="customer", properties=props
         )
-        # bootstrap load: every snapshot key is a touched key
-        sink.apply_touched(
-            store.read(spec).select("c_custkey"), batch_id="bootstrap"
-        )
+        # initial sync: the COPY-shaped bulk load (no touched-key
+        # machinery — at bootstrap every key is new)
+        sink.bootstrap_load(batch_id="bootstrap")
         lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
         step = max((hi - lo) // 2 + 1, 1)
         for i, b0 in enumerate(range(lo, hi + 1, step)):

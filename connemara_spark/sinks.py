@@ -98,6 +98,52 @@ class JdbcApplySink:
             self._touched = None
 
     # -- core --------------------------------------------------------------
+    def bootstrap_load(self, *, batch_id: str = "bootstrap") -> bool:
+        """Initial target sync — the reference's COPY-shaped snapshot load
+        (schema dump + restore feed the target BEFORE streaming begins,
+        sources/snapshot.py S4/S5): ship the silver store's full current
+        state into the target without the touched-key machinery, since at
+        bootstrap EVERY key is new.
+
+        Shape: one distributed staging write (the same parallel fast path
+        as per-batch applies), then ONE driver transaction that clears the
+        target, bulk-inserts set-based from staging (in-database, no
+        per-row driver roundtrips), and records the batch id. The single
+        transaction makes the load crash-atomic, and the ledger row makes
+        it exactly-once — a restarted bootstrap is a skip, a crashed one
+        left the target untouched. Returns False on the ledger skip."""
+        if self._ledger_has(batch_id):
+            return False
+        cols = [c.name for c in self.spec.columns]
+        state = self.store.read(self.spec)
+        state.select(*cols).withColumn("__key_only", F.lit(False)).write.mode(
+            "overwrite"
+        ).option("truncate", "true").jdbc(
+            self.url, self.staging, properties=self.props
+        )
+        con = self._connect()
+        try:
+            con.setAutoCommit(False)
+            st = con.createStatement()
+            st.execute(f"DELETE FROM {self.target}")
+            st.execute(
+                f"INSERT INTO {self.target} ({', '.join(cols)}) "
+                f"SELECT {', '.join(f'{chr(34)}{c}{chr(34)}' for c in cols)} "
+                f"FROM {self.staging}"
+            )
+            ps = con.prepareStatement(
+                f"INSERT INTO {self.ledger} (batch_id) VALUES (?)"
+            )
+            ps.setString(1, batch_id)
+            ps.executeUpdate()
+            con.commit()
+        except Exception:
+            con.rollback()
+            raise
+        finally:
+            con.close()
+        return True
+
     def apply_touched(self, keys, *, batch_id: str) -> bool:
         """Replace the target's rows at ``keys`` with the silver store's
         CURRENT rows at those keys. Returns False when ``batch_id`` was

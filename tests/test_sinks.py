@@ -385,3 +385,35 @@ def test_deterministic_stream_ids_make_replay_a_ledger_skip(spark, tmp_path):
     drain(make_sink())
     assert ledger_ids() == ids
     assert _target_rows(spark, "jdbc:derby:memory:sinkdet") == want
+
+
+def test_bootstrap_load_is_bulk_and_exactly_once(spark, tmp_path):
+    """bootstrap_load ships the full silver state through staging and ONE
+    clear+insert+ledger transaction (the reference's COPY-shaped initial
+    sync): the target mirrors the store, a repeat call is a ledger skip,
+    and a pre-existing stale target row is cleared by the load."""
+    url, spec, store, rep, sink = _setup(spark, tmp_path, "sinkboot")
+    # stale junk in the target from a previous aborted experiment
+    con = spark._jvm.java.sql.DriverManager.getConnection(url)
+    con.createStatement().execute("INSERT INTO items VALUES (999, 'stale', 0)")
+    con.close()
+
+    assert sink.bootstrap_load(batch_id="bootstrap") is True
+    want = {r["id"]: (r["v"], r["n"]) for r in store.read(spec).collect()}
+    got = _target_rows(spark, url)
+    assert got == want and 999 not in got and len(got) == 20
+
+    # exactly-once: the replayed bootstrap is a skip, target untouched
+    assert sink.bootstrap_load(batch_id="bootstrap") is False
+    assert _target_rows(spark, url) == want
+
+    # and the normal per-batch apply composes on top of the bulk load
+    events = [
+        make_event(spec, "update", lsn=1, row={"id": 3, "v": "x", "n": 42}, old_key={"id": 3}),
+    ]
+    b = _bronze(spark, events)
+    parsed = rep.parse_batch(b)
+    sink.before_apply(parsed)
+    rep.apply_batch(b, events=parsed)
+    sink.after_apply(batch_id="batch-1")
+    assert _target_rows(spark, url)[3] == ("x", 42)
