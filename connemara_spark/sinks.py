@@ -39,6 +39,27 @@ from pyspark.sql import functions as F
 
 from connemara_spark.operators.ivm import touched_keys
 
+# pg type -> portable SQL column type for target-side DDL following
+# (ALTER TABLE ADD COLUMN). Dialect-specific needs go through the sink's
+# ``type_overrides``; an unmapped type fails loudly rather than guessing.
+_PG_TO_SQL = {
+    "bigint": "BIGINT",
+    "integer": "INTEGER",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "boolean": "BOOLEAN",
+    "double precision": "DOUBLE",
+    "real": "REAL",
+    "text": "VARCHAR(32672)",
+    "character varying": "VARCHAR(32672)",
+    "varchar": "VARCHAR(32672)",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp without time zone": "TIMESTAMP",
+    "numeric": "DECIMAL(31,6)",
+    "bytea": "BLOB",
+}
+
 
 class JdbcApplySink:
     """Replicate a silver table's CDC-applied state into a JDBC target,
@@ -55,6 +76,8 @@ class JdbcApplySink:
         properties: dict[str, str] | None = None,
         staging_table: str | None = None,
         ledger_table: str | None = None,
+        follow_destructive: bool = False,
+        type_overrides: dict[str, str] | None = None,
     ):
         self.spark = spark
         self.store = store
@@ -64,6 +87,13 @@ class JdbcApplySink:
         self.props = properties or {}
         self.staging = staging_table or f"{target_table}_staging"
         self.ledger = ledger_table or f"{target_table}_apply_ledger"
+        # target-side DDL following (check_schema): ADD COLUMN is always
+        # replayed to the target; DROP is destructive and only replayed
+        # when the operator opted in — otherwise it fails loudly for
+        # review (the reference replays DDL to consolidation verbatim;
+        # a distributed sink defaults to the cautious half of that)
+        self.follow_destructive = follow_destructive
+        self.type_overrides = type_overrides or {}
         self._touched = None
         self._ensure_ledger()
         # auto-assigned batch ids must survive process restarts: a fresh
@@ -96,6 +126,82 @@ class JdbcApplySink:
             self.apply_touched(self._touched, batch_id=batch_id)
         finally:
             self._touched = None
+
+    def check_schema(self, catalog) -> None:
+        """Follow schema evolution to the TARGET — the reference replays
+        DDL to consolidation PostgreSQL (its target IS where DDL lands,
+        connemara_rewrite.pm routing), so a sink that kept shipping the
+        old column list after a mid-stream ALTER would either crash the
+        reconcile INSERT (added column missing at the target) or drift
+        silently (dropped column lingering). Driven by StreamingReplayer
+        after any batch that executed DDL, BEFORE after_apply ships the
+        batch's slice:
+
+        - columns the catalog gained are ADDed to the target
+          (``ALTER TABLE .. ADD COLUMN``, type via ``_PG_TO_SQL`` /
+          ``type_overrides``);
+        - columns the catalog lost RAISE unless ``follow_destructive``,
+          in which case they are dropped at the target too;
+        - the scratch staging table is dropped either way so the next
+          apply recreates it with the evolved schema (a truncate-reuse
+          would fail on the shape change).
+        """
+        cur = catalog.get(self.spec.database, self.spec.schema, self.spec.table)
+        self.spec = cur
+        target_cols = {c.lower() for c in self._target_columns()}
+        spec_names = {c.name.lower() for c in cur.columns}
+        to_add = [c for c in cur.columns if c.name.lower() not in target_cols]
+        dropped = sorted(target_cols - spec_names)
+        if dropped and not self.follow_destructive:
+            raise RuntimeError(
+                f"JDBC target {self.target} still has column(s) {dropped} that "
+                f"DDL dropped from {cur.target_name} — pass "
+                f"follow_destructive=True to replay the drop, or reconcile "
+                f"the target manually"
+            )
+        if not to_add and not dropped:
+            return
+        con = self._connect()
+        try:
+            st = con.createStatement()
+            for c in to_add:
+                key = c.pg_type.strip().lower()
+                sql_t = self.type_overrides.get(key) or _PG_TO_SQL.get(key)
+                if sql_t is None:
+                    raise ValueError(
+                        f"no SQL type mapping for pg type {c.pg_type!r} "
+                        f"(column {c.name}) — pass type_overrides"
+                    )
+                st.execute(
+                    f"ALTER TABLE {self.target} ADD COLUMN {c.name} {sql_t}"
+                )
+            for name in dropped:
+                st.execute(f"ALTER TABLE {self.target} DROP COLUMN {name}")
+            try:
+                st.execute(f"DROP TABLE {self.staging}")
+            except Exception:
+                pass  # scratch table may not exist yet
+        finally:
+            con.close()
+
+    def _target_columns(self) -> list[str]:
+        con = self._connect()
+        try:
+            md = con.getMetaData()
+            out: list[str] = []
+            # unquoted identifiers fold per-dialect (Derby: upper,
+            # PostgreSQL: lower) — probe both folds
+            for probe in (self.target.upper(), self.target):
+                rs = md.getColumns(None, None, probe, None)
+                while rs.next():
+                    out.append(rs.getString("COLUMN_NAME"))
+                if out:
+                    break
+            if not out:
+                raise RuntimeError(f"target table {self.target} not found")
+            return out
+        finally:
+            con.close()
 
     # -- core --------------------------------------------------------------
     def bootstrap_load(self, *, batch_id: str = "bootstrap") -> bool:

@@ -417,3 +417,127 @@ def test_bootstrap_load_is_bulk_and_exactly_once(spark, tmp_path):
     rep.apply_batch(b, events=parsed)
     sink.after_apply(batch_id="batch-1")
     assert _target_rows(spark, url)[3] == ("x", 42)
+
+
+def _ddl_event_dict(spec, lsn, query):
+    import datetime
+    import json as j
+
+    ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=lsn)
+    return {
+        "insert_timestamp": ts,
+        "database": spec.database,
+        "source_slotname": f"slot_{spec.database}",
+        "lsn_start": lsn,
+        "xid": 1000 + lsn,
+        "xid_timestamp": ts,
+        "payload": j.dumps({
+            "kind": "insert", "schema": "public", "table": "sql_ddl_statements",
+            "columnnames": ["id", "current_query", "search_path", "command_tags"],
+            "columnvalues": [str(lsn), query, '"$user", public', "{DDL}"],
+        }),
+    }
+
+
+def test_sink_follows_add_column_ddl_to_target(spark, tmp_path):
+    """Mid-stream ALTER TABLE ADD COLUMN must reach the JDBC target (the
+    reference replays DDL to consolidation): check_schema adds the column
+    before the batch's slice ships, and post-DDL values flow through."""
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+
+    url = "jdbc:derby:memory:sinkddl1;create=true"
+    con = spark._jvm.java.sql.DriverManager.getConnection(url)
+    con.createStatement().execute(
+        "CREATE TABLE items (id BIGINT PRIMARY KEY, v VARCHAR(64), n INT)"
+    )
+    con.close()
+    spec = TableSpec(
+        database="db1", schema="public", table="items",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text"),
+                 ColumnSpec("n", "integer")],
+        pk_cols=["id"],
+    )
+    cat = EngineCatalog()
+    cat.register(spec)
+    spec = cat.get("db1", "public", "items")
+    store = BucketStore(spark, str(tmp_path / "silver"), n_buckets=8)
+    store.write(spec, spark.createDataFrame([], spec.spark_schema()))
+    sink = JdbcApplySink(
+        spark, store, spec, url="jdbc:derby:memory:sinkddl1",
+        target_table="items", properties=PROPS,
+    )
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+        maintainers=[sink],
+    )
+    write_segment(str(tmp_path / "spool"), [
+        dict(make_event(spec, "insert", lsn=1, row={"id": 1, "v": "a", "n": 1})),
+        _ddl_event_dict(spec, 2, "ALTER TABLE public.items ADD COLUMN note text"),
+    ], "seg-001")
+    sr.run_until_drained()
+    spec2 = cat.get("db1", "public", "items")
+    assert spec2.column_names == ["id", "v", "n", "note"]
+    assert [c.lower() for c in sink._target_columns()] == ["id", "v", "n", "note"]
+
+    # post-DDL batch: the new column's values reach the target
+    write_segment(str(tmp_path / "spool"), [
+        dict(make_event(spec2, "insert", lsn=3,
+                        row={"id": 2, "v": "b", "n": 2, "note": "hello"})),
+    ], "seg-002")
+    sr2 = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+        maintainers=[sink],
+    )
+    sr2.run_until_drained()
+    con = spark._jvm.java.sql.DriverManager.getConnection("jdbc:derby:memory:sinkddl1")
+    try:
+        rs = con.createStatement().executeQuery("SELECT id, note FROM items ORDER BY id")
+        got = {}
+        while rs.next():
+            got[rs.getLong(1)] = rs.getString(2)
+    finally:
+        con.close()
+    assert got == {1: None, 2: "hello"}
+
+
+def test_sink_drop_column_fails_loudly_unless_opted_in(spark, tmp_path):
+    """A dropped column left on the target is silent drift: check_schema
+    raises by default and replays the drop with follow_destructive."""
+    url = "jdbc:derby:memory:sinkddl2;create=true"
+    con = spark._jvm.java.sql.DriverManager.getConnection(url)
+    con.createStatement().execute(
+        "CREATE TABLE items (id BIGINT PRIMARY KEY, v VARCHAR(64), n INT)"
+    )
+    con.close()
+    spec = TableSpec(
+        database="db1", schema="public", table="items",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text"),
+                 ColumnSpec("n", "integer")],
+        pk_cols=["id"],
+    )
+    cat = EngineCatalog()
+    cat.register(spec)
+    spec = cat.get("db1", "public", "items")
+    sink = JdbcApplySink(
+        spark, store=None, spec=spec, url="jdbc:derby:memory:sinkddl2",
+        target_table="items", properties=PROPS,
+    )
+    cat.drop_column("db1", "public", "items", "n")
+    with pytest.raises(RuntimeError, match="dropped"):
+        sink.check_schema(cat)
+    # target untouched by the refusal
+    assert [c.lower() for c in sink._target_columns()] == ["id", "v", "n"]
+
+    sink2 = JdbcApplySink(
+        spark, store=None, spec=spec, url="jdbc:derby:memory:sinkddl2",
+        target_table="items", properties=PROPS, follow_destructive=True,
+    )
+    sink2.check_schema(cat)
+    assert [c.lower() for c in sink2._target_columns()] == ["id", "v"]
