@@ -2486,6 +2486,73 @@ def dq_referential_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = [
+    ("o_orderkey", "long"),
+    ("o_custkey", "long"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "string"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, t in _PROFILE_COLS:
+        mn, mx = f"MIN({c})", f"MAX({c})"
+        if t == "double":
+            mn = f"CAST(MIN({c}) AS DECIMAL(18,2))"
+            mx = f"CAST(MAX({c}) AS DECIMAL(18,2))"
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+            f"COUNT(*) - COUNT({c}) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, "
+            f"CAST({mn} AS VARCHAR) AS min_str, "
+            f"CAST({mx} AS VARCHAR) AS max_str FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "table_profile_orders",
+    _profile_oracle(),
+    "one-pass column profiler (the ANALYZE/data-quality primitive): per orders "
+    "column — row count, null count, EXACT distinct count, type-aware rendered "
+    "min/max — computed in ONE aggregation over one scan (the multi-distinct "
+    "expands the input x(cols+1) inside a single shuffle; at 100 TB swap "
+    "count_distinct for approx_count_distinct (HLL, zero expand) — the sketch "
+    "path's cross-engine parity is demonstrated by corpus_hll_distinct); "
+    "doubles render through DECIMAL(18,2) so min/max strings agree cross-engine",
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, _t in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).alias(f"{c}__min"),  # typed min/max, rendered below
+            F.max(F.col(c)).alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    entries = []
+    for c, t in _PROFILE_COLS:
+        mn, mx = F.col(f"{c}__min"), F.col(f"{c}__max")
+        if t == "double":
+            mn, mx = mn.cast("decimal(18,2)"), mx.cast("decimal(18,2)")
+        entries.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                mn.cast("string").alias("min_str"),
+                mx.cast("string").alias("max_str"),
+            )
+        )
+    return row.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
 @register(
     "lineitem_price_quantiles_exact",
     """
