@@ -31,6 +31,10 @@ nothing or recorded the application.
 Protocol: ``before_apply(parsed_events)`` pins the batch's touched keys
 (same hook as the view maintainers — StreamingReplayer drives this class
 via ``maintainers=[...]``); ``after_apply()`` ships and merges.
+
+``JdbcMultiApplySink`` extends the discipline across SEVERAL target
+tables with ONE reconcile transaction — the reference's per-source-
+transaction atomicity (W2) reproduced at the external target.
 """
 
 from __future__ import annotations
@@ -61,7 +65,134 @@ _PG_TO_SQL = {
 }
 
 
-class JdbcApplySink:
+class _JdbcLedgerBase:
+    """Driver-side JDBC plumbing shared by the apply sinks: authenticated
+    connections, the exactly-once ledger, distributed slice staging, and
+    the per-table replacement statements. Subclasses set ``spark``,
+    ``store``, ``url``, ``props``, ``ledger``."""
+
+    spark = store = url = props = ledger = None
+
+    def _connect(self):
+        # the driver-side connections must authenticate the same way the
+        # executors' df.write.jdbc does: every connection property except
+        # the class name (user, password, ssl, ...) is forwarded verbatim
+        jvm = self.spark._jvm
+        driver = self.props.get("driver")
+        if driver:
+            jvm.java.lang.Class.forName(driver)
+        jprops = jvm.java.util.Properties()
+        for k, v in self.props.items():
+            if k != "driver":
+                jprops.setProperty(k, v)
+        return jvm.java.sql.DriverManager.getConnection(self.url, jprops)
+
+    def _ensure_ledger(self) -> None:
+        # NOTE: the connection is still in autocommit mode here — DDL commits
+        # itself, and calling con.commit() under autocommit is an error on
+        # PostgreSQL/MySQL drivers (works only on Derby), so we never do.
+        con = self._connect()
+        try:
+            st = con.createStatement()
+            try:
+                st.execute(
+                    f"CREATE TABLE {self.ledger} (batch_id VARCHAR(128) PRIMARY KEY)"
+                )
+            except Exception as create_err:
+                # "already exists" is fine; auth/connectivity/permission
+                # errors are NOT — probe the table to tell them apart, and
+                # surface the ORIGINAL error when the probe fails too
+                try:
+                    rs = con.createStatement().executeQuery(
+                        f"SELECT batch_id FROM {self.ledger} WHERE 1=0"
+                    )
+                    rs.close()
+                except Exception:
+                    raise create_err
+        finally:
+            con.close()
+
+    def _max_committed_seq(self) -> int:
+        con = self._connect()
+        try:
+            rs = con.createStatement().executeQuery(
+                f"SELECT batch_id FROM {self.ledger}"
+            )
+            best = 0
+            while rs.next():
+                bid = rs.getString(1)
+                if bid.startswith("seq-") and bid[4:].isdigit():
+                    best = max(best, int(bid[4:]))
+            return best
+        finally:
+            con.close()
+
+    def _ledger_has(self, batch_id: str) -> bool:
+        con = self._connect()
+        try:
+            ps = con.prepareStatement(
+                f"SELECT 1 FROM {self.ledger} WHERE batch_id = ?"
+            )
+            ps.setString(1, batch_id)
+            rs = ps.executeQuery()
+            return rs.next()
+        finally:
+            con.close()
+
+    def _stage_slice(self, spec, staging: str, keys) -> tuple[list, list]:
+        """ONE distributed staging write for one table: the new rows at the
+        touched keys (__key_only=false, inserted by the reconcile) plus the
+        bare touched keys (__key_only=true — they ride along so DELETED
+        rows, touched but absent from the new state, still reach the
+        DELETE). Returns (pk, cols) for the reconcile statements."""
+        pk = list(spec.pk_cols)
+        if not pk:
+            raise ValueError(f"{spec.target_name}: JDBC apply needs PK columns")
+        # the new state at the touched keys — over a BucketStore this read
+        # prunes to the touched buckets at path selection
+        new = (
+            self.store.read_for_keys(spec, keys)
+            if hasattr(self.store, "read_for_keys")
+            else self.store.read(spec)
+        )
+        t = F.broadcast(keys.select(*pk).distinct())
+        slice_df = new.join(t, on=pk, how="left_semi")
+        cols = [c.name for c in spec.columns]
+        non_pk = [c for c in spec.columns if c.name not in pk]
+        key_rows = t.select(
+            *pk,
+            *[F.lit(None).cast(c.spark_type).alias(c.name) for c in non_pk],
+        ).withColumn("__key_only", F.lit(True))
+        staged = (
+            slice_df.select(*cols)
+            .withColumn("__key_only", F.lit(False))
+            .unionByName(key_rows.select(*cols, "__key_only"))
+        )
+        staged.write.mode("overwrite").option("truncate", "true").jdbc(
+            self.url, staging, properties=self.props
+        )
+        return pk, cols
+
+    @staticmethod
+    def _reconcile_leg(st, target: str, staging: str, pk: list, cols: list) -> None:
+        """Replacement statements for one table on an OPEN transaction's
+        Statement — the caller owns begin/commit/rollback. Spark's JDBC
+        writer creates staging columns QUOTED in the DataFrame's exact
+        case; the user-created target resolves unquoted (standard case
+        folding) — reference each side its way."""
+        on = " AND ".join(f't.{c} = k."{c}"' for c in pk)
+        st.execute(
+            f"DELETE FROM {target} t WHERE EXISTS "
+            f"(SELECT 1 FROM {staging} k WHERE {on})"
+        )
+        st.execute(
+            f"INSERT INTO {target} ({', '.join(cols)}) "
+            f"SELECT {', '.join(f'{chr(34)}{c}{chr(34)}' for c in cols)} "
+            f'FROM {staging} WHERE "__key_only" = false'
+        )
+
+
+class JdbcApplySink(_JdbcLedgerBase):
     """Replicate a silver table's CDC-applied state into a JDBC target,
     |Δ|-scoped per batch, exactly-once via a ledger table."""
 
@@ -256,129 +387,20 @@ class JdbcApplySink:
         already applied (exactly-once skip)."""
         if self._ledger_has(batch_id):
             return False
-        pk = list(self.spec.pk_cols)
-        if not pk:
-            raise ValueError(f"{self.spec.target_name}: JDBC apply needs PK columns")
-        # the new state at the touched keys — over a BucketStore this read
-        # prunes to the touched buckets at path selection
-        new = (
-            self.store.read_for_keys(self.spec, keys)
-            if hasattr(self.store, "read_for_keys")
-            else self.store.read(self.spec)
-        )
-        t = F.broadcast(keys.select(*pk).distinct())
-        slice_df = new.join(t, on=pk, how="left_semi")
-        cols = [c.name for c in self.spec.columns]
-        # ONE distributed staging write carrying both row kinds: the new
-        # rows (__key_only=false, inserted by the reconcile) and the bare
-        # touched keys (__key_only=true — they ride along so DELETED rows,
-        # touched but absent from the new state, still reach the DELETE).
-        # Two separate writes here were two driver-synchronous Spark jobs
-        # per apply on a job-floor-bound path.
-        non_pk = [c for c in self.spec.columns if c.name not in pk]
-        key_rows = t.select(
-            *pk,
-            *[F.lit(None).cast(c.spark_type).alias(c.name) for c in non_pk],
-        ).withColumn("__key_only", F.lit(True))
-        staged = (
-            slice_df.select(*cols)
-            .withColumn("__key_only", F.lit(False))
-            .unionByName(key_rows.select(*cols, "__key_only"))
-        )
-        staged.write.mode("overwrite").option("truncate", "true").jdbc(
-            self.url, self.staging, properties=self.props
-        )
+        pk, cols = self._stage_slice(self.spec, self.staging, keys)
         self._reconcile(batch_id, pk, cols)
         return True
-
-    # -- driver-side JDBC --------------------------------------------------
-    def _connect(self):
-        # the driver-side connections must authenticate the same way the
-        # executors' df.write.jdbc does: every connection property except
-        # the class name (user, password, ssl, ...) is forwarded verbatim
-        jvm = self.spark._jvm
-        driver = self.props.get("driver")
-        if driver:
-            jvm.java.lang.Class.forName(driver)
-        jprops = jvm.java.util.Properties()
-        for k, v in self.props.items():
-            if k != "driver":
-                jprops.setProperty(k, v)
-        return jvm.java.sql.DriverManager.getConnection(self.url, jprops)
-
-    def _ensure_ledger(self) -> None:
-        # NOTE: the connection is still in autocommit mode here — DDL commits
-        # itself, and calling con.commit() under autocommit is an error on
-        # PostgreSQL/MySQL drivers (works only on Derby), so we never do.
-        con = self._connect()
-        try:
-            st = con.createStatement()
-            try:
-                st.execute(
-                    f"CREATE TABLE {self.ledger} (batch_id VARCHAR(128) PRIMARY KEY)"
-                )
-            except Exception as create_err:
-                # "already exists" is fine; auth/connectivity/permission
-                # errors are NOT — probe the table to tell them apart, and
-                # surface the ORIGINAL error when the probe fails too
-                try:
-                    rs = con.createStatement().executeQuery(
-                        f"SELECT batch_id FROM {self.ledger} WHERE 1=0"
-                    )
-                    rs.close()
-                except Exception:
-                    raise create_err
-        finally:
-            con.close()
-
-    def _max_committed_seq(self) -> int:
-        con = self._connect()
-        try:
-            rs = con.createStatement().executeQuery(
-                f"SELECT batch_id FROM {self.ledger}"
-            )
-            best = 0
-            while rs.next():
-                bid = rs.getString(1)
-                if bid.startswith("seq-") and bid[4:].isdigit():
-                    best = max(best, int(bid[4:]))
-            return best
-        finally:
-            con.close()
-
-    def _ledger_has(self, batch_id: str) -> bool:
-        con = self._connect()
-        try:
-            ps = con.prepareStatement(
-                f"SELECT 1 FROM {self.ledger} WHERE batch_id = ?"
-            )
-            ps.setString(1, batch_id)
-            rs = ps.executeQuery()
-            return rs.next()
-        finally:
-            con.close()
 
     def _reconcile(self, batch_id: str, pk: list[str], cols: list[str]) -> None:
         """ONE transaction: replacement at touched keys + ledger record.
         Crash before COMMIT leaves the target untouched and the batch
         unrecorded — the retry redoes everything; crash after COMMIT makes
         the retry a ledger-skip."""
-        # Spark's JDBC writer creates staging columns QUOTED in the
-        # DataFrame's exact case; the user-created target resolves
-        # unquoted (standard case folding) — reference each side its way
-        on = " AND ".join(f't.{c} = k."{c}"' for c in pk)
         con = self._connect()
         try:
             con.setAutoCommit(False)
-            st = con.createStatement()
-            st.execute(
-                f"DELETE FROM {self.target} t WHERE EXISTS "
-                f"(SELECT 1 FROM {self.staging} k WHERE {on})"
-            )
-            st.execute(
-                f"INSERT INTO {self.target} ({', '.join(cols)}) "
-                f"SELECT {', '.join(f'{chr(34)}{c}{chr(34)}' for c in cols)} "
-                f'FROM {self.staging} WHERE "__key_only" = false'
+            self._reconcile_leg(
+                con.createStatement(), self.target, self.staging, pk, cols
             )
             ps = con.prepareStatement(
                 f"INSERT INTO {self.ledger} (batch_id) VALUES (?)"
@@ -391,3 +413,99 @@ class JdbcApplySink:
             raise
         finally:
             con.close()
+
+
+class JdbcMultiApplySink(_JdbcLedgerBase):
+    """Apply one batch's folded state across SEVERAL target tables in ONE
+    transaction — the consolidation guarantee the reference inherits from
+    executing a source transaction's DML inside a single PostgreSQL
+    transaction (W2 tx integrity; replay.pl's commit barrier): a reader
+    of the target never observes table A's batch without table B's, and
+    the SHARED ledger row commits atomically with all of them, so the
+    whole multi-table batch is exactly-once as a unit.
+
+    ``targets``: list of ``(spec, target_table)``. Each table stages to
+    its own ``{table}_staging`` (one distributed write per table — the
+    parallel fast path); the single driver transaction then replaces
+    rows at every table's touched keys and records the batch id once.
+    Crash semantics match the single-table sink: before COMMIT nothing
+    is visible anywhere, after COMMIT the retry is a ledger skip — there
+    is no window where only SOME tables carry the batch.
+
+    Maintainer protocol: ``before_apply`` pins every table's touched
+    keys from the ONE shared parse; drive it via
+    ``StreamingReplayer(maintainers=[...])`` like the views."""
+
+    def __init__(
+        self,
+        spark,
+        store,
+        targets,
+        *,
+        url: str,
+        properties: dict[str, str] | None = None,
+        ledger_table: str = "multi_apply_ledger",
+    ):
+        if not targets:
+            raise ValueError("JdbcMultiApplySink needs at least one (spec, table)")
+        self.spark = spark
+        self.store = store
+        self.targets = list(targets)
+        self.url = url
+        self.props = properties or {}
+        self.ledger = ledger_table
+        self._touched = None
+        self._ensure_ledger()
+        self._batch_seq = self._max_committed_seq()
+
+    # -- maintainer protocol ------------------------------------------------
+    def before_apply(self, parsed_events) -> None:
+        # lazy pins, one per table, all off the shared cached parse (see
+        # JdbcApplySink.before_apply)
+        self._touched = [
+            (spec, target, touched_keys(parsed_events, spec))
+            for spec, target in self.targets
+        ]
+
+    def after_apply(self, batch_id: str | None = None) -> None:
+        if self._touched is None:
+            raise RuntimeError("before_apply must run first")
+        if batch_id is None:
+            self._batch_seq += 1
+            batch_id = f"seq-{self._batch_seq}"
+        try:
+            self.apply_touched_all(self._touched, batch_id=batch_id)
+        finally:
+            self._touched = None
+
+    # -- core ----------------------------------------------------------------
+    def apply_touched_all(self, legs, *, batch_id: str) -> bool:
+        """Stage every table's touched-key slice, then replace rows at all
+        of them + record the batch id in ONE transaction. ``legs``:
+        ``(spec, target_table, keys_df)`` triples. Returns False on the
+        exactly-once ledger skip (covers every table at once)."""
+        if self._ledger_has(batch_id):
+            return False
+        staged = []
+        for spec, target, keys in legs:
+            staging = f"{target}_staging"
+            pk, cols = self._stage_slice(spec, staging, keys)
+            staged.append((target, staging, pk, cols))
+        con = self._connect()
+        try:
+            con.setAutoCommit(False)
+            st = con.createStatement()
+            for target, staging, pk, cols in staged:
+                self._reconcile_leg(st, target, staging, pk, cols)
+            ps = con.prepareStatement(
+                f"INSERT INTO {self.ledger} (batch_id) VALUES (?)"
+            )
+            ps.setString(1, batch_id)
+            ps.executeUpdate()
+            con.commit()
+        except Exception:
+            con.rollback()
+            raise
+        finally:
+            con.close()
+        return True

@@ -541,3 +541,160 @@ def test_sink_drop_column_fails_loudly_unless_opted_in(spark, tmp_path):
     )
     sink2.check_schema(cat)
     assert [c.lower() for c in sink2._target_columns()] == ["id", "v"]
+
+
+def _two_table_setup(spark, tmp_path, dbname):
+    from connemara_spark.sinks import JdbcMultiApplySink
+
+    url = f"jdbc:derby:memory:{dbname};create=true"
+    con = spark._jvm.java.sql.DriverManager.getConnection(url)
+    st = con.createStatement()
+    st.execute("CREATE TABLE items (id BIGINT PRIMARY KEY, v VARCHAR(64))")
+    st.execute("CREATE TABLE accounts (id BIGINT PRIMARY KEY, bal DOUBLE)")
+    con.close()
+
+    cat = EngineCatalog()
+    cat.register(TableSpec(
+        database="db1", schema="public", table="items",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text")],
+        pk_cols=["id"],
+    ))
+    cat.register(TableSpec(
+        database="db1", schema="public", table="accounts",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("bal", "double precision")],
+        pk_cols=["id"],
+    ))
+    items = cat.get("db1", "public", "items")
+    accounts = cat.get("db1", "public", "accounts")
+    store = BucketStore(spark, str(tmp_path / "silver"), n_buckets=4)
+    store.write(items, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "id long, v string"))
+    store.write(accounts, spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "id long, bal double"))
+    rep = Replayer(spark, cat, store)
+    sink = JdbcMultiApplySink(
+        spark, store, [(items, "items"), (accounts, "accounts")],
+        url=f"jdbc:derby:memory:{dbname}", properties=PROPS,
+    )
+    return url, cat, items, accounts, store, rep, sink
+
+
+def _table(spark, url, sql):
+    con = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = con.createStatement().executeQuery(sql)
+        out = {}
+        while rs.next():
+            out[rs.getLong(1)] = rs.getObject(2)
+        return out
+    finally:
+        con.close()
+
+
+def test_multi_table_apply_is_one_atomic_transaction(spark, tmp_path):
+    """One batch touching TWO tables lands at the target as a unit: the
+    shared ledger covers both, a replay skips both, and an injected
+    failure AFTER the first table's replacement rolls BOTH back — there
+    is no window where only some tables carry the batch (the reference's
+    per-transaction atomicity, W2)."""
+    url, cat, items, accounts, store, rep, sink = _two_table_setup(
+        spark, tmp_path, "multidb1"
+    )
+    # bootstrap both tables through the multi path (every key touched)
+    legs = [
+        (items, "items", store.read(items).select("id")),
+        (accounts, "accounts", store.read(accounts).select("id")),
+    ]
+    assert sink.apply_touched_all(legs, batch_id="bootstrap") is True
+    assert _table(spark, url, "SELECT id, v FROM items") == {i: f"v{i}" for i in range(5)}
+    assert _table(spark, url, "SELECT id, bal FROM accounts") == {i: float(i) for i in range(5)}
+
+    # one batch: update an item AND an account, driven through the protocol
+    events = [
+        make_event(items, "update", lsn=1, row={"id": 1, "v": "patched"}, old_key={"id": 1}),
+        make_event(accounts, "update", lsn=2, row={"id": 2, "bal": 99.5}, old_key={"id": 2}),
+    ]
+    b = _bronze(spark, events)
+    parsed = rep.parse_batch(b)
+    sink.before_apply(parsed)
+    rep.apply_batch(b, events=parsed)
+    sink.after_apply(batch_id="batch-1")
+    assert _table(spark, url, "SELECT id, v FROM items")[1] == "patched"
+    assert _table(spark, url, "SELECT id, bal FROM accounts")[2] == 99.5
+
+    # replaying the SAME id skips BOTH tables at once
+    assert sink.apply_touched_all(legs, batch_id="batch-1") is False
+
+    # atomicity: make the SECOND leg fail (drop its staging between the
+    # stage writes and the transaction by pointing the leg at a staging
+    # table that does not exist) — the first leg's DELETE+INSERT must
+    # roll back, leaving both tables and the ledger untouched
+    store.write(items, store.read(items).withColumn(
+        "v", F.when(F.col("id") == 3, F.lit("BOOM")).otherwise(F.col("v"))))
+    before_items = _table(spark, url, "SELECT id, v FROM items")
+    orig = sink._reconcile_leg
+    calls = {"n": 0}
+
+    def exploding(st, target, staging, pk, cols):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected mid-transaction failure")
+        orig(st, target, staging, pk, cols)
+
+    sink._reconcile_leg = exploding
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            sink.apply_touched_all(
+                [(items, "items", store.read(items).select("id")),
+                 (accounts, "accounts", store.read(accounts).select("id"))],
+                batch_id="batch-2",
+            )
+    finally:
+        sink._reconcile_leg = orig
+    # the first leg's replacement (which would have shipped 'BOOM') was
+    # rolled back with the second leg's failure, and batch-2 is unrecorded
+    assert _table(spark, url, "SELECT id, v FROM items") == before_items
+    assert sink._ledger_has("batch-2") is False
+    # the retry under the same id converges cleanly
+    assert sink.apply_touched_all(
+        [(items, "items", store.read(items).select("id")),
+         (accounts, "accounts", store.read(accounts).select("id"))],
+        batch_id="batch-2",
+    ) is True
+    assert _table(spark, url, "SELECT id, v FROM items")[3] == "BOOM"
+
+
+def test_multi_table_sink_through_streaming_driver(spark, tmp_path):
+    """The multi-table sink as a streaming maintainer: one wal_spool drain
+    carrying events for BOTH tables keeps both Derby targets mirroring
+    the silver store."""
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+
+    url, cat, items, accounts, store, rep, sink = _two_table_setup(
+        spark, tmp_path, "multidb2"
+    )
+    sink.apply_touched_all(
+        [(items, "items", store.read(items).select("id")),
+         (accounts, "accounts", store.read(accounts).select("id"))],
+        batch_id="bootstrap",
+    )
+    write_segment(str(tmp_path / "spool"), [
+        dict(make_event(items, "insert", lsn=1, row={"id": 10, "v": "new"})),
+        dict(make_event(accounts, "delete", lsn=2, old_key={"id": 0})),
+        dict(make_event(accounts, "update", lsn=3, row={"id": 4, "bal": 7.25}, old_key={"id": 4})),
+    ], "seg-001")
+    StreamingReplayer(
+        spark, cat, store,
+        landing_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+        maintainers=[sink],
+    ).run_until_drained()
+    got_items = _table(spark, url, "SELECT id, v FROM items")
+    got_acct = _table(spark, url, "SELECT id, bal FROM accounts")
+    assert got_items[10] == "new" and len(got_items) == 6
+    assert 0 not in got_acct and got_acct[4] == 7.25 and len(got_acct) == 4
+    # targets mirror the silver store exactly
+    assert got_items == {r["id"]: r["v"] for r in store.read(items).collect()}
+    assert got_acct == {r["id"]: r["bal"] for r in store.read(accounts).collect()}
