@@ -383,7 +383,14 @@ class Replayer:
                     & (F.col("schema") == spec.schema)
                     & (F.col("table") == spec.table)
                 )
-                arm = touched_bucket_array(espec, self.store.n_buckets)
+                # per-table bucket count: a rebucketed table's modulus is
+                # its manifest's, not the store default
+                n = (
+                    self.store.bucket_count(espec.target_name)
+                    if hasattr(self.store, "bucket_count")
+                    else self.store.n_buckets
+                )
+                arm = touched_bucket_array(espec, n)
                 expr = F.when(cond, arm) if expr is None else expr.when(cond, arm)
             if expr is not None:
                 barr = expr.otherwise(empty)
@@ -565,11 +572,9 @@ class Replayer:
 
             espec, _ = _effective_spec(spec)
             if buckets is not None:
-                # precomputed on the batch-summary job; the modulus
-                # guard buckets_of would have applied still runs
+                # precomputed on the batch-summary job under the table's
+                # own manifest bucket count
                 tbl_buckets = buckets
-                if hasattr(self.store, "assert_bucket_config"):
-                    self.store.assert_bucket_config(espec)
             else:
                 from connemara_spark.operators.ivm import touched_keys
 

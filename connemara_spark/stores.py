@@ -97,11 +97,21 @@ class BucketStore:
             json.dump({"version": v}, fh)
         os.replace(tmp, ptr)
 
-    def bucket_expr(self, spec: TableSpec) -> F.Column:
+    def bucket_count(self, spec_name: str) -> int:
+        """The AUTHORITATIVE bucket count for a table: the current
+        manifest's (bucket count is a per-table, per-version property —
+        ``rebucket`` grows it independently of the store's other tables);
+        the store-level ``n_buckets`` only seeds tables that do not exist
+        yet."""
+        cur = self.current_version(spec_name)
+        if cur is None:
+            return self.n_buckets
+        return self._manifest(spec_name, cur)["n_buckets"]
+
+    def bucket_expr(self, spec: TableSpec, n_buckets: int | None = None) -> F.Column:
         pk = spec.pk_cols or [c.name for c in spec.columns]
-        return F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(self.n_buckets)).cast(
-            "int"
-        )
+        n = n_buckets if n_buckets is not None else self.bucket_count(spec.target_name)
+        return F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(n)).cast("int")
 
     def _paths(self, spec_name: str, manifest: dict, buckets=None) -> list[str]:
         sel = (
@@ -158,9 +168,17 @@ class BucketStore:
                 f"version {version} of {spec.target_name} survives only as a "
                 f"bucket host (its snapshot was GC'd) — not readable"
             )
-        return self._read_manifest(
-            spec, self._manifest(spec.target_name, version), buckets
-        )
+        m = self._manifest(spec.target_name, version)
+        if buckets is not None and m["n_buckets"] != self.bucket_count(
+            spec.target_name
+        ):
+            # the caller's bucket ids were computed under the CURRENT
+            # modulus; this version predates a rebucket, so those ids
+            # address the wrong directories here — pruning with them would
+            # silently DROP rows. Fall back to the full (correct) snapshot;
+            # the pruning resumes once retention passes the rebucket point.
+            buckets = None
+        return self._read_manifest(spec, m, buckets)
 
     def read_for_keys(self, spec: TableSpec, keys: DataFrame) -> DataFrame:
         """Current rows of ONLY the buckets the given PK keys hash into —
@@ -176,27 +194,11 @@ class BucketStore:
             return self.spark.createDataFrame([], spec.spark_schema())
         return self._read_manifest(spec, self._manifest(spec.target_name, v), buckets)
 
-    def assert_bucket_config(self, spec: TableSpec) -> None:
-        """Raise when the store object's ``n_buckets`` disagrees with what
-        the table was WRITTEN with — bucket ids computed under the wrong
-        modulus would read/rewrite the wrong directories. Driver-side
-        manifest read, no Spark job; callers that compute bucket ids
-        themselves (Replayer's merged batch summary) must check this the
-        same way ``buckets_of`` does."""
-        cur = self.current_version(spec.target_name)
-        if cur is not None:
-            n = self._manifest(spec.target_name, cur)["n_buckets"]
-            if n != self.n_buckets:
-                raise ValueError(
-                    f"store configured with n_buckets={self.n_buckets} but table "
-                    f"{spec.target_name} was written with {n}"
-                )
-
     def buckets_of(self, spec: TableSpec, keys: DataFrame) -> list[int]:
-        """Distinct bucket ids the given PK keys hash into — a bounded
-        (<= n_buckets ints) driver collect that prices the whole partial
-        apply: these are the only directories read or written."""
-        self.assert_bucket_config(spec)
+        """Distinct bucket ids the given PK keys hash into UNDER THE
+        TABLE'S OWN bucket count — a bounded (<= n_buckets ints) driver
+        collect that prices the whole partial apply: these are the only
+        directories read or written."""
         rows = keys.select(
             self.bucket_expr(spec).alias("__b")
         ).distinct().collect()
@@ -205,14 +207,33 @@ class BucketStore:
     # -- writes ------------------------------------------------------------
     def write(self, spec: TableSpec, df: DataFrame) -> None:
         """Full rewrite: every bucket lands in the new version (initial
-        snapshot load, schema evolution, truncate, erasure rewrite)."""
+        snapshot load, schema evolution, truncate, erasure rewrite).
+        PRESERVES the table's existing bucket count — a compaction or
+        erasure rewrite must not silently revert a ``rebucket``."""
+        self._full_write(spec, df, self.bucket_count(spec.target_name))
+
+    def rebucket(self, spec: TableSpec, new_n_buckets: int) -> int:
+        """Grow (or shrink) ONE table's bucket count — the layout-growth
+        path: bucket count is fixed per manifest version, and a table
+        whose buckets outgrew the executor-memory envelope (the partial
+        apply's unit of IO) rebuckets independently of the store's other
+        tables. A normal full rewrite under the new modulus: the new
+        version hosts every bucket, older versions stay readable under
+        their OWN manifests (their bucket-id space included — see
+        ``read_version``'s cross-count pruning guard), and retention GC
+        retires them as usual. Returns the new version number."""
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1 (got {new_n_buckets})")
+        self._full_write(spec, self.read(spec), new_n_buckets)
+        return self.current_version(spec.target_name)
+
+    def _full_write(self, spec: TableSpec, df: DataFrame, n: int) -> None:
         v = (self.current_version(spec.target_name) or 0) + 1
-        written = self._write_buckets(spec, df, v)
+        written = self._write_buckets(spec, df, v, n)
         manifest = {
-            "n_buckets": self.n_buckets,
+            "n_buckets": n,
             "buckets": {
-                str(b): (v if b in written else None)
-                for b in range(self.n_buckets)
+                str(b): (v if b in written else None) for b in range(n)
             },
         }
         self._commit(spec.target_name, v, manifest)
@@ -242,18 +263,13 @@ class BucketStore:
                 raise ValueError("write_partial needs keys or buckets")
             buckets = self.buckets_of(spec, keys)
         v = cur + 1
-        written = self._write_buckets(spec, df, v)
+        manifest = self._manifest(name, cur)
+        written = self._write_buckets(spec, df, v, manifest["n_buckets"])
         stray = written - set(buckets)
         if stray:
             raise ValueError(
                 f"partial write produced rows outside the touched buckets "
                 f"{sorted(stray)} — the fold key must be the bucket key"
-            )
-        manifest = self._manifest(name, cur)
-        if manifest["n_buckets"] != self.n_buckets:
-            raise ValueError(
-                f"store configured with n_buckets={self.n_buckets} but table "
-                f"{name} was written with {manifest['n_buckets']}"
             )
         for b in buckets:
             # a touched bucket whose fold result is empty (all rows deleted)
@@ -262,13 +278,15 @@ class BucketStore:
             manifest["buckets"][str(b)] = v if b in written else None
         self._commit(name, v, manifest)
 
-    def _write_buckets(self, spec: TableSpec, df: DataFrame, v: int) -> set[int]:
+    def _write_buckets(self, spec: TableSpec, df: DataFrame, v: int, n: int) -> set[int]:
         # partitionBy writes each bucket into its own subdirectory in ONE
         # job; the helper column lives only in directory names (renamed to
-        # bXXXXX below so readers never partition-infer it back)
+        # bXXXXX below so readers never partition-infer it back). ``n`` is
+        # threaded explicitly: a rebucket writes under the NEW modulus
+        # while the current manifest still carries the old one.
         vdir = self._vdir(spec.target_name, v)
         staged = df.select(*[c.name for c in spec.columns]).withColumn(
-            "__bucket", self.bucket_expr(spec)
+            "__bucket", self.bucket_expr(spec, n)
         )
         # repartition on the partition key: without it every task writes a
         # file into every bucket directory it sees (tasks x buckets tiny
@@ -329,9 +347,10 @@ class BucketStore:
         # schema-change writes bypass spec.columns projection (the catalog
         # spec may not reflect the evolution yet at call time)
         v = (self.current_version(spec.target_name) or 0) + 1
+        n = self.bucket_count(spec.target_name)
         vdir = self._vdir(spec.target_name, v)
         pk = [c for c in spec.pk_cols if c in df.columns] or list(df.columns)
-        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(self.n_buckets)).cast("int")
+        bucket = F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(n)).cast("int")
         staged = df.withColumn("__bucket", bucket)
         staged.repartition("__bucket").write.mode("overwrite").partitionBy(
             "__bucket"
@@ -343,10 +362,9 @@ class BucketStore:
                 os.replace(os.path.join(vdir, e), self._bdir(spec.target_name, v, b))
                 written.add(b)
         manifest = {
-            "n_buckets": self.n_buckets,
+            "n_buckets": n,
             "buckets": {
-                str(b): (v if b in written else None)
-                for b in range(self.n_buckets)
+                str(b): (v if b in written else None) for b in range(n)
             },
         }
         self._commit(spec.target_name, v, manifest)

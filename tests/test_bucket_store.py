@@ -118,7 +118,7 @@ def test_crash_leaves_no_committed_trace(spark, tmp_path):
     store = BucketStore(spark, str(tmp_path / "s"), n_buckets=4)
     store.write(SPEC, spark.createDataFrame([(1, "a")], "id long, v string"))
     # simulate a crashed write: data lands, commit never happens
-    store._write_buckets(SPEC, spark.createDataFrame([(2, "b")], "id long, v string"), 2)
+    store._write_buckets(SPEC, spark.createDataFrame([(2, "b")], "id long, v string"), 2, 4)
     assert store.versions(SPEC) == [1]
     assert {r["id"] for r in store.read(SPEC).collect()} == {1}
     # next successful write claims the slot cleanly
@@ -233,13 +233,28 @@ def test_schema_evolution_full_rewrite(spark, tmp_path):
     assert rows[0]["note"] is None
 
 
-def test_n_buckets_mismatch_rejected(spark, tmp_path):
+def test_table_bucket_count_is_manifest_authoritative(spark, tmp_path):
+    """The manifest's bucket count governs every read and write — a store
+    OBJECT configured with a different default neither corrupts nor
+    rejects an existing table (pre-r7 this raised; with per-table
+    ``rebucket`` the per-table manifest is the single source of truth and
+    the store-level default only seeds tables that do not exist yet)."""
     store = BucketStore(spark, str(tmp_path / "s"), n_buckets=4)
-    store.write(SPEC, spark.createDataFrame([(1, "a")], "id long, v string"))
+    store.write(SPEC, spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, v string"))
     other = BucketStore(spark, str(tmp_path / "s"), n_buckets=8)
+    assert other.bucket_count(SPEC.target_name) == 4
     keys = spark.createDataFrame([(1,)], "id long")
-    with pytest.raises(ValueError, match="n_buckets"):
-        other.buckets_of(SPEC, keys)
+    bks = other.buckets_of(SPEC, keys)
+    assert bks and all(0 <= b < 4 for b in bks)
+    patched = other.read_for_keys(SPEC, keys).withColumn(
+        "v", F.when(F.col("id") == 1, F.lit("p")).otherwise(F.col("v"))
+    )
+    other.write_partial(SPEC, patched, buckets=bks)
+    m = other._manifest(SPEC.target_name, other.current_version(SPEC.target_name))
+    assert m["n_buckets"] == 4  # the write stayed in the table's id space
+    rows = {r["id"]: r["v"] for r in other.read(SPEC).collect()}
+    assert rows[1] == "p" and len(rows) == 20
     with pytest.raises(ValueError, match="n_buckets"):
         BucketStore(spark, str(tmp_path / "x"), n_buckets=0)
 
@@ -624,3 +639,121 @@ def test_randomized_lifecycle_against_model(spark, tmp_path):
         # path resolution that raises on a GC'd host)
         for v in store.versions(SPEC):
             store.read_version(SPEC, v).count()
+
+
+def test_rebucket_grows_one_table_independently(spark, tmp_path):
+    """rebucket() changes ONE table's bucket count (a full rewrite under
+    the new modulus): the data is identical, the manifest carries the new
+    count, later writes — partial AND full — preserve it, and a sibling
+    table in the same store keeps its own count. The store-level
+    n_buckets only seeds new tables."""
+    cat = _catalog()
+    spec = cat.get("db1", "public", "items")
+    cat.register(TableSpec(
+        database="db1", schema="public", table="other",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text")],
+        pk_cols=["id"],
+    ))
+    other = cat.get("db1", "public", "other")
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=4)
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(40)], "id long, v string")
+    store.write(spec, base)
+    store.write(other, base)
+    assert store.bucket_count(spec.target_name) == 4
+
+    v = store.rebucket(spec, 16)
+    assert store.bucket_count(spec.target_name) == 16
+    assert store.bucket_count(other.target_name) == 4  # sibling untouched
+    got = {r["id"]: r["v"] for r in store.read(spec).collect()}
+    assert got == {i: f"v{i}" for i in range(40)}
+
+    # a partial patch after the rebucket prices and writes under 16
+    keys = spark.createDataFrame([(7,)], "id long")
+    bks = store.buckets_of(spec, keys)
+    patched = store.read_for_keys(spec, keys).withColumn(
+        "v", F.when(F.col("id") == 7, F.lit("patched")).otherwise(F.col("v"))
+    )
+    store.write_partial(spec, patched, buckets=bks)
+    m = store._manifest(spec.target_name, store.current_version(spec.target_name))
+    assert m["n_buckets"] == 16 and len(m["buckets"]) == 16
+    assert store.read(spec).filter("id = 7").collect()[0]["v"] == "patched"
+
+    # full rewrites (compact / erasure path) PRESERVE the rebucketed count
+    store.compact(spec)
+    assert store.bucket_count(spec.target_name) == 16
+    got = {r["id"]: r["v"] for r in store.read(spec).collect()}
+    assert len(got) == 40 and got[7] == "patched"
+
+    # a replayer over a store OBJECT configured with the old default still
+    # applies correctly: the manifest's count is authoritative
+    store4 = BucketStore(spark, str(tmp_path / "s"), n_buckets=4)
+    rep = Replayer(spark, cat, store4)
+    rep.apply_batch(_bronze(spark, [
+        make_event(spec, "update", lsn=1, row={"id": 0, "v": "x"}, old_key={"id": 0}),
+    ]))
+    got = {r["id"]: r["v"] for r in store4.read(spec).collect()}
+    assert got[0] == "x" and len(got) == 40
+    m = store4._manifest(spec.target_name, store4.current_version(spec.target_name))
+    assert m["n_buckets"] == 16
+    assert v == 2  # the rebucket itself was one committed version
+
+
+def test_maintained_view_stays_correct_across_rebucket(spark, tmp_path):
+    """The dangerous window: a maintained view's recovery anchor predates
+    a rebucket, so the patch's OLD-version read must not prune with
+    bucket ids computed under the NEW modulus (they address the wrong
+    directories there — silent row loss). read_version falls back to the
+    full old snapshot when the counts differ; the view stays equal to a
+    full recompute through the boundary."""
+    from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
+    from connemara_spark.operators.ivm import MaintainedAggView
+
+    spec = TableSpec(
+        database="db1", schema="public", table="sales",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("grp", "text"),
+                 ColumnSpec("amount", "double precision")],
+        pk_cols=["id"],
+    )
+    cat = EngineCatalog()
+    cat.register(spec)
+    spec = cat.get("db1", "public", "sales")
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=4)
+    rep = Replayer(spark, cat, store)
+    view = MaintainedAggView(
+        spark, store, spec, group_col="grp", sum_col="amount",
+        view_dir=str(tmp_path / "aggview"),
+    )
+
+    def run_batch(events):
+        b = _bronze(spark, events)
+        parsed = rep.parse_batch(b)
+        view.before_apply(parsed)
+        rep.apply_batch(b, events=parsed)
+        view.after_apply()
+
+    run_batch([
+        make_event(spec, "insert", lsn=i, row={"id": i, "grp": "ab"[i % 2], "amount": float(i)})
+        for i in range(1, 9)
+    ])
+    store.rebucket(spec, 16)  # the view's anchor now predates the rebucket
+    run_batch([
+        make_event(spec, "update", lsn=9, row={"id": 2, "grp": "b", "amount": 50.0}, old_key={"id": 2}),
+        make_event(spec, "delete", lsn=10, old_key={"id": 3}),
+        make_event(spec, "insert", lsn=11, row={"id": 20, "grp": "a", "amount": 1.5}),
+    ])
+    got = {r["grp"]: (r["n_rows"], float(r["total"])) for r in view.read_view().collect()}
+    want = {
+        r["grp"]: (r["n_rows"], float(r["total"]))
+        for r in view._full_agg(store.read(spec)).collect()
+    }
+    assert got == want
+    # and the next steady-state batch (anchor now POST-rebucket) prunes again
+    run_batch([
+        make_event(spec, "update", lsn=12, row={"id": 4, "grp": "a", "amount": 9.0}, old_key={"id": 4}),
+    ])
+    got = {r["grp"]: (r["n_rows"], float(r["total"])) for r in view.read_view().collect()}
+    want = {
+        r["grp"]: (r["n_rows"], float(r["total"]))
+        for r in view._full_agg(store.read(spec)).collect()
+    }
+    assert got == want
