@@ -155,10 +155,25 @@ class Maintenance:
         target_partitions: int = 8,
         max_chain: int = 32,
         keep_last: int = 2,
+        target_bucket_bytes: int | None = None,
+        max_auto_buckets: int = 4096,
     ):
         self.store = store
         self.catalog = catalog
         self.target_partitions = target_partitions
+        # layout-growth policy for chained stores: when a table's CURRENT
+        # snapshot averages more than this many bytes per bucket, the idle
+        # pass rebuckets it to the next power-of-2 count that fits — the
+        # bucket is the partial apply's unit of IO, so its byte envelope
+        # is what must track executor memory as the table grows 100x.
+        # None (default) disables automatic rebucketing.
+        # ``max_auto_buckets`` bounds automatic growth: parquet files cost
+        # KBs of metadata regardless of rows, so a target below that
+        # per-file floor could never be reached and the policy would
+        # otherwise double forever; the cap turns that misconfiguration
+        # into a stable (capped) state. Manual ``rebucket`` is uncapped.
+        self.target_bucket_bytes = target_bucket_bytes
+        self.max_auto_buckets = max_auto_buckets
         # version-chain policy for chained stores (BucketStore): partial
         # rewrites keep old versions alive as bucket hosts, growing read
         # fan-in; once a table's physical chain exceeds ``max_chain`` the
@@ -202,6 +217,9 @@ class Maintenance:
                 # no-longer-referenced host versions, and retention GC is
                 # pure directory bookkeeping (zero Spark jobs) — run it
                 # every idle pass instead of waiting for a compaction.
+                rb = self._maybe_rebucket(spec)
+                if rb is not None:
+                    out.append(rb)
                 before = self.store.chain_length(spec)
                 if before <= self.max_chain:
                     self.store.gc_versions(spec, keep_last=self.keep_last)
@@ -221,6 +239,27 @@ class Maintenance:
             else:
                 out.append(self.compact_table(spec))
         return out
+
+    def _maybe_rebucket(self, spec: TableSpec) -> CompactionReport | None:
+        """Grow a table's bucket count when its CURRENT snapshot averages
+        more than ``target_bucket_bytes`` per bucket — the automatic
+        layout-growth half of W10: the rebucket is a full rewrite, so it
+        runs only on idle passes, and the new count is the next power of
+        2 that brings the per-bucket envelope back under target. Reports
+        (old count, new count)."""
+        if self.target_bucket_bytes is None or not hasattr(self.store, "rebucket"):
+            return None
+        n = self.store.bucket_count(spec.target_name)
+        size = self.store.table_bytes(spec)
+        if size <= n * self.target_bucket_bytes:
+            return None
+        new_n = n
+        while size > new_n * self.target_bucket_bytes and new_n < self.max_auto_buckets:
+            new_n *= 2
+        if new_n <= n:
+            return None  # already at (or beyond) the auto-growth cap
+        self.store.rebucket(spec, new_n)
+        return CompactionReport(spec.target_name, n, new_n)
 
 
 # ------------------------------------------------------------------ fixer (D15)

@@ -757,3 +757,46 @@ def test_maintained_view_stays_correct_across_rebucket(spark, tmp_path):
         for r in view._full_agg(store.read(spec)).collect()
     }
     assert got == want
+
+
+def test_idle_maintenance_rebuckets_oversized_tables(spark, tmp_path):
+    """W10 layout growth: with target_bucket_bytes set, the idle pass
+    rebuckets a table whose current snapshot exceeds the per-bucket byte
+    envelope to the next power-of-2 count that fits, preserves the data,
+    and is a no-op once the envelope holds (and for healthy siblings)."""
+    from connemara_spark.ops import Maintenance
+
+    cat = _catalog()
+    spec = cat.get("db1", "public", "items")
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=2)
+    # data-dominated regime (the realistic one): per-bucket DATA bytes are
+    # well above parquet's KB-scale per-file metadata floor
+    incompressible = F.concat(
+        *[F.md5((F.col("id") * 1000 + i).cast("string")) for i in range(32)]
+    )
+    store.write(spec, spark.range(2000).select(
+        F.col("id"), incompressible.alias("v")))
+    size = store.table_bytes(spec)
+    assert size > 1_000_000
+    target = size // 8  # n must at least quadruple (2 -> 8+)
+    maint = Maintenance(store, cat, target_bucket_bytes=target)
+    reports = maint.run()
+    assert any(r.files_before == 2 and r.files_after >= 8 for r in reports)
+    new_n = store.bucket_count(spec.target_name)
+    assert new_n >= 8 and new_n & (new_n - 1) == 0  # power of 2
+    # the policy's contract: the count it chose fits the size it measured
+    assert size <= new_n * target
+    rows = {r["id"]: len(r["v"]) for r in store.read(spec).collect()}
+    assert len(rows) == 2000 and rows[7] == 32 * 32
+    # converged: the next idle pass does not rebucket again
+    assert not any(r.files_after > r.files_before for r in maint.run())
+
+    # the auto-growth cap turns an unreachable target (below the per-file
+    # metadata floor) into a stable capped state instead of doubling
+    # forever: the count pins at the cap and later passes are no-ops
+    capped = Maintenance(store, cat, target_bucket_bytes=1, max_auto_buckets=32)
+    assert any(r.files_after == 32 for r in capped.run())
+    assert store.bucket_count(spec.target_name) == 32
+    assert not any(r.files_after > r.files_before for r in capped.run())
+    rows = {r["id"]: len(r["v"]) for r in store.read(spec).collect()}
+    assert len(rows) == 2000 and rows[7] == 32 * 32
