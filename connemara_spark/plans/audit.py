@@ -140,6 +140,11 @@ HEADLINES = [
         "HLL: per-row hash/register/rho map-side, ONE MAX-per-register shuffle of 512 rows; the "
         "estimate is a single projection over the 1-row state.",
     ),
+    (
+        "table_profile_orders",
+        "Column profiler: ONE scan, one aggregation (the multi-distinct Expand lives inside a "
+        "single shuffle); typed min/max aggregate first and render after, so no per-column pass.",
+    ),
 ]
 
 INTERESTING = re.compile(
