@@ -1027,6 +1027,20 @@ def _lzw_compress(indices: bytes, min_code_size: int) -> bytes:
         buf = bytes([b])
     if buf:
         emit(table[buf], width)
+        # the decoder appends a table entry after EVERY data code — this
+        # final one included — and bumps its read width when that append
+        # fills the current width's code space. Mirror the bookkeeping
+        # (no entry needed, nothing can reference it) so the END code is
+        # written at the width the decoder will read it with. Found by
+        # the roundtrip property fuzz: a payload whose tail append lands
+        # exactly on the 1<<width boundary truncated the END code.
+        # (When the stream has a single data code the decoder makes no
+        # tail append, but then next_code == end+1 < 1<<width for every
+        # legal GIF min_code_size >= 2, so the phantom bump is a no-op.)
+        if next_code < 4096:
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
     emit(end, width)
     if nbits:
         out.append(bitbuf & 0xFF)

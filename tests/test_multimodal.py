@@ -611,3 +611,14 @@ def test_jpeg_resize_nearest_neighbor(spark):
     v = (3 * 37) % 256
     assert (w, h) == (4, 4)
     assert px == bytes([v]) * 16  # solid resize of a solid: exact at q100
+
+
+def test_gif_lzw_end_code_width_at_boundary_regression():
+    """Pinned hypothesis counterexample: a payload whose TAIL data code's
+    (decoder-side) table append lands exactly on the 1<<width boundary —
+    the encoder must mirror that bump or the END code is written one bit
+    narrower than the decoder reads it (truncated-stream error)."""
+    from connemara_spark.operators.multimodal import _lzw_compress, _lzw_decompress
+
+    payload = bytes([0, 0, 0, 0, 0, 1, 0, 2, 0, 1, 1, 2, 1])
+    assert _lzw_decompress(_lzw_compress(payload, 2), 2) == payload
