@@ -136,8 +136,21 @@ def bpe_train(
 def bpe_segment_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
     """Segment a word with a learned merge list: the chars fold followed
     by each merge fold in order — all literals, all native. At inference
-    scale this column is a pure per-row map (zero shuffle)."""
+    scale this column is a pure per-row map (zero shuffle).
+
+    Each level is ``bind_array``-let-bound: ``merge_expr`` references its
+    input array several times inside its aggregate lambda, and Catalyst
+    lambdas substitute the producer's expression TREE, not its value — an
+    unbound chain of k merges builds a 2^k-node tree (12 merges OOM'd the
+    driver at ANALYSIS time before any row was read)."""
+    from connemara_spark.functions.arrays import bind_array
+
+    def one_merge(left: str, right: str):
+        # single-parameter lambda: pyspark derives the HOF arity from the
+        # Python signature, so defaulted extra args would break it
+        return lambda s: merge_expr(s, left, right)
+
     syms = chars_expr(word)
     for left, right in merges:
-        syms = merge_expr(syms, left, right)
+        syms = bind_array(syms, one_merge(left, right))
     return syms

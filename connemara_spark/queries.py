@@ -6147,6 +6147,78 @@ def _bpe_merges_oracle(sf_dir: str) -> str:
     return f"SELECT * FROM (VALUES {values}) AS t(step, left_sym, right_sym, freq)"
 
 
+def _bpe_encode_oracle(sf_dir: str) -> str:
+    """Derived oracle for the ENCODE pass: the Spark-free trainer's final
+    symbol table gives each word's token count; DuckDB joins the corpus's
+    words against that mapping and aggregates per doc."""
+    import duckdb
+
+    _merges = _bpe_merges_offline(sf_dir, 12)  # trains symtab as a side effect
+    # re-derive the final symtab the same way (offline helper returns only
+    # merges; replay them over the vocab)
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT word, COUNT(*) FROM (SELECT unnest(string_split(text, ' ')) AS word "
+        f"FROM '{sf_dir}/documents.parquet') WHERE word <> '' GROUP BY word"
+    ).fetchall()
+    symtab = {w: list(w) + ["</w>"] for w, _n in rows}
+    for _step, a, b, _f in _merges:
+        for w in symtab:
+            s = symtab[w]
+            out, just = [s[0]], False
+            for x in s[1:]:
+                if out[-1] == a and x == b and not just:
+                    out[-1] = a + b
+                    just = True
+                else:
+                    out.append(x)
+                    just = False
+            symtab[w] = out
+    values = ", ".join(
+        "('{}', {})".format(w.replace("'", "''"), len(s)) for w, s in symtab.items()
+    )
+    return f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    m(word, toks) AS (SELECT * FROM (VALUES {values}))
+    SELECT w.doc_id,
+           CAST(SUM(m.toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM words w JOIN m ON w.word = m.word
+    WHERE w.word <> ''
+    GROUP BY w.doc_id
+    """
+
+
+@register(
+    "corpus_bpe_encode",
+    None,
+    "the ENCODE pass a training pipeline actually runs at 100 TB (train once, "
+    "tokenize everything): the 12 learned merges applied to every corpus word "
+    "via bpe_segment_expr — a per-row Catalyst fold over the merge list, ZERO "
+    "shuffle beyond the per-doc count aggregation (no Python, no vocab join); "
+    "per-doc BPE token and word counts, gate-checked against the Spark-free "
+    "reference trainer's symbol table",
+    oracle_fn=_bpe_encode_oracle,
+)
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.bpe import bpe_segment_expr, bpe_train
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    merges = [(a, b) for a, b, _f in bpe_train(docs.select("text"), "text", n_merges=12)]
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    toks = words.select(
+        "doc_id", F.size(bpe_segment_expr(F.col("word"), merges)).alias("n_toks")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+
+
 @register(
     "corpus_bpe_merges",
     None,
