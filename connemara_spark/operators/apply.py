@@ -94,7 +94,9 @@ def events_for_table(events: DataFrame, spec: TableSpec) -> DataFrame:
     return _events_for_table(events, spec, whole_row)
 
 
-def touched_bucket_array(spec: TableSpec, n_buckets: int) -> Column:
+def touched_bucket_array(
+    spec: TableSpec, n_buckets: int, whole_row: bool | None = None
+) -> Column:
     """``array<int>`` of the hash-bucket ids THIS event's touched PKs fall
     into under ``spec`` — exactly the ids ``BucketStore.buckets_of(
     touched_keys(events, spec))`` would compute (property-test-pinned),
@@ -104,7 +106,13 @@ def touched_bucket_array(spec: TableSpec, n_buckets: int) -> Column:
     Mirrors ``_events_for_table``'s __pk assignment: a PK-change update
     touches BOTH the old and new key, an insert the new key, everything
     else the old key. The caller must pass the EFFECTIVE spec
-    (``_effective_spec`` output) so no-PK tables key on the whole row."""
+    (``_effective_spec`` output) so no-PK tables key on the whole row, and
+    SHOULD pass that call's ``whole_row`` flag so the pk_changed predicate
+    here matches ``_events_for_table``'s exactly; when omitted it is
+    inferred from set(pk_cols)==columns, which also treats a table whose
+    DECLARED PK genuinely covers every column as whole-row — benign for
+    bucket pricing (old==new keys hash to the same bucket either way) but
+    a divergence from the flag, hence the explicit parameter."""
     old_key = F.struct(*[c.alias(k) for c, k in zip(_old_key(spec), spec.pk_cols)])
     new_key = F.struct(*[c.alias(k) for c, k in zip(_new_key(spec), spec.pk_cols)])
     pk_present = None
@@ -114,7 +122,8 @@ def touched_bucket_array(spec: TableSpec, n_buckets: int) -> Column:
     pk_changed = (
         (F.col("op") == "update") & F.col("oldkeys").isNotNull() & pk_present
     )
-    whole_row = set(spec.pk_cols) == {c.name for c in spec.columns}
+    if whole_row is None:
+        whole_row = set(spec.pk_cols) == {c.name for c in spec.columns}
     if not whole_row:
         pk_changed = pk_changed & ~old_key.eqNullSafe(new_key)
 

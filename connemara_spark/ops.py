@@ -132,9 +132,18 @@ def spool_gc(
 
 @dataclass
 class CompactionReport:
+    """One maintenance action. ``action`` disambiguates what the idle pass
+    actually did — the counts mean different things per kind:
+
+    - ``"compact"``: files (or chain versions) before/after the rewrite
+    - ``"gc"``: chain length before/after a retention-only pass
+    - ``"rebucket"``: BUCKET counts before/after the layout growth
+    """
+
     table: str
     files_before: int
     files_after: int
+    action: str = "compact"
 
 
 class Maintenance:
@@ -226,7 +235,9 @@ class Maintenance:
                     after = self.store.chain_length(spec)
                     if after != before:
                         out.append(
-                            CompactionReport(spec.target_name, before, after)
+                            CompactionReport(
+                                spec.target_name, before, after, action="gc"
+                            )
                         )
                     continue
                 self.store.compact(spec)
@@ -244,9 +255,12 @@ class Maintenance:
         """Grow a table's bucket count when its CURRENT snapshot averages
         more than ``target_bucket_bytes`` per bucket — the automatic
         layout-growth half of W10: the rebucket is a full rewrite, so it
-        runs only on idle passes, and the new count is the next power of
-        2 that brings the per-bucket envelope back under target. Reports
-        (old count, new count)."""
+        runs only on idle passes, and the new count is the next power-of-2
+        MULTIPLE of the current count that brings the per-bucket envelope
+        back under target, never exceeding ``max_auto_buckets`` (the
+        doubling stops while the next step still fits under the cap, so a
+        count that is not a power-of-2 divisor of the cap cannot overshoot
+        it). Reports (old count, new count)."""
         if self.target_bucket_bytes is None or not hasattr(self.store, "rebucket"):
             return None
         n = self.store.bucket_count(spec.target_name)
@@ -254,12 +268,15 @@ class Maintenance:
         if size <= n * self.target_bucket_bytes:
             return None
         new_n = n
-        while size > new_n * self.target_bucket_bytes and new_n < self.max_auto_buckets:
+        while (
+            size > new_n * self.target_bucket_bytes
+            and new_n * 2 <= self.max_auto_buckets
+        ):
             new_n *= 2
         if new_n <= n:
             return None  # already at (or beyond) the auto-growth cap
         self.store.rebucket(spec, new_n)
-        return CompactionReport(spec.target_name, n, new_n)
+        return CompactionReport(spec.target_name, n, new_n, action="rebucket")
 
 
 # ------------------------------------------------------------------ fixer (D15)

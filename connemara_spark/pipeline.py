@@ -377,7 +377,7 @@ class Replayer:
         if partial:
             expr = None
             for spec in self.catalog.tables():
-                espec, _ = _effective_spec(spec)
+                espec, whole_row = _effective_spec(spec)
                 cond = (
                     (F.col("database") == spec.database)
                     & (F.col("schema") == spec.schema)
@@ -390,7 +390,7 @@ class Replayer:
                     if hasattr(self.store, "bucket_count")
                     else self.store.n_buckets
                 )
-                arm = touched_bucket_array(espec, n)
+                arm = touched_bucket_array(espec, n, whole_row=whole_row)
                 expr = F.when(cond, arm) if expr is None else expr.when(cond, arm)
             if expr is not None:
                 barr = expr.otherwise(empty)

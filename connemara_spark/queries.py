@@ -779,6 +779,24 @@ def cdc_maintained_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _require_local_master(spark: SparkSession) -> None:
+    """The jdbc:derby:memory: targets the JDBC-sink queries stand up are
+    JVM-local: the staged df.write.jdbc runs ON EXECUTORS, so the database
+    only exists where driver and executors share one JVM (local[*]). On a
+    distributed master the executor connections would fail loudly against
+    a nonexistent database — assert up front with a message that says so
+    (a real deployment points the sink at a network PostgreSQL URL and
+    this constraint disappears)."""
+    master = spark.sparkContext.master
+    if not master.startswith("local"):
+        raise RuntimeError(
+            f"this registry query uses an embedded in-memory Derby target, "
+            f"which requires a local[*] master (driver+executors in one "
+            f"JVM); got master={master!r} — run it locally or point the "
+            f"sink at a networked JDBC url"
+        )
+
+
 @register(
     "cdc_jdbc_apply_customer",
     REGISTRY["cdc_apply_customer"].oracle,
@@ -795,6 +813,8 @@ def cdc_jdbc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
     import uuid
+
+    _require_local_master(spark)
 
     from connemara_spark.catalog import EngineCatalog
     from connemara_spark.pipeline import Replayer

@@ -39,6 +39,8 @@ transaction atomicity (W2) reproduced at the external target.
 
 from __future__ import annotations
 
+import copy
+
 from pyspark.sql import functions as F
 
 from connemara_spark.operators.ivm import touched_keys
@@ -212,7 +214,14 @@ class JdbcApplySink(_JdbcLedgerBase):
     ):
         self.spark = spark
         self.store = store
-        self.spec = spec
+        # SNAPSHOT the spec: the catalog mutates TableSpec objects in place
+        # when DDL executes, and this sink's spec must track what the JDBC
+        # TARGET looks like, not what the catalog currently says — the gap
+        # between the two is exactly what check_schema reconciles (and what
+        # its destructive-drop refusal reports). Aliasing the catalog's
+        # object would advance the sink's view the instant DDL ran,
+        # before the target followed.
+        self.spec = copy.deepcopy(spec)
         self.url = url
         self.target = target_table
         self.props = properties or {}
@@ -278,7 +287,10 @@ class JdbcApplySink(_JdbcLedgerBase):
           would fail on the shape change).
         """
         cur = catalog.get(self.spec.database, self.spec.schema, self.spec.table)
-        self.spec = cur
+        # validate BEFORE adopting the evolved spec: if the destructive-drop
+        # check raises, self.spec must still match the target so a retried
+        # after_apply re-raises the clear drift message instead of crashing
+        # on a column the target never gained
         target_cols = {c.lower() for c in self._target_columns()}
         spec_names = {c.name.lower() for c in cur.columns}
         to_add = [c for c in cur.columns if c.name.lower() not in target_cols]
@@ -291,6 +303,7 @@ class JdbcApplySink(_JdbcLedgerBase):
                 f"the target manually"
             )
         if not to_add and not dropped:
+            self.spec = copy.deepcopy(cur)
             return
         con = self._connect()
         try:
@@ -314,6 +327,8 @@ class JdbcApplySink(_JdbcLedgerBase):
                 pass  # scratch table may not exist yet
         finally:
             con.close()
+        # target now matches — adopt (a snapshot of) the evolved shape
+        self.spec = copy.deepcopy(cur)
 
     def _target_columns(self) -> list[str]:
         con = self._connect()

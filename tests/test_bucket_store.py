@@ -533,6 +533,7 @@ def test_idle_maintenance_compacts_long_chains_only(spark, tmp_path):
     assert before > 10  # over threshold -> full compaction this pass
     reports = maint.run(progress={"inputRowsPerSecond": 0.0})
     assert len(reports) == 1 and reports[0].files_before == before
+    assert reports[0].action == "compact"
     assert store.current_version(spec.target_name) > v_healthy + 6  # rewrote
     # keep_last=2 retains the pre-compact version AND the hosts its
     # manifest references (the maintained-view recovery point must stay
@@ -575,6 +576,7 @@ def test_idle_maintenance_gcs_unreferenced_hosts_under_threshold(spark, tmp_path
     reports = maint.run()
     assert len(reports) == 1
     assert reports[0].files_before == before and reports[0].files_after < before
+    assert reports[0].action == "gc"  # retention-only pass, disambiguated
     assert store.current_version(spec.target_name) == v_cur  # no rewrite
     rows = {r["id"]: r["v"] for r in store.read(spec).collect()}
     assert len(rows) == 40 and rows[0] == "p4" and rows[1] == "v1"
@@ -781,7 +783,10 @@ def test_idle_maintenance_rebuckets_oversized_tables(spark, tmp_path):
     target = size // 8  # n must at least quadruple (2 -> 8+)
     maint = Maintenance(store, cat, target_bucket_bytes=target)
     reports = maint.run()
-    assert any(r.files_before == 2 and r.files_after >= 8 for r in reports)
+    assert any(
+        r.files_before == 2 and r.files_after >= 8 and r.action == "rebucket"
+        for r in reports
+    )
     new_n = store.bucket_count(spec.target_name)
     assert new_n >= 8 and new_n & (new_n - 1) == 0  # power of 2
     # the policy's contract: the count it chose fits the size it measured
@@ -800,3 +805,30 @@ def test_idle_maintenance_rebuckets_oversized_tables(spark, tmp_path):
     assert not any(r.files_after > r.files_before for r in capped.run())
     rows = {r["id"]: len(r["v"]) for r in store.read(spec).collect()}
     assert len(rows) == 2000 and rows[7] == 32 * 32
+
+
+def test_rebucket_cap_never_overshoots_on_non_power_of_2_counts(spark, tmp_path):
+    """The cap BOUNDS automatic growth even when the current count is not a
+    power-of-2 divisor of it: n=3 under max_auto_buckets=4 must stay at 3
+    (3 -> 6 would overshoot), not double past the cap."""
+    from connemara_spark.ops import Maintenance
+
+    cat = _catalog()
+    spec = cat.get("db1", "public", "items")
+    store = BucketStore(spark, str(tmp_path / "s"), n_buckets=3)
+    store.write(
+        spec,
+        spark.range(200).select(F.col("id"), F.md5(F.col("id").cast("string")).alias("v")),
+    )
+    maint = Maintenance(store, cat, target_bucket_bytes=1, max_auto_buckets=4)
+    reports = maint.run()
+    assert not any(r.action == "rebucket" for r in reports)
+    assert store.bucket_count(spec.target_name) == 3
+    # with headroom for one doubling (cap 8), growth resumes: 3 -> 6 <= 8
+    roomy = Maintenance(store, cat, target_bucket_bytes=1, max_auto_buckets=8)
+    reports = roomy.run()
+    assert any(
+        r.action == "rebucket" and r.files_before == 3 and r.files_after == 6
+        for r in reports
+    )
+    assert store.bucket_count(spec.target_name) == 6

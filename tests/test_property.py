@@ -284,7 +284,7 @@ def test_inlined_bucket_pricing_equals_buckets_of(
         schema=BRONZE_SCHEMA,
     )
     events = parse_events(bronze)
-    espec, _ = _effective_spec(SPEC)
+    espec, whole_row = _effective_spec(SPEC)
 
     # reference pricing: distinct touched keys hashed the store's way
     keys = touched_keys(events, espec)
@@ -301,7 +301,9 @@ def test_inlined_bucket_pricing_equals_buckets_of(
     got = sorted(
         r["__b"]
         for r in events.select(
-            F.explode(touched_bucket_array(espec, n_buckets)).alias("__b")
+            F.explode(
+                touched_bucket_array(espec, n_buckets, whole_row=whole_row)
+            ).alias("__b")
         ).distinct().collect()
     )
     assert got == want

@@ -534,6 +534,11 @@ def test_sink_drop_column_fails_loudly_unless_opted_in(spark, tmp_path):
         sink.check_schema(cat)
     # target untouched by the refusal
     assert [c.lower() for c in sink._target_columns()] == ["id", "v", "n"]
+    # and the sink's OWN spec too: a retried check_schema must re-raise the
+    # same clear drift message, not crash shipping a shape the target lacks
+    assert sink.spec.column_names == ["id", "v", "n"]
+    with pytest.raises(RuntimeError, match="dropped"):
+        sink.check_schema(cat)
 
     sink2 = JdbcApplySink(
         spark, store=None, spec=spec, url="jdbc:derby:memory:sinkddl2",
