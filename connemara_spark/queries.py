@@ -687,6 +687,70 @@ def cdc_apply_customer_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_rebucket_apply",
+    REGISTRY["cdc_apply_customer"].oracle,
+    "mid-stream layout growth (W10's auto-rebucket path, hard-verified "
+    "end-to-end): snapshot seeded into a BucketStore at 8 buckets, CDC batch "
+    "1 applied as a partial rewrite under modulus 8, the table REBUCKETED to "
+    "32 (a full rewrite committing a new manifest whose bucket count is "
+    "authoritative, stores.py rebucket), then batch 2 applied as a partial "
+    "rewrite under modulus 32 — the final state must be identical to a "
+    "single-layout apply, proving touched-bucket pricing and pruning track "
+    "the manifest across the boundary and no row is lost to a stale "
+    "modulus; same oracle as cdc_apply_customer",
+)
+def cdc_rebucket_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.pipeline import Replayer
+    from connemara_spark.stores import BucketStore
+
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    root = tempfile.mkdtemp(prefix="connemara_rebucket_")
+    store = BucketStore(spark, root, n_buckets=8)
+    spec = TableSpec(
+        database=CUSTOMER_SPEC.database,
+        schema=CUSTOMER_SPEC.schema,
+        table=CUSTOMER_SPEC.table,
+        columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+        pk_cols=list(CUSTOMER_SPEC.pk_cols),
+    )
+    store.write(spec, snapshot)
+    cat = EngineCatalog()
+    cat.register(spec)
+    rep = Replayer(spark, cat, store)
+    lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
+    step = max((hi - lo) // 2 + 1, 1)
+    try:
+        ranges = list(range(lo, hi + 1, step))
+        for i, b0 in enumerate(ranges):
+            batch = bronze.filter(
+                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            )
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                rep.apply_batch(batch, events=parsed)
+            finally:
+                parsed.unpersist()
+            if i == 0:
+                # the idle-maintenance trigger's core action, exercised at
+                # the harshest point: between two batches of one stream —
+                # batch 2's summary must price buckets under the NEW
+                # manifest's modulus, and its partial rewrite must not
+                # prune against any pre-rebucket version
+                assert store.bucket_count(spec.target_name) == 8
+                store.rebucket(spec, 32)
+                assert store.bucket_count(spec.target_name) == 32
+        return store.read(spec).localCheckpoint()
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "cdc_maintained_agg_view",
     """
     WITH chg AS (
@@ -883,6 +947,515 @@ def cdc_jdbc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             spark.read.jdbc(url, "customer", properties=props)
             .select(*[c.name for c in spec.columns])
+            .localCheckpoint()
+        )
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+        try:
+            jvm.java.sql.DriverManager.getConnection(url + ";drop=true")
+        except Exception:
+            pass  # Derby signals a successful drop via SQLState 08006
+
+
+ORDERS_CDC_SPEC = TableSpec(
+    database="db1",
+    schema="public",
+    table="orders",
+    columns=[
+        ColumnSpec("o_orderkey", "bigint"),
+        ColumnSpec("o_custkey", "bigint"),
+        ColumnSpec("o_orderstatus", "text"),
+        ColumnSpec("o_totalprice", "double precision"),
+    ],
+    pk_cols=["o_orderkey"],
+)
+
+
+def _orders_cdc_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orders half of a two-table wal2json stream: odd event_ids become
+    orders DML (the even half stays customer DML — one interleaved source
+    transaction log touching two tables, the shape the reference's
+    single-session replay consumes)."""
+    ev = spread(load(spark, sf_dir, "events")).filter(F.col("event_id") % 2 == 1)
+    key = ((F.col("user_id") * 17 + F.col("event_id") % 100) % 300 + 1).cast("long")
+    kind = (
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "insert")
+        .otherwise("update")
+    )
+    names = F.array(
+        *[F.lit(c) for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]]
+    )
+    vals = F.array(
+        key.cast("string"),
+        (F.col("user_id") % 200 + 1).cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("string"),
+    )
+    payload = F.to_json(
+        F.struct(
+            kind.alias("kind"),
+            F.lit("public").alias("schema"),
+            F.lit("orders").alias("table"),
+            F.when(kind != "delete", names).alias("columnnames"),
+            F.when(kind != "delete", vals).alias("columnvalues"),
+            F.when(
+                kind != "insert",
+                F.struct(
+                    F.array(F.lit("o_orderkey")).alias("keynames"),
+                    F.array(key.cast("string")).alias("keyvalues"),
+                ),
+            ).alias("oldkeys"),
+        )
+    )
+    return ev.select(
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("insert_timestamp"),
+        F.lit("db1").alias("database"),
+        F.lit("slot_db1").alias("source_slotname"),
+        F.col("event_id").alias("lsn_start"),
+        (F.col("event_id") + 1000).alias("xid"),
+        F.col("ts").alias("xid_timestamp"),
+        payload.alias("payload"),
+    )
+
+
+_MULTI_TABLE_ORACLE = """
+    WITH cchg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               'cdc#' || CAST(event_id AS VARCHAR) AS c_name,
+               CAST(user_id % 25 AS INTEGER) AS c_nationkey,
+               value AS c_acctbal,
+               event_type AS c_mktsegment
+        FROM events WHERE event_id % 2 = 0
+    ),
+    clast AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM cchg
+        ) t WHERE rn = 1
+    ),
+    cstate AS (
+        SELECT COALESCE(l.c_custkey, c.c_custkey) AS pk,
+               (CASE WHEN l.c_custkey IS NULL THEN c.c_name ELSE l.c_name END)
+                 || '|' ||
+               (CASE WHEN l.c_custkey IS NULL THEN c.c_mktsegment ELSE l.c_mktsegment END) AS sval,
+               CAST(CASE WHEN l.c_custkey IS NULL THEN c.c_nationkey ELSE l.c_nationkey END AS BIGINT) AS ival,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS dval
+        FROM customer c FULL OUTER JOIN clast l ON c.c_custkey = l.c_custkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    ),
+    ochg AS (
+        SELECT CAST((user_id * 17 + event_id % 100) % 300 + 1 AS BIGINT) AS o_orderkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               CAST(user_id % 200 + 1 AS BIGINT) AS o_custkey,
+               event_type AS o_orderstatus,
+               value AS o_totalprice
+        FROM events WHERE event_id % 2 = 1
+    ),
+    olast AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY event_id DESC) AS rn
+            FROM ochg
+        ) t WHERE rn = 1
+    ),
+    ostate AS (
+        SELECT COALESCE(l.o_orderkey, o.o_orderkey) AS pk,
+               CASE WHEN l.o_orderkey IS NULL THEN o.o_orderstatus ELSE l.o_orderstatus END AS sval,
+               CASE WHEN l.o_orderkey IS NULL THEN o.o_custkey ELSE l.o_custkey END AS ival,
+               CASE WHEN l.o_orderkey IS NULL THEN o.o_totalprice ELSE l.o_totalprice END AS dval
+        FROM orders o FULL OUTER JOIN olast l ON o.o_orderkey = l.o_orderkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    )
+    SELECT 'customer' AS tbl, pk, sval, ival, dval FROM cstate
+    UNION ALL
+    SELECT 'orders' AS tbl, pk, sval, ival, dval FROM ostate
+"""
+
+
+@register(
+    "cdc_jdbc_multi_table_apply",
+    _MULTI_TABLE_ORACLE,
+    "the reference's defining atomicity guarantee at the target "
+    "(connemara_replication.c:757-836: a source transaction's DML executes "
+    "inside ONE consolidation-PostgreSQL transaction, whatever tables it "
+    "touches): an interleaved two-table CDC stream (customer + orders) "
+    "applied through JdbcMultiApplySink — per batch each table's touched "
+    "slice ships distributedly to its own staging, then a SINGLE driver "
+    "transaction replaces rows at BOTH tables and records the shared ledger "
+    "row; the result is both live target tables read back over JDBC "
+    "(projected onto a common shape), so value parity proves no state from "
+    "either table leaked or went missing across the shared transactions; "
+    "oracle = the two per-table apply oracles composed",
+)
+def cdc_jdbc_multi_table_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    _require_local_master(spark)
+
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.pipeline import Replayer
+    from connemara_spark.sinks import JdbcMultiApplySink
+    from connemara_spark.stores import BucketStore
+
+    cust_snap = load(spark, sf_dir, "customer")
+    ord_snap = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    # ONE interleaved bronze: even event_ids are customer DML, odd are
+    # orders DML — a single source WAL touching two tables, exactly what
+    # the reference's one replay session consumes in order
+    bronze = (
+        _customer_cdc_bronze(spark, sf_dir)
+        .filter(F.col("lsn_start") % 2 == 0)
+        .unionByName(_orders_cdc_bronze(spark, sf_dir))
+        .persist()
+    )
+    dbname = f"connemara_multi_{uuid.uuid4().hex}"
+    url = f"jdbc:derby:memory:{dbname}"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(props["driver"])
+    con = jvm.java.sql.DriverManager.getConnection(url + ";create=true")
+    st = con.createStatement()
+    st.execute(
+        "CREATE TABLE customer (c_custkey BIGINT PRIMARY KEY, "
+        "c_name VARCHAR(128), c_nationkey INT, c_acctbal DOUBLE, "
+        "c_mktsegment VARCHAR(64))"
+    )
+    st.execute(
+        "CREATE TABLE orders (o_orderkey BIGINT PRIMARY KEY, "
+        "o_custkey BIGINT, o_orderstatus VARCHAR(64), o_totalprice DOUBLE)"
+    )
+    con.close()
+    root = tempfile.mkdtemp(prefix="connemara_multisink_")
+    try:
+        cust_spec = TableSpec(
+            database=CUSTOMER_SPEC.database,
+            schema=CUSTOMER_SPEC.schema,
+            table=CUSTOMER_SPEC.table,
+            columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+            pk_cols=list(CUSTOMER_SPEC.pk_cols),
+        )
+        ord_spec = TableSpec(
+            database=ORDERS_CDC_SPEC.database,
+            schema=ORDERS_CDC_SPEC.schema,
+            table=ORDERS_CDC_SPEC.table,
+            columns=[ColumnSpec(c.name, c.pg_type) for c in ORDERS_CDC_SPEC.columns],
+            pk_cols=list(ORDERS_CDC_SPEC.pk_cols),
+        )
+        store = BucketStore(spark, root, n_buckets=32)
+        store.write(cust_spec, cust_snap)
+        store.write(ord_spec, ord_snap)
+        cat = EngineCatalog()
+        cat.register(cust_spec)
+        cat.register(ord_spec)
+        rep = Replayer(spark, cat, store)
+        sink = JdbcMultiApplySink(
+            spark,
+            store,
+            [(cust_spec, "customer"), (ord_spec, "orders")],
+            url=url,
+            properties=props,
+        )
+        # initial sync: both targets restored in ONE transaction (the
+        # multi-table analog of the COPY-shaped bootstrap)
+        sink.bootstrap_load_all(batch_id="bootstrap")
+        lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
+        step = max((hi - lo) // 2 + 1, 1)
+        for i, b0 in enumerate(range(lo, hi + 1, step)):
+            batch = bronze.filter(
+                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            )
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                summary = rep._batch_summary(parsed)
+                sink.before_apply(parsed)
+                rep.apply_batch(batch, events=parsed, summary=summary)
+                sink.after_apply(batch_id=f"batch-{i}")
+            finally:
+                parsed.unpersist()
+        # both live targets read back and projected onto one shape: the
+        # hash covers every column of both tables' final state
+        cust = spark.read.jdbc(url, "customer", properties=props).select(
+            F.lit("customer").alias("tbl"),
+            F.col("c_custkey").alias("pk"),
+            F.concat_ws("|", "c_name", "c_mktsegment").alias("sval"),
+            F.col("c_nationkey").cast("long").alias("ival"),
+            F.col("c_acctbal").alias("dval"),
+        )
+        orders = spark.read.jdbc(url, "orders", properties=props).select(
+            F.lit("orders").alias("tbl"),
+            F.col("o_orderkey").alias("pk"),
+            F.col("o_orderstatus").alias("sval"),
+            F.col("o_custkey").alias("ival"),
+            F.col("o_totalprice").alias("dval"),
+        )
+        return cust.unionByName(orders).localCheckpoint()
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+        try:
+            jvm.java.sql.DriverManager.getConnection(url + ";drop=true")
+        except Exception:
+            pass  # Derby signals a successful drop via SQLState 08006
+
+
+def _evolving_customer_bronze(
+    spark: SparkSession, sf_dir: str, note_from: int
+) -> DataFrame:
+    """Customer CDC bronze whose events GAIN a column mid-stream: events
+    with event_id >= ``note_from`` carry a sixth column ``c_note`` =
+    'n#'||event_id (the post-ALTER wal2json shape — the decoder ships
+    whatever columns the table has at decode time). lsn_start = 2*event_id
+    leaves odd LSNs free for the interleaved DDL event."""
+    ev = spread(load(spark, sf_dir, "events"))
+    key = ((F.col("user_id") * 31 + F.col("event_id") % 100) % 200 + 1).cast("long")
+    kind = (
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "insert")
+        .otherwise("update")
+    )
+    base_names = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    post = F.col("event_id") >= F.lit(note_from)
+    names = F.when(
+        post, F.array(*[F.lit(c) for c in base_names], F.lit("c_note"))
+    ).otherwise(F.array(*[F.lit(c) for c in base_names]))
+    base_vals = [
+        key.cast("string"),
+        F.concat(F.lit("cdc#"), F.col("event_id").cast("string")),
+        (F.col("user_id") % 25).cast("string"),
+        F.col("value").cast("string"),
+        F.col("event_type"),
+    ]
+    vals = F.when(
+        post,
+        F.array(*base_vals, F.concat(F.lit("n#"), F.col("event_id").cast("string"))),
+    ).otherwise(F.array(*base_vals))
+    payload = F.to_json(
+        F.struct(
+            kind.alias("kind"),
+            F.lit("public").alias("schema"),
+            F.lit("customer").alias("table"),
+            F.when(kind != "delete", names).alias("columnnames"),
+            F.when(kind != "delete", vals).alias("columnvalues"),
+            F.when(
+                kind != "insert",
+                F.struct(
+                    F.array(F.lit("c_custkey")).alias("keynames"),
+                    F.array(key.cast("string")).alias("keyvalues"),
+                ),
+            ).alias("oldkeys"),
+        )
+    )
+    return ev.select(
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("insert_timestamp"),
+        F.lit("db1").alias("database"),
+        F.lit("slot_db1").alias("source_slotname"),
+        (F.col("event_id") * 2).alias("lsn_start"),
+        (F.col("event_id") + 1000).alias("xid"),
+        F.col("ts").alias("xid_timestamp"),
+        payload.alias("payload"),
+    )
+
+
+def _events_id_bounds(sf_dir: str) -> tuple[int, int]:
+    """(min, max) event_id from parquet footer stats — pure driver-side
+    pyarrow, no SparkSession (oracle_fn renders SQL before any Spark work);
+    DuckDB fallback when a writer omitted the stats."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        files = (
+            [os.path.join(path, e) for e in os.listdir(path) if e.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        lo = hi = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("event_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no footer min/max")
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            raise ValueError("no row groups")
+        return int(lo), int(hi)
+    except Exception:
+        import duckdb
+
+        row = duckdb.sql(
+            f"SELECT MIN(event_id), MAX(event_id) FROM '{path}'"
+        ).fetchone()
+        return int(row[0]), int(row[1])
+
+
+def _schema_evolution_oracle(sf_dir: str) -> str:
+    lo, hi = _events_id_bounds(sf_dir)
+    note_from = lo + (hi - lo) // 2 + 1  # first event_id of the post-DDL batch
+    return f"""
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               'cdc#' || CAST(event_id AS VARCHAR) AS c_name,
+               CAST(user_id % 25 AS INTEGER) AS c_nationkey,
+               value AS c_acctbal,
+               event_type AS c_mktsegment,
+               CASE WHEN event_id >= {note_from}
+                    THEN 'n#' || CAST(event_id AS VARCHAR) END AS c_note
+        FROM events
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg
+        ) t WHERE rn = 1
+    )
+    SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_name ELSE l.c_name END AS c_name,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_nationkey ELSE l.c_nationkey END AS c_nationkey,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS c_acctbal,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_mktsegment ELSE l.c_mktsegment END AS c_mktsegment,
+           CASE WHEN l.c_custkey IS NULL THEN NULL ELSE l.c_note END AS c_note
+    FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.c_custkey
+    WHERE COALESCE(l.op, '') <> 'delete'
+    """
+
+
+@register(
+    "cdc_jdbc_schema_evolution",
+    None,
+    "D11's newest leg under the value gate: a mid-stream ALTER TABLE ADD "
+    "COLUMN rides the SAME batch as post-DDL DML — apply_batch cuts the "
+    "batch at the DDL barrier (pre-DDL fold commits first, replay.pl:"
+    "862-876), the executor evolves catalog + silver store, check_schema "
+    "replays the ADD COLUMN to the live Derby target (sinks.py check_schema"
+    "), and the batch's touched slice then ships in the EVOLVED shape; the "
+    "result is the evolved target read back over JDBC, so the hash proves "
+    "pre-DDL rows carry NULL and post-DDL rows carry their decoded c_note "
+    "values end-to-end; oracle derives the DDL point from the same footer "
+    "stats the query splits batches on",
+    oracle_fn=_schema_evolution_oracle,
+)
+def cdc_jdbc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    _require_local_master(spark)
+
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.pipeline import Replayer
+    from connemara_spark.sinks import JdbcApplySink
+    from connemara_spark.stores import BucketStore
+
+    snapshot = load(spark, sf_dir, "customer")
+    lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
+    note_from = lo + (hi - lo) // 2 + 1  # first post-DDL event_id
+    bronze = _evolving_customer_bronze(spark, sf_dir, note_from).persist()
+    # the DDL event sits at the free odd LSN just below the first post-DDL
+    # event (lsn = 2*event_id keeps odds free), so the single stream is
+    # LSN-monotone: ... pre-DDL DML < DDL < post-DDL DML ...
+    import datetime as _dt
+    import json as _json
+
+    ddl_lsn = 2 * note_from - 1
+    ts = _dt.datetime(2024, 6, 1)
+    ddl_row = spark.createDataFrame(
+        [
+            (
+                ts,
+                "db1",
+                "slot_db1",
+                ddl_lsn,
+                ddl_lsn + 1000,
+                ts,
+                _json.dumps(
+                    {
+                        "kind": "insert",
+                        "schema": "public",
+                        "table": "sql_ddl_statements",
+                        "columnnames": [
+                            "id",
+                            "current_query",
+                            "search_path",
+                            "command_tags",
+                        ],
+                        "columnvalues": [
+                            str(ddl_lsn),
+                            "ALTER TABLE public.customer ADD COLUMN c_note text",
+                            '"$user", public',
+                            "{DDL}",
+                        ],
+                    }
+                ),
+            )
+        ],
+        schema=bronze.schema,
+    )
+    dbname = f"connemara_evolve_{uuid.uuid4().hex}"
+    url = f"jdbc:derby:memory:{dbname}"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(props["driver"])
+    con = jvm.java.sql.DriverManager.getConnection(url + ";create=true")
+    con.createStatement().execute(
+        "CREATE TABLE customer (c_custkey BIGINT PRIMARY KEY, "
+        "c_name VARCHAR(128), c_nationkey INT, c_acctbal DOUBLE, "
+        "c_mktsegment VARCHAR(64))"
+    )
+    con.close()
+    root = tempfile.mkdtemp(prefix="connemara_evolvesink_")
+    try:
+        spec = TableSpec(
+            database=CUSTOMER_SPEC.database,
+            schema=CUSTOMER_SPEC.schema,
+            table=CUSTOMER_SPEC.table,
+            columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+            pk_cols=list(CUSTOMER_SPEC.pk_cols),
+        )
+        store = BucketStore(spark, root, n_buckets=32)
+        store.write(spec, snapshot)
+        cat = EngineCatalog()
+        cat.register(spec)
+        rep = Replayer(spark, cat, store)
+        sink = JdbcApplySink(
+            spark, store, spec, url=url, target_table="customer", properties=props
+        )
+        sink.bootstrap_load(batch_id="bootstrap")
+        # batch 1: pre-DDL DML only; batch 2: the DDL event AND the
+        # post-DDL DML in ONE batch — the apply cuts at the barrier
+        batches = [
+            bronze.filter(F.col("lsn_start") < ddl_lsn),
+            bronze.filter(F.col("lsn_start") > ddl_lsn).unionByName(ddl_row),
+        ]
+        for i, batch in enumerate(batches):
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                summary = rep._batch_summary(parsed)
+                sink.before_apply(parsed)
+                metrics = rep.apply_batch(batch, events=parsed, summary=summary)
+                if metrics.ddl_executed:
+                    # the streaming driver's exact protocol: DDL evolved the
+                    # catalog mid-batch, so the target follows BEFORE the
+                    # batch's slice ships (driver.py:207-211)
+                    sink.check_schema(cat)
+                sink.after_apply(batch_id=f"batch-{i}")
+            finally:
+                parsed.unpersist()
+        return (
+            spark.read.jdbc(url, "customer", properties=props)
+            .select(*[c.name for c in cat.get("db1", "public", "customer").columns])
             .localCheckpoint()
         )
     finally:

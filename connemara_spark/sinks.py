@@ -494,6 +494,53 @@ class JdbcMultiApplySink(_JdbcLedgerBase):
             self._touched = None
 
     # -- core ----------------------------------------------------------------
+    def bootstrap_load_all(self, *, batch_id: str = "bootstrap") -> bool:
+        """Initial sync of EVERY target table in ONE transaction — the
+        multi-table analog of ``JdbcApplySink.bootstrap_load`` (the
+        reference restores the whole schema dump before streaming begins,
+        sources/snapshot.py S4/S5, and that restore is one pg_restore
+        session): each table's full silver state ships distributedly to
+        its staging, then a single driver transaction clears and
+        bulk-inserts all targets set-based and records the batch id once.
+        A reader never observes table A restored without table B; a
+        crashed bootstrap left every target untouched; a restarted one is
+        a single ledger skip covering all tables."""
+        if self._ledger_has(batch_id):
+            return False
+        staged = []
+        for spec, target in self.targets:
+            cols = [c.name for c in spec.columns]
+            staging = f"{target}_staging"
+            self.store.read(spec).select(*cols).withColumn(
+                "__key_only", F.lit(False)
+            ).write.mode("overwrite").option("truncate", "true").jdbc(
+                self.url, staging, properties=self.props
+            )
+            staged.append((target, staging, cols))
+        con = self._connect()
+        try:
+            con.setAutoCommit(False)
+            st = con.createStatement()
+            for target, staging, cols in staged:
+                st.execute(f"DELETE FROM {target}")
+                st.execute(
+                    f"INSERT INTO {target} ({', '.join(cols)}) "
+                    f"SELECT {', '.join(f'{chr(34)}{c}{chr(34)}' for c in cols)} "
+                    f"FROM {staging}"
+                )
+            ps = con.prepareStatement(
+                f"INSERT INTO {self.ledger} (batch_id) VALUES (?)"
+            )
+            ps.setString(1, batch_id)
+            ps.executeUpdate()
+            con.commit()
+        except Exception:
+            con.rollback()
+            raise
+        finally:
+            con.close()
+        return True
+
     def apply_touched_all(self, legs, *, batch_id: str) -> bool:
         """Stage every table's touched-key slice, then replace rows at all
         of them + record the batch id in ONE transaction. ``legs``:

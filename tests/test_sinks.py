@@ -703,3 +703,86 @@ def test_multi_table_sink_through_streaming_driver(spark, tmp_path):
     # targets mirror the silver store exactly
     assert got_items == {r["id"]: r["v"] for r in store.read(items).collect()}
     assert got_acct == {r["id"]: r["bal"] for r in store.read(accounts).collect()}
+
+
+def test_multi_table_bootstrap_load_all_is_one_atomic_transaction(spark, tmp_path):
+    """bootstrap_load_all restores EVERY target in one transaction: both
+    tables land together, a rerun is a single ledger skip covering all of
+    them, and a failure on the second table's bulk-insert leaves the
+    first table untouched (no half-restored target)."""
+    url, cat, items, accounts, store, rep, sink = _two_table_setup(
+        spark, tmp_path, "multidb3"
+    )
+    assert sink.bootstrap_load_all(batch_id="bootstrap") is True
+    assert _table(spark, url, "SELECT id, v FROM items") == {
+        i: f"v{i}" for i in range(5)
+    }
+    assert _table(spark, url, "SELECT id, bal FROM accounts") == {
+        i: float(i) for i in range(5)
+    }
+    # exactly-once: a restarted bootstrap is one skip for all tables
+    store.write(items, spark.createDataFrame([(9, "late")], "id long, v string"))
+    assert sink.bootstrap_load_all(batch_id="bootstrap") is False
+    assert _table(spark, url, "SELECT id, v FROM items") == {
+        i: f"v{i}" for i in range(5)
+    }
+
+    # crash-atomicity: break the SECOND table's staging after the stage
+    # writes (drop it), so the driver transaction fails mid-way — the
+    # first table's DELETE+bulk-INSERT must roll back with it
+    before_items = _table(spark, url, "SELECT id, v FROM items")
+
+    class _Boom(Exception):
+        pass
+
+    orig = sink._connect
+
+    def sabotage():
+        con = orig()
+        st = con.createStatement()
+
+        class ConProxy:
+            def setAutoCommit(self, v):
+                con.setAutoCommit(v)
+
+            def createStatement(self):
+                real = con.createStatement()
+
+                class StProxy:
+                    def execute(self, sql):
+                        if "INSERT INTO accounts" in sql:
+                            raise _Boom("injected bulk-insert failure")
+                        return real.execute(sql)
+
+                return StProxy()
+
+            def prepareStatement(self, sql):
+                return con.prepareStatement(sql)
+
+            def commit(self):
+                con.commit()
+
+            def rollback(self):
+                con.rollback()
+
+            def close(self):
+                con.close()
+
+        st.close()
+        return ConProxy()
+
+    sink._connect = sabotage
+    try:
+        with pytest.raises(_Boom):
+            sink.bootstrap_load_all(batch_id="bootstrap-2")
+    finally:
+        sink._connect = orig
+    assert _table(spark, url, "SELECT id, v FROM items") == before_items
+    assert sink._ledger_has("bootstrap-2") is False
+    # the retry under the same id converges (items now restores the
+    # post-sabotage silver state: the single 'late' row)
+    assert sink.bootstrap_load_all(batch_id="bootstrap-2") is True
+    assert _table(spark, url, "SELECT id, v FROM items") == {9: "late"}
+    assert _table(spark, url, "SELECT id, bal FROM accounts") == {
+        i: float(i) for i in range(5)
+    }
