@@ -7533,41 +7533,64 @@ DRIVER_SAMPLE_PRIORITY = [
 ]
 
 
-def _driver_sampled_names() -> set[str]:
-    """Query names that already have a row in ANY committed round's
-    CORRECTNESS_r*.json — i.e. the external driver gate has checked them
-    at least once. Missing/unreadable files mean 'nothing sampled yet'
+def _driver_sample_history() -> dict[str, int]:
+    """name -> NEWEST round with a committed CORRECTNESS row for it (green
+    or not: a red row still proves the driver exercised the query that
+    round — re-ranking it stale-first is exactly what brings it back for
+    re-certification). Missing/unreadable files mean 'nothing sampled yet'
     (fresh checkout), which safely ranks everything as never-sampled."""
     import glob
     import json as _json
+    import re as _re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out: set[str] = set()
+    out: dict[str, int] = {}
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"_r(\d+)\.json$", p)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(p) as fh:
-                out |= set(_json.load(fh).keys())
+                names = _json.load(fh).keys()
         except (OSError, ValueError):
             continue
+        for n in names:
+            out[n] = max(out.get(n, 0), rnd)
     return out
 
 
-def _ordered(sampled: set[str] | None = None) -> list[str]:
-    """Registry names in driver-sample order, SELF-ROTATING: names with no
-    row in any committed CORRECTNESS_r*.json lead (the driver checks the
-    first ~50, so each round's sample automatically converts local-parity
-    evidence into driver-verified rows for whatever still lacks them);
-    already-verified names follow. Within each group,
-    DRIVER_SAMPLE_PRIORITY ranks first, then registration order — so the
-    rotation needs no per-round list surgery: committing a round's
-    CORRECTNESS file IS the rotation."""
+def _driver_sampled_names() -> set[str]:
+    """Query names the external gate has checked at least once."""
+    return set(_driver_sample_history())
+
+
+def _ordered(sampled: dict[str, int] | set[str] | None = None) -> list[str]:
+    """Registry names in driver-sample order, SELF-ROTATING on two levels:
+
+    1. names with NO row in any committed CORRECTNESS_r*.json lead (the
+       driver checks the first ~50, so each round's sample automatically
+       converts local-parity evidence into driver-verified rows for
+       whatever still lacks them);
+    2. already-verified names follow ranked OLDEST-EVIDENCE-FIRST — by
+       the round of their newest committed row, ascending — so once every
+       query has been driver-verified at least once, the sample cycles
+       through the registry re-certifying the stalest evidence (r1-era
+       rows age out of trust as the engine underneath them changes).
+
+    Ties (same evidence round, and the whole never-sampled group) break by
+    DRIVER_SAMPLE_PRIORITY first, then registration order. The rotation
+    needs no per-round list surgery: committing a round's CORRECTNESS
+    file IS the rotation."""
     if sampled is None:
-        sampled = _driver_sampled_names()
+        sampled = _driver_sample_history()
+    if not isinstance(sampled, dict):
+        sampled = {n: 0 for n in sampled}
     prio = [n for n in DRIVER_SAMPLE_PRIORITY if n in REGISTRY]
     rest = [n for n in REGISTRY if n not in set(prio)]
     ranked = prio + rest
     never = [n for n in ranked if n not in sampled]
     done = [n for n in ranked if n in sampled]
+    tiebreak = {n: i for i, n in enumerate(ranked)}
+    done.sort(key=lambda n: (sampled[n], tiebreak[n]))
     return never + done
 
 

@@ -344,6 +344,58 @@ def test_driver_sample_order_self_rotates(spark, sf_dir):
     assert full[: len(want_head)] == want_head
 
 
+def test_driver_sample_recertifies_stalest_evidence_first(spark, sf_dir):
+    """Once every query has a committed row, the sample must CYCLE: rank
+    verified names by the round of their newest row, ascending, so r1-era
+    evidence is re-certified before last round's. Pinned both on synthetic
+    histories and on the repo's real committed CORRECTNESS files."""
+    from connemara_spark.queries import (
+        REGISTRY,
+        _driver_sample_history,
+        _ordered,
+    )
+
+    all_names = list(REGISTRY)
+    # synthetic: everything verified, three names with OLD evidence -> they
+    # lead regardless of registration position
+    hist = {n: 7 for n in all_names}
+    stale = [all_names[10], all_names[40], all_names[-1]]
+    for n in stale:
+        hist[n] = 1
+    order = _ordered(hist)
+    assert set(order[:3]) == set(stale)
+    # never-sampled still outranks ANY stale evidence
+    hist2 = dict(hist)
+    del hist2[all_names[5]]
+    assert _ordered(hist2)[0] == all_names[5]
+
+    # real committed history: the first-50 sample must consist of the 50
+    # stalest-evidence names (never-sampled counting as stalest of all) —
+    # i.e. no name inside the sample has NEWER evidence than any outside
+    real = _driver_sample_history()
+    if len(real) < len(all_names) - 10:
+        return  # fresh checkout: nothing to pin
+    order = _ordered()
+    rounds = [real.get(n, -1) for n in order]
+    sample, rest = rounds[:50], rounds[50:]
+    if rest:
+        assert max(sample) <= min(rest), (
+            "driver sample is not oldest-evidence-first"
+        )
+    # and the rotation actually moved: the r8 sample must not equal the
+    # r7 sample (which was exactly the never-sampled head of r1-r6 files)
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if files:
+        with open(files[-1]) as fh:
+            last_sample = set(json.load(fh))
+        assert set(order[:50]) != last_sample, "sample failed to rotate"
+
+
 def test_pipeline_per_batch_plans_pass_lints(spark, sf_dir):
     """The two most expensive registry entries are multi-batch pipelines
     whose dominant plans (per-batch fold, view patch) the single-DataFrame
