@@ -774,6 +774,52 @@ def incremental_group_agg(
         .groupBy(F.col("__c.g").alias(group_col))
         .agg(F.sum("__c.dn").alias("__dn"), F.sum("__c.dt").alias("__dt"))
     )
+    return merge_group_agg(base_agg, net, group_col=group_col, sum_type=sum_type)
+
+
+def group_agg_net(
+    old_rows: DataFrame,
+    new_rows: DataFrame,
+    *,
+    group_col: str,
+    sum_col: str,
+    sum_type: str = "decimal(12,2)",
+) -> DataFrame:
+    """Net per-group (Δcount, Δsum) from UNPAIRED old/new row frames — the
+    join-free twin of ``incremental_group_agg``'s delta leg. The group
+    aggregate is distributive, so the per-key old↔new pairing the diff
+    join produces is algebraically irrelevant: every old row contributes
+    (-1, -val) to its group and every new row (+1, +val), and one
+    map-side-combined groupBy nets them. Callers that already hold the
+    old and new states restricted to the touched keys (the maintained-view
+    patch) save the per-key full-outer join — two shuffle exchanges of
+    touched-key rows — per batch."""
+    o = old_rows.select(
+        F.col(group_col).alias("g"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col(sum_col).cast(sum_type)).alias("dt"),
+    )
+    n = new_rows.select(
+        F.col(group_col).alias("g"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col(sum_col).cast(sum_type).alias("dt"),
+    )
+    return (
+        o.unionByName(n)
+        .groupBy(F.col("g").alias(group_col))
+        .agg(F.sum("dn").alias("__dn"), F.sum("dt").alias("__dt"))
+    )
+
+
+def merge_group_agg(
+    base_agg: DataFrame,
+    net: DataFrame,
+    *,
+    group_col: str,
+    sum_type: str = "decimal(12,2)",
+) -> DataFrame:
+    """Merge a net (group, __dn, __dt) delta into ``base_agg`` — one
+    full-outer join on the group key touching only affected groups."""
     # NULL-safe equality: a NULL group key must merge with the base row,
     # not duplicate beside it (plain equi-join never matches NULL = NULL)
     b = base_agg.alias("b")

@@ -454,7 +454,7 @@ class MaintainedAggView:
         committing — ``after_apply`` writes it; plan audits explain it."""
         import os
 
-        from connemara_spark.operators.apply import incremental_group_agg
+        from connemara_spark.operators.apply import group_agg_net, merge_group_agg
 
         m = self._meta()
         # the store version this view last incorporated: committed metadata
@@ -492,18 +492,15 @@ class MaintainedAggView:
         t = F.broadcast(self._touched)  # touched_keys output is distinct
         old_t = old.join(t, on=pk, how="left_semi")
         new_t = new.join(t, on=pk, how="left_semi")
-        key = F.struct(*[F.col(c) for c in pk])
-        val = F.struct(F.col(self.group_col), F.col(self.sum_col))
-        o = old_t.select(key.alias("__pk"), val.alias("__v"))
-        n = new_t.select(key.alias("__pk"), val.alias("__v"))
-        d = o.alias("o").join(
-            n.alias("n"), F.col("o.__pk") == F.col("n.__pk"), "full_outer"
-        )
-        delta = d.select(
-            F.col("o.__pk").isNotNull().alias("old_exists"),
-            F.col("o.__v").alias("old_vals"),
-            F.col("n.__pk").isNotNull().alias("new_exists"),
-            F.col("n.__v").alias("new_vals"),
+        # JOIN-FREE delta: the group aggregate is distributive, so the
+        # per-key old↔new pairing a full-outer diff join would produce is
+        # algebraically irrelevant — old touched rows contribute (-1,-val),
+        # new touched rows (+1,+val), one map-side-combined groupBy nets
+        # them (group_agg_net). This removed two shuffle exchanges of
+        # touched-key rows from every patch (r8; EXPLAIN.md view_patch).
+        net = group_agg_net(
+            old_t, new_t,
+            group_col=self.group_col, sum_col=self.sum_col, sum_type=self.sum_type,
         )
         base = (
             self._full_agg(old)
@@ -512,9 +509,8 @@ class MaintainedAggView:
                 os.path.join(self.view_dir, f"v{m['version']:06d}")
             )
         )
-        patched = incremental_group_agg(
-            base, delta,
-            group_col=self.group_col, sum_col=self.sum_col, sum_type=self.sum_type,
+        patched = merge_group_agg(
+            base, net, group_col=self.group_col, sum_type=self.sum_type
         )
         return m, patched, v_now
 

@@ -174,7 +174,11 @@ def cosine_pairs_blocked(
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1)[:, None]
+    norms = np.linalg.norm(mat, axis=1)
+    # zero-norm rows stay all-zero (cosine vs anything is 0, below any
+    # positive threshold) instead of dividing to NaN with a RuntimeWarning
+    norms[norms == 0.0] = 1.0
+    mat /= norms[:, None]
     bc = spark.sparkContext.broadcast((ids, mat))
 
     def compute(batches):
@@ -259,8 +263,13 @@ def cosine_pairs_gemm(
         rid = rpdf["id"].to_numpy(dtype=np.int64)
         lm = np.array(lpdf["v"].tolist(), dtype=np.float64)
         rm = np.array(rpdf["v"].tolist(), dtype=np.float64)
-        lm /= np.linalg.norm(lm, axis=1)[:, None]
-        rm /= np.linalg.norm(rm, axis=1)[:, None]
+        # zero-norm guard: all-zero rows stay zero (cos=0) instead of NaN
+        ln = np.linalg.norm(lm, axis=1)
+        rn = np.linalg.norm(rm, axis=1)
+        ln[ln == 0.0] = 1.0
+        rn[rn == 0.0] = 1.0
+        lm /= ln[:, None]
+        rm /= rn[:, None]
         sims = lm @ rm.T
         hot = sims > threshold
         if key[0] == key[1]:
