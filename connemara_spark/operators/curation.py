@@ -484,12 +484,44 @@ def dsir_log_weights(
     )
 
 
+def _driver_union_find(edge_rows) -> dict:
+    """Union-find with path compression + union-by-min over collected
+    (src, dst) rows; returns {node: min id of its component}. O(E α(E))
+    with a tiny constant — the right tool once the edge list fits the
+    driver."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in edge_rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root: the component's label IS its smallest id
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {n: find(n) for n in parent}
+
+
 def neardup_clusters(
     pairs: DataFrame,
     *,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 15,
+    driver_cc_cap: int | None = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id),
     cluster_id = smallest doc id in the component. Covers only nodes that
@@ -510,6 +542,17 @@ def neardup_clusters(
     per iteration — cheap to materialize, and the plan each iteration stays
     two joins deep. On a real cluster with lineage-loss concerns, swap for
     reliable ``checkpoint()`` against a checkpoint dir — same call shape.
+
+    SCALE-ADAPTIVE: the distributed fixed point pays several Spark jobs of
+    scheduling/shuffle overhead PER ITERATION (~1 s each locally) — pure
+    waste when the deduped edge list is small. The edge count is free off
+    the already-checkpointed edges, so when it is at most
+    ``driver_cc_cap`` (default 2M edges ≈ 32 MB of longs, trivially
+    driver-safe) the components come from a driver-side union-find in
+    milliseconds instead. Near-dup graphs are SPARSE by construction
+    (a near-dup pair rate high enough to produce billions of edges means
+    the threshold is wrong), but when they aren't, the distributed loop
+    engages automatically — pass ``driver_cc_cap=None/0`` to force it.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -517,6 +560,18 @@ def neardup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    spark = pairs.sparkSession
+    if driver_cc_cap and edges.count() <= driver_cc_cap:
+        from pyspark.sql.types import StructField, StructType
+
+        comp = _driver_union_find(edges.collect())
+        idt = edges.schema["src"].dataType  # label type == node id type
+        return spark.createDataFrame(
+            list(comp.items()),
+            StructType(
+                [StructField("doc_id", idt), StructField("cluster_id", idt)]
+            ),
+        )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -311,3 +311,32 @@ def test_epoch_shuffle_properties(spark):
 
     with _pytest.raises(ValueError, match="n_shards"):
         epoch_shuffle(df, "doc_id", n_shards=0)
+
+
+def test_neardup_clusters_driver_and_distributed_paths_agree(spark):
+    """The scale-adaptive cutover must be invisible: on a randomized pair
+    set, the driver union-find (small-edge fast path) and the distributed
+    min-label fixed point (driver_cc_cap=0 forces it) produce identical
+    components, including across chains, merges, and isolated pairs."""
+    import random
+
+    rng = random.Random(8)
+    pairs = []
+    # several chains + random cross-links + isolated pairs
+    base = 0
+    for chain_len in (7, 1, 13, 2, 5):
+        pairs += [(base + i, base + i + 1) for i in range(chain_len)]
+        base += chain_len + 10
+    nodes = sorted({x for p in pairs for x in p})
+    pairs += [tuple(sorted(rng.sample(nodes, 2))) for _ in range(10)]
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "id_a long, id_b long"
+    )
+    fast = {r["doc_id"]: r["cluster_id"] for r in neardup_clusters(df).collect()}
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(df, driver_cc_cap=0).collect()
+    }
+    assert fast == dist and len(fast) == len(nodes)
+    # every label is the component minimum: labels are fixed points
+    assert all(fast[v] == fast[fast[v]] and fast[v] <= v for v in fast)
