@@ -45,6 +45,20 @@ from pyspark.sql import functions as F
 
 from connemara_spark.operators.ivm import touched_keys
 
+
+def _with_write_defaults(properties: dict[str, str] | None) -> dict[str, str]:
+    """Connection/write properties with a larger JDBC batch size default:
+    Spark's writer flushes executeBatch every 1000 rows, and the staging
+    writes here are the sink's hot path — 10k rows per batch cuts the
+    driver<->database roundtrips 10x on every staged slice and bootstrap
+    (Spark merges connection properties and reader/writer options into one
+    map, so this rides the existing ``properties`` plumbing). Caller-set
+    values always win."""
+    out = dict(properties or {})
+    out.setdefault("batchsize", "10000")
+    return out
+
+
 # pg type -> portable SQL column type for target-side DDL following
 # (ALTER TABLE ADD COLUMN). Dialect-specific needs go through the sink's
 # ``type_overrides``; an unmapped type fails loudly rather than guessing.
@@ -224,7 +238,7 @@ class JdbcApplySink(_JdbcLedgerBase):
         self.spec = copy.deepcopy(spec)
         self.url = url
         self.target = target_table
-        self.props = properties or {}
+        self.props = _with_write_defaults(properties)
         self.staging = staging_table or f"{target_table}_staging"
         self.ledger = ledger_table or f"{target_table}_apply_ledger"
         # target-side DDL following (check_schema): ADD COLUMN is always
@@ -467,7 +481,7 @@ class JdbcMultiApplySink(_JdbcLedgerBase):
         self.store = store
         self.targets = list(targets)
         self.url = url
-        self.props = properties or {}
+        self.props = _with_write_defaults(properties)
         self.ledger = ledger_table
         self._touched = None
         self._ensure_ledger()
