@@ -125,6 +125,26 @@ def random_event_stream(
                     row[c.name] = f"v{rng.randint(0, 99999)}"
         return row
 
+    # O(1) random live-key selection: rng.choice(sorted(live)) was
+    # O(n log n) PER EVENT, which made million-event streams over
+    # 50k-row tables take tens of minutes to generate. A swap-remove
+    # key list keeps selection/insert/delete O(1); still fully
+    # deterministic for a given seed (the list order is a pure function
+    # of the event sequence).
+    keys_list = sorted(live)
+    key_pos = {k: i for i, k in enumerate(keys_list)}
+
+    def _add_key(k: tuple) -> None:
+        key_pos[k] = len(keys_list)
+        keys_list.append(k)
+
+    def _del_key(k: tuple) -> None:
+        i = key_pos.pop(k)
+        last = keys_list.pop()
+        if last != k:
+            keys_list[i] = last
+            key_pos[last] = i
+
     for i in range(n_events):
         lsn = start_lsn + i
         roll = rng.random()
@@ -134,9 +154,10 @@ def random_event_stream(
             next_key += 1
             row = fresh_values(key)
             live[key] = row
+            _add_key(key)
             events.append(make_event(spec, "insert", lsn=lsn, row=row))
         elif roll < 0.75:
-            key = rng.choice(sorted(live.keys()))
+            key = keys_list[rng.randrange(len(keys_list))]
             old_row = live[key]
             if rng.random() < pk_change_prob:
                 # PK-change update (replay.pl:905-931)
@@ -146,7 +167,9 @@ def random_event_stream(
                 for k, v in zip(spec.pk_cols, new_key):
                     row[k] = v
                 del live[key]
+                _del_key(key)
                 live[new_key] = row
+                _add_key(new_key)
                 events.append(
                     make_event(spec, "update", lsn=lsn, row=row, old_key=dict(zip(spec.pk_cols, key)))
                 )
@@ -170,8 +193,9 @@ def random_event_stream(
                         make_event(spec, "update", lsn=lsn, row=row, old_key=dict(zip(spec.pk_cols, key)))
                     )
         else:
-            key = rng.choice(sorted(live.keys()))
+            key = keys_list[rng.randrange(len(keys_list))]
             del live[key]
+            _del_key(key)
             events.append(make_event(spec, "delete", lsn=lsn, old_key=dict(zip(spec.pk_cols, key))))
     return events
 
