@@ -187,6 +187,25 @@ class _JdbcLedgerBase:
         staged.write.mode("overwrite").option("truncate", "true").jdbc(
             self.url, staging, properties=self.props
         )
+        # Index the staged PK: the overwrite recreates the staging table
+        # UNINDEXED, and without it some planners (embedded Derby) run the
+        # reconcile's EXISTS semi-join as a NESTED LOOP — O(target rows x
+        # staging rows) locked row fetches, measured as a multi-hour hang at
+        # 50k x 66k rows where the indexed plan takes milliseconds. One
+        # O(n log n) sort per batch buys probe-side lookups. On its own
+        # AUTOCOMMIT connection: a failed re-create (truncate-reuse keeps
+        # the index alive) must not poison the reconcile transaction
+        # (PostgreSQL aborts a tx after any failed statement).
+        con = self._connect()
+        try:
+            con.createStatement().execute(
+                f"CREATE INDEX {staging}_pk ON {staging} "
+                f"({', '.join(f'{chr(34)}{c}{chr(34)}' for c in pk)})"
+            )
+        except Exception:
+            pass  # already indexed
+        finally:
+            con.close()
         return pk, cols
 
     @staticmethod
@@ -195,7 +214,9 @@ class _JdbcLedgerBase:
         Statement — the caller owns begin/commit/rollback. Spark's JDBC
         writer creates staging columns QUOTED in the DataFrame's exact
         case; the user-created target resolves unquoted (standard case
-        folding) — reference each side its way."""
+        folding) — reference each side its way. ``_stage_slice`` indexed
+        the staged PK, so the EXISTS semi-join below probes instead of
+        nested-looping."""
         on = " AND ".join(f't.{c} = k."{c}"' for c in pk)
         st.execute(
             f"DELETE FROM {target} t WHERE EXISTS "
