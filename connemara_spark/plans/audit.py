@@ -216,8 +216,12 @@ def main() -> None:
         ),
         "cdc_maintained_agg_view/view_patch": (
             "Incremental view patch: both version reads semi-joined to the "
-            "BROADCAST touched keys (|delta|-sized), full-outer diff, group "
-            "patch over the 9-row materialized base — never a base rescan."
+            "BROADCAST touched keys (|delta|-sized), then a JOIN-FREE net — "
+            "old rows contribute (-1,-val), new rows (+1,+val), one map-side-"
+            "combined groupBy (the per-key full-outer diff was algebraically "
+            "redundant for a distributive aggregate and cost 2 extra "
+            "exchanges, removed r8) — merged into the 9-row materialized "
+            "base. Never a base rescan."
         ),
     }
     print("\n# Multi-batch pipeline queries — per-batch plans\n", file=out)
