@@ -1971,6 +1971,95 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_stream_dedup",
+    """
+    WITH stream AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+    ),
+    m AS (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM stream
+    )
+    SELECT doc_id, CASE WHEN doc_id = mn THEN NULL ELSE mn END AS dup_of FROM m
+    """,
+    "dedup-on-ingest (STREAMING, applyInPandasWithState): the documents "
+    "corpus plus deterministic re-crawls (+10M ids for doc_id%7, +20M for "
+    "doc_id%11) lands as three ingest-ordered parquet segments, drained one "
+    "file per microbatch through exact_dedup_stream — per-content-hash "
+    "first-arrival-wins state (8 bytes per distinct content, O(unique) "
+    "state on any stream length); every arrival gets a verdict row, "
+    "duplicates point at their keeper; result equals the batch min-per-"
+    "fingerprint rule because ingest order is id order, which is what the "
+    "oracle checks",
+)
+def doc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from connemara_spark.streaming.stateful import exact_dedup_stream
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    row = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    mid = (int(row["lo"]) + int(row["hi"])) // 2 + 1
+    root = tempfile.mkdtemp(prefix="connemara_streamdedup_")
+    try:
+        land = _os.path.join(root, "in")
+        _os.makedirs(land)
+        segs = [
+            docs.filter(F.col("doc_id") < mid),
+            docs.filter(F.col("doc_id") >= mid),
+            docs.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+            .unionByName(
+                docs.filter(F.col("doc_id") % 11 == 0).select(
+                    (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+                )
+            ),
+        ]
+        # ingest-ordered landing: one file per segment with explicit
+        # ascending mtimes (the file source orders by modification time, and
+        # two sub-second writes could otherwise tie)
+        base = _time.time()
+        for i, s in enumerate(segs):
+            st = _os.path.join(root, f"st{i}")
+            s.coalesce(1).write.parquet(st)
+            part = _glob.glob(_os.path.join(st, "part-*.parquet"))[0]
+            dst = _os.path.join(land, f"seg-{i:04d}.parquet")
+            shutil.move(part, dst)
+            _os.utime(dst, (base + i, base + i))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        name = f"streamdedup_{uuid.uuid4().hex[:10]}"
+        q = (
+            exact_dedup_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", _os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.exception() is not None:
+            raise RuntimeError(str(q.exception()))
+        res = spark.table(name).select("doc_id", "dup_of").localCheckpoint()
+        spark.catalog.dropTempView(name)
+        return res
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "doc_token_stats",
     """
     SELECT doc_id,

@@ -225,3 +225,73 @@ def hll_distinct_stream(df: DataFrame, *, group_col: str, value_col: str) -> Dat
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------- dedup-on-ingest
+
+DEDUP_SCHEMA = "doc_id long, content_md5 string, dup_of long"
+_DEDUP_STATE_SCHEMA = "first_id long"
+
+
+def _exact_dedup_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (h,) = key
+    rows = pd.concat(list(pdfs)).sort_values("doc_id")
+    ids = rows["doc_id"].astype("int64").tolist()
+    if state.exists:
+        (first,) = state.get
+    else:
+        # first sighting of this content: the smallest id in THIS batch
+        # is the keeper (batches arrive in ingest order, so the keeper is
+        # the globally first arrival)
+        first = ids[0]
+        state.update((first,))
+    yield pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "content_md5": h,
+            "dup_of": pd.Series(
+                [None if i == first else first for i in ids], dtype="Int64"
+            ),
+        }
+    )
+
+
+def exact_dedup_stream(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Dedup-on-ingest: exact content dedup over an UNBOUNDED document
+    stream, first-arrival-wins — the streaming twin of the batch
+    ``exact_dedup_documents`` (hash-groupBy), for pipelines that must
+    drop duplicates as data lands rather than in a nightly batch (the
+    reference's consumers ingest continuously; a training-data landing
+    zone does too).
+
+    Shape: one state-store row (8 bytes: the keeper's id) per DISTINCT
+    content hash — state grows with unique content, never with stream
+    length or duplicate count; the per-batch work is one keyed shuffle of
+    that batch only. Each arriving doc emits exactly one verdict row
+    ``(doc_id, content_md5, dup_of)`` — NULL dup_of means keeper; a
+    duplicate points at the keeper so lineage survives. Within a
+    microbatch the smallest id wins (batches are ingest-ordered, so
+    cross-batch the FIRST arrival wins — deterministic for a
+    deterministically-ordered source). At 100 TB scale the state store
+    partitions by content hash across executors; for bounded retention
+    swap NoTimeout for a processing-time timeout (content older than the
+    window re-admits, the standard TTL trade)."""
+    return (
+        docs.select(
+            F.md5(F.col(text_col).cast("string")).alias("content_md5"),
+            F.col(id_col).cast("long").alias("doc_id"),
+        )
+        .filter(F.col("content_md5").isNotNull())
+        .groupBy("content_md5")
+        .applyInPandasWithState(
+            _exact_dedup_fn,
+            outputStructType=DEDUP_SCHEMA,
+            stateStructType=_DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

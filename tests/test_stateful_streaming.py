@@ -157,3 +157,54 @@ def test_hll_distinct_stream_matches_batch_registers(spark, tmp_path):
         regs = _hll_fold(bytearray(512), _hll_hash60(sorted(vals)))
         est, nonzero, checksum = _hll_estimate(regs)
         assert got[k] == (est, nonzero, checksum), k
+
+
+def test_exact_dedup_stream_first_arrival_wins(spark, tmp_path):
+    """Dedup-on-ingest: the keeper is the FIRST arrival of each content —
+    in-batch (two copies land in one microbatch, smallest id keeps),
+    cross-batch (a later re-crawl points at the original), and a key's
+    third sighting still points at the original, not the second copy."""
+    from connemara_spark.streaming.stateful import exact_dedup_stream
+
+    land = str(tmp_path / "in")
+    os.makedirs(land)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def seg(rows, i):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        st = str(tmp_path / f"st{i}")
+        df.write.parquet(st)
+        part = glob.glob(os.path.join(st, "part-*.parquet"))[0]
+        dst = os.path.join(land, f"seg-{i:04d}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    # batch 0: 'a' arrives TWICE in one batch (ids 5, 2 -> 2 keeps), 'b' once
+    seg([(5, "a"), (2, "a"), (1, "b")], 0)
+    # batch 1: 'a' re-crawled (id 9 -> dup of 2), 'c' new
+    seg([(9, "a"), (3, "c")], 1)
+    # batch 2: 'a' AGAIN (id 20 -> still dup of 2, not of 9), 'b' re-crawl
+    seg([(20, "a"), (7, "b")], 2)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+    )
+    q = (
+        exact_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_t1")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {
+        r["doc_id"]: r["dup_of"]
+        for r in spark.table("dedup_t1").collect()
+    }
+    spark.catalog.dropTempView("dedup_t1")
+    assert got == {2: None, 5: 2, 1: None, 9: 2, 3: None, 20: 2, 7: 1}
