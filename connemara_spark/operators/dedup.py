@@ -783,3 +783,40 @@ def chunk_dedup(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def md5_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, band, bh) LSH band rows with the portable md5 family — the
+    band-hash leg of ``minhash_lsh_pairs_md5`` as a standalone projection.
+    Pure per-row expressions (no persist, no shuffle), so it is legal over
+    a STREAMING DataFrame — ``lsh_candidates_stream`` consumes it for
+    dedup-on-ingest, and its output is oracle-checkable in portable SQL."""
+    rows_per_band = num_hashes // bands
+    mins = ", ".join(
+        f"array_min(transform(shs, s -> md5(concat('{i}|', s))))"
+        for i in range(num_hashes)
+    )
+    sigs = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("shs")
+    ).select("id", F.expr(f"array({mins})").alias("sig"))
+    band_structs = ", ".join(
+        "named_struct('band', {bi}, 'bh', md5(concat_ws('|', {cols})))".format(
+            bi=bi,
+            cols=", ".join(
+                f"element_at(sig, {bi * rows_per_band + ri + 1})"
+                for ri in range(rows_per_band)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return sigs.select(
+        "id", F.expr(f"explode(array({band_structs}))").alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))

@@ -1970,6 +1970,118 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _land_stream_segments(root: str, segs) -> str:
+    """Write each segment DataFrame as ONE parquet file into a landing dir
+    with explicitly ascending mtimes (the file stream source orders by
+    modification time, and two sub-second writes could otherwise tie).
+    Returns the landing dir; read it with maxFilesPerTrigger=1 for one
+    ingest-ordered microbatch per segment."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    land = _os.path.join(root, "in")
+    _os.makedirs(land)
+    base = _time.time()
+    for i, s in enumerate(segs):
+        st = _os.path.join(root, f"st{i}")
+        s.coalesce(1).write.parquet(st)
+        part = _glob.glob(_os.path.join(st, "part-*.parquet"))[0]
+        dst = _os.path.join(land, f"seg-{i:04d}.parquet")
+        _shutil.move(part, dst)
+        _os.utime(dst, (base + i, base + i))
+    return land
+
+
+def _drain_to_table(spark: SparkSession, stream_out: DataFrame, ckpt: str) -> DataFrame:
+    """Run a streaming frame to completion (availableNow) into a memory
+    sink and return the drained rows pinned off the sink table."""
+    import os as _os
+    import uuid as _uuid
+
+    name = f"drain_{_uuid.uuid4().hex[:10]}"
+    q = (
+        stream_out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.exception() is not None:
+        raise RuntimeError(str(q.exception()))
+    res = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return res
+
+
+@register(
+    "doc_stream_neardup_md5",
+    """
+    WITH d AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+                   i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS shs
+        FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id,
+               list_transform(range(0, 16),
+                   i -> list_min(list_transform(shs, s -> md5(CAST(i AS VARCHAR) || '|' || s)))) AS sig
+        FROM d
+    ),
+    bands AS (
+        SELECT doc_id, t.band AS band,
+               md5(sig[2*t.band + 1] || '|' || sig[2*t.band + 2]) AS bh
+        FROM sigs, (SELECT unnest(range(0, 8)) AS band) t
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+    "near-dup candidates on ingest (STREAMING, applyInPandasWithState): "
+    "the corpus lands as two ingest-ordered segments; each doc's md5-family "
+    "LSH band rows (md5_band_rows — per-row projections, streaming-safe) "
+    "feed lsh_candidates_stream, whose per-bucket member state emits one "
+    "candidate pair per new arrival x existing member; the drained distinct "
+    "pair set must equal the batch band self-join's candidates exactly "
+    "(same hash family as minhash_lsh_dedup_md5, before verification) — "
+    "LSH recall on ingest with no nightly O(corpus) join",
+)
+def doc_stream_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from connemara_spark.operators.dedup import md5_band_rows
+    from connemara_spark.streaming.stateful import lsh_candidates_stream
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    row = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    mid = (int(row["lo"]) + int(row["hi"])) // 2 + 1
+    root = tempfile.mkdtemp(prefix="connemara_streamlsh_")
+    try:
+        land = _land_stream_segments(
+            root,
+            [docs.filter(F.col("doc_id") < mid), docs.filter(F.col("doc_id") >= mid)],
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        cands = lsh_candidates_stream(
+            md5_band_rows(stream, "doc_id", "text", k=5, num_hashes=16, bands=8)
+        )
+        drained = _drain_to_table(spark, cands, _os.path.join(root, "ckpt"))
+        # batch-side dedup of the intrinsic cross-band/cross-batch repeats
+        # (the verify stage does this join anyway at scale)
+        return drained.dropDuplicates(["id_a", "id_b"]).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register(
     "doc_stream_dedup",
     """
@@ -1996,12 +2108,9 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle checks",
 )
 def doc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob as _glob
     import os as _os
     import shutil
     import tempfile
-    import time as _time
-    import uuid
 
     from connemara_spark.streaming.stateful import exact_dedup_stream
 
@@ -2010,51 +2119,29 @@ def doc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = (int(row["lo"]) + int(row["hi"])) // 2 + 1
     root = tempfile.mkdtemp(prefix="connemara_streamdedup_")
     try:
-        land = _os.path.join(root, "in")
-        _os.makedirs(land)
-        segs = [
-            docs.filter(F.col("doc_id") < mid),
-            docs.filter(F.col("doc_id") >= mid),
-            docs.filter(F.col("doc_id") % 7 == 0)
-            .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
-            .unionByName(
-                docs.filter(F.col("doc_id") % 11 == 0).select(
-                    (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
-                )
-            ),
-        ]
-        # ingest-ordered landing: one file per segment with explicit
-        # ascending mtimes (the file source orders by modification time, and
-        # two sub-second writes could otherwise tie)
-        base = _time.time()
-        for i, s in enumerate(segs):
-            st = _os.path.join(root, f"st{i}")
-            s.coalesce(1).write.parquet(st)
-            part = _glob.glob(_os.path.join(st, "part-*.parquet"))[0]
-            dst = _os.path.join(land, f"seg-{i:04d}.parquet")
-            shutil.move(part, dst)
-            _os.utime(dst, (base + i, base + i))
+        land = _land_stream_segments(
+            root,
+            [
+                docs.filter(F.col("doc_id") < mid),
+                docs.filter(F.col("doc_id") >= mid),
+                docs.filter(F.col("doc_id") % 7 == 0)
+                .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+                .unionByName(
+                    docs.filter(F.col("doc_id") % 11 == 0).select(
+                        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+                    )
+                ),
+            ],
+        )
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(land)
         )
-        name = f"streamdedup_{uuid.uuid4().hex[:10]}"
-        q = (
-            exact_dedup_stream(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", _os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
+        drained = _drain_to_table(
+            spark, exact_dedup_stream(stream), _os.path.join(root, "ckpt")
         )
-        q.awaitTermination(300)
-        if q.exception() is not None:
-            raise RuntimeError(str(q.exception()))
-        res = spark.table(name).select("doc_id", "dup_of").localCheckpoint()
-        spark.catalog.dropTempView(name)
-        return res
+        return drained.select("doc_id", "dup_of").localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

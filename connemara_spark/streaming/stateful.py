@@ -295,3 +295,82 @@ def exact_dedup_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+LSH_CAND_SCHEMA = "id_a long, id_b long"
+_LSH_STATE_SCHEMA = "members array<bigint>"
+
+
+def _lsh_cand_fn(max_members: int | None):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs)).sort_values("id")
+        ids = rows["id"].astype("int64").tolist()
+        members = list(state.get[0]) if state.exists else []
+        seen = set(members)
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for i in ids:
+            if i in seen:
+                continue  # re-streamed doc: pairs already emitted
+            if max_members is None or len(members) < max_members:
+                for m in members:
+                    lo, hi = (m, i) if m < i else (i, m)
+                    a_out.append(lo)
+                    b_out.append(hi)
+                members.append(i)
+                seen.add(i)
+        state.update((members,))
+        if a_out:
+            yield pd.DataFrame(
+                {
+                    "id_a": pd.Series(a_out, dtype="int64"),
+                    "id_b": pd.Series(b_out, dtype="int64"),
+                }
+            )
+
+    return fn
+
+
+def lsh_candidates_stream(
+    band_rows: DataFrame, *, max_members: int | None = None
+) -> DataFrame:
+    """Near-dup candidates on ingest: LSH bucket membership as STREAMING
+    state. Input is a stream of ``(id, band, bh)`` band rows (any hash
+    family — ``md5_band_rows`` for the oracle-checkable md5 one,
+    the xxhash64 bands of ``minhash_lsh_pairs`` at scale); every bucket
+    ``(band, bh)`` keeps its member ids in the state store and each NEW
+    arrival emits one candidate pair per existing member — exactly the
+    pairs the batch band self-join would produce, delivered as data lands
+    instead of in a nightly O(corpus) job.
+
+    Duplicate emissions across bands/batches are intrinsic to LSH (a pair
+    can share several buckets); dedup them batch-side where the exact-
+    Jaccard verification joins shingle sets back anyway — chaining a
+    streaming dropDuplicates here would just double state for no recall
+    gain.
+
+    State per bucket is its member-id list — O(corpus band rows) total,
+    the same footprint the batch join shuffles every night, held once
+    instead. ``max_members`` caps degenerate buckets (boilerplate text
+    collapsing thousands of docs into one bucket emits O(n^2) pairs that
+    exact verification would mostly reject): beyond the cap new arrivals
+    neither join nor extend the bucket, trading recall inside known-junk
+    buckets for bounded state — the same guard as the batch path's
+    ``max_shingle_freq``."""
+    return (
+        band_rows.select(
+            F.col("band").cast("int").alias("band"),
+            F.col("bh").cast("string").alias("bh"),
+            F.col("id").cast("long").alias("id"),
+        )
+        .groupBy("band", "bh")
+        .applyInPandasWithState(
+            _lsh_cand_fn(max_members),
+            outputStructType=LSH_CAND_SCHEMA,
+            stateStructType=_LSH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

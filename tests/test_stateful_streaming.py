@@ -208,3 +208,94 @@ def test_exact_dedup_stream_first_arrival_wins(spark, tmp_path):
     }
     spark.catalog.dropTempView("dedup_t1")
     assert got == {2: None, 5: 2, 1: None, 9: 2, 3: None, 20: 2, 7: 1}
+
+
+def test_lsh_candidates_stream_equals_batch_band_join(spark, tmp_path):
+    """Drained streaming candidates == the batch band self-join's pairs,
+    regardless of how the corpus is segmented; a re-streamed doc emits no
+    duplicate pairs; max_members caps a degenerate bucket."""
+    from connemara_spark.operators.dedup import md5_band_rows
+    from connemara_spark.streaming.stateful import lsh_candidates_stream
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different text about spark streaming state stores"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+        (5, "another unrelated document mentioning embedded derby targets"),
+    ]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    batch_df = spark.createDataFrame(docs, schema)
+    bands = md5_band_rows(batch_df, "doc_id", "text", k=5, num_hashes=16, bands=8)
+    a, b = bands.alias("a"), bands.alias("b")
+    want = sorted(
+        (r["id_a"], r["id_b"])
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .collect()
+    )
+    assert want  # planted near-dups must produce candidates
+
+    land = str(tmp_path / "in")
+    os.makedirs(land)
+
+    def seg(rows, i):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        st = str(tmp_path / f"st{i}")
+        df.write.parquet(st)
+        part = glob.glob(os.path.join(st, "part-*.parquet"))[0]
+        dst = os.path.join(land, f"seg-{i:04d}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    seg(docs[:2], 0)
+    seg(docs[2:4] + [docs[0]], 1)  # doc 1 RE-STREAMED: no duplicate pairs
+    seg(docs[4:], 2)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+    )
+    q = (
+        lsh_candidates_stream(
+            md5_band_rows(stream, "doc_id", "text", k=5, num_hashes=16, bands=8)
+        )
+        .writeStream.format("memory")
+        .queryName("lshcand_t1")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = sorted(
+        {(r["id_a"], r["id_b"]) for r in spark.table("lshcand_t1").collect()}
+    )
+    spark.catalog.dropTempView("lshcand_t1")
+    assert got == want
+
+    # cap: a bucket at max_members stops joining/growing — with cap 1 the
+    # second member of every bucket is ignored, so NO pairs at all
+    q2 = (
+        lsh_candidates_stream(
+            md5_band_rows(stream, "doc_id", "text", k=5, num_hashes=16, bands=8),
+            max_members=1,
+        )
+        .writeStream.format("memory")
+        .queryName("lshcand_t2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    assert spark.table("lshcand_t2").count() == 0
+    spark.catalog.dropTempView("lshcand_t2")
