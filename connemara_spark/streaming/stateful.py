@@ -233,33 +233,48 @@ DEDUP_SCHEMA = "doc_id long, content_md5 string, dup_of long"
 _DEDUP_STATE_SCHEMA = "first_id long"
 
 
-def _exact_dedup_fn(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (h,) = key
-    rows = pd.concat(list(pdfs)).sort_values("doc_id")
-    ids = rows["doc_id"].astype("int64").tolist()
-    if state.exists:
-        (first,) = state.get
-    else:
-        # first sighting of this content: the smallest id in THIS batch
-        # is the keeper (batches arrive in ingest order, so the keeper is
-        # the globally first arrival)
-        first = ids[0]
+def _exact_dedup_fn(ttl_ms: int | None):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (h,) = key
+        if state.hasTimedOut:
+            # retention window expired with no new sighting: forget the
+            # keeper — the next arrival of this content re-admits (the
+            # standard bounded-state TTL trade)
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        ids = rows["doc_id"].astype("int64").tolist()
+        if state.exists:
+            (first,) = state.get
+        else:
+            # first sighting of this content: the smallest id in THIS batch
+            # is the keeper (batches arrive in ingest order, so the keeper
+            # is the globally first arrival)
+            first = ids[0]
         state.update((first,))
-    yield pd.DataFrame(
-        {
-            "doc_id": pd.Series(ids, dtype="int64"),
-            "content_md5": h,
-            "dup_of": pd.Series(
-                [None if i == first else first for i in ids], dtype="Int64"
-            ),
-        }
-    )
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "content_md5": h,
+                "dup_of": pd.Series(
+                    [None if i == first else first for i in ids], dtype="Int64"
+                ),
+            }
+        )
+
+    return fn
 
 
 def exact_dedup_stream(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Dedup-on-ingest: exact content dedup over an UNBOUNDED document
     stream, first-arrival-wins — the streaming twin of the batch
@@ -277,9 +292,10 @@ def exact_dedup_stream(
     microbatch the smallest id wins (batches are ingest-ordered, so
     cross-batch the FIRST arrival wins — deterministic for a
     deterministically-ordered source). At 100 TB scale the state store
-    partitions by content hash across executors; for bounded retention
-    swap NoTimeout for a processing-time timeout (content older than the
-    window re-admits, the standard TTL trade)."""
+    partitions by content hash across executors; ``ttl_minutes`` bounds
+    retention with a processing-time timeout — a content hash idle past
+    the window is forgotten and its next arrival re-admits as a keeper
+    (the standard bounded-state TTL trade; each sighting renews)."""
     return (
         docs.select(
             F.md5(F.col(text_col).cast("string")).alias("content_md5"),
@@ -288,11 +304,17 @@ def exact_dedup_stream(
         .filter(F.col("content_md5").isNotNull())
         .groupBy("content_md5")
         .applyInPandasWithState(
-            _exact_dedup_fn,
+            _exact_dedup_fn(
+                None if ttl_minutes is None else ttl_minutes * 60_000
+            ),
             outputStructType=DEDUP_SCHEMA,
             stateStructType=_DEDUP_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if ttl_minutes is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
 

@@ -299,3 +299,36 @@ def test_lsh_candidates_stream_equals_batch_band_join(spark, tmp_path):
     assert q2.exception() is None
     assert spark.table("lshcand_t2").count() == 0
     spark.catalog.dropTempView("lshcand_t2")
+
+
+def test_exact_dedup_stream_ttl_path_keeps_semantics(spark, tmp_path):
+    """With a (large) TTL the operator runs the ProcessingTimeTimeout code
+    path — setTimeoutDuration per sighting — and, unexpired, produces the
+    exact same verdicts as the NoTimeout path."""
+    from connemara_spark.streaming.stateful import exact_dedup_stream
+
+    land = str(tmp_path / "in")
+    os.makedirs(land)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    df = spark.createDataFrame([(5, "a"), (2, "a"), (1, "b")], schema).coalesce(1)
+    st = str(tmp_path / "st0")
+    df.write.parquet(st)
+    part = glob.glob(os.path.join(st, "part-*.parquet"))[0]
+    os.rename(part, os.path.join(land, "seg-0000.parquet"))
+    stream = spark.readStream.schema(schema).parquet(land)
+    q = (
+        exact_dedup_stream(stream, ttl_minutes=60)
+        .writeStream.format("memory")
+        .queryName("dedup_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    got = {r["doc_id"]: r["dup_of"] for r in spark.table("dedup_ttl").collect()}
+    spark.catalog.dropTempView("dedup_ttl")
+    assert got == {2: None, 5: 2, 1: None}
