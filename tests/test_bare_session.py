@@ -27,6 +27,14 @@ RISKY = [
     "cdc_scd2_customer",        # versioned fold + array-state explode
     "cdc_incremental_rollup",   # apply_delta + decimal merge
     "events_zorder_keys",       # NTZ epoch math inside bit chains
+    # r8: stateful STREAMING queries (applyInPandasWithState + file-stream
+    # landing) — the state store, Arrow state serde, and memory sink must
+    # all work under the driver's bare session (200 shuffle partitions)
+    "doc_stream_dedup",
+    "doc_stream_neardup_md5",
+    # r8: Derby-backed sinks under a bare session (local-master guard,
+    # staging index, reconcile transaction)
+    "cdc_rebucket_apply",
 ]
 
 SCRIPT = """
