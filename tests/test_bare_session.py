@@ -33,8 +33,10 @@ RISKY = [
     "doc_stream_dedup",
     "doc_stream_neardup_md5",
     # r8: Derby-backed sinks under a bare session (local-master guard,
-    # staging index, reconcile transaction)
+    # staging index, reconcile transaction); the evolution query adds the
+    # mid-batch DDL barrier + target ALTER path
     "cdc_rebucket_apply",
+    "cdc_jdbc_schema_evolution",
 ]
 
 SCRIPT = """
