@@ -2083,6 +2083,66 @@ def doc_stream_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_stream_sample_bottomk",
+    """
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 64
+    """,
+    "streaming uniform sample without replacement (bottom-k sketch as "
+    "keyed state): the corpus drains as three ingest-ordered microbatches "
+    "through bottomk_sample_stream — 8 independent per-shard sketches of "
+    "the 64 smallest md5-ranked ids (md5-as-RNG: the sample is a pure "
+    "function of the id set, immune to retries/segmentation/ordering), "
+    "each admission emitted as it enters its sketch, final = bottom-64 of "
+    "the drained emissions (bottom-k sketches merge exactly); oracle is "
+    "the batch ORDER BY md5 LIMIT k rule — identical sample, proving the "
+    "streaming sketch equals the batch sample on the same data",
+)
+def doc_stream_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from connemara_spark.streaming.stateful import bottomk_sample_stream
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    row = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    lo, hi = int(row["lo"]), int(row["hi"])
+    t1, t2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    root = tempfile.mkdtemp(prefix="connemara_streamsample_")
+    try:
+        land = _land_stream_segments(
+            root,
+            [
+                docs.filter(F.col("doc_id") < t1),
+                docs.filter((F.col("doc_id") >= t1) & (F.col("doc_id") < t2)),
+                docs.filter(F.col("doc_id") >= t2),
+            ],
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        drained = _drain_to_table(
+            spark,
+            bottomk_sample_stream(stream, id_col="doc_id", k=64, shards=8),
+            _os.path.join(root, "ckpt"),
+        )
+        # merge the shard sketches: bottom-64 of everything ever admitted
+        return (
+            drained.dropDuplicates(["doc_id"])
+            .orderBy("rk", "doc_id")
+            .limit(64)
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "doc_stream_dedup",
     """
     WITH stream AS (

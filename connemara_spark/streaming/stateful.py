@@ -396,3 +396,74 @@ def lsh_candidates_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+BOTTOMK_SCHEMA = "doc_id long, rk string"
+_BOTTOMK_STATE_SCHEMA = "hashes array<string>, ids array<bigint>"
+
+
+def _bottomk_fn(k: int):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs))
+        if state.exists:
+            hs, ids = state.get
+            members = list(zip(hs, ids))
+        else:
+            members = []
+        prev = set(members)
+        cand = members + list(
+            zip(rows["rk"].tolist(), rows["doc_id"].astype("int64").tolist())
+        )
+        # dedup re-streamed ids, keep the k smallest (hash, id) pairs
+        cand = sorted(set(cand))[:k]
+        state.update(([h for h, _ in cand], [i for _, i in cand]))
+        fresh = [(h, i) for h, i in cand if (h, i) not in prev]
+        if fresh:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series([i for _, i in fresh], dtype="int64"),
+                    "rk": [h for h, _ in fresh],
+                }
+            )
+
+    return fn
+
+
+def bottomk_sample_stream(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k: int = 64,
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming uniform sample WITHOUT replacement over an unbounded
+    stream: the bottom-k sketch (k smallest md5-ranked ids seen so far) as
+    keyed streaming state. md5-as-RNG makes the sample a pure FUNCTION of
+    the id set — retries, re-streams, and segmentation cannot change it
+    (same discipline as the batch ``hash_sample``/``dataset_split``) — and
+    bottom-k sketches MERGE (bottom-k of a union = bottom-k of the merged
+    sketches), so the stream keeps ``shards`` independent sketches (no
+    single hot state key; each admission is one state-row update) and the
+    consumer takes the k smallest of the drained emissions. Every TRUE
+    bottom-k member is emitted the moment it enters its shard's sketch, so
+    the final batch-side selection over emissions is exact. State:
+    ``shards * k`` (hash, id) pairs total, constant in stream length."""
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.md5(F.col(id_col).cast("string")).alias("rk"),
+            F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(shards))
+            .cast("int")
+            .alias("shard"),
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _bottomk_fn(k),
+            outputStructType=BOTTOMK_SCHEMA,
+            stateStructType=_BOTTOMK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

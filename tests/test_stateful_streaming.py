@@ -389,3 +389,69 @@ def test_exact_dedup_stream_checkpoint_restart_resumes_state(spark, tmp_path):
     # duplicate — the dedup state survived in the state store
     seg([(9, "x"), (3, "z")], 1)
     assert drain() == {1: None, 2: None, 9: 1, 3: None}
+
+
+def test_bottomk_sample_stream_segmentation_invariant(spark, tmp_path):
+    """The drained bottom-k equals the batch ORDER BY md5 LIMIT k rule for
+    ANY segmentation, and a re-streamed id neither duplicates emissions
+    nor perturbs the sketch."""
+    from connemara_spark.streaming.stateful import bottomk_sample_stream
+
+    ids = list(range(100, 160))
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    batch = spark.createDataFrame([(i,) for i in ids], schema)
+    want = [
+        r["doc_id"]
+        for r in batch.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("rk")
+        )
+        .orderBy("rk", "doc_id")
+        .limit(10)
+        .collect()
+    ]
+
+    land = str(tmp_path / "in")
+    os.makedirs(land)
+
+    def seg(rows, i):
+        df = spark.createDataFrame([(r,) for r in rows], schema).coalesce(1)
+        st = str(tmp_path / f"st{i}")
+        df.write.parquet(st)
+        part = glob.glob(os.path.join(st, "part-*.parquet"))[0]
+        dst = os.path.join(land, f"seg-{i:04d}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    seg(ids[:20], 0)
+    seg(ids[20:45] + ids[:5], 1)  # 5 ids RE-STREAMED
+    seg(ids[45:], 2)
+    q = (
+        bottomk_sample_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land),
+            id_col="doc_id",
+            k=10,
+            shards=4,
+        )
+        .writeStream.format("memory")
+        .queryName("bk_t1")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    drained = spark.table("bk_t1")
+    got = [
+        r["doc_id"]
+        for r in drained.dropDuplicates(["doc_id"])
+        .orderBy("rk", "doc_id")
+        .limit(10)
+        .collect()
+    ]
+    # no duplicate emissions even with re-streamed ids
+    assert drained.count() == drained.dropDuplicates(["doc_id", "rk"]).count()
+    spark.catalog.dropTempView("bk_t1")
+    assert got == want
