@@ -851,8 +851,11 @@ def _require_local_master(spark: SparkSession) -> None:
     a nonexistent database — assert up front with a message that says so
     (a real deployment points the sink at a network PostgreSQL URL and
     this constraint disappears)."""
+    # startswith("local[") not bare "local": 'local-cluster[...]' runs
+    # executors in SEPARATE JVMs, so in-memory Derby is NOT shared there —
+    # exactly the mode this guard exists to catch.
     master = spark.sparkContext.master
-    if not master.startswith("local"):
+    if not (master == "local" or master.startswith("local[")):
         raise RuntimeError(
             f"this registry query uses an embedded in-memory Derby target, "
             f"which requires a local[*] master (driver+executors in one "
@@ -1293,8 +1296,12 @@ def _events_id_bounds(sf_dir: str) -> tuple[int, int]:
     except Exception:
         import duckdb
 
+        # DuckDB cannot read a bare directory path — glob the dataset's
+        # files when the table is a multi-file directory (mirrors the
+        # pyarrow branch above).
+        scan = f"{path}/*.parquet" if os.path.isdir(path) else path
         row = duckdb.sql(
-            f"SELECT MIN(event_id), MAX(event_id) FROM '{path}'"
+            f"SELECT MIN(event_id), MAX(event_id) FROM '{scan}'"
         ).fetchone()
         return int(row[0]), int(row[1])
 
@@ -2009,7 +2016,16 @@ def _drain_to_table(spark: SparkSession, stream_out: DataFrame, ckpt: str) -> Da
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returns False on TIMEOUT while the query is still
+    # running (exception() is None in that state) — proceeding would read
+    # a partially-populated memory sink and surface as a confusing oracle
+    # mismatch at larger scale factors. Fail loudly instead.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            f"streaming drain {name} did not finish within 300s — "
+            "refusing to read a partially-populated memory sink"
+        )
     if q.exception() is not None:
         raise RuntimeError(str(q.exception()))
     res = spark.table(name).localCheckpoint()

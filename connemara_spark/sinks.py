@@ -40,10 +40,37 @@ transaction atomicity (W2) reproduced at the external target.
 from __future__ import annotations
 
 import copy
+import logging
 
 from pyspark.sql import functions as F
 
 from connemara_spark.operators.ivm import touched_keys
+
+_log = logging.getLogger(__name__)
+
+# SQLStates that mean "that index/object already exists" — the only
+# failures the staging-index CREATE may silently absorb (truncate-reuse
+# keeps the index alive across batches, so re-creation IS expected):
+# Derby X0Y32 (object already exists), PostgreSQL/standard 42P07
+# (duplicate_table — covers indexes), 42710 (duplicate_object).
+_DUP_OBJECT_SQLSTATES = frozenset({"X0Y32", "42P07", "42710"})
+
+
+def _sql_state(exc) -> str | None:
+    """SQLState off a py4j-wrapped SQLException chain, else None."""
+    java_exc = getattr(exc, "java_exception", None)
+    while java_exc is not None:
+        get_state = getattr(java_exc, "getSQLState", None)
+        if get_state is not None:
+            try:
+                state = get_state()
+            except Exception:  # pragma: no cover - py4j bridge hiccup
+                return None
+            if state:
+                return str(state)
+        get_cause = getattr(java_exc, "getCause", None)
+        java_exc = get_cause() if get_cause is not None else None
+    return None
 
 
 def _with_write_defaults(properties: dict[str, str] | None) -> dict[str, str]:
@@ -202,8 +229,22 @@ class _JdbcLedgerBase:
                 f"CREATE INDEX {staging}_pk ON {staging} "
                 f"({', '.join(f'{chr(34)}{c}{chr(34)}' for c in pk)})"
             )
-        except Exception:
-            pass  # already indexed
+        except Exception as exc:
+            # Only "already exists" is benign (truncate-reuse keeps the
+            # index alive across batches, so re-creation is expected). Any
+            # OTHER failure — permissions, identifier length, a schema-
+            # qualified staging name — would silently revert the reconcile
+            # to the nested-loop plan this index exists to prevent, so it
+            # must leave a signal even though the apply can proceed.
+            state = _sql_state(exc)
+            if state not in _DUP_OBJECT_SQLSTATES:
+                _log.warning(
+                    "staging index %s_pk creation failed (SQLState=%s): %s "
+                    "— reconcile will run UNINDEXED (nested-loop risk)",
+                    staging,
+                    state,
+                    exc,
+                )
         finally:
             con.close()
         return pk, cols
@@ -500,7 +541,15 @@ class JdbcMultiApplySink(_JdbcLedgerBase):
             raise ValueError("JdbcMultiApplySink needs at least one (spec, table)")
         self.spark = spark
         self.store = store
-        self.targets = list(targets)
+        # SNAPSHOT every spec (same hazard JdbcApplySink guards against):
+        # the catalog mutates TableSpec.columns IN PLACE when DDL executes,
+        # and each target's staged slice must track what that JDBC TARGET
+        # looks like, not what the catalog currently says. Aliasing the
+        # live objects would make the staged slice adopt the evolved shape
+        # against an unevolved target the instant mid-stream DDL ran —
+        # and unlike the single-table sink this one has no check_schema
+        # to reconcile the gap, so the reconcile INSERT would wedge.
+        self.targets = [(copy.deepcopy(spec), tbl) for spec, tbl in targets]
         self.url = url
         self.props = _with_write_defaults(properties)
         self.ledger = ledger_table
