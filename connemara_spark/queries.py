@@ -519,10 +519,22 @@ def _event_lsn_bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
         return int(row["lo"]), int(row["hi"])
 
 
-def _customer_cdc_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _customer_cdc_bronze(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    database: str = "db1",
+    slot: str = "slot_db1",
+    name_prefix: str = "cdc#",
+    lsn_offset: int = 0,
+) -> DataFrame:
     """Derive a deterministic wal2json CDC stream from the events table:
     error → delete, signup → insert, other → full-row update, keyed into a
-    custkey space that overlaps the snapshot (mix of updates + new keys)."""
+    custkey space that overlaps the snapshot (mix of updates + new keys).
+    ``database``/``slot``/``name_prefix``/``lsn_offset`` let a caller forge
+    a SECOND stream over the same key space — the rogue-slot stream the F2
+    restriction gate needs (an admitted rogue at lsn+1 would win every
+    per-key fold and poison c_name, so leakage is hash-visible)."""
     ev = spread(load(spark, sf_dir, "events"))
     key = ((F.col("user_id") * 31 + F.col("event_id") % 100) % 200 + 1).cast("long")
     kind = (
@@ -533,7 +545,7 @@ def _customer_cdc_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = F.array(*[F.lit(c) for c in ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]])
     vals = F.array(
         key.cast("string"),
-        F.concat(F.lit("cdc#"), F.col("event_id").cast("string")),
+        F.concat(F.lit(name_prefix), F.col("event_id").cast("string")),
         (F.col("user_id") % 25).cast("string"),
         F.col("value").cast("string"),
         F.col("event_type"),
@@ -558,9 +570,9 @@ def _customer_cdc_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Constant arrival time: apply order is purely lsn_start (event_id),
         # matching the oracle's ORDER BY event_id.
         F.lit("2024-06-01 00:00:00").cast("timestamp").alias("insert_timestamp"),
-        F.lit("db1").alias("database"),
-        F.lit("slot_db1").alias("source_slotname"),
-        F.col("event_id").alias("lsn_start"),
+        F.lit(database).alias("database"),
+        F.lit(slot).alias("source_slotname"),
+        (F.col("event_id") + F.lit(lsn_offset)).alias("lsn_start"),
         (F.col("event_id") + 1000).alias("xid"),
         F.col("ts").alias("xid_timestamp"),
         payload.alias("payload"),
@@ -975,11 +987,18 @@ ORDERS_CDC_SPEC = TableSpec(
 )
 
 
-def _orders_cdc_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _orders_cdc_bronze(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    database: str = "db1",
+    slot: str = "slot_db1",
+) -> DataFrame:
     """The orders half of a two-table wal2json stream: odd event_ids become
     orders DML (the even half stays customer DML — one interleaved source
     transaction log touching two tables, the shape the reference's
-    single-session replay consumes)."""
+    single-session replay consumes). ``database``/``slot`` relocate the
+    stream to a SECOND source database for the consolidation queries."""
     ev = spread(load(spark, sf_dir, "events")).filter(F.col("event_id") % 2 == 1)
     key = ((F.col("user_id") * 17 + F.col("event_id") % 100) % 300 + 1).cast("long")
     kind = (
@@ -1014,8 +1033,8 @@ def _orders_cdc_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         F.lit("2024-06-01 00:00:00").cast("timestamp").alias("insert_timestamp"),
-        F.lit("db1").alias("database"),
-        F.lit("slot_db1").alias("source_slotname"),
+        F.lit(database).alias("database"),
+        F.lit(slot).alias("source_slotname"),
         F.col("event_id").alias("lsn_start"),
         (F.col("event_id") + 1000).alias("xid"),
         F.col("ts").alias("xid_timestamp"),
@@ -1207,6 +1226,164 @@ def cdc_jdbc_multi_table_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             jvm.java.sql.DriverManager.getConnection(url + ";drop=true")
         except Exception:
             pass  # Derby signals a successful drop via SQLState 08006
+
+
+_TWO_SOURCE_JOIN_ORACLE = """
+    WITH cchg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               'cdc#' || CAST(event_id AS VARCHAR) AS c_name,
+               CAST(user_id % 25 AS INTEGER) AS c_nationkey,
+               value AS c_acctbal,
+               event_type AS c_mktsegment
+        FROM events WHERE event_id % 2 = 0
+    ),
+    clast AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM cchg
+        ) t WHERE rn = 1
+    ),
+    cstate AS (
+        SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_name ELSE l.c_name END AS c_name,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_nationkey ELSE l.c_nationkey END AS c_nationkey,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS c_acctbal,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_mktsegment ELSE l.c_mktsegment END AS c_mktsegment
+        FROM customer c FULL OUTER JOIN clast l ON c.c_custkey = l.c_custkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    ),
+    ochg AS (
+        SELECT CAST((user_id * 17 + event_id % 100) % 300 + 1 AS BIGINT) AS o_orderkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               CAST(user_id % 200 + 1 AS BIGINT) AS o_custkey,
+               event_type AS o_orderstatus,
+               value AS o_totalprice
+        FROM events WHERE event_id % 2 = 1
+    ),
+    olast AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY event_id DESC) AS rn
+            FROM ochg
+        ) t WHERE rn = 1
+    ),
+    ostate AS (
+        SELECT COALESCE(l.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE WHEN l.o_orderkey IS NULL THEN o.o_custkey ELSE l.o_custkey END AS o_custkey,
+               CASE WHEN l.o_orderkey IS NULL THEN o.o_orderstatus ELSE l.o_orderstatus END AS o_orderstatus,
+               CASE WHEN l.o_orderkey IS NULL THEN o.o_totalprice ELSE l.o_totalprice END AS o_totalprice
+        FROM orders o FULL OUTER JOIN olast l ON o.o_orderkey = l.o_orderkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+           o.o_custkey, o.o_orderstatus, o.o_totalprice
+    FROM cstate c JOIN ostate o ON c.c_custkey = o.o_orderkey
+"""
+
+
+@register(
+    "cdc_two_source_join_view",
+    _TWO_SOURCE_JOIN_ORACLE,
+    "the consolidation product's HEADLINE artifact under the value hash: two "
+    "SOURCE DATABASES (db1.customer, db2.orders — schema-mapped namespaces in "
+    "one silver store, connemara_rewrite.pm:13-21 / docs/index.rst:9-12) each "
+    "feed a slot-restricted CDC stream through ONE Replayer (F2, "
+    "replay.pl:726-736 — a rogue-slot stream that would win every per-key "
+    "fold rides along and must be dropped), while MaintainedTwoTableJoinView "
+    "keeps the CROSS-SOURCE equi-join materialized incrementally — per batch "
+    "the view is patched at the union of both sides' touched join keys only; "
+    "the result is the maintained view READ BACK, oracle = a full recompute "
+    "of the join from the two per-table fold oracles",
+)
+def cdc_two_source_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.operators.ivm import MaintainedTwoTableJoinView
+    from connemara_spark.pipeline import Replayer
+    from connemara_spark.stores import BucketStore
+
+    cust_snap = load(spark, sf_dir, "customer")
+    ord_snap = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    # Three interleaved streams in one landing zone: source db1's customer
+    # DML (even LSNs), source db2's orders DML (odd LSNs), and a ROGUE
+    # stream claiming database=db1 on an unapproved slot. The rogue
+    # duplicates EVERY legit customer event at lsn+1 with poisoned c_name —
+    # if the F2 slot restriction leaked even one of them, that key's fold
+    # would pick the rogue (higher LSN) and the value hash would diverge.
+    bronze = (
+        _customer_cdc_bronze(spark, sf_dir)
+        .filter(F.col("lsn_start") % 2 == 0)
+        .unionByName(_orders_cdc_bronze(spark, sf_dir, database="db2", slot="slot_db2"))
+        .unionByName(
+            _customer_cdc_bronze(
+                spark, sf_dir, slot="slot_rogue", name_prefix="evil#", lsn_offset=1
+            ).filter(F.col("lsn_start") % 2 == 1)
+        )
+        .persist()
+    )
+    root = tempfile.mkdtemp(prefix="connemara_twosrc_")
+    spec_a = TableSpec(
+        database="db1",
+        schema="public",
+        table="customer",
+        columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+        pk_cols=["c_custkey"],
+    )
+    spec_b = TableSpec(
+        database="db2",
+        schema="public",
+        table="orders",
+        columns=[ColumnSpec(c.name, c.pg_type) for c in ORDERS_CDC_SPEC.columns],
+        pk_cols=["o_orderkey"],
+    )
+    store = BucketStore(spark, root, n_buckets=32)
+    store.write(spec_a, cust_snap)
+    store.write(spec_b, ord_snap)
+    cat = EngineCatalog()
+    cat.register(spec_a)
+    cat.register(spec_b)
+    rep = Replayer(
+        spark, cat, store,
+        allowed_slots=[("db1", "slot_db1"), ("db2", "slot_db2")],
+    )
+    view = MaintainedTwoTableJoinView(
+        spark, store, spec_a, spec_b,
+        key_a="c_custkey", key_b="o_orderkey",
+        view_cols=[
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+            "o_custkey", "o_orderstatus", "o_totalprice",
+        ],
+        view_dir=f"{root}/view",
+    )
+    lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
+    step = max((hi - lo) // 2 + 1, 1)
+    try:
+        for b0 in range(lo, hi + 1, step):
+            batch = bronze.filter(
+                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            )
+            # the maintainer protocol exactly as StreamingReplayer drives it
+            # (one cached parse shared by summary, touched-key pin and apply;
+            # parse_batch applies the slot restriction, so the rogue stream
+            # never reaches the fold OR the view's touched-key set)
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                summary = rep._batch_summary(parsed)
+                view.before_apply(parsed)
+                rep.apply_batch(batch, events=parsed, summary=summary)
+                view.after_apply()
+            finally:
+                parsed.unpersist()
+        return view.read_view().localCheckpoint()
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _evolving_customer_bronze(

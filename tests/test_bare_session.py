@@ -37,6 +37,10 @@ RISKY = [
     # mid-batch DDL barrier + target ALTER path
     "cdc_rebucket_apply",
     "cdc_jdbc_schema_evolution",
+    # r9: two-source consolidation with a maintained cross-source join view
+    # (slot restriction + BucketStore + maintainer protocol, all under the
+    # driver's bare session)
+    "cdc_two_source_join_view",
 ]
 
 SCRIPT = """

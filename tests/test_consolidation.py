@@ -134,3 +134,39 @@ def test_two_jdbc_sources_consolidate_and_join(spark):
     assert (r["id"], r["name_dba"], r["bal_dba"], r["name_dbb"], r["bal_dbb"]) == (
         1, "alice", 12.0, "ana", 31.0,
     )
+
+
+def test_two_source_join_view_rogue_stream_is_potent(spark, sf_dir):
+    """The cdc_two_source_join_view registry query rides a rogue-slot
+    stream alongside the two legit sources; its value gate only proves the
+    F2 restriction if an ADMITTED rogue would actually change the result.
+    Pin that potency: the rogue duplicates every legit customer event at
+    lsn+1 with a poisoned c_name, so (a) the stream is nonempty, (b) with
+    the slot restriction every parsed c_name is clean, and (c) WITHOUT the
+    restriction the per-key fold picks a poisoned name for every key whose
+    last legit event was an upsert."""
+    from connemara_spark import queries as q
+    from connemara_spark.events import parse_events, slot_restriction
+    from connemara_spark.operators.apply import apply_changes
+
+    legit = q._customer_cdc_bronze(spark, sf_dir).filter(
+        F.col("lsn_start") % 2 == 0
+    )
+    rogue = q._customer_cdc_bronze(
+        spark, sf_dir, slot="slot_rogue", name_prefix="evil#", lsn_offset=1
+    ).filter(F.col("lsn_start") % 2 == 1)
+    n_rogue = rogue.count()
+    assert n_rogue > 0
+    both = legit.unionByName(rogue)
+
+    restricted = slot_restriction(
+        parse_events(both), None, [("db1", "slot_db1")]
+    )
+    assert restricted.count() == legit.count()
+
+    snapshot = q.load(spark, sf_dir, "customer")
+    leaked = apply_changes(snapshot, parse_events(both), q.CUSTOMER_SPEC)
+    clean = apply_changes(snapshot, parse_events(legit), q.CUSTOMER_SPEC)
+    n_evil = leaked.filter(F.col("c_name").startswith("evil#")).count()
+    assert n_evil > 0
+    assert clean.filter(F.col("c_name").startswith("evil#")).count() == 0
