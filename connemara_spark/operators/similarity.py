@@ -1122,6 +1122,7 @@ def train_books_offline(
     sample_n: int = 20000,
     iters: int = 12,
     seed: int = 3,
+    ids_mod: tuple[int, int] | None = None,
 ) -> list[list[list[float]]]:
     """Spark-free replica of ``pq_train_codebooks`` over
     ``{sf_dir}/embeddings.parquet`` (pyarrow + hashlib + the shared Lloyd's
@@ -1129,19 +1130,27 @@ def train_books_offline(
     render data-trained books as literals without a SparkSession — the gate
     then checks a real cross-engine claim: two independent trainer
     implementations agree bit-for-bit, and so does everything downstream.
-    Memoized per (sf_dir, params): training is an offline index-build step,
-    not per-query work."""
+    ``ids_mod=(mod, rem)`` restricts training to ids with ``id % mod ==
+    rem`` — the oracle twin of a STREAMING bootstrap that trained on its
+    first micro-batch only (the rest of the corpus arrived later and was
+    coded with frozen books). Memoized per (sf_dir, params): training is
+    an offline index-build step, not per-query work."""
     import hashlib
 
     import numpy as np
     import pyarrow.parquet as pq
 
-    key = (os.path.normpath(sf_dir), dim, m, k_cb, sample_n, iters, seed)
+    key = (os.path.normpath(sf_dir), dim, m, k_cb, sample_n, iters, seed, ids_mod)
     if key in _OFFLINE_BOOKS:
         return _OFFLINE_BOOKS[key]
     tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=[id_col, vec_col])
     ids = tbl[id_col].to_pylist()
     vecs = tbl[vec_col].to_pylist()
+    if ids_mod is not None:
+        mod, rem = ids_mod
+        keep = [i for i in range(len(ids)) if ids[i] % mod == rem]
+        ids = [ids[i] for i in keep]
+        vecs = [vecs[i] for i in keep]
     order = sorted(
         range(len(ids)),
         key=lambda i: (hashlib.md5(f"{seed}|{ids[i]}".encode()).hexdigest(), ids[i]),

@@ -5301,6 +5301,121 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_stream_ingest_oracle(sf_dir: str) -> str:
+    """DuckDB twin of the STREAMED index: identical derivation to
+    ``_ann_index_build_oracle`` except the books are trained on the
+    BOOTSTRAP batch's vectors only (vec_id % 3 == 0 — the first landed
+    segment), because the streaming ingest froze its codebooks there;
+    cells/codes still cover EVERY vector (batches 2-3 were coded with the
+    frozen books and committed as META appends)."""
+    dim, n_cells, seed, m = 64, 32, 42, 8
+    from connemara_spark.operators.similarity import (
+        ivf_centroids_lit, ivf_lit_dot_sql, pq_tables_sql, train_books_offline,
+    )
+
+    books = train_books_offline(sf_dir, k_cb=16, ids_mod=(3, 0))
+    cents = ivf_centroids_lit(dim, n_cells, seed)
+    tables = pq_tables_sql(books, "embedding[{i}]", one_based=True, arr_fmt="[{}]")
+    dls_cols = ", ".join(f"{t} AS l{j}" for j, t in enumerate(tables))
+    code_cols = ", ".join(
+        f"list_position(l{j}, list_min(l{j})) - 1 AS c{j}" for j in range(m)
+    )
+    csv = " || ',' || ".join(f"CAST(c{j} AS VARCHAR)" for j in range(m))
+    cell_unions = " UNION ALL ".join(
+        f"SELECT vec_id, {c} AS cell, ({ivf_lit_dot_sql(cents[c], 'embedding[{i}]')}) AS d FROM embeddings"
+        for c in range(n_cells)
+    )
+    return f"""
+    WITH dls AS (SELECT vec_id, {dls_cols} FROM embeddings),
+    codes AS (SELECT vec_id, {code_cols} FROM dls),
+    dots AS ({cell_unions}),
+    ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS cr
+        FROM dots
+    )
+    SELECT c.vec_id, CAST(r.cell AS INT) AS cell, {csv} AS codes_csv
+    FROM codes c JOIN ranked r ON r.vec_id = c.vec_id AND r.cr = 1
+    """
+
+
+@register(
+    "ann_stream_ingest",
+    None,
+    "the persisted IVF-PQ index maintained by a CONTINUOUS embedding stream "
+    "(StreamingAnnIngest): three landed segments drain as three micro-batches "
+    "— batch 0 TRAINS and bootstraps the index (books frozen there, recorded "
+    "as META bootstrap_batch), batches 1-2 are coded with the frozen books "
+    "and committed as META-gated appends; a second drain from a FRESH "
+    "checkpoint then replays all three batches and must skip every one "
+    "(exactly-once across the stream/index commit logs). The result is the "
+    "full index read back through load_ann_index (base tree + committed "
+    "appends), gated against an independent DuckDB recomputation with "
+    "bootstrap-subset-trained books",
+    oracle_fn=_ann_stream_ingest_oracle,
+)
+def ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from connemara_spark.operators.annindex import load_ann_index
+    from connemara_spark.streaming.ingest import StreamingAnnIngest
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="connemara_annstream_")
+    try:
+        land = _land_stream_segments(
+            root, [emb.filter(F.col("vec_id") % 3 == r) for r in range(3)]
+        )
+        index_dir = os.path.join(root, "index")
+        build_params = {k: v for k, v in ANN_INDEX_PARAMS.items() if k != "dim"}
+        ingest = StreamingAnnIngest(
+            spark,
+            landing_dir=land,
+            index_dir=index_dir,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            bootstrap=True,
+            max_files_per_trigger=1,
+            build_params=build_params,
+            dim=ANN_INDEX_PARAMS["dim"],
+        )
+        ingest.run_until_drained()
+        if ingest.batches_appended != 3 or ingest.batches_skipped != 0:
+            raise RuntimeError(
+                f"expected 3 fresh batches (1 bootstrap + 2 appends), got "
+                f"appended={ingest.batches_appended} skipped={ingest.batches_skipped}"
+            )
+        # the crash-replay contract end-to-end: a FRESH checkpoint replays
+        # every micro-batch against the committed META — the bootstrap
+        # marker and the appends list must absorb all three as idempotent
+        # skips (a failure here would either raise 'already committed' or
+        # duplicate index entries, and duplicates would break the hash)
+        replay = StreamingAnnIngest(
+            spark,
+            landing_dir=land,
+            index_dir=index_dir,
+            checkpoint_dir=os.path.join(root, "ckpt2"),
+            bootstrap=True,
+            max_files_per_trigger=1,
+            build_params=build_params,
+            dim=ANN_INDEX_PARAMS["dim"],
+        )
+        replay.run_until_drained()
+        if replay.batches_appended != 0 or replay.batches_skipped != 3:
+            raise RuntimeError(
+                f"replay drain must skip all 3 committed batches, got "
+                f"appended={replay.batches_appended} skipped={replay.batches_skipped}"
+            )
+        _meta, _books, entries = load_ann_index(spark, index_dir)
+        return entries.select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.array_join("codes", ",").alias("codes_csv"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _ivfpq_trained_oracle(sf_dir: str) -> str:
     """DuckDB oracle for the TRAINED IVF-PQ + exact-rerank pipeline: same
     shape as ``_ivfpq_lit_oracle`` but with the data-trained books rendered

@@ -120,7 +120,14 @@ class StreamingCorpusIngest:
 
     def run_until_drained(self, timeout_sec: int = 300) -> None:
         q = self.start(available_now=True)
-        q.awaitTermination(timeout_sec)
+        # awaitTermination returns False on TIMEOUT with the query still
+        # running (exception() is None then) — proceeding would hand the
+        # caller a partially-ingested corpus; fail loudly instead.
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise RuntimeError(
+                f"streaming drain did not finish within {timeout_sec}s"
+            )
         if q.exception() is not None:
             raise q.exception()
 
@@ -397,6 +404,12 @@ class StreamingAnnIngest:
 
     def run_until_drained(self, timeout_sec: int = 300) -> None:
         q = self.start(available_now=True)
-        q.awaitTermination(timeout_sec)
+        # see StreamingCorpusIngest.run_until_drained: a timed-out drain
+        # must not masquerade as a completed one
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise RuntimeError(
+                f"streaming drain did not finish within {timeout_sec}s"
+            )
         if q.exception() is not None:
             raise q.exception()
