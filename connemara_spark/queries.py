@@ -1651,6 +1651,197 @@ def cdc_jdbc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass  # Derby signals a successful drop via SQLState 08006
 
 
+def _renaming_customer_bronze(
+    spark: SparkSession, sf_dir: str, rename_from: int
+) -> DataFrame:
+    """Customer CDC bronze whose events RENAME a column mid-stream: events
+    with event_id >= ``rename_from`` ship the segment value under the NEW
+    name ``c_segment`` (the post-ALTER wal2json shape — the decoder always
+    ships the table's current column names), earlier ones under
+    ``c_mktsegment``. lsn_start = 2*event_id leaves odd LSNs free for the
+    interleaved DDL event (same trick as _evolving_customer_bronze)."""
+    ev = spread(load(spark, sf_dir, "events"))
+    key = ((F.col("user_id") * 31 + F.col("event_id") % 100) % 200 + 1).cast("long")
+    kind = (
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "insert")
+        .otherwise("update")
+    )
+    base_names = ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+    post = F.col("event_id") >= F.lit(rename_from)
+    names = F.when(
+        post, F.array(*[F.lit(c) for c in base_names], F.lit("c_segment"))
+    ).otherwise(F.array(*[F.lit(c) for c in base_names], F.lit("c_mktsegment")))
+    vals = F.array(
+        key.cast("string"),
+        F.concat(F.lit("cdc#"), F.col("event_id").cast("string")),
+        (F.col("user_id") % 25).cast("string"),
+        F.col("value").cast("string"),
+        F.col("event_type"),
+    )
+    payload = F.to_json(
+        F.struct(
+            kind.alias("kind"),
+            F.lit("public").alias("schema"),
+            F.lit("customer").alias("table"),
+            F.when(kind != "delete", names).alias("columnnames"),
+            F.when(kind != "delete", vals).alias("columnvalues"),
+            F.when(
+                kind != "insert",
+                F.struct(
+                    F.array(F.lit("c_custkey")).alias("keynames"),
+                    F.array(key.cast("string")).alias("keyvalues"),
+                ),
+            ).alias("oldkeys"),
+        )
+    )
+    return ev.select(
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("insert_timestamp"),
+        F.lit("db1").alias("database"),
+        F.lit("slot_db1").alias("source_slotname"),
+        (F.col("event_id") * 2).alias("lsn_start"),
+        (F.col("event_id") + 1000).alias("xid"),
+        F.col("ts").alias("xid_timestamp"),
+        payload.alias("payload"),
+    )
+
+
+def _rename_column_oracle(sf_dir: str) -> str:
+    """Oracle for the destructive-evolution gate: the rename changes the
+    OUTPUT COLUMN NAME only — every segment value (snapshot or decoded)
+    survives under the new name, whichever side of the DDL last touched
+    the key. Post-DDL events decoded into ``c_segment`` must land exactly
+    where pre-DDL ``c_mktsegment`` values live, so a missed rename (post-
+    DDL values dropped as unknown-column) or a double-apply diverges."""
+    return """
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               'cdc#' || CAST(event_id AS VARCHAR) AS c_name,
+               CAST(user_id % 25 AS INTEGER) AS c_nationkey,
+               value AS c_acctbal,
+               event_type AS c_mktsegment
+        FROM events
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg
+        ) t WHERE rn = 1
+    )
+    SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_name ELSE l.c_name END AS c_name,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_nationkey ELSE l.c_nationkey END AS c_nationkey,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS c_acctbal,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_mktsegment ELSE l.c_mktsegment END AS c_segment
+    FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.c_custkey
+    WHERE COALESCE(l.op, '') <> 'delete'
+    """
+
+
+@register(
+    "cdc_rename_column",
+    None,
+    "the DESTRUCTIVE schema-evolution leg under the value gate (the ADD "
+    "COLUMN twin is cdc_jdbc_schema_evolution): an ALTER TABLE RENAME "
+    "COLUMN rides the SAME batch as post-DDL DML whose wal2json payloads "
+    "already use the NEW column name — apply_batch cuts at the DDL "
+    "barrier, the executor renames the column in catalog AND silver store "
+    "(connemara_rewrite.pm:92-99 replays ALTER TABLE verbatim; the "
+    "distributed store's rename is a versioned rewrite), and the post-DDL "
+    "slice folds under the evolved spec; the result is the evolved "
+    "ParquetStore state read back, so the hash proves no segment value "
+    "was dropped as unknown-column on either side of the rename",
+    oracle_fn=_rename_column_oracle,
+)
+def cdc_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+    import json as _json
+    import shutil
+    import tempfile
+
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.pipeline import ParquetStore, Replayer
+
+    snapshot = load(spark, sf_dir, "customer")
+    lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
+    rename_from = lo + (hi - lo) // 2 + 1  # first post-DDL event_id
+    bronze = _renaming_customer_bronze(spark, sf_dir, rename_from).persist()
+    ddl_lsn = 2 * rename_from - 1
+    ts = _dt.datetime(2024, 6, 1)
+    ddl_row = spark.createDataFrame(
+        [
+            (
+                ts,
+                "db1",
+                "slot_db1",
+                ddl_lsn,
+                ddl_lsn + 1000,
+                ts,
+                _json.dumps(
+                    {
+                        "kind": "insert",
+                        "schema": "public",
+                        "table": "sql_ddl_statements",
+                        "columnnames": [
+                            "id",
+                            "current_query",
+                            "search_path",
+                            "command_tags",
+                        ],
+                        "columnvalues": [
+                            str(ddl_lsn),
+                            "ALTER TABLE public.customer RENAME COLUMN "
+                            "c_mktsegment TO c_segment",
+                            '"$user", public',
+                            "{DDL}",
+                        ],
+                    }
+                ),
+            )
+        ],
+        schema=bronze.schema,
+    )
+    root = tempfile.mkdtemp(prefix="connemara_rename_")
+    try:
+        spec = TableSpec(
+            database=CUSTOMER_SPEC.database,
+            schema=CUSTOMER_SPEC.schema,
+            table=CUSTOMER_SPEC.table,
+            columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+            pk_cols=list(CUSTOMER_SPEC.pk_cols),
+        )
+        store = ParquetStore(spark, root)
+        store.write(spec, snapshot)
+        cat = EngineCatalog()
+        cat.register(spec)
+        rep = Replayer(spark, cat, store)
+        # batch 1: pre-DDL DML only; batch 2: the RENAME event AND the
+        # post-DDL DML (already decoded under the NEW name) in ONE batch
+        batches = [
+            bronze.filter(F.col("lsn_start") < ddl_lsn),
+            bronze.filter(F.col("lsn_start") > ddl_lsn).unionByName(ddl_row),
+        ]
+        for batch in batches:
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                summary = rep._batch_summary(parsed)
+                rep.apply_batch(batch, events=parsed, summary=summary)
+            finally:
+                parsed.unpersist()
+        evolved = cat.get("db1", "public", "customer")
+        assert [c.name for c in evolved.columns][-1] == "c_segment"
+        return (
+            store.read(evolved)
+            .select(*[c.name for c in evolved.columns])
+            .localCheckpoint()
+        )
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _customer_partial_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """wal2json update stream with PARTIAL column lists (J2): every event
     sets c_acctbal; only 'signup' events also carry c_name — other columns
