@@ -2302,6 +2302,47 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_windows",
+    EVENTS_CTE + """
+    , g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    "NATIVE session windows (F.session_window) as a batch backfill — the same "
+    "plan session_window_rollup (streaming/windows.py) runs under a watermark "
+    "in the stream, value-gated against a DuckDB gap-merge island recompute "
+    "(LAG > gap starts an island; session_end = last ts + gap; boundary "
+    "pinned: an event exactly gap after its predecessor MERGES, so only "
+    "strict > opens a session — W7's native-session-window leg",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.streaming.windows import session_window_rollup
+
+    # decimal-cast BEFORE the sum on both sides: double sums are order-
+    # sensitive and would drift the hash (events_daily_rollup convention)
+    ev = load(spark, sf_dir, "events").withColumn("value", _dec("value"))
+    out = session_window_rollup(ev, key="user_id", ts_col="ts", gap="30 minutes")
+    return out.withColumn("sum_value", F.col("sum_value").cast("double"))
+
+
+@register(
     "events_daily_rollup",
     EVENTS_CTE + """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
