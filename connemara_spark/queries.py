@@ -4180,7 +4180,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     und = e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("u", "node")
-    du, dv = deg.alias("du"), deg.alias("dv")
+    # BROADCAST the degree table into the orientation: it is two longs per
+    # node with an edge (bounded by the supplier table, orders of magnitude
+    # smaller than the edge list), and broadcasting both attachment joins
+    # removes four shuffle exchanges of the edge list from every run. At a
+    # node scale where |V| outgrows broadcast (~10M+), drop the hint and
+    # these become ordinary shuffle joins — the algorithm is unchanged.
+    du, dv = F.broadcast(deg).alias("du"), F.broadcast(deg).alias("dv")
     ej = e.join(du, F.col("u") == F.col("du.node")).join(dv, F.col("v") == F.col("dv.node"))
     u_first = (F.col("du.d") < F.col("dv.d")) | (
         (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
@@ -4199,15 +4205,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("e3.src") == F.col("w1.dst")) & (F.col("e3.dst") == F.col("w2.dst")))
         .select(F.col("w1.src").alias("a"), F.col("w1.dst").alias("b"), F.col("w2.dst").alias("c"))
     )
+    # ONE pass over the wedge-closure join: explode(array(a,b,c)) credits
+    # all three corners from a single tri subtree. The previous three-way
+    # UNION inlined the whole wedge+closure join once per corner, and the
+    # rank self-join below doubled that again — SIX copies of the two
+    # heaviest joins in one plan (27 exchanges; 9 after this change).
     pernode = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    # distributed top-k first; ranks from a k^2 self-join over the 20 rows
-    top = pernode.orderBy(F.col("n_triangles").desc(), "node").limit(20)
+    # distributed top-k first; pin the 20 survivors so the k^2 rank
+    # self-join reads 20 rows instead of re-running the triangle plan twice
+    top = (
+        pernode.orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+        .localCheckpoint()
+    )
     return _ranked_topk(top, "n_triangles", "node").select("node", "n_triangles", "rk")
 
 
