@@ -151,6 +151,38 @@ def main() -> None:
             sum(t for n, t in times.items() if n in prev_queries), 3
         )
 
+    # STABLE cross-round comparator: the sum over the PREVIOUS ROUND's
+    # recorded query set (the latest committed BENCH_r*.json, i.e. what the
+    # driver snapshotted last round — tail-truncated maps only shrink the
+    # set, never mislabel it). comparable_total's baseline (HEAD's
+    # BENCH_FULL.json) moves with every intra-round bench commit, so its
+    # meaning shifted between rounds; prev_set_total always answers "what
+    # would LAST ROUND's queries cost today" under one fixed key.
+    round_set: set[str] = set()
+    try:
+        import glob as _glob
+
+        prior = sorted(
+            _glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json"))
+        )
+        if prior:
+            with open(prior[-1]) as fh:
+                doc = json.load(fh)
+            if "queries" not in doc and "tail" in doc:
+                import re as _re
+
+                m = _re.search(r'\{"metric".*\}', doc["tail"])
+                if m:
+                    doc = json.loads(m.group(0))
+            round_set = set(doc.get("queries", {})) & set(times)
+    except Exception:
+        pass
+    if round_set:
+        payload["prev_set_total"] = round(
+            sum(t for n, t in times.items() if n in round_set), 3
+        )
+        payload["prev_set_n"] = len(round_set)
+
     # The driver snapshots only the LAST ~2000 chars of stdout and parses the
     # JSON line out of that tail; the full 86-query map is ~2.7KB compact, so
     # a single full line gets beheaded and parses as null (this lost the r2

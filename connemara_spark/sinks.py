@@ -73,6 +73,19 @@ def _sql_state(exc) -> str | None:
     return None
 
 
+def _run_legs(thunks):
+    """Run independent per-table legs (each a zero-arg callable submitting
+    its own Spark jobs) concurrently, preserving input order in the
+    results; single-leg lists run inline. First failure propagates — the
+    caller's batch retry is idempotent (ledger skip / replacement)."""
+    if len(thunks) <= 1:
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(thunks), 4)) as ex:
+        return list(ex.map(lambda t: t(), thunks))
+
+
 def _with_write_defaults(properties: dict[str, str] | None) -> dict[str, str]:
     """Connection/write properties with a larger JDBC batch size default:
     Spark's writer flushes executeBatch every 1000 rows, and the staging
@@ -591,8 +604,8 @@ class JdbcMultiApplySink(_JdbcLedgerBase):
         a single ledger skip covering all tables."""
         if self._ledger_has(batch_id):
             return False
-        staged = []
-        for spec, target in self.targets:
+
+        def stage_one(spec, target):
             cols = [c.name for c in spec.columns]
             staging = f"{target}_staging"
             self.store.read(spec).select(*cols).withColumn(
@@ -600,7 +613,13 @@ class JdbcMultiApplySink(_JdbcLedgerBase):
             ).write.mode("overwrite").option("truncate", "true").jdbc(
                 self.url, staging, properties=self.props
             )
-            staged.append((target, staging, cols))
+            return (target, staging, cols)
+
+        # each table stages to ITS OWN staging table — independent
+        # distributed writes, submitted concurrently (see apply_touched_all)
+        staged = _run_legs(
+            [(lambda s=spec, t=target: stage_one(s, t)) for spec, target in self.targets]
+        )
         con = self._connect()
         try:
             con.setAutoCommit(False)
@@ -632,11 +651,24 @@ class JdbcMultiApplySink(_JdbcLedgerBase):
         exactly-once ledger skip (covers every table at once)."""
         if self._ledger_has(batch_id):
             return False
-        staged = []
-        for spec, target, keys in legs:
+
+        def stage_one(spec, target, keys):
             staging = f"{target}_staging"
             pk, cols = self._stage_slice(spec, staging, keys)
-            staged.append((target, staging, pk, cols))
+            return (target, staging, pk, cols)
+
+        # The per-table staging writes are the batch's distributed phase
+        # and fully independent (own staging table, own index connection) —
+        # submit them as CONCURRENT Spark jobs so the staging phase costs
+        # max(tables), not sum(tables). Only the single reconcile
+        # TRANSACTION below is inherently serial (that is the atomicity
+        # guarantee, not a bottleneck: it is set-based DML at the target).
+        staged = _run_legs(
+            [
+                (lambda s=spec, t=target, k=keys: stage_one(s, t, k))
+                for spec, target, keys in legs
+            ]
+        )
         con = self._connect()
         try:
             con.setAutoCommit(False)

@@ -139,9 +139,15 @@ class StreamingReplayer:
         maintainers: list | None = None,
         deterministic_sink_ids: bool = False,
         jvm_parse: bool = True,
+        state_store_provider: str | None = None,
         **replayer_kwargs,
     ):
         self.spark = spark
+        # e.g. stateful.ROCKSDB_STATE_PROVIDER: pinned at query start so
+        # any stateful maintainer downstream holds its state off-heap —
+        # the scale lever for crawl-sized key counts. None = session
+        # default.
+        self.state_store_provider = state_store_provider
         self.replayer = Replayer(spark, catalog, store, **replayer_kwargs)
         self.landing_dir = landing_dir
         self.checkpoint_dir = checkpoint_dir
@@ -261,12 +267,23 @@ class StreamingReplayer:
             writer = writer.trigger(availableNow=True)
         else:
             writer = writer.trigger(processingTime=processing_time)
-        return writer.start()
+        from connemara_spark.streaming.stateful import state_store_provider
+
+        # the provider class is captured when the query STARTS; the pin is
+        # restored right after, so it never leaks to other queries
+        with state_store_provider(self.spark, self.state_store_provider):
+            return writer.start()
 
     def run_until_drained(self, timeout_sec: int = 300) -> None:
         """availableNow + awaitTermination — drain everything currently in
         the landing zone, fail-fast on error."""
         q = self.start(available_now=True)
-        q.awaitTermination(timeout_sec)
+        # False return = TIMEOUT with the query still running; proceeding
+        # would report a partial drain as complete
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise RuntimeError(
+                f"streaming drain did not finish within {timeout_sec}s"
+            )
         if q.exception() is not None:
             raise RuntimeError(str(q.exception()))

@@ -22,12 +22,47 @@ Two operators:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# At crawl-scale unique-key counts (500M+ content hashes) the default
+# executor-heap state store is the first thing to fall over; RocksDB keeps
+# state off-heap on local disk with incremental checkpointing — the known
+# scale lever for the dedup family below. All operators here are
+# provider-agnostic (test-pinned): results are identical under either.
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextlib.contextmanager
+def state_store_provider(spark, provider: str | None):
+    """Pin the state-store provider for streaming queries STARTED inside
+    the block (Spark captures the conf at query start; already-running
+    queries keep theirs). ``None`` is a no-op. The previous session value
+    is restored on exit either way — the pin never leaks into later
+    queries on a shared session."""
+    if provider is None:
+        yield
+        return
+    # get(key, None) returns None when the key was never explicitly set
+    # (a bare get would hand back Spark's built-in default and the restore
+    # below would then PIN that default explicitly — a silent conf leak)
+    old = spark.conf.get(_PROVIDER_CONF, None)
+    spark.conf.set(_PROVIDER_CONF, provider)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_PROVIDER_CONF)
+        else:
+            spark.conf.set(_PROVIDER_CONF, old)
 
 
 SESSION_SCHEMA = "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint, total_value double"

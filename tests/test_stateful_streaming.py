@@ -455,3 +455,93 @@ def test_bottomk_sample_stream_segmentation_invariant(spark, tmp_path):
     assert drained.count() == drained.dropDuplicates(["doc_id", "rk"]).count()
     spark.catalog.dropTempView("bk_t1")
     assert got == want
+
+
+def test_dedup_family_provider_agnostic_rocksdb(spark, tmp_path):
+    """The streaming dedup family must produce IDENTICAL results under the
+    default (HDFS-backed heap) and RocksDB state store providers — RocksDB
+    is the crawl-scale lever (off-heap state, incremental checkpoints) and
+    must be a pure deployment choice, never a semantics change. Also pins
+    that the pin itself is scoped: the session conf is restored after the
+    context manager exits."""
+    from connemara_spark.streaming.stateful import (
+        ROCKSDB_STATE_PROVIDER,
+        bottomk_sample_stream,
+        exact_dedup_stream,
+        state_store_provider,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    land = str(tmp_path / "in")
+    os.makedirs(land)
+    rows = [(i, f"body-{i % 40}") for i in range(120)]
+    for s in range(3):
+        df = spark.createDataFrame(rows[s * 40 : (s + 1) * 40], schema).coalesce(1)
+        st = str(tmp_path / f"st{s}")
+        df.write.parquet(st)
+        part = glob.glob(os.path.join(st, "part-*.parquet"))[0]
+        dst = os.path.join(land, f"seg-{s:04d}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + s, 1_700_000_000 + s))
+
+    def drain(tag: str, provider: str | None):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        name = f"prov_{tag}"
+        with state_store_provider(spark, provider):
+            q = (
+                exact_dedup_stream(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+        assert q.exception() is None
+        got = sorted(
+            (r["doc_id"], r["content_md5"], r["dup_of"])
+            for r in spark.table(name).collect()
+        )
+        spark.catalog.dropTempView(name)
+        return got
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(conf_key, None)
+    default_out = drain("dflt", None)
+    rocks_out = drain("rock", ROCKSDB_STATE_PROVIDER)
+    assert spark.conf.get(conf_key, None) == before  # pin did not leak
+    assert default_out == rocks_out
+    assert len(default_out) == 120
+
+    # second family: the bottom-k sampler's keyed state under RocksDB
+    def drain_bk(tag: str, provider: str | None):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        name = f"bk_{tag}"
+        with state_store_provider(spark, provider):
+            q = (
+                bottomk_sample_stream(stream, k=10)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / f"bk_ckpt_{tag}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+        assert q.exception() is None
+        got = sorted(tuple(r) for r in spark.table(name).collect())
+        spark.catalog.dropTempView(name)
+        return got
+
+    assert drain_bk("dflt", None) == drain_bk("rock", ROCKSDB_STATE_PROVIDER)

@@ -5,7 +5,10 @@ seconds and the STATE STORE row count per batch (from the streaming
 progress), demonstrating the operator's core claim: state grows with
 UNIQUE content only, never with stream length or duplicate count.
 
-Usage: python tools/stream_dedup_probe.py [n_docs] [dup_rate]
+Usage: python tools/stream_dedup_probe.py [n_docs] [dup_rate] [provider]
+``provider``: 'rocksdb' pins RocksDBStateStoreProvider (the crawl-scale
+state backend — off-heap, incremental checkpoints); anything else (or
+absent) keeps the session default (HDFS-backed heap store).
 """
 
 from __future__ import annotations
@@ -23,11 +26,18 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     dup_rate = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
+    provider_arg = sys.argv[3] if len(sys.argv) > 3 else None
 
     from pyspark.sql import functions as F
 
     from connemara_spark.session import get_spark
-    from connemara_spark.streaming.stateful import exact_dedup_stream
+    from connemara_spark.streaming.stateful import (
+        ROCKSDB_STATE_PROVIDER,
+        exact_dedup_stream,
+        state_store_provider,
+    )
+
+    provider = ROCKSDB_STATE_PROVIDER if provider_arg == "rocksdb" else None
 
     spark = get_spark("stream-dedup-probe")
     spark.range(1).collect()
@@ -67,15 +77,18 @@ def main() -> None:
             .parquet(land)
         )
         t0 = time.monotonic()
-        q = (
-            exact_dedup_stream(stream)
-            .writeStream.format("noop")
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(1200)
+        with state_store_provider(spark, provider):
+            q = (
+                exact_dedup_stream(stream)
+                .writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+        if not q.awaitTermination(3600):
+            q.stop()
+            raise RuntimeError("probe drain did not finish within 3600s")
         if q.exception() is not None:
             raise RuntimeError(str(q.exception()))
         dt = time.monotonic() - t0
@@ -99,6 +112,7 @@ def main() -> None:
                     "docs": n,
                     "dup_rate": dup_rate,
                     "unique": uniq,
+                    "provider": "rocksdb" if provider else "default",
                     "drain_sec": round(dt, 1),
                     "docs_per_sec": round(n / dt),
                 }
