@@ -4171,12 +4171,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # co-supply STRENGTH >= 5 keeps the graph sparse: without the weight
     # threshold the supplier graph saturates toward complete as orders
     # accumulate, and wedge work degenerates toward all-pairs
+    # pinned: the co-supply self-join is the heaviest subtree and is
+    # referenced THREE times below (both halves of `und`, then the
+    # orientation join) — uncheckpointed it would be re-inlined and
+    # re-executed at each reference
     e = (
         a.join(b_, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
         .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= 5)
         .select("u", "v")
+        .localCheckpoint()
     )
     und = e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d")).withColumnRenamed("u", "node")
