@@ -1842,6 +1842,205 @@ def cdc_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _dropping_customer_bronze(
+    spark: SparkSession, sf_dir: str, drop_from: int
+) -> DataFrame:
+    """Customer CDC bronze whose events DROP a column mid-stream: events
+    with event_id >= ``drop_from`` OMIT c_mktsegment from the wal2json
+    column list entirely (the post-ALTER decoder shape — wal2json only
+    ships columns that still exist), earlier ones carry all five columns.
+    lsn_start = 2*event_id leaves odd LSNs free for the interleaved DDL
+    event (same trick as _renaming_customer_bronze)."""
+    ev = spread(load(spark, sf_dir, "events"))
+    key = ((F.col("user_id") * 31 + F.col("event_id") % 100) % 200 + 1).cast("long")
+    kind = (
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "insert")
+        .otherwise("update")
+    )
+    base_names = ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+    post = F.col("event_id") >= F.lit(drop_from)
+    names = F.when(post, F.array(*[F.lit(c) for c in base_names])).otherwise(
+        F.array(*[F.lit(c) for c in base_names], F.lit("c_mktsegment"))
+    )
+    base_vals = [
+        key.cast("string"),
+        F.concat(F.lit("cdc#"), F.col("event_id").cast("string")),
+        (F.col("user_id") % 25).cast("string"),
+        F.col("value").cast("string"),
+    ]
+    vals = F.when(post, F.array(*base_vals)).otherwise(
+        F.array(*base_vals, F.col("event_type"))
+    )
+    payload = F.to_json(
+        F.struct(
+            kind.alias("kind"),
+            F.lit("public").alias("schema"),
+            F.lit("customer").alias("table"),
+            F.when(kind != "delete", names).alias("columnnames"),
+            F.when(kind != "delete", vals).alias("columnvalues"),
+            F.when(
+                kind != "insert",
+                F.struct(
+                    F.array(F.lit("c_custkey")).alias("keynames"),
+                    F.array(key.cast("string")).alias("keyvalues"),
+                ),
+            ).alias("oldkeys"),
+        )
+    )
+    return ev.select(
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("insert_timestamp"),
+        F.lit("db1").alias("database"),
+        F.lit("slot_db1").alias("source_slotname"),
+        (F.col("event_id") * 2).alias("lsn_start"),
+        (F.col("event_id") + 1000).alias("xid"),
+        F.col("ts").alias("xid_timestamp"),
+        payload.alias("payload"),
+    )
+
+
+def _drop_column_oracle(sf_dir: str) -> str:
+    """Oracle for the DROP COLUMN gate: the surviving columns' final
+    values are DDL-point-independent (pre-DDL events carry the doomed
+    column, post-DDL ones omit it, but both sides agree on the other
+    four), so the oracle is the plain snapshot + last-change fold
+    projected onto the narrowed shape. A missed store rewrite (stale
+    c_mktsegment column surviving), a post-DDL payload rejected against
+    the wide spec, or a pre-DDL payload rejected against the narrow spec
+    all diverge — the first structurally, the others by value."""
+    return """
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               'cdc#' || CAST(event_id AS VARCHAR) AS c_name,
+               CAST(user_id % 25 AS INTEGER) AS c_nationkey,
+               value AS c_acctbal
+        FROM events
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg
+        ) t WHERE rn = 1
+    )
+    SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_name ELSE l.c_name END AS c_name,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_nationkey ELSE l.c_nationkey END AS c_nationkey,
+           CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS c_acctbal
+    FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.c_custkey
+    WHERE COALESCE(l.op, '') <> 'delete'
+    """
+
+
+@register(
+    "cdc_drop_column",
+    None,
+    "the COLUMN-REMOVAL schema-evolution leg under the value gate "
+    "(completing the ADD/RENAME/DROP triple with cdc_jdbc_schema_evolution "
+    "and cdc_rename_column): an ALTER TABLE DROP COLUMN rides the SAME "
+    "batch as post-DDL DML whose wal2json payloads OMIT the dropped "
+    "column entirely — apply_batch cuts at the DDL barrier, the executor "
+    "narrows catalog AND silver store (connemara_rewrite.pm:92-99 replays "
+    "ALTER TABLE verbatim; the distributed store's drop is a versioned "
+    "rewrite), and the post-DDL slice folds under the narrowed spec; the "
+    "result is the evolved ParquetStore state read back, so the hash "
+    "proves pre-DDL five-column and post-DDL four-column payloads both "
+    "fold cleanly across the narrowing and no stale column survives",
+    oracle_fn=_drop_column_oracle,
+)
+def cdc_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+    import json as _json
+    import shutil
+    import tempfile
+
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.pipeline import ParquetStore, Replayer
+
+    snapshot = load(spark, sf_dir, "customer")
+    lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
+    drop_from = lo + (hi - lo) // 2 + 1  # first post-DDL event_id
+    bronze = _dropping_customer_bronze(spark, sf_dir, drop_from).persist()
+    ddl_lsn = 2 * drop_from - 1
+    ts = _dt.datetime(2024, 6, 1)
+    ddl_row = spark.createDataFrame(
+        [
+            (
+                ts,
+                "db1",
+                "slot_db1",
+                ddl_lsn,
+                ddl_lsn + 1000,
+                ts,
+                _json.dumps(
+                    {
+                        "kind": "insert",
+                        "schema": "public",
+                        "table": "sql_ddl_statements",
+                        "columnnames": [
+                            "id",
+                            "current_query",
+                            "search_path",
+                            "command_tags",
+                        ],
+                        "columnvalues": [
+                            str(ddl_lsn),
+                            "ALTER TABLE public.customer DROP COLUMN "
+                            "c_mktsegment",
+                            '"$user", public',
+                            "{DDL}",
+                        ],
+                    }
+                ),
+            )
+        ],
+        schema=bronze.schema,
+    )
+    root = tempfile.mkdtemp(prefix="connemara_dropcol_")
+    try:
+        spec = TableSpec(
+            database=CUSTOMER_SPEC.database,
+            schema=CUSTOMER_SPEC.schema,
+            table=CUSTOMER_SPEC.table,
+            columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+            pk_cols=list(CUSTOMER_SPEC.pk_cols),
+        )
+        store = ParquetStore(spark, root)
+        store.write(spec, snapshot)
+        cat = EngineCatalog()
+        cat.register(spec)
+        rep = Replayer(spark, cat, store)
+        # batch 1: pre-DDL DML only; batch 2: the DROP event AND the
+        # post-DDL DML (already narrowed to four columns) in ONE batch
+        batches = [
+            bronze.filter(F.col("lsn_start") < ddl_lsn),
+            bronze.filter(F.col("lsn_start") > ddl_lsn).unionByName(ddl_row),
+        ]
+        for batch in batches:
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                summary = rep._batch_summary(parsed)
+                rep.apply_batch(batch, events=parsed, summary=summary)
+            finally:
+                parsed.unpersist()
+        evolved = cat.get("db1", "public", "customer")
+        assert [c.name for c in evolved.columns] == [
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+        ]
+        return (
+            store.read(evolved)
+            .select(*[c.name for c in evolved.columns])
+            .localCheckpoint()
+        )
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _customer_partial_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """wal2json update stream with PARTIAL column lists (J2): every event
     sets c_acctbal; only 'signup' events also carry c_name — other columns
