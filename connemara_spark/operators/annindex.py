@@ -48,6 +48,24 @@ from connemara_spark.operators.similarity import (
 _META = "META.json"
 
 
+def _commit_meta(index_dir: str, meta: dict) -> None:
+    """Atomically publish META (write-then-rename): the single commit
+    point every mutation in this module funnels through."""
+    tmp = os.path.join(index_dir, _META + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(index_dir, _META))
+
+
+def _mutation_log(meta: dict) -> list[list[str]]:
+    """The ordered mutation log: ``[["append", id], ["delete", id], ...]``.
+    Pre-tombstone METAs have no ``log`` key — their history is the appends
+    list in order (deletes did not exist), so deriving it is exact."""
+    if "log" in meta:
+        return [list(e) for e in meta["log"]]
+    return [["append", b] for b in meta.get("appends", [])]
+
+
 def _fingerprint(path: str) -> str:
     """Cheap source-data fingerprint: size + mtime of the parquet file/dir.
     Catches the driver regenerating testdata between rounds — content
@@ -188,6 +206,26 @@ def append_to_ann_index(
             f"append batch {batch_id!r} is already committed to {index_dir} — "
             f"re-appending it would duplicate vectors"
         )
+    _stage_append_entries(emb_new, meta, books, index_dir, batch_id)
+    meta["log"] = _mutation_log(meta) + [["append", batch_id]]
+    meta["appends"] = committed + [batch_id]
+    if source_path:
+        meta["source_fingerprint"] = _fingerprint(source_path)
+    _commit_meta(index_dir, meta)
+    return meta
+
+
+def _stage_append_entries(
+    emb_new: DataFrame,
+    meta: dict,
+    books: list[list[list[float]]],
+    index_dir: str,
+    batch_id: str,
+) -> None:
+    """Code a batch with the index's FROZEN books and stage it as a
+    cell-partitioned append directory (mode=overwrite — a retry of a
+    crashed stage re-lands on the same dir). Invisible until a META
+    commit names the batch."""
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     centroids = ivf_centroids_lit(meta["dim"], meta["n_cells"], meta["seed"])
     prep = _ivfpq_prep_map(centroids, books, 1, id_col, vec_col)
@@ -206,18 +244,130 @@ def append_to_ann_index(
     entries.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         _append_dir(index_dir, batch_id)
     )
-    meta["appends"] = committed + [batch_id]
-    if source_path:
-        meta["source_fingerprint"] = _fingerprint(source_path)
-    tmp = os.path.join(index_dir, _META + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(index_dir, _META))
-    return meta
 
 
 def _append_dir(index_dir: str, batch_id: str) -> str:
     return os.path.join(index_dir, "appends", f"b{batch_id}")
+
+
+def _delete_dir(index_dir: str, batch_id: str) -> str:
+    return os.path.join(index_dir, "deletes", f"d{batch_id}")
+
+
+def _stage_tombstones(ids: DataFrame, index_dir: str, batch_id: str) -> None:
+    """Stage a tombstone batch (one ``vec_id`` column) under
+    ``deletes/d{batch_id}/``. Distributed write — the delete set may be a
+    full table's worth of re-embedded ids — and invisible until a META
+    commit names the batch."""
+    ids.select(F.col(ids.columns[0]).cast("long").alias("vec_id")).write.mode(
+        "overwrite"
+    ).parquet(_delete_dir(index_dir, batch_id))
+
+
+def delete_from_ann_index(
+    ids: DataFrame, index_dir: str, *, batch_id: str | None = None
+) -> dict:
+    """Remove vectors from a committed index WITHOUT rewriting it: the ids
+    land as a tombstone batch that ``load_ann_index`` subtracts at read
+    time (mutation-log order, so a later re-append of the same id serves
+    again). The entries trees are immutable — at 100 TB a delete touches
+    O(|delete set|) bytes, never the index. ``compact_ann_index`` folds
+    tombstones into the next generation and clears them.
+
+    Same commit discipline as appends: the staged directory becomes
+    visible only when META's ``deletes`` list (and the mutation log) name
+    it, and a blind retry of a crashed delete re-stages the same dir.
+    """
+    spark = ids.sparkSession
+    meta, _books, _entries = load_ann_index(spark, index_dir)
+    committed = list(meta.get("deletes", []))
+    if batch_id is None:
+        batch_id = str(len(committed) + 1)
+    if batch_id in committed:
+        raise ValueError(
+            f"delete batch {batch_id!r} is already committed to {index_dir} — "
+            f"re-deleting it would shadow any interleaved re-append"
+        )
+    _stage_tombstones(ids, index_dir, batch_id)
+    meta["log"] = _mutation_log(meta) + [["delete", batch_id]]
+    meta["deletes"] = committed + [batch_id]
+    _commit_meta(index_dir, meta)
+    return meta
+
+
+def upsert_into_ann_index(
+    emb_new: DataFrame, index_dir: str, *, batch_id: str | None = None
+) -> dict:
+    """Replace-or-insert vectors under their ids — the re-embedding path
+    (a document was re-crawled/re-encoded, its vector must change but its
+    id must not duplicate). Stages a tombstone batch for the incoming ids
+    AND an append batch of the newly-coded vectors, then publishes both in
+    ONE atomic META commit with the delete ordered before the append — so
+    readers either see the old vectors (crash before commit) or exactly
+    the new ones, never both and never neither. Ids not previously indexed
+    insert cleanly (their tombstone shadows nothing)."""
+    spark = emb_new.sparkSession
+    meta, books, _entries = load_ann_index(spark, index_dir)
+    if batch_id is None:
+        batch_id = str(
+            max(len(meta.get("appends", [])), len(meta.get("deletes", []))) + 1
+        )
+    if batch_id in meta.get("appends", []) or batch_id in meta.get("deletes", []):
+        raise ValueError(
+            f"upsert batch {batch_id!r} is already committed to {index_dir}"
+        )
+    id_col = meta["id_col"]
+    _stage_tombstones(emb_new.select(id_col), index_dir, batch_id)
+    _stage_append_entries(emb_new, meta, books, index_dir, batch_id)
+    meta["log"] = _mutation_log(meta) + [
+        ["delete", batch_id],
+        ["append", batch_id],
+    ]
+    meta["deletes"] = list(meta.get("deletes", [])) + [batch_id]
+    meta["appends"] = list(meta.get("appends", [])) + [batch_id]
+    _commit_meta(index_dir, meta)
+    return meta
+
+
+def apply_cdc_to_ann_index(
+    batch: DataFrame, index_dir: str, *, batch_id: str, op_col: str = "op"
+) -> dict:
+    """Apply ONE change-capture micro-batch — rows ``(id, vector, op)``
+    with op in {'upsert', 'delete'} — to the committed index as a single
+    atomic META commit: tombstones for every touched id (deleted OR
+    re-embedded) ordered before the append of the upserted vectors. This
+    is the index-side face of the CDC apply fold: the reference replicates
+    row state into consolidation tables, this replicates embedding state
+    into the vector index, with the same latest-wins-per-key semantics.
+
+    Exactly-once: ``batch_id`` lands in META's ``cdc_batches`` list inside
+    the same commit, so a replayed micro-batch (stream checkpoint behind
+    the index commit) is recognized and skipped by the caller
+    (``StreamingAnnCdc``)."""
+    spark = batch.sparkSession
+    meta, books, _entries = load_ann_index(spark, index_dir)
+    if batch_id in meta.get("cdc_batches", []):
+        raise ValueError(
+            f"cdc batch {batch_id!r} is already committed to {index_dir}"
+        )
+    id_col = meta["id_col"]
+    # localCheckpoint: the batch frame feeds BOTH staged writes; in the
+    # streaming foreachBatch case it is also a one-shot frame whose
+    # source may not be re-readable
+    batch = batch.localCheckpoint()
+    ups = batch.filter(F.col(op_col) == "upsert")
+    touched = batch.select(id_col)
+    _stage_tombstones(touched, index_dir, batch_id)
+    _stage_append_entries(ups, meta, books, index_dir, batch_id)
+    meta["log"] = _mutation_log(meta) + [
+        ["delete", batch_id],
+        ["append", batch_id],
+    ]
+    meta["deletes"] = list(meta.get("deletes", [])) + [batch_id]
+    meta["appends"] = list(meta.get("appends", [])) + [batch_id]
+    meta["cdc_batches"] = list(meta.get("cdc_batches", [])) + [batch_id]
+    _commit_meta(index_dir, meta)
+    return meta
 
 
 def _sweep_orphans(index_dir: str, meta: dict) -> list[str]:
@@ -239,14 +389,18 @@ def _sweep_orphans(index_dir: str, meta: dict) -> list[str]:
         if is_gen and e != current:
             shutil.rmtree(os.path.join(index_dir, e), ignore_errors=True)
             removed.append(e)
-    appends_root = os.path.join(index_dir, "appends")
-    if os.path.isdir(appends_root):
-        for e in os.listdir(appends_root):
-            if e not in committed:
-                shutil.rmtree(os.path.join(appends_root, e), ignore_errors=True)
-                removed.append(f"appends/{e}")
-        if not os.listdir(appends_root):
-            os.rmdir(appends_root)
+    for root_name, committed_set in (
+        ("appends", committed),
+        ("deletes", {f"d{b}" for b in meta.get("deletes", [])}),
+    ):
+        batch_root = os.path.join(index_dir, root_name)
+        if os.path.isdir(batch_root):
+            for e in os.listdir(batch_root):
+                if e not in committed_set:
+                    shutil.rmtree(os.path.join(batch_root, e), ignore_errors=True)
+                    removed.append(f"{root_name}/{e}")
+            if not os.listdir(batch_root):
+                os.rmdir(batch_root)
     return removed
 
 
@@ -270,22 +424,23 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
     orphans from a crash mid-sweep are removed by the next call rather
     than lingering until new appends accumulate."""
     meta, _books, entries = load_ann_index(spark, index_dir)
-    committed = meta.get("appends", [])
-    if not committed:
+    if not meta.get("appends", []) and not meta.get("deletes", []):
         _sweep_orphans(index_dir, meta)
         return meta
     gen = meta.get("generation", 0) + 1
     new_dir = f"entries-g{gen:03d}.parquet"
+    # `entries` is already the VISIBLE view (load_ann_index subtracted
+    # tombstones in mutation-log order), so the new generation folds
+    # deletes/upserts in for free and the cleared lists below are exact
     entries.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(index_dir, new_dir)
     )
     meta["entries_dir"] = new_dir
     meta["generation"] = gen
     meta["appends"] = []
-    tmp = os.path.join(index_dir, _META + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, os.path.join(index_dir, _META))
+    meta["deletes"] = []
+    meta["log"] = []
+    _commit_meta(index_dir, meta)
     # post-commit sweep: removes old_dir, any older orphan generations a
     # crashed earlier compact left, and every append staging dir (the
     # committed list is now empty)
@@ -315,18 +470,50 @@ def load_ann_index(
     entries = spark.read.parquet(
         os.path.join(index_dir, meta.get("entries_dir", "entries.parquet"))
     )
-    for b in meta.get("appends", []):
-        # only META-committed append batches are visible; orphan staging
-        # dirs from crashed appends are never read. Each root is its own
-        # cell-partitioned tree, so union (not multi-path read) keeps
-        # partition discovery — and cell pruning — per root. The schema is
-        # explicit: an EMPTY committed batch has no data files to infer
-        # from (the partitioned write of zero rows creates no cell dirs).
-        entries = entries.unionByName(
-            spark.read.schema("vec_id long, codes array<int>, cell int").parquet(
-                _append_dir(index_dir, b)
+    if not meta.get("deletes"):
+        for b in meta.get("appends", []):
+            # only META-committed append batches are visible; orphan staging
+            # dirs from crashed appends are never read. Each root is its own
+            # cell-partitioned tree, so union (not multi-path read) keeps
+            # partition discovery — and cell pruning — per root. The schema is
+            # explicit: an EMPTY committed batch has no data files to infer
+            # from (the partitioned write of zero rows creates no cell dirs).
+            entries = entries.unionByName(
+                spark.read.schema("vec_id long, codes array<int>, cell int").parquet(
+                    _append_dir(index_dir, b)
+                )
             )
-        )
+        return meta, books, entries
+    # tombstoned index: visibility is mutation-log order — an entry serves
+    # unless a LATER tombstone names its id (so delete-then-re-append
+    # serves the re-appended vector, and an upsert's paired
+    # tombstone+append serves exactly the new one). Each root carries its
+    # log position as a literal; the tombstone set (small next to the
+    # index — compaction is the lever when it isn't) broadcasts, so the
+    # subtraction never shuffles the entries and cell pruning on the
+    # per-root scans survives.
+    entries = entries.withColumn("_seq", F.lit(0))
+    tombs = None
+    for seq, (op, b) in enumerate(_mutation_log(meta), start=1):
+        if op == "append":
+            entries = entries.unionByName(
+                spark.read.schema("vec_id long, codes array<int>, cell int")
+                .parquet(_append_dir(index_dir, b))
+                .withColumn("_seq", F.lit(seq))
+            )
+        else:
+            t = (
+                spark.read.schema("vec_id long")
+                .parquet(_delete_dir(index_dir, b))
+                .select("vec_id", F.lit(seq).alias("_del_seq"))
+            )
+            tombs = t if tombs is None else tombs.unionByName(t)
+    last_del = tombs.groupBy("vec_id").agg(F.max("_del_seq").alias("_del_seq"))
+    entries = (
+        entries.join(F.broadcast(last_del), "vec_id", "left")
+        .filter(F.col("_del_seq").isNull() | (F.col("_seq") > F.col("_del_seq")))
+        .select("vec_id", "codes", "cell")
+    )
     return meta, books, entries
 
 

@@ -1448,9 +1448,17 @@ def _events_id_bounds(sf_dir: str) -> tuple[int, int]:
     """(min, max) event_id from parquet footer stats — pure driver-side
     pyarrow, no SparkSession (oracle_fn renders SQL before any Spark work);
     DuckDB fallback when a writer omitted the stats."""
-    import pyarrow.parquet as pq
+    return _parquet_col_bounds(os.path.join(sf_dir, "events.parquet"), "event_id")
 
-    path = os.path.join(sf_dir, "events.parquet")
+
+def _emb_id_bounds(sf_dir: str) -> tuple[int, int]:
+    """(min, max) vec_id of the embeddings table — same footer-stats
+    derivation as _events_id_bounds."""
+    return _parquet_col_bounds(os.path.join(sf_dir, "embeddings.parquet"), "vec_id")
+
+
+def _parquet_col_bounds(path: str, col: str) -> tuple[int, int]:
+    import pyarrow.parquet as pq
     try:
         files = (
             [os.path.join(path, e) for e in os.listdir(path) if e.endswith(".parquet")]
@@ -1460,7 +1468,7 @@ def _events_id_bounds(sf_dir: str) -> tuple[int, int]:
         lo = hi = None
         for f in files:
             md = pq.ParquetFile(f).metadata
-            idx = md.schema.names.index("event_id")
+            idx = md.schema.names.index(col)
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
                 if st is None or not st.has_min_max:
@@ -1478,7 +1486,7 @@ def _events_id_bounds(sf_dir: str) -> tuple[int, int]:
         # pyarrow branch above).
         scan = f"{path}/*.parquet" if os.path.isdir(path) else path
         row = duckdb.sql(
-            f"SELECT MIN(event_id), MAX(event_id) FROM '{scan}'"
+            f"SELECT MIN({col}), MAX({col}) FROM '{scan}'"
         ).fetchone()
         return int(row[0]), int(row[1])
 
@@ -5862,6 +5870,169 @@ def ann_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell").cast("int").alias("cell"),
             F.array_join("codes", ",").alias("codes_csv"),
         ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _ann_cdc_upserts_oracle(sf_dir: str) -> str:
+    """DuckDB twin of the CDC-MAINTAINED index: the final LIVE vector set
+    (re-embedded ids serve their partner vector lo+hi-id, deleted ids are
+    gone, same-batch delete+re-upsert survives) coded with the
+    bootstrap-subset-trained books — identical derivation to
+    ``_ann_stream_ingest_oracle`` but FROM the latest-wins state instead
+    of the raw table. A tombstone leak (deleted id still served), a lost
+    upsert (old codes served), or a double-apply (duplicate entry rows)
+    all break the hash."""
+    dim, n_cells, seed, m = 64, 32, 42, 8
+    from connemara_spark.operators.similarity import (
+        ivf_centroids_lit, ivf_lit_dot_sql, pq_tables_sql, train_books_offline,
+    )
+
+    lo, hi = _emb_id_bounds(sf_dir)
+    books = train_books_offline(sf_dir, k_cb=16, ids_mod=(3, 0))
+    cents = ivf_centroids_lit(dim, n_cells, seed)
+    tables = pq_tables_sql(books, "embedding[{i}]", one_based=True, arr_fmt="[{}]")
+    dls_cols = ", ".join(f"{t} AS l{j}" for j, t in enumerate(tables))
+    code_cols = ", ".join(
+        f"list_position(l{j}, list_min(l{j})) - 1 AS c{j}" for j in range(m)
+    )
+    csv = " || ',' || ".join(f"CAST(c{j} AS VARCHAR)" for j in range(m))
+    cell_unions = " UNION ALL ".join(
+        f"SELECT vec_id, {c} AS cell, ({ivf_lit_dot_sql(cents[c], 'embedding[{i}]')}) AS d FROM final"
+        for c in range(n_cells)
+    )
+    return f"""
+    WITH final AS (
+        SELECT e.vec_id,
+               CASE WHEN e.vec_id % 9 = 0 THEN p.embedding ELSE e.embedding END AS embedding
+        FROM embeddings e
+        JOIN embeddings p ON p.vec_id = {lo} + {hi} - e.vec_id
+        WHERE NOT (e.vec_id % 15 = 0 AND e.vec_id % 45 <> 0)
+    ),
+    dls AS (SELECT vec_id, {dls_cols} FROM final),
+    codes AS (SELECT vec_id, {code_cols} FROM dls),
+    dots AS ({cell_unions}),
+    ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS cr
+        FROM dots
+    )
+    SELECT c.vec_id, CAST(r.cell AS INT) AS cell, {csv} AS codes_csv
+    FROM codes c JOIN ranked r ON r.vec_id = c.vec_id AND r.cr = 1
+    """
+
+
+@register(
+    "ann_cdc_upserts",
+    None,
+    "the persisted IVF-PQ index maintained by a CHANGE stream — upserts "
+    "(re-embedded documents) and deletes, not just appends (StreamingAnnCdc "
+    "/ apply_cdc_to_ann_index): batch 0 bootstraps the index from the "
+    "initial vectors (books frozen there), batch 1 appends new ids AND "
+    "re-embeds existing ones (paired tombstone+append in one atomic META "
+    "commit), batch 2 deletes ids and re-upserts a subset of them in the "
+    "SAME batch (the re-upsert must win). A fresh-checkpoint replay must "
+    "skip all three committed batches (exactly-once via META cdc_batches), "
+    "and compact_ann_index must fold the tombstones into one generation "
+    "with the visible set unchanged (asserted in-query). The result is the "
+    "compacted index read back, gated against a DuckDB recomputation of "
+    "the latest-wins live vector state with bootstrap-subset-trained books",
+    oracle_fn=_ann_cdc_upserts_oracle,
+)
+def ann_cdc_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from connemara_spark.operators.annindex import (
+        compact_ann_index, load_ann_index,
+    )
+    from connemara_spark.streaming.ingest import StreamingAnnCdc
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    lo, hi = _emb_id_bounds(sf_dir)
+    vid = F.col("vec_id")
+    # partner(id) = lo+hi-id: the "re-embedded" vector for an upserted id
+    # is another row's embedding, so the oracle can derive it with a pure
+    # self-join (no float math to keep bit-identical across engines)
+    pv = emb.select(
+        (F.lit(lo + hi) - vid).alias("vec_id"), F.col("embedding")
+    )
+
+    def ups(df: DataFrame) -> DataFrame:
+        return df.select("vec_id", "embedding", F.lit("upsert").alias("op"))
+
+    b0 = ups(emb.filter(vid % 3 == 0))
+    b1 = ups(emb.filter(vid % 3 == 1)).unionByName(
+        ups(emb.filter(vid % 9 == 0).select("vec_id").join(pv, "vec_id"))
+    )
+    b2 = (
+        emb.filter(vid % 15 == 0)
+        .select(
+            "vec_id",
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.lit("delete").alias("op"),
+        )
+        .unionByName(ups(emb.filter(vid % 3 == 2)))
+        .unionByName(ups(emb.filter(vid % 45 == 0).select("vec_id").join(pv, "vec_id")))
+    )
+    root = tempfile.mkdtemp(prefix="connemara_anncdc_")
+    try:
+        land = _land_stream_segments(root, [b0, b1, b2])
+        index_dir = os.path.join(root, "index")
+        build_params = {k: v for k, v in ANN_INDEX_PARAMS.items() if k != "dim"}
+        cdc = StreamingAnnCdc(
+            spark,
+            landing_dir=land,
+            index_dir=index_dir,
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            bootstrap=True,
+            max_files_per_trigger=1,
+            build_params=build_params,
+            dim=ANN_INDEX_PARAMS["dim"],
+        )
+        cdc.run_until_drained()
+        if cdc.batches_appended != 3 or cdc.batches_skipped != 0:
+            raise RuntimeError(
+                f"expected 3 fresh batches (1 bootstrap + 2 cdc applies), got "
+                f"appended={cdc.batches_appended} skipped={cdc.batches_skipped}"
+            )
+        # fresh-checkpoint replay: bootstrap marker + cdc_batches must
+        # absorb all three as idempotent skips (a miss either raises
+        # 'already committed' or double-applies, and a double-applied
+        # tombstone would shadow the same-batch re-upsert — hash-visible)
+        replay = StreamingAnnCdc(
+            spark,
+            landing_dir=land,
+            index_dir=index_dir,
+            checkpoint_dir=os.path.join(root, "ckpt2"),
+            bootstrap=True,
+            max_files_per_trigger=1,
+            build_params=build_params,
+            dim=ANN_INDEX_PARAMS["dim"],
+        )
+        replay.run_until_drained()
+        if replay.batches_appended != 0 or replay.batches_skipped != 3:
+            raise RuntimeError(
+                f"replay drain must skip all 3 committed batches, got "
+                f"appended={replay.batches_appended} skipped={replay.batches_skipped}"
+            )
+
+        def shaped(e: DataFrame) -> DataFrame:
+            return e.select(
+                "vec_id",
+                F.col("cell").cast("int").alias("cell"),
+                F.array_join("codes", ",").alias("codes_csv"),
+            ).localCheckpoint()
+
+        _m, _b, entries = load_ann_index(spark, index_dir)
+        live = shaped(entries)
+        compact_ann_index(spark, index_dir)
+        _m2, _b2, entries2 = load_ann_index(spark, index_dir)
+        compacted = shaped(entries2)
+        # compaction must be invisible to readers: same rows before/after
+        if live.exceptAll(compacted).count() or compacted.exceptAll(live).count():
+            raise RuntimeError("compaction changed the visible entry set")
+        return compacted
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -413,3 +413,62 @@ class StreamingAnnIngest:
             )
         if q.exception() is not None:
             raise q.exception()
+
+
+class StreamingAnnCdc(StreamingAnnIngest):
+    """Keep the persisted ANN index current under a CHANGE stream — rows
+    ``(vec_id, embedding, op)`` with op in {'upsert', 'delete'} — the
+    vector-index face of the CDC apply fold (the reference replicates row
+    state into consolidation tables; this replicates embedding state into
+    the index with the same latest-wins-per-key semantics). Each
+    micro-batch commits through ``apply_cdc_to_ann_index``: tombstones for
+    every touched id ordered before the append of the re-coded upserts,
+    all in ONE atomic META commit that also records the stream batch id.
+
+    Exactly-once: a replayed micro-batch (crash between the index commit
+    and the stream checkpoint advancing) is recognized via META's
+    ``cdc_batches`` list — or the bootstrap marker — and skipped.
+
+    ``bootstrap=True``: when no committed index exists, the FIRST batch's
+    upsert rows train and build it (codebooks frozen there); deletes in
+    the bootstrap batch are no-ops by construction (nothing to delete).
+    """
+
+    def _schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(self.id_col, T.LongType()),
+                T.StructField(self.vec_col, T.ArrayType(T.FloatType())),
+                T.StructField("op", T.StringType()),
+            ]
+        )
+
+    def _foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
+        import json as _json
+
+        from connemara_spark.operators.annindex import (
+            _META, apply_cdc_to_ann_index, build_ann_index,
+        )
+
+        meta_path = os.path.join(self.index_dir, _META)
+        bid = f"stream-{batch_id}"
+        if not os.path.exists(meta_path):
+            if not self.bootstrap:
+                raise FileNotFoundError(
+                    f"no committed ANN index at {self.index_dir} and bootstrap=False"
+                )
+            build_ann_index(
+                batch.filter(F.col("op") == "upsert"), self.index_dir,
+                id_col=self.id_col, vec_col=self.vec_col, dim=self.dim,
+                bootstrap_batch=bid,
+                **self.build_params,
+            )
+            self.batches_appended += 1
+            return
+        with open(meta_path) as fh:
+            meta = _json.load(fh)
+        if bid in meta.get("cdc_batches", []) or bid == meta.get("bootstrap_batch"):
+            self.batches_skipped += 1
+            return
+        apply_cdc_to_ann_index(batch, self.index_dir, batch_id=bid)
+        self.batches_appended += 1

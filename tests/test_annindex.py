@@ -271,7 +271,7 @@ def test_randomized_index_lifecycle_against_model(spark, sf_dir, tmp_path):
 
     from connemara_spark.operators.annindex import (
         _append_dir, append_to_ann_index, build_ann_index, compact_ann_index,
-        load_ann_index,
+        delete_from_ann_index, load_ann_index, upsert_into_ann_index,
     )
 
     rng = random.Random(77)
@@ -286,9 +286,25 @@ def test_randomized_index_lifecycle_against_model(spark, sf_dir, tmp_path):
     model = set(base_ids)
     pending_crash = None  # batch whose staging dir exists but META never named it
 
-    for step in range(8):
-        op = rng.choice(["append", "crash", "retry", "compact"])
-        if op == "append" and remaining:
+    for step in range(12):
+        op = rng.choice(["append", "crash", "retry", "compact", "delete", "upsert"])
+        if op == "delete" and len(model) > 5:
+            take = sorted(rng.sample(sorted(model), rng.randint(1, 10)))
+            delete_from_ann_index(
+                emb.filter(F.col("vec_id").isin(take)).select("vec_id"),
+                d,
+                batch_id=f"del{step}",
+            )
+            model -= set(take)
+            remaining.extend(take)  # deleted ids may be re-appended later
+        elif op == "upsert" and len(model) > 5:
+            # identity upsert: same vector under the same id — exercises
+            # the paired tombstone+append without changing the model set
+            take = sorted(rng.sample(sorted(model), rng.randint(1, 10)))
+            upsert_into_ann_index(
+                emb.filter(F.col("vec_id").isin(take)), d, batch_id=f"ups{step}"
+            )
+        elif op == "append" and remaining:
             take = [remaining.pop() for _ in range(min(len(remaining), rng.randint(5, 40)))]
             batch = emb.filter(F.col("vec_id").isin(take))
             append_to_ann_index(batch, d)
@@ -328,3 +344,124 @@ def test_randomized_index_lifecycle_against_model(spark, sf_dir, tmp_path):
         got = {r[0] for r in entries.select("vec_id").collect()}
         assert got == model, f"step {step} after {op}: {len(got)} vs {len(model)}"
         assert entries.count() == len(model)  # no duplicates hiding in the bag
+
+
+def test_delete_upsert_readd_visibility(spark, sf_dir, tmp_path):
+    """Tombstone semantics in mutation-log order: a delete hides ids
+    without touching the entries trees; an append AFTER the delete serves
+    the id again; an upsert's paired tombstone+append serves exactly the
+    new vector's codes (pinned against the partner id's original entry,
+    same frozen books); compaction folds it all into one generation with
+    the visible set unchanged."""
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.annindex import (
+        append_to_ann_index, build_ann_index, compact_ann_index,
+        delete_from_ann_index, load_ann_index, upsert_into_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    d = str(tmp_path / "idx")
+    build_ann_index(emb, d, **PARAMS)
+    n = emb.count()
+    hi = emb.agg(F.max("vec_id")).collect()[0][0]
+    lo = emb.agg(F.min("vec_id")).collect()[0][0]
+
+    def visible():
+        _, _, e = load_ann_index(spark, d)
+        return {r["vec_id"]: r["codes"] for r in e.collect()}
+
+    before = visible()
+    assert len(before) == n
+
+    # delete every 5th id — entries trees untouched, ids hidden at read
+    del_ids = emb.filter("vec_id % 5 = 0").select("vec_id")
+    n_del = del_ids.count()
+    delete_from_ann_index(del_ids, d)
+    after_del = visible()
+    assert len(after_del) == n - n_del
+    assert all(k % 5 != 0 for k in after_del)
+
+    # re-append a deleted id: the LATER append outranks the tombstone
+    readd = emb.filter("vec_id % 25 = 0")
+    n_readd = readd.count()
+    assert n_readd > 0
+    append_to_ann_index(readd, d)
+    after_readd = visible()
+    assert len(after_readd) == n - n_del + n_readd
+    assert all(k % 25 == 0 for k in after_readd if k % 5 == 0)
+
+    # upsert: ids % 5 == 1 get their PARTNER's vector (lo+hi-id); the
+    # served codes must flip to the partner's original codes
+    ups_src = emb.filter("vec_id % 5 = 1").select(
+        "vec_id", (F.lit(lo) + F.lit(hi) - F.col("vec_id")).alias("partner")
+    )
+    partner_vecs = ups_src.join(
+        emb.select(F.col("vec_id").alias("partner"), "embedding"), "partner"
+    ).select("vec_id", "embedding")
+    upsert_into_ann_index(partner_vecs, d)
+    after_ups = visible()
+    assert set(after_ups) == set(after_readd)  # same live ids, new vectors
+    for r in ups_src.collect():
+        vid, partner = r["vec_id"], r["partner"]
+        assert after_ups[vid] == before[partner], (vid, partner)
+        if partner % 5 not in (0, 1) or partner % 25 == 0:
+            # partner itself still serves its original vector
+            assert after_ups.get(partner, before[partner]) == before[partner]
+
+    # compaction folds tombstones: one generation, same visible map
+    meta = compact_ann_index(spark, d)
+    assert meta["appends"] == [] and meta["deletes"] == [] and meta["log"] == []
+    assert not os.path.isdir(os.path.join(d, "deletes"))
+    assert visible() == after_ups
+
+
+def test_cdc_batch_atomic_and_exactly_once(spark, sf_dir, tmp_path):
+    """apply_cdc_to_ann_index: one micro-batch mixing deletes and upserts
+    (including a delete+re-upsert of the SAME id, which must serve the
+    upserted vector) commits atomically; replaying the same batch id
+    raises — the exactly-once hook StreamingAnnCdc relies on."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.annindex import (
+        apply_cdc_to_ann_index, build_ann_index, load_ann_index,
+    )
+
+    emb = _emb(spark, sf_dir)
+    d = str(tmp_path / "idx")
+    build_ann_index(emb, d, **PARAMS)
+    n = emb.count()
+    lo = emb.agg(F.min("vec_id")).collect()[0][0]
+    hi = emb.agg(F.max("vec_id")).collect()[0][0]
+    _, _, e0 = load_ann_index(spark, d)
+    before = {r["vec_id"]: r["codes"] for r in e0.collect()}
+
+    deletes = emb.filter("vec_id % 7 = 0").select(
+        "vec_id", F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit("delete").alias("op"),
+    )
+    # ids % 14 == 0 are in the delete set AND re-upserted in the same
+    # batch with the partner vector — the upsert must win
+    ups = (
+        emb.filter("vec_id % 14 = 0")
+        .select("vec_id", (F.lit(lo) + F.lit(hi) - F.col("vec_id")).alias("p"))
+        .join(emb.select(F.col("vec_id").alias("p"), "embedding"), "p")
+        .select("vec_id", "embedding", F.lit("upsert").alias("op"))
+    )
+    batch = deletes.unionByName(ups)
+    apply_cdc_to_ann_index(batch, d, batch_id="stream-1")
+
+    _, _, e1 = load_ann_index(spark, d)
+    after = {r["vec_id"]: r["codes"] for r in e1.collect()}
+    n_del = deletes.count()
+    n_ups = ups.count()
+    assert len(after) == n - n_del + n_ups
+    for k, codes in after.items():
+        if k % 14 == 0:
+            assert codes == before[lo + hi - k]
+        else:
+            assert k % 7 != 0 and codes == before[k]
+
+    with pytest.raises(ValueError, match="already committed"):
+        apply_cdc_to_ann_index(batch, d, batch_id="stream-1")
