@@ -60,10 +60,28 @@ def _commit_meta(index_dir: str, meta: dict) -> None:
 def _mutation_log(meta: dict) -> list[list[str]]:
     """The ordered mutation log: ``[["append", id], ["delete", id], ...]``.
     Pre-tombstone METAs have no ``log`` key — their history is the appends
-    list in order (deletes did not exist), so deriving it is exact."""
-    if "log" in meta:
-        return [list(e) for e in meta["log"]]
-    return [["append", b] for b in meta.get("appends", [])]
+    list in order (deletes did not exist), so deriving it is exact.
+
+    The committed ``appends``/``deletes`` lists are authoritative: log
+    entries naming a batch those lists don't (a hand-rolled-back META, or
+    a partial edit) are dropped, duplicates are dropped, and committed
+    batches missing from the log are ordered after it — so a divergent
+    log can never double-read an append tree or resurrect a rolled-back
+    batch."""
+    appends = list(meta.get("appends", []))
+    deletes = list(meta.get("deletes", []))
+    if "log" not in meta:
+        return [["append", b] for b in appends]
+    committed = {"append": set(appends), "delete": set(deletes)}
+    seen = {"append": set(), "delete": set()}
+    log: list[list[str]] = []
+    for op, b in meta["log"]:
+        if op in committed and b in committed[op] and b not in seen[op]:
+            log.append([op, b])
+            seen[op].add(b)
+    log += [["append", b] for b in appends if b not in seen["append"]]
+    log += [["delete", b] for b in deletes if b not in seen["delete"]]
+    return log
 
 
 def _fingerprint(path: str) -> str:

@@ -415,7 +415,12 @@ def lsh_candidates_stream(
     exact verification would mostly reject): beyond the cap new arrivals
     neither join nor extend the bucket, trading recall inside known-junk
     buckets for bounded state — the same guard as the batch path's
-    ``max_shingle_freq``."""
+    ``max_shingle_freq``. Uncapped by default (the oracle contract is
+    exact equality with the batch band join); at crawl scale use
+    ``max_members=256`` — tools/stream_lsh_probe.py measured the cap
+    turning 10 planted 10k-member mega-buckets' ~500M-pair quadratic into
+    10·C(cap,2) ≈ 0.2-3% of emissions at zero wall-time cost, while every
+    true (small) near-dup cluster survives intact (SCALE.md)."""
     return (
         band_rows.select(
             F.col("band").cast("int").alias("band"),

@@ -465,3 +465,37 @@ def test_cdc_batch_atomic_and_exactly_once(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="already committed"):
         apply_cdc_to_ann_index(batch, d, batch_id="stream-1")
+
+
+def test_indexed_topk_never_serves_deleted_ids(spark, sf_dir, tmp_path):
+    """The query path composes with tombstones for free (ivfpq_topk_indexed
+    reads the visible view): deleted ids never appear as neighbors, and
+    surviving neighbors are exactly the full-index results with the
+    deleted candidates removed (deletion never reorders survivors)."""
+    from connemara_spark.operators.annindex import (
+        build_ann_index, delete_from_ann_index, ivfpq_topk_indexed,
+    )
+
+    emb = _emb(spark, sf_dir)
+    d = str(tmp_path / "idx")
+    build_ann_index(emb, d, **PARAMS)
+    full = ivfpq_topk_indexed(emb, d, k=5, n_probe=4).collect()
+
+    delete_from_ann_index(emb.filter("vec_id % 3 = 0").select("vec_id"), d)
+    got = ivfpq_topk_indexed(emb, d, k=5, n_probe=4).collect()
+    assert got and all(r["neighbor_id"] % 3 != 0 for r in got)
+
+    # per query: survivors of the full top-5 must lead the new top-5 in
+    # the same order (set semantics on the tail are fine — removing a
+    # candidate admits the next one)
+    from collections import defaultdict
+
+    full_by_q = defaultdict(list)
+    for r in sorted(full, key=lambda r: (r["query_id"], r["rank"])):
+        if r["neighbor_id"] % 3 != 0:
+            full_by_q[r["query_id"]].append(r["neighbor_id"])
+    got_by_q = defaultdict(list)
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_by_q[r["query_id"]].append(r["neighbor_id"])
+    for q, survivors in full_by_q.items():
+        assert got_by_q[q][: len(survivors)] == survivors, q
