@@ -675,3 +675,300 @@ class MaintainedJoinView:
             json.dump({"version": v}, fh)
         os.replace(tmp, os.path.join(self.view_dir, "CURRENT"))
         self._old = self._touched = None
+
+
+class MaintainedMinMaxView:
+    """Keep a grouped ``(group, n_rows, min_val, max_val)`` view over a
+    CDC-fed table materialized incrementally — the classic NON-self-
+    maintainable aggregate (Gupta & Mumick's taxonomy: MIN/MAX under
+    deletions cannot be patched from the delta alone, because deleting a
+    group's extremum exposes an unknown runner-up).
+
+    The standard counter refinement makes the rescan RARE instead of
+    per-batch: the view also stores the extremum's MULTIPLICITY
+    (``min_cnt``/``max_cnt``). Per batch, over the touched keys only:
+
+    - an insert below the min (or above the max) replaces it outright;
+    - deletes/inserts AT the extremum adjust its multiplicity;
+    - only when the multiplicity hits zero with no insert taking over is
+      the group's aggregate recomputed — and then from the CURRENT state
+      restricted to exactly those groups (a broadcast semi join the scan
+      can push down), never a full-view rescan.
+
+    Everything else mirrors ``MaintainedAggView``: the Replayer maintainer
+    protocol (``before_apply`` pins touched keys + pre-apply store
+    version, ``after_apply`` patches), version-anchored crash recovery
+    (the view pointer records the store version it incorporates; the diff
+    is always old-version → current), and touched-bucket pruning on a
+    BucketStore for the delta legs. The recompute leg deliberately reads
+    the FULL current state (pruned only by the group semi join): the
+    touched keys' buckets do not contain a touched GROUP's other rows.
+
+    At 100 TB: the delta legs are |Δ|-bounded; the recompute leg's
+    frequency is bounded by actual extremum-exhaustion events (data-, not
+    size-, driven), and its cost is one pushed-down filtered scan per
+    affected batch. ``last_recompute_groups`` (with ``debug_counters=True``)
+    exposes how often it fires.
+    """
+
+    def __init__(
+        self,
+        spark,
+        store,
+        spec,
+        *,
+        group_col: str,
+        val_col: str,
+        val_type: str = "decimal(12,2)",
+        view_dir: str,
+        debug_counters: bool = False,
+    ):
+        import os
+
+        self.spark = spark
+        self.store = store
+        self.spec = spec
+        self.group_col = group_col
+        self.val_col = val_col
+        self.val_type = val_type
+        self.view_dir = view_dir
+        self.debug_counters = debug_counters
+        self.last_recompute_groups: int | None = None
+        os.makedirs(view_dir, exist_ok=True)
+        self._touched = None
+        self._v_pre = None
+
+    # -- protocol plumbing shared with MaintainedAggView ---------------
+    def _meta(self) -> dict:
+        import json
+        import os
+
+        ptr = os.path.join(self.view_dir, "CURRENT")
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                return json.load(fh)
+        return {"version": 0, "store_version": None}
+
+    def read_view(self) -> DataFrame:
+        import os
+
+        m = self._meta()
+        if m["version"] == 0:
+            return self._full_agg(self.store.read(self.spec))
+        return self.spark.read.parquet(
+            os.path.join(self.view_dir, f"v{m['version']:06d}")
+        )
+
+    def _val(self):
+        return F.col(self.val_col).cast(self.val_type)
+
+    def _full_agg(self, state: DataFrame) -> DataFrame:
+        """(group, n_rows, min_val, min_cnt, max_val, max_cnt) from
+        scratch: one per-(group, value) count, then min_by/max_by picks
+        the extremum's multiplicity — two map-side-combined shuffles, no
+        join."""
+        per_val = state.groupBy(
+            F.col(self.group_col), self._val().alias("__v")
+        ).agg(F.count(F.lit(1)).alias("__c"))
+        nn = per_val.filter(F.col("__v").isNotNull())
+        counts = state.groupBy(self.group_col).agg(
+            F.count(F.lit(1)).alias("n_rows")
+        )
+        mm = nn.groupBy(self.group_col).agg(
+            F.min("__v").alias("min_val"),
+            F.min_by("__c", "__v").alias("min_cnt"),
+            F.max("__v").alias("max_val"),
+            F.max_by("__c", "__v").alias("max_cnt"),
+        )
+        return counts.join(mm, self.group_col, "left").select(
+            self.group_col, "n_rows", "min_val", "min_cnt", "max_val", "max_cnt"
+        )
+
+    def check_schema(self, catalog) -> None:
+        cur = catalog.get(self.spec.database, self.spec.schema, self.spec.table)
+        need = set(self.spec.pk_cols) | {self.group_col, self.val_col}
+        missing = sorted(need - set(cur.column_names))
+        if missing:
+            raise RuntimeError(
+                f"maintained min/max view over {self.spec.target_name} lost "
+                f"column(s) {missing} to DDL — drop and rebuild the view"
+            )
+
+    def before_apply(self, parsed_events: DataFrame) -> None:
+        self._touched = touched_keys(parsed_events, self.spec)
+        self._v_pre = self.store.current_version(self.spec.target_name)
+
+    def after_apply(self) -> None:
+        import json
+        import os
+
+        m, patched, v_now = self._patch_frame()
+        v = m["version"] + 1
+        patched.write.mode("overwrite").parquet(
+            os.path.join(self.view_dir, f"v{v:06d}")
+        )
+        tmp = os.path.join(self.view_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "store_version": v_now}, fh)
+        os.replace(tmp, os.path.join(self.view_dir, "CURRENT"))
+        self._touched = self._v_pre = None
+
+    # -- the patch ------------------------------------------------------
+    def _patch_frame(self):
+        import os
+
+        m = self._meta()
+        applied = m["store_version"] if m["version"] > 0 else self._v_pre
+        prune = hasattr(self.store, "buckets_of") and m["version"] > 0
+        if prune:
+            bks = self.store.buckets_of(self.spec, self._touched)
+            old = (
+                self.store.read_version(self.spec, applied, buckets=bks)
+                if applied
+                else self.spark.createDataFrame([], self.spec.spark_schema())
+            )
+            new_t_src = self.store.read_buckets(self.spec, bks)
+        else:
+            old = (
+                self.store.read_version(self.spec, applied)
+                if applied
+                else self.spark.createDataFrame([], self.spec.spark_schema())
+            )
+            new_t_src = self.store.read(self.spec)
+        v_now = self.store.current_version(self.spec.target_name)
+
+        pk = list(self.spec.pk_cols)
+        t = F.broadcast(self._touched)
+        g = self.group_col
+        old_t = old.join(t, on=pk, how="left_semi")
+        new_t = new_t_src.join(t, on=pk, how="left_semi")
+
+        # the batch as a signed value multiset at the touched keys: old
+        # rows leave (-1), new rows arrive (+1) — state diff, not event
+        # rows, so partial (TOAST) updates and PK-change splits are
+        # already resolved by the fold
+        deltas = (
+            old_t.select(F.col(g), self._val().alias("__v"), F.lit(-1).alias("__s"))
+            .unionByName(
+                new_t.select(F.col(g), self._val().alias("__v"), F.lit(1).alias("__s"))
+            )
+            # one |delta|-sized frame referenced by four legs below
+            .localCheckpoint()
+        )
+        touched_groups = deltas.select(g).distinct()
+
+        base = (
+            self._full_agg(old)
+            if m["version"] == 0
+            else self.spark.read.parquet(
+                os.path.join(self.view_dir, f"v{m['version']:06d}")
+            )
+        )
+        # the view rows that can change, with their extremum bookkeeping
+        base_t = base.join(F.broadcast(touched_groups), g, "left_semi")
+
+        d = deltas.join(
+            base_t.select(
+                F.col(g),
+                F.col("n_rows").alias("__bn"),
+                F.col("min_val").alias("__bmin"),
+                F.col("min_cnt").alias("__bminc"),
+                F.col("max_val").alias("__bmax"),
+                F.col("max_cnt").alias("__bmaxc"),
+            ),
+            g,
+            "left",
+        )
+        stats = d.groupBy(g).agg(
+            F.sum("__s").alias("__dn"),
+            F.sum(F.when(F.col("__v") == F.col("__bmin"), F.col("__s"))).alias(
+                "__d_at_min"
+            ),
+            F.sum(F.when(F.col("__v") == F.col("__bmax"), F.col("__s"))).alias(
+                "__d_at_max"
+            ),
+            F.min(F.when(F.col("__s") > 0, F.col("__v"))).alias("__ins_min"),
+            F.max(F.when(F.col("__s") > 0, F.col("__v"))).alias("__ins_max"),
+            F.first("__bn").alias("__bn"),
+            F.first("__bmin").alias("__bmin"),
+            F.first("__bminc").alias("__bminc"),
+            F.first("__bmax").alias("__bmax"),
+            F.first("__bmaxc").alias("__bmaxc"),
+        )
+        ins_cnts = (
+            deltas.filter((F.col("__s") > 0) & F.col("__v").isNotNull())
+            .groupBy(g, "__v")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy(g)
+            .agg(
+                F.min_by("__c", "__v").alias("__ins_minc"),
+                F.max_by("__c", "__v").alias("__ins_maxc"),
+            )
+        )
+        s = stats.join(ins_cnts, g, "left")
+
+        n_new = F.coalesce(F.col("__bn"), F.lit(0)) + F.col("__dn")
+        surv_min = F.col("__bminc") + F.coalesce(F.col("__d_at_min"), F.lit(0))
+        surv_max = F.col("__bmaxc") + F.coalesce(F.col("__d_at_max"), F.lit(0))
+        new_group = F.col("__bn").isNull()
+        ins_takes_min = F.col("__ins_min").isNotNull() & (
+            new_group
+            | F.col("__bmin").isNull()
+            | (F.col("__ins_min") < F.col("__bmin"))
+        )
+        ins_takes_max = F.col("__ins_max").isNotNull() & (
+            new_group
+            | F.col("__bmax").isNull()
+            | (F.col("__ins_max") > F.col("__bmax"))
+        )
+        min_ok = ins_takes_min | (~new_group & F.col("__bmin").isNotNull() & (surv_min > 0))
+        max_ok = ins_takes_max | (~new_group & F.col("__bmax").isNotNull() & (surv_max > 0))
+        # a group whose rows are all null-valued has null extrema on both
+        # sides — self-maintainable trivially
+        all_null = (
+            F.col("__ins_min").isNull()
+            & (new_group | F.col("__bmin").isNull())
+        )
+        needs_rescan = (n_new > 0) & ~all_null & ~(min_ok & max_ok)
+
+        s = s.withColumn("__n_new", n_new).withColumn(
+            "__rescan", needs_rescan
+        ).localCheckpoint()
+
+        patched_rows = s.filter((F.col("__n_new") > 0) & ~F.col("__rescan")).select(
+            F.col(g),
+            F.col("__n_new").alias("n_rows"),
+            F.when(ins_takes_min, F.col("__ins_min"))
+            .otherwise(F.col("__bmin"))
+            .alias("min_val"),
+            F.when(
+                ins_takes_min,
+                F.col("__ins_minc")
+                # inserts AT an unchanged min also count toward its
+                # multiplicity; when the insert min TAKES OVER strictly
+                # below, nothing pre-existing sits at that value
+                ,
+            )
+            .otherwise(surv_min)
+            .alias("min_cnt"),
+            F.when(ins_takes_max, F.col("__ins_max"))
+            .otherwise(F.col("__bmax"))
+            .alias("max_val"),
+            F.when(ins_takes_max, F.col("__ins_maxc"))
+            .otherwise(surv_max)
+            .alias("max_cnt"),
+        )
+        rescan_groups = s.filter(F.col("__rescan")).select(g)
+        if self.debug_counters:
+            self.last_recompute_groups = rescan_groups.count()
+        # the recompute leg MUST see the group's whole world: full current
+        # state (not the touched buckets), pruned by the group semi join
+        recomputed = self._full_agg(
+            self.store.read(self.spec).join(F.broadcast(rescan_groups), g, "left_semi")
+        )
+        patched = (
+            base.join(F.broadcast(touched_groups), g, "left_anti")
+            .unionByName(patched_rows)
+            .unionByName(recomputed)
+        )
+        return m, patched, v_now

@@ -855,6 +855,109 @@ def cdc_maintained_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "cdc_maintained_minmax_view",
+    """
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               CAST(user_id % 25 AS INTEGER) AS c_nationkey,
+               value AS c_acctbal,
+               event_type AS c_mktsegment
+        FROM events
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg
+        ) t WHERE rn = 1
+    ),
+    state AS (
+        SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+               CAST(CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END
+                    AS DECIMAL(12,2)) AS v,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_mktsegment ELSE l.c_mktsegment END AS c_mktsegment
+        FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.c_custkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    ),
+    agg AS (
+        SELECT c_mktsegment, COUNT(*) AS n_rows, MIN(v) AS min_val, MAX(v) AS max_val
+        FROM state GROUP BY c_mktsegment
+    )
+    SELECT a.c_mktsegment, a.n_rows, a.min_val,
+           (SELECT COUNT(*) FROM state s
+             WHERE s.c_mktsegment = a.c_mktsegment AND s.v = a.min_val) AS min_cnt,
+           a.max_val,
+           (SELECT COUNT(*) FROM state s
+             WHERE s.c_mktsegment = a.c_mktsegment AND s.v = a.max_val) AS max_cnt
+    FROM agg a
+    """,
+    "incrementally-maintained MIN/MAX view over the CDC-fed customer state — "
+    "the classic NON-self-maintainable aggregate (deleting a group's extremum "
+    "exposes an unknown runner-up): MaintainedMinMaxView stores the extremum "
+    "MULTIPLICITY so per batch the patch is |delta|-bounded, and only groups "
+    "whose extremum multiplicity hits zero with no insert taking over are "
+    "re-aggregated — from the current state restricted to exactly those "
+    "groups (broadcast semi join), never a view rescan; the gate checks all "
+    "six columns (n_rows, both extrema AND both multiplicities) against a "
+    "full recompute of the folded state",
+)
+def cdc_maintained_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.operators.ivm import MaintainedMinMaxView
+    from connemara_spark.pipeline import ParquetStore, Replayer
+
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    root = tempfile.mkdtemp(prefix="connemara_minmaxview_")
+    spec = TableSpec(
+        database=CUSTOMER_SPEC.database,
+        schema=CUSTOMER_SPEC.schema,
+        table=CUSTOMER_SPEC.table,
+        columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+        pk_cols=list(CUSTOMER_SPEC.pk_cols),
+    )
+    store = ParquetStore(spark, root)
+    store.write(spec, snapshot)
+    cat = EngineCatalog()
+    cat.register(spec)
+    rep = Replayer(spark, cat, store)
+    view = MaintainedMinMaxView(
+        spark, store, spec,
+        group_col="c_mktsegment", val_col="c_acctbal",
+        val_type="decimal(12,2)", view_dir=f"{root}/view",
+        debug_counters=True,
+    )
+    lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
+    # four batches, not two: the recompute leg needs post-bootstrap
+    # batches whose deletes exhaust an extremum (the bootstrap batch's
+    # base is a full aggregate, so batch 1 alone would under-exercise it)
+    step = max((hi - lo) // 4 + 1, 1)
+    recomputes = 0
+    try:
+        for b0 in range(lo, hi + 1, step):
+            batch = bronze.filter(
+                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            )
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                summary = rep._batch_summary(parsed)
+                view.before_apply(parsed)
+                rep.apply_batch(batch, events=parsed, summary=summary)
+                view.after_apply()
+            finally:
+                parsed.unpersist()
+            recomputes += view.last_recompute_groups or 0
+        return view.read_view().localCheckpoint()
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _require_local_master(spark: SparkSession) -> None:
     """The jdbc:derby:memory: targets the JDBC-sink queries stand up are
     JVM-local: the staged df.write.jdbc runs ON EXECUTORS, so the database

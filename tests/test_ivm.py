@@ -503,3 +503,89 @@ def test_streaming_crash_between_store_advance_and_view_write_recovers(spark, tm
     assert got == {"a": (1, 2.0), "b": (2, 14.0)}
     want = sorted(map(tuple, view2._full_agg(store.read(spec)).collect()))
     assert sorted(map(tuple, view2.read_view().collect())) == want
+
+
+def test_maintained_minmax_view_recompute_only_when_extremum_exhausted(spark, tmp_path):
+    """MIN/MAX is not self-maintainable under deletions; the multiplicity
+    refinement must (a) keep every batch's view equal to a full recompute
+    through inserts / duplicate extrema / extremum deletion / group moves,
+    and (b) fire the group-rescan leg ONLY when an extremum's multiplicity
+    actually hits zero with no insert taking over — the property that makes
+    the operator |delta|-bounded in the common case."""
+    from connemara_spark.operators.ivm import MaintainedMinMaxView
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+    from connemara_spark.testing import make_event
+
+    cat, spec, store = _agg_spec_setup(spark, tmp_path)
+    view = MaintainedMinMaxView(
+        spark, store, spec, group_col="grp", val_col="amount",
+        view_dir=str(tmp_path / "mmview"), debug_counters=True,
+    )
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+        maintainers=[view],
+    )
+
+    def seg(events, name):
+        write_segment(str(tmp_path / "spool"), [dict(e) for e in events], name)
+
+    def check():
+        want = sorted(map(tuple, view._full_agg(store.read(spec)).collect()))
+        got = sorted(map(tuple, view.read_view().collect()))
+        assert got == want, (got, want)
+
+    # group a: min 5.0 with multiplicity 2 (ids 1,2), max 10.0 (id 3)
+    seg([make_event(spec, "insert", lsn=1, row={"id": 1, "grp": "a", "amount": 5.0}),
+         make_event(spec, "insert", lsn=2, row={"id": 2, "grp": "a", "amount": 5.0}),
+         make_event(spec, "insert", lsn=3, row={"id": 3, "grp": "a", "amount": 10.0}),
+         make_event(spec, "insert", lsn=4, row={"id": 4, "grp": "b", "amount": 7.0})],
+        "seg-001")
+    sr.run_until_drained()
+    check()
+
+    # delete ONE of the duplicate minima: multiplicity 2 -> 1, NO rescan
+    seg([make_event(spec, "delete", lsn=5, old_key={"id": 1})], "seg-002")
+    sr.run_until_drained()
+    check()
+    assert view.last_recompute_groups == 0
+    row = {r["grp"]: r for r in view.read_view().collect()}
+    assert float(row["a"]["min_val"]) == 5.0 and row["a"]["min_cnt"] == 1
+
+    # insert BELOW the min: takes over outright, NO rescan
+    seg([make_event(spec, "insert", lsn=6, row={"id": 5, "grp": "a", "amount": 1.0})],
+        "seg-003")
+    sr.run_until_drained()
+    check()
+    assert view.last_recompute_groups == 0
+
+    # delete the last row at the min with nothing taking over: the
+    # runner-up is unknown -> exactly group 'a' rescans
+    seg([make_event(spec, "delete", lsn=7, old_key={"id": 5})], "seg-004")
+    sr.run_until_drained()
+    check()
+    assert view.last_recompute_groups == 1
+    row = {r["grp"]: r for r in view.read_view().collect()}
+    assert float(row["a"]["min_val"]) == 5.0 and row["a"]["min_cnt"] == 1
+
+    # group-moving update: id 3 (a's max) moves to group b above b's max —
+    # 'a' loses its only max row (rescan), 'b' patches from the insert
+    seg([make_event(spec, "update", lsn=8, row={"id": 3, "grp": "b", "amount": 10.0},
+                    old_key={"id": 3})], "seg-005")
+    sr.run_until_drained()
+    check()
+    assert view.last_recompute_groups == 1
+    row = {r["grp"]: r for r in view.read_view().collect()}
+    assert float(row["b"]["max_val"]) == 10.0 and row["b"]["n_rows"] == 2
+    assert row["a"]["n_rows"] == 1  # only id=2 left
+
+    # empty a group entirely: its view row disappears without a rescan
+    # (n_new == 0 short-circuits the unknown-runner-up case)
+    seg([make_event(spec, "delete", lsn=9, old_key={"id": 2})], "seg-006")
+    sr.run_until_drained()
+    check()
+    assert view.last_recompute_groups == 0
+    assert {r["grp"] for r in view.read_view().collect()} == {"b"}
