@@ -699,3 +699,89 @@ def distributed_ntile(
     return ranked.withColumn("bucket", bucket.cast("int")).drop(
         "__band", "__off", "__rank"
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic WEIGHTED sample of exactly ``k`` picks: systematic
+    (grid) sampling over the cumulative-weight line — the training-mix
+    primitive "sample documents proportional to weight" (length, quality,
+    DSIR importance) with the repo's reproducible-selection contract
+    (pure function of the id set + weights; retries, partitionings, and
+    engines cannot change it — no libm in sight).
+
+    Documents are laid out in hash order (md5 of the id, the
+    ``pack_sequences`` idiom) on the cumulative-weight line [0, W); the k
+    grid points j·W/k (j = 0..k-1) each land in exactly one document's
+    weight interval [C_i, C_i + w_i). ``n_picks`` is how many points hit
+    the interval (a document heavier than the stride W/k is picked with
+    multiplicity — keep it or cap it downstream), and Σ n_picks == k by
+    construction (test-pinned). All comparisons are INTEGER-exact: the
+    grid test multiplies through by k — j·W ∈ [k·C, k·(C+w)) — so both
+    engines evaluate identical bigint floor-divisions; weights must be a
+    positive integer column (scale decimals to cents first).
+
+    Scale shape: the same 256-shard distributed prefix sum as
+    ``pack_sequences`` (no global single-partition window); the per-shard
+    totals (256 rows) are collected ONCE to the driver, which inlines the
+    global total W and broadcasts the shard offsets — one tiny driver
+    round-trip instead of re-executing the totals subtree per reference.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    t = df.filter(F.col(weight_col) > 0).select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("__w"),
+        h.alias("__h"),
+        F.substring(h, 1, 2).alias("__shard"),
+    )
+    w_in = (
+        Window.partitionBy("__shard")
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("__cum_in", F.coalesce(F.sum("__w").over(w_in), F.lit(0)))
+    rows = (
+        t.groupBy("__shard").agg(F.sum("__w").alias("__tot")).collect()
+    )  # ≤ 256 rows: the bounded-scalar pattern (inline literals, not a
+    # second totals subtree in the plan)
+    total = sum(r["__tot"] for r in rows)
+    if total <= 0 or k <= 0:
+        return t.select(id_col, F.col("__w").alias("weight")).limit(0).withColumn(
+            "n_picks", F.lit(0).cast("long")
+        )
+    by_shard = {r["__shard"]: r["__tot"] for r in rows}
+    acc = 0
+    off_rows = []
+    for s in sorted(by_shard):  # hex-prefix order == global hash order
+        off_rows.append((s, acc))
+        acc += by_shard[s]
+    offsets = t.sparkSession.createDataFrame(off_rows, "__shard string, __off long")
+    # multiples of W in [a, b): floor((b-1)/W) - floor((a-1)/W); the c==0
+    # head owns the j=0 point (a-1 would be negative, where `div`
+    # truncates instead of flooring) — every other operand is
+    # non-negative, so `div` is exact floor division in both engines
+    return (
+        t.join(F.broadcast(offsets), "__shard", "left")
+        .withColumn("__c", F.coalesce(F.col("__off"), F.lit(0)) + F.col("__cum_in"))
+        .withColumn("__a", F.lit(k) * F.col("__c"))
+        .withColumn("__b", F.lit(k) * (F.col("__c") + F.col("__w")))
+        .withColumn(
+            "n_picks",
+            F.when(
+                F.col("__c") == 0,
+                F.expr(f"div(__b - 1, {total}L)") + F.lit(1),
+            ).otherwise(
+                F.expr(f"div(__b - 1, {total}L)") - F.expr(f"div(__a - 1, {total}L)")
+            ).cast("long"),
+        )
+        .filter(F.col("n_picks") >= 1)
+        .select(id_col, F.col("__w").alias("weight"), "n_picks")
+    )

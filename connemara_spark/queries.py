@@ -3890,6 +3890,47 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_weighted_sample",
+    """
+    WITH w AS (
+        SELECT doc_id, n_chars AS wc,
+               md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents WHERE n_chars > 0
+    ),
+    ord AS (
+        SELECT doc_id, wc,
+               COALESCE(SUM(wc) OVER
+                   (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        FROM w
+    ),
+    tot AS (SELECT SUM(wc) AS W FROM w),
+    m AS (
+        SELECT doc_id, wc,
+               CAST(CASE WHEN c = 0 THEN ((200 * (c + wc) - 1) // W) + 1
+                    ELSE ((200 * (c + wc) - 1) // W) - ((200 * c - 1) // W)
+               END AS BIGINT) AS n_picks
+        FROM ord, tot
+    )
+    SELECT doc_id, wc AS weight, n_picks FROM m WHERE n_picks >= 1
+    """,
+    "deterministic WEIGHTED sample, exactly k=200 picks: systematic (grid) "
+    "sampling over the cumulative-weight line in md5 order — sample "
+    "documents proportional to weight (here n_chars) with the "
+    "reproducible-selection contract and INTEGER-exact grid arithmetic "
+    "(the j*W/k point test multiplied through by k, so both engines "
+    "evaluate identical bigint floor divisions — no float stride, no "
+    "libm); heavier-than-stride documents carry their multiplicity in "
+    "n_picks and sum(n_picks) == k by construction (test-pinned); "
+    "distributed sharded prefix-sum, oracle = naive global window",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.curation import weighted_systematic_sample
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+    return weighted_systematic_sample(docs, "doc_id", "n_chars", k=200)
+
+
+@register(
     "doc_pii_redaction",
     r"""
     SELECT doc_id,

@@ -340,3 +340,47 @@ def test_neardup_clusters_driver_and_distributed_paths_agree(spark):
     assert fast == dist and len(fast) == len(nodes)
     # every label is the component minimum: labels are fixed points
     assert all(fast[v] == fast[fast[v]] and fast[v] <= v for v in fast)
+
+
+def test_weighted_systematic_sample_invariants(spark, sf_dir):
+    """Systematic weighted sampling: exactly k picks in total (every grid
+    point lands in exactly one weight interval), multiplicity for
+    heavier-than-stride rows, zero-weight rows unselectable, and the
+    selection is a pure function of (ids, weights) — repartitioning
+    cannot change it."""
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.curation import weighted_systematic_sample
+    from connemara_spark.queries import load, spread
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "n_chars")
+    k = 137
+    got = weighted_systematic_sample(docs, "doc_id", "n_chars", k=k)
+    rows = got.collect()
+    assert sum(r["n_picks"] for r in rows) == k
+    assert all(r["n_picks"] >= 1 for r in rows)
+
+    again = weighted_systematic_sample(
+        docs.repartition(7, "doc_id"), "doc_id", "n_chars", k=k
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # one dominant row: weight beyond several strides -> multiplicity > 1,
+    # and total picks still exactly k
+    heavy = docs.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == 7, F.lit(10_000_000)).otherwise(F.col("n_chars")),
+    )
+    hs = weighted_systematic_sample(heavy, "doc_id", "n_chars", k=50).collect()
+    assert sum(r["n_picks"] for r in hs) == 50
+    by_id = {r["doc_id"]: r["n_picks"] for r in hs}
+    assert by_id.get(7, 0) > 1
+
+    # zero/negative weights can never be picked
+    zw = docs.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(0)).otherwise(F.col("n_chars")),
+    )
+    zs = weighted_systematic_sample(zw, "doc_id", "n_chars", k=60).collect()
+    assert sum(r["n_picks"] for r in zs) == 60
+    assert all(r["doc_id"] % 3 != 0 for r in zs)
