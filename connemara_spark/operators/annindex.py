@@ -84,6 +84,16 @@ def _mutation_log(meta: dict) -> list[list[str]]:
     return log
 
 
+def _index_centroids(meta: dict) -> list[list[float]]:
+    """The coarse centroids this index was built with: persisted in META
+    for ``centroid_mode="trained"``, the seeded literals otherwise. Every
+    read/append path derives them from META so probe-side and entry-side
+    cell assignment can never diverge."""
+    if meta.get("centroids"):
+        return meta["centroids"]
+    return ivf_centroids_lit(meta["dim"], meta["n_cells"], meta["seed"])
+
+
 def _fingerprint(path: str) -> str:
     """Cheap source-data fingerprint: size + mtime of the parquet file/dir.
     Catches the driver regenerating testdata between rounds — content
@@ -115,6 +125,7 @@ def build_ann_index(
     sample_n: int = 20000,
     iters: int = 12,
     bootstrap_batch: str | None = None,
+    centroid_mode: str = "lit",
 ) -> dict:
     """Train and persist the IVF-PQ index; returns the written META dict.
 
@@ -128,12 +139,63 @@ def build_ann_index(
     checkpoint lags the build (crash between META commit and checkpoint
     advance) can recognize the replayed batch and skip it instead of
     re-appending every bootstrap vector.
+
+    ``centroid_mode``: ``"lit"`` (default) uses the seeded literal coarse
+    centroids — data-independent, which is what makes the DuckDB oracle
+    twins renderable. ``"trained"`` runs full-dimension k-means over the
+    SAME deterministic md5 sample the PQ trainer uses and persists the
+    centroids in META: on data whose distribution the literal grid does
+    not cover (tools/ann_query_probe2.py: all-positive synthetic vectors
+    collapse onto a handful of literal cells, 206M candidate rows for a
+    1k-query probe where balanced cells would produce ~25M), trained
+    centroids balance the inverted lists — candidate volume, and with it
+    the top-k sort that dominates read cost, scales with the LARGEST
+    cell. Appends/upserts/queries read the persisted centroids, so the
+    choice is sticky for the index's lifetime (retraining is a rebuild).
     """
     books = pq_train_codebooks(
         emb, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k_cb=k_cb,
         sample_n=sample_n, iters=iters, seed=train_seed,
     )
-    centroids = ivf_centroids_lit(dim, n_cells, seed)
+    if centroid_mode == "trained":
+        # same sample discipline as pq_train_codebooks (md5-ordered bounded
+        # collect), but SPHERICAL k-means: cell assignment is argmax DOT,
+        # under which plain Lloyd's means collapse the index — the longest
+        # mean wins every argmax (measured: 94% of an all-positive corpus
+        # in one cell). Clustering the row DIRECTIONS and serving
+        # unit-normalized centroids makes argmax-dot == nearest-by-cosine,
+        # which is what balances the inverted lists.
+        import numpy as np
+
+        from connemara_spark.operators.similarity import _lloyd_books
+
+        h = F.md5(
+            F.concat_ws(
+                "|", F.lit(train_seed).cast("string"), F.col(id_col).cast("string")
+            )
+        )
+        sampled = (
+            emb.select(vec_col, h.alias("__h"), F.col(id_col).alias("__id"))
+            .orderBy("__h", "__id")
+            .limit(sample_n)
+            .collect()
+        )
+        X = np.array([r[0] for r in sampled], dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        means = np.array(
+            _lloyd_books(
+                X / norms, dim=dim, m=1, k_cb=n_cells, iters=iters, seed=train_seed
+            )[0],
+            dtype=np.float64,
+        )
+        mn = np.linalg.norm(means, axis=1, keepdims=True)
+        mn[mn == 0.0] = 1.0
+        centroids = (means / mn).astype(np.float32).astype(np.float64).tolist()
+    elif centroid_mode == "lit":
+        centroids = ivf_centroids_lit(dim, n_cells, seed)
+    else:
+        raise ValueError(f"unknown centroid_mode {centroid_mode!r}")
     prep = _ivfpq_prep_map(centroids, books, 1, id_col, vec_col)
     entries = (
         emb.select(id_col, vec_col)
@@ -174,8 +236,11 @@ def build_ann_index(
         "dim": dim, "n_cells": n_cells, "m": m, "k_cb": k_cb,
         "seed": seed, "train_seed": train_seed, "sample_n": sample_n,
         "iters": iters, "id_col": id_col, "vec_col": vec_col,
+        "centroid_mode": centroid_mode,
         "source_fingerprint": _fingerprint(source_path) if source_path else None,
     }
+    if centroid_mode == "trained":
+        meta["centroids"] = [[float(x) for x in c] for c in centroids]
     if bootstrap_batch is not None:
         meta["bootstrap_batch"] = bootstrap_batch
     tmp = os.path.join(index_dir, _META + ".tmp")
@@ -245,7 +310,7 @@ def _stage_append_entries(
     crashed stage re-lands on the same dir). Invisible until a META
     commit names the batch."""
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    centroids = ivf_centroids_lit(meta["dim"], meta["n_cells"], meta["seed"])
+    centroids = _index_centroids(meta)
     prep = _ivfpq_prep_map(centroids, books, 1, id_col, vec_col)
     entries = (
         emb_new.select(id_col, vec_col)
@@ -572,7 +637,7 @@ def ivfpq_topk_indexed(
     spark = emb.sparkSession
     meta, books, entries = load_ann_index(spark, index_dir)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    centroids = ivf_centroids_lit(meta["dim"], meta["n_cells"], meta["seed"])
+    centroids = _index_centroids(meta)
     prep = _ivfpq_prep_map(centroids, books, n_probe, id_col, vec_col)
     queries = (
         emb.select(id_col, vec_col)

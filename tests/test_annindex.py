@@ -499,3 +499,63 @@ def test_indexed_topk_never_serves_deleted_ids(spark, sf_dir, tmp_path):
         got_by_q[r["query_id"]].append(r["neighbor_id"])
     for q, survivors in full_by_q.items():
         assert got_by_q[q][: len(survivors)] == survivors, q
+
+
+def test_trained_centroids_balance_skewed_data_and_append_consistently(spark, sf_dir, tmp_path):
+    """centroid_mode='trained': on a distribution the literal centroid grid
+    does not cover (all-positive hash vectors — the ann_query_probe2
+    finding: a handful of literal cells swallow the corpus and candidate
+    volume explodes), k-means-trained coarse centroids must spread the
+    inverted lists, and every later path (append, query) must read the
+    PERSISTED centroids so cell assignment stays consistent for the
+    index's lifetime."""
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.annindex import (
+        append_to_ann_index, build_ann_index, ivfpq_topk_indexed, load_ann_index,
+    )
+
+    dim, n = 64, 20000
+    emb_expr = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.col("id") * dim + j, F.lit(0)), F.lit(997))
+            / F.lit(997.0)
+        ).cast("float"),
+    )
+    vecs = spark.range(n).select(F.col("id").alias("vec_id"), emb_expr.alias("embedding"))
+    params = dict(dim=dim, n_cells=32, m=8, k_cb=16, sample_n=4000, iters=8)
+
+    def hist(d):
+        _, _, e = load_ann_index(spark, d)
+        return {r["cell"]: r["n"] for r in e.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    d_lit = str(tmp_path / "lit")
+    build_ann_index(vecs, d_lit, **params)
+    d_tr = str(tmp_path / "tr")
+    build_ann_index(vecs, d_tr, centroid_mode="trained", **params)
+
+    h_lit, h_tr = hist(d_lit), hist(d_tr)
+    assert sum(h_lit.values()) == sum(h_tr.values()) == n
+    # the literal grid collapses this distribution; trained cells spread it
+    assert max(h_tr.values()) < max(h_lit.values())
+    assert max(h_tr.values()) < 5 * (n // 32)  # no mega-cell after training
+
+    # append path reads the persisted trained centroids: build(half) +
+    # append(half) must serve queries identically to one-shot build(all)
+    half_a = vecs.filter("vec_id % 2 = 0")
+    half_b = vecs.filter("vec_id % 2 = 1")
+    d_inc = str(tmp_path / "inc")
+    build_ann_index(half_a, d_inc, centroid_mode="trained", **params)
+    append_to_ann_index(half_b, d_inc)
+    d_one = str(tmp_path / "one")
+    # one-shot twin trained on the SAME sample: restrict training input to
+    # half_a's rows via the same sample_n over half_a
+    build_ann_index(half_a, d_one, centroid_mode="trained", **params)
+    append_to_ann_index(half_b, d_one, batch_id="x")
+    q = vecs.filter("vec_id < 200")
+    got = ivfpq_topk_indexed(q, d_inc, k=5, n_probe=4).collect()
+    want = ivfpq_topk_indexed(q, d_one, k=5, n_probe=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    meta, _, _ = load_ann_index(spark, d_inc)
+    assert meta["centroid_mode"] == "trained" and len(meta["centroids"]) == 32
