@@ -114,6 +114,12 @@ HEADLINES = [
         "per-shard row_number window — no global sort anywhere.",
     ),
     (
+        "doc_weighted_sample",
+        "Exact-k weighted sample: per-shard cumsum windows (256 hash shards, never one global "
+        "window), shard offsets BROADCAST from a 256-row driver round-trip, grid membership as "
+        "codegen'd bigint div — no global sort, no float stride.",
+    ),
+    (
         "cdc_apply_customer_bounded",
         "Hot-key-safe apply: TWO keyed shuffles — (pk, lsn-bucket) then pk — with collect_list "
         "cells bounded at bucket occupancy; summaries fold in a codegen'd Project.",
@@ -222,6 +228,15 @@ def main() -> None:
             "redundant for a distributive aggregate and cost 2 extra "
             "exchanges, removed r8) — merged into the 9-row materialized "
             "base. Never a base rescan."
+        ),
+        "cdc_maintained_minmax_view/view_patch": (
+            "Non-self-maintainable MIN/MAX kept |delta|-bounded: the signed "
+            "value multiset at the touched keys (checkpointed once — four "
+            "legs reference it) joins the BROADCAST touched-group slice of "
+            "the base view for the multiplicity bookkeeping; only groups "
+            "whose extremum multiplicity hits zero with no insert taking "
+            "over reach the rescan leg — a broadcast semi join pruning the "
+            "full-state re-aggregation to exactly those groups."
         ),
     }
     print("\n# Multi-batch pipeline queries — per-batch plans\n", file=out)

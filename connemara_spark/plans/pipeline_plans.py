@@ -125,6 +125,33 @@ def pipeline_batch_frames(spark: SparkSession, sf_dir: str):
         rep.apply_batch(b2, events=parsed2v)
         _, patched, _ = view._patch_frame()
         frames["cdc_maintained_agg_view/view_patch"] = patched
+
+        # -- min/max view: the non-self-maintainable patch ----------------
+        from connemara_spark.operators.ivm import MaintainedMinMaxView
+
+        root = tempfile.mkdtemp(prefix="connemara_planaudit_m_")
+        roots.append(root)
+        spec = fresh_spec()
+        store = ParquetStore(spark, root)
+        store.write(spec, snapshot)
+        cat = EngineCatalog()
+        cat.register(spec)
+        rep = Replayer(spark, cat, store)
+        mm = MaintainedMinMaxView(
+            spark, store, spec,
+            group_col="c_mktsegment", val_col="c_acctbal",
+            val_type="decimal(12,2)", view_dir=f"{root}/mmview",
+        )
+        parsed1m = rep.parse_batch(b1).persist()
+        mm.before_apply(parsed1m)
+        rep.apply_batch(b1, events=parsed1m)
+        mm.after_apply()
+        parsed1m.unpersist()
+        parsed2m = rep.parse_batch(b2)
+        mm.before_apply(parsed2m)
+        rep.apply_batch(b2, events=parsed2m)
+        _, patched_mm, _ = mm._patch_frame()
+        frames["cdc_maintained_minmax_view/view_patch"] = patched_mm
     except Exception:
         cleanup()
         raise
