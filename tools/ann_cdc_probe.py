@@ -15,6 +15,7 @@ visible set is checked against the driver-side model (count + id-sum),
 so the probe is also a correctness soak at volume.
 
 Usage: python tools/ann_cdc_probe.py [n_batches] [per_batch] [compact_every]
+                                     [centroid_mode]
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    centroid_mode = sys.argv[4] if len(sys.argv) > 4 else "lit"
 
     import pandas as pd
     from pyspark.sql import functions as F
@@ -87,7 +89,10 @@ def main() -> None:
             checkpoint_dir=os.path.join(root, "ckpt"),
             bootstrap=True,
             max_files_per_trigger=1,
-            build_params={"n_cells": 64, "m": 8, "k_cb": 16},
+            build_params={
+                "n_cells": 64, "m": 8, "k_cb": 16,
+                "centroid_mode": centroid_mode,
+            },
             dim=DIM,
         )
         base = time.time()
