@@ -41,6 +41,15 @@ RISKY = [
     # (slot restriction + BucketStore + maintainer protocol, all under the
     # driver's bare session)
     "cdc_two_source_join_view",
+    # r9: the ANN CDC stream (bootstrap build + tombstone/append commits +
+    # fresh-checkpoint replay + compaction readback) and the maintained
+    # MIN/MAX view's rescan legs under the bare session's 200 shuffle
+    # partitions; rename/drop exercise the DDL barrier + versioned store
+    # rewrite without a Derby target
+    "ann_cdc_upserts",
+    "cdc_maintained_minmax_view",
+    "cdc_drop_column",
+    "doc_weighted_sample",
 ]
 
 SCRIPT = """
