@@ -972,3 +972,285 @@ class MaintainedMinMaxView:
             .unionByName(recomputed)
         )
         return m, patched, v_now
+
+
+class MaintainedTopKView:
+    """Keep each group's TOP-K rows by a value column materialized
+    incrementally — the BI leaderboard artifact ("top k accounts per
+    segment"), and like MIN/MAX a NON-self-maintainable aggregate:
+    deleting a stored top row pulls in a runner-up the delta alone does
+    not know.
+
+    The refinement is a SLACK BUFFER: the view stores each group's top
+    ``k + slack`` (value, pk) pairs plus the group's total row count.
+    Per batch, over the touched keys only:
+
+    - stored pairs whose pk was touched are dropped (their value may have
+      changed or the row may be gone);
+    - the batch's new/updated rows merge in by sorted order;
+    - the merged list re-trims to ``k + slack``.
+
+    Only when a group's stored list falls below ``min(k, n_rows)`` — the
+    buffer burned through faster than arrivals refilled it — is that
+    group re-aggregated, from the current state restricted to exactly
+    those groups (broadcast semi join + per-group window, output bounded
+    at ``k + slack`` rows per group). Everything else follows the
+    ``MaintainedMinMaxView`` protocol: version-anchored recovery,
+    touched-bucket pruning for the delta legs, full-state read only on
+    the rescan leg.
+
+    Ordering is (value DESC, pk ASC) — total and engine-independent, so
+    the exploded view is value-hash-gateable. ``group_col`` and the pk
+    must be non-null (CDC spec columns).
+    """
+
+    def __init__(
+        self,
+        spark,
+        store,
+        spec,
+        *,
+        group_col: str,
+        val_col: str,
+        k: int,
+        slack: int | None = None,
+        val_type: str = "decimal(12,2)",
+        view_dir: str,
+        debug_counters: bool = False,
+    ):
+        import os
+
+        self.spark = spark
+        self.store = store
+        self.spec = spec
+        self.group_col = group_col
+        self.val_col = val_col
+        self.k = k
+        self.slack = k if slack is None else slack
+        self.val_type = val_type
+        self.view_dir = view_dir
+        self.debug_counters = debug_counters
+        self.last_recompute_groups: int | None = None
+        if len(spec.pk_cols) != 1:
+            raise ValueError("MaintainedTopKView requires a single-column pk")
+        self.pk = spec.pk_cols[0]
+        os.makedirs(view_dir, exist_ok=True)
+        self._touched = None
+        self._v_pre = None
+
+    # -- protocol plumbing (MaintainedMinMaxView shape) -----------------
+    def _meta(self) -> dict:
+        import json
+        import os
+
+        ptr = os.path.join(self.view_dir, "CURRENT")
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                return json.load(fh)
+        return {"version": 0, "store_version": None}
+
+    def read_view(self) -> DataFrame:
+        """(group, n_rows, top array<struct<v, id>>) — top truncated to k
+        for readers (the slack tail is maintenance state, not output)."""
+        import os
+
+        m = self._meta()
+        raw = (
+            self._full_agg(self.store.read(self.spec))
+            if m["version"] == 0
+            else self.spark.read.parquet(
+                os.path.join(self.view_dir, f"v{m['version']:06d}")
+            )
+        )
+        return raw.select(
+            self.group_col,
+            "n_rows",
+            F.slice("top", 1, self.k).alias("top"),
+        )
+
+    def _val(self):
+        return F.col(self.val_col).cast(self.val_type)
+
+    def _full_agg(self, state: DataFrame) -> DataFrame:
+        """(group, n_rows, top) from scratch: per-group window row_number
+        bounds the collected list at k+slack BEFORE any collect_list, so
+        the build never materializes a whole group in one array."""
+        from pyspark.sql.window import Window
+
+        lim = self.k + self.slack
+        g = self.group_col
+        rows = state.select(
+            F.col(g), self._val().alias("__v"), F.col(self.pk).alias("__id")
+        )
+        counts = rows.groupBy(g).agg(F.count(F.lit(1)).alias("n_rows"))
+        w = Window.partitionBy(g).orderBy(
+            F.col("__v").desc_nulls_last(), F.col("__id")
+        )
+        top = (
+            rows.filter(F.col("__v").isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= lim)
+            .groupBy(g)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__v").alias("v"), F.col("__id").alias("id"))),
+                    lambda a, b: F.when(a["v"] > b["v"], -1)
+                    .when(a["v"] < b["v"], 1)
+                    .when(a["id"] < b["id"], -1)
+                    .when(a["id"] > b["id"], 1)
+                    .otherwise(0),
+                ).alias("top")
+            )
+        )
+        return counts.join(top, g, "left").select(
+            g, "n_rows", F.coalesce("top", F.array().cast("array<struct<v:" + self.val_type + ",id:bigint>>")).alias("top")
+        )
+
+    def check_schema(self, catalog) -> None:
+        cur = catalog.get(self.spec.database, self.spec.schema, self.spec.table)
+        need = set(self.spec.pk_cols) | {self.group_col, self.val_col}
+        missing = sorted(need - set(cur.column_names))
+        if missing:
+            raise RuntimeError(
+                f"maintained top-k view over {self.spec.target_name} lost "
+                f"column(s) {missing} to DDL — drop and rebuild the view"
+            )
+
+    def before_apply(self, parsed_events: DataFrame) -> None:
+        self._touched = touched_keys(parsed_events, self.spec)
+        self._v_pre = self.store.current_version(self.spec.target_name)
+
+    def after_apply(self) -> None:
+        import json
+        import os
+
+        m, patched, v_now = self._patch_frame()
+        v = m["version"] + 1
+        patched.write.mode("overwrite").parquet(
+            os.path.join(self.view_dir, f"v{v:06d}")
+        )
+        tmp = os.path.join(self.view_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "store_version": v_now}, fh)
+        os.replace(tmp, os.path.join(self.view_dir, "CURRENT"))
+        self._touched = self._v_pre = None
+
+    # -- the patch ------------------------------------------------------
+    def _patch_frame(self):
+        import os
+
+        from pyspark.sql.window import Window
+
+        m = self._meta()
+        applied = m["store_version"] if m["version"] > 0 else self._v_pre
+        prune = hasattr(self.store, "buckets_of") and m["version"] > 0
+        if prune:
+            bks = self.store.buckets_of(self.spec, self._touched)
+            old = (
+                self.store.read_version(self.spec, applied, buckets=bks)
+                if applied
+                else self.spark.createDataFrame([], self.spec.spark_schema())
+            )
+            new_t_src = self.store.read_buckets(self.spec, bks)
+        else:
+            old = (
+                self.store.read_version(self.spec, applied)
+                if applied
+                else self.spark.createDataFrame([], self.spec.spark_schema())
+            )
+            new_t_src = self.store.read(self.spec)
+        v_now = self.store.current_version(self.spec.target_name)
+
+        g = self.group_col
+        lim = self.k + self.slack
+        pk = list(self.spec.pk_cols)
+        t = F.broadcast(self._touched)
+        old_t = old.join(t, on=pk, how="left_semi")
+        new_t = new_t_src.join(t, on=pk, how="left_semi")
+
+        # per-group batch summary: touched pks (to evict from stored
+        # lists), surviving new pairs (to merge), and the row-count delta
+        deltas = (
+            old_t.select(F.col(g), self._val().alias("__v"), F.col(self.pk).alias("__id"), F.lit(-1).alias("__s"))
+            .unionByName(
+                new_t.select(F.col(g), self._val().alias("__v"), F.col(self.pk).alias("__id"), F.lit(1).alias("__s"))
+            )
+            .localCheckpoint()
+        )
+        touched_groups = deltas.select(g).distinct()
+        per_group = deltas.groupBy(g).agg(
+            F.sum("__s").alias("__dn"),
+            F.collect_set("__id").alias("__touched_ids"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        (F.col("__s") > 0) & F.col("__v").isNotNull(),
+                        F.struct(F.col("__v").alias("v"), F.col("__id").alias("id")),
+                    )
+                ),
+                lambda a, b: F.when(a["v"] > b["v"], -1)
+                .when(a["v"] < b["v"], 1)
+                .when(a["id"] < b["id"], -1)
+                .when(a["id"] > b["id"], 1)
+                .otherwise(0),
+            ).alias("__adds"),
+        )
+
+        base = (
+            self._full_agg(old)
+            if m["version"] == 0
+            else self.spark.read.parquet(
+                os.path.join(self.view_dir, f"v{m['version']:06d}")
+            )
+        )
+        base_t = base.join(F.broadcast(touched_groups), g, "left_semi")
+        s = per_group.join(base_t, g, "left")
+
+        kept = F.filter(
+            F.coalesce(F.col("top"), F.array().cast(f"array<struct<v:{self.val_type},id:bigint>>")),
+            lambda x: ~F.array_contains(F.col("__touched_ids"), x["id"]),
+        )
+        # merge two sorted lists by re-sorting the concat (both bounded:
+        # kept <= k+slack, adds <= |batch slice for the group|)
+        merged = F.slice(
+            F.array_sort(
+                F.concat(kept, F.col("__adds")),
+                lambda a, b: F.when(a["v"] > b["v"], -1)
+                .when(a["v"] < b["v"], 1)
+                .when(a["id"] < b["id"], -1)
+                .when(a["id"] > b["id"], 1)
+                .otherwise(0),
+            ),
+            1,
+            lim,
+        )
+        n_new = F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("__dn")
+        # the stored list must cover min(k, n') rows; when evictions cut
+        # below that, the runner-ups are unknown -> rescan the group
+        needs_rescan = (n_new > 0) & (
+            F.size(merged) < F.least(F.lit(self.k), n_new)
+        )
+        s = (
+            s.withColumn("__merged", merged)
+            .withColumn("__n_new", n_new)
+            .withColumn("__rescan", needs_rescan)
+            .localCheckpoint()
+        )
+
+        patched_rows = s.filter((F.col("__n_new") > 0) & ~F.col("__rescan")).select(
+            F.col(g),
+            F.col("__n_new").alias("n_rows"),
+            F.col("__merged").alias("top"),
+        )
+        rescan_groups = s.filter(F.col("__rescan")).select(g)
+        if self.debug_counters:
+            self.last_recompute_groups = rescan_groups.count()
+        recomputed = self._full_agg(
+            self.store.read(self.spec).join(F.broadcast(rescan_groups), g, "left_semi")
+        )
+        patched = (
+            base.join(F.broadcast(touched_groups), g, "left_anti")
+            .unionByName(patched_rows)
+            .unionByName(recomputed)
+        )
+        return m, patched, v_now

@@ -958,6 +958,113 @@ def cdc_maintained_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "cdc_maintained_topk_view",
+    """
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               value AS c_acctbal,
+               event_type AS c_mktsegment
+        FROM events
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg
+        ) t WHERE rn = 1
+    ),
+    state AS (
+        SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+               CAST(CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END
+                    AS DECIMAL(12,2)) AS v,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_mktsegment ELSE l.c_mktsegment END AS c_mktsegment
+        FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.c_custkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    )
+    SELECT c_mktsegment, rank, c_custkey, val FROM (
+        SELECT c_mktsegment, c_custkey, v AS val,
+               CAST(row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY v DESC, c_custkey) AS INT) AS rank
+        FROM state
+    ) WHERE rank <= 5
+    """,
+    "incrementally-maintained TOP-K view over the CDC-fed customer state — "
+    "the BI leaderboard artifact and, like MIN/MAX, non-self-maintainable "
+    "under deletions (a deleted top row pulls in an unknown runner-up): "
+    "MaintainedTopKView stores each group's top k+slack (value, pk) pairs "
+    "plus the row count; per batch evicted/updated stored rows and the "
+    "batch's arrivals merge as bounded array ops at the touched groups "
+    "only, and ONLY a group whose buffer burns below min(k, n_rows) is "
+    "re-aggregated (broadcast semi join + per-group window bounded at "
+    "k+slack rows out); the exploded (group, rank, pk, value) rows are "
+    "gated against a full ROW_NUMBER recompute of the folded state",
+)
+def cdc_maintained_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.operators.ivm import MaintainedTopKView
+    from connemara_spark.pipeline import ParquetStore, Replayer
+
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    root = tempfile.mkdtemp(prefix="connemara_topkview_")
+    spec = TableSpec(
+        database=CUSTOMER_SPEC.database,
+        schema=CUSTOMER_SPEC.schema,
+        table=CUSTOMER_SPEC.table,
+        columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+        pk_cols=list(CUSTOMER_SPEC.pk_cols),
+    )
+    store = ParquetStore(spark, root)
+    store.write(spec, snapshot)
+    cat = EngineCatalog()
+    cat.register(spec)
+    rep = Replayer(spark, cat, store)
+    view = MaintainedTopKView(
+        spark, store, spec,
+        group_col="c_mktsegment", val_col="c_acctbal",
+        k=5, slack=5, val_type="decimal(12,2)", view_dir=f"{root}/view",
+    )
+    lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
+    # four batches (the minmax rationale): post-bootstrap deletes must be
+    # able to burn through the slack buffer so the rescan leg is exercised
+    step = max((hi - lo) // 4 + 1, 1)
+    try:
+        for b0 in range(lo, hi + 1, step):
+            batch = bronze.filter(
+                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            )
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                summary = rep._batch_summary(parsed)
+                view.before_apply(parsed)
+                rep.apply_batch(batch, events=parsed, summary=summary)
+                view.after_apply()
+            finally:
+                parsed.unpersist()
+        return (
+            view.read_view()
+            .select(
+                "c_mktsegment",
+                F.posexplode("top").alias("pos", "pair"),
+            )
+            .select(
+                "c_mktsegment",
+                (F.col("pos") + 1).cast("int").alias("rank"),
+                F.col("pair.id").alias("c_custkey"),
+                F.col("pair.v").alias("val"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _require_local_master(spark: SparkSession) -> None:
     """The jdbc:derby:memory: targets the JDBC-sink queries stand up are
     JVM-local: the staged df.write.jdbc runs ON EXECUTORS, so the database

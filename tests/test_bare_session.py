@@ -50,6 +50,7 @@ RISKY = [
     "cdc_maintained_minmax_view",
     "cdc_drop_column",
     "doc_weighted_sample",
+    "cdc_maintained_topk_view",
 ]
 
 SCRIPT = """

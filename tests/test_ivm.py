@@ -589,3 +589,84 @@ def test_maintained_minmax_view_recompute_only_when_extremum_exhausted(spark, tm
     check()
     assert view.last_recompute_groups == 0
     assert {r["grp"] for r in view.read_view().collect()} == {"b"}
+
+
+def test_maintained_topk_view_slack_buffer_and_rescan(spark, tmp_path):
+    """Top-k per group is non-self-maintainable: deleting a stored top row
+    pulls in an unknown runner-up. The slack buffer must (a) keep every
+    batch's truncated view equal to a full recompute, (b) absorb stored-row
+    deletions WITHOUT a rescan while the buffer holds, and (c) rescan
+    exactly the burned-through group once it doesn't."""
+    from connemara_spark.operators.ivm import MaintainedTopKView
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+    from connemara_spark.testing import make_event
+
+    cat, spec, store = _agg_spec_setup(spark, tmp_path)
+    view = MaintainedTopKView(
+        spark, store, spec, group_col="grp", val_col="amount",
+        k=2, slack=1, view_dir=str(tmp_path / "topk"), debug_counters=True,
+    )
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+        maintainers=[view],
+    )
+
+    def seg(events, name):
+        write_segment(str(tmp_path / "spool"), [dict(e) for e in events], name)
+
+    def check():
+        from pyspark.sql import functions as F
+
+        want = sorted(
+            (r["grp"], r["n_rows"], [(float(p["v"]), p["id"]) for p in r["top"]])
+            for r in view._full_agg(store.read(spec)).select(
+                "grp", "n_rows", F.slice("top", 1, 2).alias("top")
+            ).collect()
+        )
+        got = sorted(
+            (r["grp"], r["n_rows"], [(float(p["v"]), p["id"]) for p in r["top"]])
+            for r in view.read_view().collect()
+        )
+        assert got == want, (got, want)
+
+    # group a: values 50 > 40 > 30 > 20 > 10 (ids 1..5); k=2, slack=1
+    seg([make_event(spec, "insert", lsn=i, row={"id": i, "grp": "a", "amount": 60.0 - 10 * i})
+         for i in range(1, 6)], "seg-001")
+    sr.run_until_drained()
+    check()
+    top = view.read_view().collect()[0]
+    assert [(float(p["v"]), p["id"]) for p in top["top"]] == [(50.0, 1), (40.0, 2)]
+
+    # delete the #1 row: stored list (50,40,30) still covers k after the
+    # eviction -> runner-up 30 appears WITHOUT touching the base table
+    seg([make_event(spec, "delete", lsn=6, old_key={"id": 1})], "seg-002")
+    sr.run_until_drained()
+    check()
+    assert view.last_recompute_groups == 0
+    top = view.read_view().collect()[0]
+    assert [(float(p["v"]), p["id"]) for p in top["top"]] == [(40.0, 2), (30.0, 3)]
+
+    # delete the (now) top TWO stored rows in one batch: kept shrinks to
+    # one entry (< k) while the group still has 2 rows -> rescan fires,
+    # and the recomputed list serves (20, 10)
+    seg([make_event(spec, "delete", lsn=7, old_key={"id": 2}),
+         make_event(spec, "delete", lsn=8, old_key={"id": 3})], "seg-003")
+    sr.run_until_drained()
+    check()
+    assert view.last_recompute_groups == 1
+    top = view.read_view().collect()[0]
+    assert [(float(p["v"]), p["id"]) for p in top["top"]] == [(20.0, 4), (10.0, 5)]
+
+    # an insert above the top patches in place (no rescan), updates merge
+    seg([make_event(spec, "insert", lsn=9, row={"id": 6, "grp": "a", "amount": 99.0}),
+         make_event(spec, "update", lsn=10, row={"id": 4, "grp": "a", "amount": 5.0},
+                    old_key={"id": 4})], "seg-004")
+    sr.run_until_drained()
+    check()
+    assert view.last_recompute_groups == 0
+    top = view.read_view().collect()[0]
+    assert [(float(p["v"]), p["id"]) for p in top["top"]] == [(99.0, 6), (10.0, 5)]
