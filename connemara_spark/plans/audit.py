@@ -238,6 +238,15 @@ def main() -> None:
             "over reach the rescan leg — a broadcast semi join pruning the "
             "full-state re-aggregation to exactly those groups."
         ),
+        "cdc_maintained_topk_view/view_patch": (
+            "Top-k leaderboard patch: stored k+slack pair lists evict and "
+            "merge as BOUNDED array ops (array_sort with a comparator "
+            "lambda — no per-group window, no whole-group collect) over "
+            "the checkpointed touched-key delta; the rescan leg's "
+            "re-aggregation is itself bounded — per-group row_number "
+            "≤ k+slack BEFORE collect_list, semi-joined to only the "
+            "burned-through groups."
+        ),
     }
     print("\n# Multi-batch pipeline queries — per-batch plans\n", file=out)
     print(

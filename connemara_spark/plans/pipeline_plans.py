@@ -152,6 +152,33 @@ def pipeline_batch_frames(spark: SparkSession, sf_dir: str):
         rep.apply_batch(b2, events=parsed2m)
         _, patched_mm, _ = mm._patch_frame()
         frames["cdc_maintained_minmax_view/view_patch"] = patched_mm
+
+        # -- top-k view: slack-buffer patch over the same store ------------
+        from connemara_spark.operators.ivm import MaintainedTopKView
+
+        root = tempfile.mkdtemp(prefix="connemara_planaudit_t_")
+        roots.append(root)
+        spec = fresh_spec()
+        store = ParquetStore(spark, root)
+        store.write(spec, snapshot)
+        cat = EngineCatalog()
+        cat.register(spec)
+        rep = Replayer(spark, cat, store)
+        tk = MaintainedTopKView(
+            spark, store, spec,
+            group_col="c_mktsegment", val_col="c_acctbal",
+            k=5, slack=5, val_type="decimal(12,2)", view_dir=f"{root}/tkview",
+        )
+        parsed1t = rep.parse_batch(b1).persist()
+        tk.before_apply(parsed1t)
+        rep.apply_batch(b1, events=parsed1t)
+        tk.after_apply()
+        parsed1t.unpersist()
+        parsed2t = rep.parse_batch(b2)
+        tk.before_apply(parsed2t)
+        rep.apply_batch(b2, events=parsed2t)
+        _, patched_tk, _ = tk._patch_frame()
+        frames["cdc_maintained_topk_view/view_patch"] = patched_tk
     except Exception:
         cleanup()
         raise

@@ -416,6 +416,7 @@ def test_pipeline_per_batch_plans_pass_lints(spark, sf_dir):
             "cdc_maintained_agg_view/steady_fold",
             "cdc_maintained_agg_view/view_patch",
             "cdc_maintained_minmax_view/view_patch",
+            "cdc_maintained_topk_view/view_patch",
         }
         # fold frames: exactly ONE parse site. The view patch pins the
         # touched keys against BOTH version reads (two semi-joins), so its
@@ -432,6 +433,8 @@ def test_pipeline_per_batch_plans_pass_lints(spark, sf_dir):
             # returned frame's plan — the runtime parse rides the shared
             # cached batch in the registry query exactly like the others
             "cdc_maintained_minmax_view/view_patch": 0,
+            # same checkpoint-severed lineage as the minmax patch
+            "cdc_maintained_topk_view/view_patch": 0,
         }
         for name, df in frames.items():
             assert _from_json_count(df) == want_sites[name], (
