@@ -1225,13 +1225,48 @@ class MaintainedTopKView:
             lim,
         )
         n_new = F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("__dn")
-        # the stored list must cover min(k, n') rows; when evictions cut
-        # below that, the runner-ups are unknown -> rescan the group
-        needs_rescan = (n_new > 0) & (
-            F.size(merged) < F.least(F.lit(self.k), n_new)
+        # Trust model for the merged list: the old stored list held the
+        # group's true top-s, so every UNSTORED old row has value <= the
+        # stored CUTOFF (the list's minimum). A merged entry is safe at
+        # its position iff (a) the group has no unstored rows at all, or
+        # (b) it outranks the cutoff outright, or (c) it WAS stored (kept
+        # entries also beat unstored cutoff-ties: the original sort
+        # admitted smaller pks first). A new arrival at-or-below the
+        # cutoff is NOT safe — an unknown unstored row may outrank it
+        # (without this, a low insert after evictions leapfrogs the true
+        # runner-up; caught by the bucket-store prune-path test). Rescan
+        # when any of the first min(k, n') positions is unsafe or the
+        # list runs short.
+        base_top = F.coalesce(
+            F.col("top"),
+            F.array().cast(f"array<struct<v:{self.val_type},id:bigint>>"),
         )
+        unknowns = F.coalesce(F.col("n_rows") > F.size(base_top), F.lit(False))
+        cutoff = F.element_at(base_top, F.size(base_top))["v"]
+        kept_ids = F.transform(kept, lambda x: x["id"])
+        # the stored list must stay the group's TRUE top-s or the next
+        # batch's trust reasoning collapses — truncate at the first
+        # unsafe position (an unsafe slack tail would later surface as a
+        # fake runner-up). Truncation shrinks the buffer until a rescan
+        # refills it.
+        unsafe_flags = F.transform(
+            merged,
+            lambda x: F.coalesce(
+                unknowns
+                & ~(x["v"] > cutoff)
+                & ~F.array_contains(kept_ids, x["id"]),
+                F.lit(True),
+            ),
+        )
+        first_unsafe = F.array_position(unsafe_flags, F.lit(True))
+        trusted = F.when(
+            first_unsafe > 0,
+            F.slice(merged, F.lit(1), (first_unsafe - 1).cast("int")),
+        ).otherwise(merged)
+        need = F.greatest(F.least(F.lit(self.k), n_new), F.lit(0)).cast("int")
+        needs_rescan = (n_new > 0) & (F.size(trusted) < need)
         s = (
-            s.withColumn("__merged", merged)
+            s.withColumn("__merged", trusted)
             .withColumn("__n_new", n_new)
             .withColumn("__rescan", needs_rescan)
             .localCheckpoint()

@@ -670,3 +670,90 @@ def test_maintained_topk_view_slack_buffer_and_rescan(spark, tmp_path):
     assert view.last_recompute_groups == 0
     top = view.read_view().collect()[0]
     assert [(float(p["v"]), p["id"]) for p in top["top"]] == [(99.0, 6), (10.0, 5)]
+
+
+def test_minmax_and_topk_views_bucket_store_prune_path(spark, tmp_path):
+    """The touched-bucket pruning branch of the new views' _patch_frame
+    (store.buckets_of + read_buckets, taken only on a BucketStore after
+    the bootstrap batch) must produce the same views as a full recompute —
+    the registry queries run over ParquetStore, so this is the branch's
+    only gate."""
+    from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
+    from connemara_spark.operators.ivm import MaintainedMinMaxView, MaintainedTopKView
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.stores import BucketStore
+    from connemara_spark.streaming import StreamingReplayer
+    from connemara_spark.testing import make_event
+
+    spec = TableSpec(
+        database="db1", schema="public", table="sales",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("grp", "text"),
+                 ColumnSpec("amount", "double precision")],
+        pk_cols=["id"],
+    )
+    cat = EngineCatalog()
+    cat.register(spec)
+    spec = cat.get("db1", "public", "sales")
+    store = BucketStore(spark, str(tmp_path / "silver"), n_buckets=8)
+    mm = MaintainedMinMaxView(
+        spark, store, spec, group_col="grp", val_col="amount",
+        view_dir=str(tmp_path / "mm"), debug_counters=True,
+    )
+    tk = MaintainedTopKView(
+        spark, store, spec, group_col="grp", val_col="amount",
+        k=2, slack=1, view_dir=str(tmp_path / "tk"), debug_counters=True,
+    )
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+        maintainers=[mm, tk],
+    )
+
+    def seg(events, name):
+        write_segment(str(tmp_path / "spool"), [dict(e) for e in events], name)
+
+    def check():
+        from pyspark.sql import functions as F
+
+        want_mm = sorted(map(tuple, mm._full_agg(store.read(spec)).collect()))
+        got_mm = sorted(map(tuple, mm.read_view().collect()))
+        assert got_mm == want_mm, (got_mm, want_mm)
+        want_tk = sorted(
+            (r["grp"], r["n_rows"], [(float(p["v"]), p["id"]) for p in r["top"]])
+            for r in tk._full_agg(store.read(spec)).select(
+                "grp", "n_rows", F.slice("top", 1, 2).alias("top")
+            ).collect()
+        )
+        got_tk = sorted(
+            (r["grp"], r["n_rows"], [(float(p["v"]), p["id"]) for p in r["top"]])
+            for r in tk.read_view().collect()
+        )
+        assert got_tk == want_tk, (got_tk, want_tk)
+
+    # spread ids across all 8 buckets; duplicate minima, two groups
+    seg([make_event(spec, "insert", lsn=i, row={"id": i, "grp": "a" if i % 2 else "b",
+                                                "amount": float(100 - i)})
+         for i in range(1, 17)], "seg-001")
+    sr.run_until_drained()
+    check()
+
+    # steady-state batch (prune path active): extremum deletions, a
+    # group-moving update, and fresh inserts touching a FEW buckets only
+    seg([make_event(spec, "delete", lsn=17, old_key={"id": 1}),
+         make_event(spec, "delete", lsn=18, old_key={"id": 2}),
+         make_event(spec, "update", lsn=19, row={"id": 3, "grp": "b", "amount": 250.0},
+                    old_key={"id": 3}),
+         make_event(spec, "insert", lsn=20, row={"id": 40, "grp": "a", "amount": 1.5})],
+        "seg-002")
+    sr.run_until_drained()
+    check()
+
+    # burn through topk's buffer for group b: delete its stored top rows
+    top_b = [p["id"] for r in tk.read_view().collect() if r["grp"] == "b" for p in r["top"]]
+    seg([make_event(spec, "delete", lsn=21 + j, old_key={"id": i})
+         for j, i in enumerate(top_b)], "seg-003")
+    sr.run_until_drained()
+    check()
+    assert tk.last_recompute_groups == 1
