@@ -324,3 +324,63 @@ def test_streaming_ann_bootstrap_replay_from_fresh_process(spark, sf_dir, tmp_pa
     _, _, entries = load_ann_index(spark, str(tmp_path / "idx"))
     assert entries.count() == n
     assert entries.select("vec_id").distinct().count() == n
+
+
+def test_streaming_bootstrap_passes_centroid_mode(spark, tmp_path):
+    """build_params reaches the bootstrap build: a stream bootstrapped with
+    centroid_mode='trained' persists spherical centroids in META, and the
+    appended second batch is coded with THOSE centroids (cells consistent
+    across the stream's lifetime)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.annindex import load_ann_index
+    from connemara_spark.streaming.ingest import StreamingAnnIngest
+
+    dim = 64
+    emb_expr = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.col("id") * dim + j, F.lit(0)), F.lit(997))
+            / F.lit(997.0)
+        ).cast("float"),
+    )
+    vecs = spark.range(4000).select(
+        F.col("id").alias("vec_id"), emb_expr.alias("embedding")
+    )
+    land = str(tmp_path / "in")
+    os.makedirs(land)
+    for i, half in enumerate((vecs.filter("vec_id % 2 = 0"), vecs.filter("vec_id % 2 = 1"))):
+        st = str(tmp_path / f"st{i}")
+        half.coalesce(1).write.parquet(st)
+        import glob
+        import shutil as sh
+        import time as t
+
+        part = glob.glob(os.path.join(st, "part-*.parquet"))[0]
+        dst = os.path.join(land, f"seg-{i:04d}.parquet")
+        sh.move(part, dst)
+        os.utime(dst, (t.time() + i, t.time() + i))
+    ingest = StreamingAnnIngest(
+        spark,
+        landing_dir=land,
+        index_dir=str(tmp_path / "idx"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        bootstrap=True,
+        max_files_per_trigger=1,
+        build_params={
+            "n_cells": 16, "m": 8, "k_cb": 16, "sample_n": 2000, "iters": 6,
+            "centroid_mode": "trained",
+        },
+        dim=dim,
+    )
+    ingest.run_until_drained()
+    meta, _books, entries = load_ann_index(spark, str(tmp_path / "idx"))
+    assert meta["centroid_mode"] == "trained" and len(meta["centroids"]) == 16
+    assert entries.count() == 4000
+    # appended half landed in the SAME trained cells its twin ids did in
+    # the bootstrap (hash vectors of adjacent ids differ, so only check
+    # balance: no literal-grid mega-cell)
+    h = [r["n"] for r in entries.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert max(h) < 4 * (4000 // 16)
