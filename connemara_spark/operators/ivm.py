@@ -1289,3 +1289,313 @@ class MaintainedTopKView:
             .unionByName(recomputed)
         )
         return m, patched, v_now
+
+
+class MaintainedDistinctCountView:
+    """Keep a grouped ``(group, n_rows, n_distinct)`` view — COUNT
+    DISTINCT, the textbook NON-DISTRIBUTIVE aggregate — materialized
+    incrementally over a CDC-fed table.
+
+    COUNT DISTINCT cannot be patched from the view row alone under
+    inserts OR deletes (an arriving value may or may not be new; a
+    leaving one may or may not be the last of its kind). The classical
+    fix (Gupta & Mumick's support-relation construction) is exact: keep
+    the per-(group, value) multiplicity multiset. A value's arrival is
+    "new" iff its support count crosses 0 -> positive; its departure is
+    "last" iff it crosses positive -> 0. Unlike MIN/MAX or TOP-K there
+    is NO rescan leg, ever: the support multiset is itself
+    self-maintainable, so every batch is |delta|-bounded by
+    construction.
+
+    Storage shape at 100 TB: the support multiset is O(distinct (group,
+    value) pairs) — potentially table-sized — so the view must NOT
+    rewrite it per batch. It lives in its own nested ``BucketStore``
+    keyed on (group, value): a batch rewrites only the buckets its net
+    pairs hash into, every other bucket carries forward via the
+    copy-on-write manifest, and reads during the patch are pruned to
+    those same buckets at path selection. The summary file (the actual
+    view, O(groups)) is patched from the same joined frame's zero
+    crossings.
+
+    Crash recovery is version-anchored on BOTH stores: the view pointer
+    records the base-store version AND the support version it
+    incorporates. A retry re-reads those immutable versions, rewrites
+    the same touched buckets with identical content (write_partial on
+    top of the orphan manifest carries the same untouched buckets
+    forward), and recommits — idempotent end to end. Retention on the
+    support store must keep the pointer's support_version readable
+    (``gc_support`` defaults to keep_last=2 for exactly that window).
+    """
+
+    def __init__(
+        self,
+        spark,
+        store,
+        spec,
+        *,
+        group_col: str,
+        val_col: str,
+        val_pg_type: str = "integer",
+        view_dir: str,
+        support_buckets: int = 16,
+        debug_counters: bool = False,
+    ):
+        import os
+
+        from connemara_spark.catalog import ColumnSpec, TableSpec
+        from connemara_spark.stores import BucketStore
+
+        self.spark = spark
+        self.store = store
+        self.spec = spec
+        self.group_col = group_col
+        self.val_col = val_col
+        self.view_dir = view_dir
+        self.debug_counters = debug_counters
+        self.last_touched_buckets: int | None = None
+        os.makedirs(view_dir, exist_ok=True)
+        gcol = next(c for c in spec.columns if c.name == group_col)
+        # the support multiset: pk == (group, value) so the bucket key IS
+        # the merge key — write_partial's stray-row check holds by
+        # construction
+        self.sspec = TableSpec(
+            database=spec.database,
+            schema=spec.schema,
+            table=f"{spec.table}__distinct_support",
+            columns=[
+                ColumnSpec(group_col, gcol.pg_type),
+                ColumnSpec("__v", val_pg_type),
+                ColumnSpec("__c", "bigint"),
+            ],
+            pk_cols=[group_col, "__v"],
+        )
+        self.sstore = BucketStore(
+            spark, os.path.join(view_dir, "support"), n_buckets=support_buckets
+        )
+        self._touched = None
+        self._v_pre = None
+
+    # -- protocol plumbing (MaintainedAggView shape) --------------------
+    def _meta(self) -> dict:
+        import json
+        import os
+
+        ptr = os.path.join(self.view_dir, "CURRENT")
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                return json.load(fh)
+        return {"version": 0, "store_version": None, "support_version": None}
+
+    def read_view(self) -> DataFrame:
+        import os
+
+        m = self._meta()
+        if m["version"] == 0:
+            return self._full_agg(self.store.read(self.spec))
+        return self.spark.read.parquet(
+            os.path.join(self.view_dir, f"v{m['version']:06d}")
+        )
+
+    def _val(self):
+        return F.col(self.val_col).cast(self.sspec.columns[1].spark_type)
+
+    def _full_agg(self, state: DataFrame) -> DataFrame:
+        return state.groupBy(self.group_col).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(self._val()).alias("n_distinct"),
+        )
+
+    def _full_support(self, state: DataFrame) -> DataFrame:
+        return (
+            state.select(F.col(self.group_col), self._val().alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .groupBy(self.group_col, "__v")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+
+    def check_schema(self, catalog) -> None:
+        cur = catalog.get(self.spec.database, self.spec.schema, self.spec.table)
+        need = set(self.spec.pk_cols) | {self.group_col, self.val_col}
+        missing = sorted(need - set(cur.column_names))
+        if missing:
+            raise RuntimeError(
+                f"maintained distinct-count view over {self.spec.target_name} "
+                f"lost column(s) {missing} to DDL — drop and rebuild the view"
+            )
+
+    def before_apply(self, parsed_events: DataFrame) -> None:
+        self._touched = touched_keys(parsed_events, self.spec)
+        self._v_pre = self.store.current_version(self.spec.target_name)
+
+    def after_apply(self) -> None:
+        import json
+        import os
+
+        m, patched, v_now, new_support, bks = self._patch_frame()
+        # support first, summary second, pointer last: every crash window
+        # replays against the versions the pointer still records
+        if bks is None:
+            self.sstore.write(self.sspec, new_support)
+        else:
+            self.sstore.write_partial(self.sspec, new_support, buckets=bks)
+        sv = self.sstore.current_version(self.sspec.target_name)
+        v = m["version"] + 1
+        patched.write.mode("overwrite").parquet(
+            os.path.join(self.view_dir, f"v{v:06d}")
+        )
+        tmp = os.path.join(self.view_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "store_version": v_now, "support_version": sv}, fh)
+        os.replace(tmp, os.path.join(self.view_dir, "CURRENT"))
+        self._touched = self._v_pre = None
+
+    def gc_support(self, *, keep_last: int = 2) -> list[int]:
+        """Retire old support versions (reference-counted); keep_last >= 2
+        keeps the pointer's support_version readable across a crash-retry
+        window."""
+        return self.sstore.gc_versions(self.sspec, keep_last=keep_last)
+
+    # -- the patch ------------------------------------------------------
+    def _patch_frame(self):
+        import os
+
+        m = self._meta()
+        applied = m["store_version"] if m["version"] > 0 else self._v_pre
+        prune = hasattr(self.store, "buckets_of") and m["version"] > 0
+        if prune:
+            base_bks = self.store.buckets_of(self.spec, self._touched)
+            old = (
+                self.store.read_version(self.spec, applied, buckets=base_bks)
+                if applied
+                else self.spark.createDataFrame([], self.spec.spark_schema())
+            )
+            new = self.store.read_buckets(self.spec, base_bks)
+        else:
+            old = (
+                self.store.read_version(self.spec, applied)
+                if applied
+                else self.spark.createDataFrame([], self.spec.spark_schema())
+            )
+            new = self.store.read(self.spec)
+        v_now = self.store.current_version(self.spec.target_name)
+
+        pk = list(self.spec.pk_cols)
+        t = F.broadcast(self._touched)
+        g = self.group_col
+        old_t = old.join(t, on=pk, how="left_semi")
+        new_t = new.join(t, on=pk, how="left_semi")
+
+        # the batch as a signed value multiset at the touched keys (state
+        # diff, not event rows — TOAST updates and PK splits are already
+        # folded); one |delta|-sized frame feeds three legs below
+        deltas = (
+            old_t.select(F.col(g), self._val().alias("__v"), F.lit(-1).alias("__s"))
+            .unionByName(
+                new_t.select(F.col(g), self._val().alias("__v"), F.lit(1).alias("__s"))
+            )
+            .localCheckpoint()
+        )
+        net_pairs = (
+            deltas.filter(F.col("__v").isNotNull())
+            .groupBy(g, "__v")
+            .agg(F.sum("__s").cast("long").alias("__dc"))
+            .filter(F.col("__dc") != 0)
+        )
+
+        if m["version"] == 0:
+            # bootstrap: the support of the whole pre-batch state (one-time
+            # full aggregate, like the other maintainers' base bootstrap)
+            base_support = self._full_support(old)
+            bks = None
+        else:
+            bks = self.sstore.buckets_of(self.sspec, net_pairs.select(g, "__v"))
+            # version-anchored read: the COMMITTED support version, pruned
+            # to the net pairs' buckets at path selection
+            base_support = self.sstore.read_version(
+                self.sspec, m["support_version"], buckets=bks
+            )
+        if self.debug_counters:
+            self.last_touched_buckets = None if bks is None else len(bks)
+
+        b = base_support.alias("b")
+        n = net_pairs.alias("n")
+        joined = (
+            b.join(
+                n,
+                F.col(f"b.{g}").eqNullSafe(F.col(f"n.{g}"))
+                & (F.col("b.__v") == F.col("n.__v")),
+                "full_outer",
+            )
+            .select(
+                F.coalesce(F.col(f"b.{g}"), F.col(f"n.{g}")).alias(g),
+                F.coalesce(F.col("b.__v"), F.col("n.__v")).alias("__v"),
+                F.coalesce(F.col("b.__c"), F.lit(0)).cast("long").alias("__c_old"),
+                F.col("n.__dc").alias("__dc"),
+            )
+            .withColumn(
+                "__c_new",
+                (F.col("__c_old") + F.coalesce(F.col("__dc"), F.lit(0))).cast("long"),
+            )
+            # one materialization, two consumers (support rewrite + the
+            # zero-crossing summary patch)
+            .localCheckpoint()
+        )
+        # the complete new state of the touched buckets (untouched
+        # co-resident pairs pass through via the full outer's base side)
+        new_support = joined.filter(F.col("__c_new") > 0).select(
+            F.col(g), F.col("__v"), F.col("__c_new").alias("__c")
+        )
+
+        dn = deltas.groupBy(F.col(g)).agg(F.sum("__s").cast("long").alias("__dn"))
+        dd = (
+            joined.filter(F.col("__dc").isNotNull())
+            .groupBy(F.col(g))
+            .agg(
+                F.sum(
+                    F.when((F.col("__c_old") == 0) & (F.col("__c_new") > 0), 1)
+                    .when((F.col("__c_old") > 0) & (F.col("__c_new") == 0), -1)
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias("__dd")
+            )
+        )
+        x = dn.alias("x")
+        y = dd.alias("y")
+        gd = x.join(
+            y, F.col(f"x.{g}").eqNullSafe(F.col(f"y.{g}")), "full_outer"
+        ).select(
+            F.coalesce(F.col(f"x.{g}"), F.col(f"y.{g}")).alias(g),
+            F.coalesce(F.col("x.__dn"), F.lit(0)).alias("__dn"),
+            F.coalesce(F.col("y.__dd"), F.lit(0)).alias("__dd"),
+        )
+
+        base = (
+            self._full_agg(old)
+            if m["version"] == 0
+            else self.spark.read.parquet(
+                os.path.join(self.view_dir, f"v{m['version']:06d}")
+            )
+        )
+        bb = base.alias("b")
+        nn = gd.alias("n")
+        patched = (
+            bb.join(nn, F.col(f"b.{g}").eqNullSafe(F.col(f"n.{g}")), "full_outer")
+            .select(
+                F.coalesce(F.col(f"b.{g}"), F.col(f"n.{g}")).alias(g),
+                (
+                    F.coalesce(F.col("b.n_rows"), F.lit(0))
+                    + F.coalesce(F.col("n.__dn"), F.lit(0))
+                )
+                .cast("long")
+                .alias("n_rows"),
+                (
+                    F.coalesce(F.col("b.n_distinct"), F.lit(0))
+                    + F.coalesce(F.col("n.__dd"), F.lit(0))
+                )
+                .cast("long")
+                .alias("n_distinct"),
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        return m, patched, v_now, new_support, bks

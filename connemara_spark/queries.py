@@ -1065,6 +1065,99 @@ def cdc_maintained_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "cdc_maintained_distinct_view",
+    """
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               CAST(user_id % 25 AS INTEGER) AS c_nationkey,
+               event_type AS c_mktsegment
+        FROM events
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg
+        ) t WHERE rn = 1
+    ),
+    state AS (
+        SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_nationkey ELSE l.c_nationkey END AS v,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_mktsegment ELSE l.c_mktsegment END AS c_mktsegment
+        FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.c_custkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(DISTINCT v) AS n_distinct
+    FROM state GROUP BY c_mktsegment
+    """,
+    "incrementally-maintained COUNT DISTINCT view over the CDC-fed customer "
+    "state — the textbook NON-DISTRIBUTIVE aggregate (an arriving value may "
+    "or may not be new, a leaving one may or may not be the last of its "
+    "kind): MaintainedDistinctCountView keeps the per-(group, value) support "
+    "multiset in its own nested BucketStore keyed on (group, value) — per "
+    "batch only the buckets the net pairs hash into are read or rewritten "
+    "(copy-on-write manifests carry the rest forward), and the O(groups) "
+    "summary is patched from the support counts' zero crossings; unlike "
+    "MIN/MAX there is NO rescan leg, ever — the support multiset is "
+    "self-maintainable, so every batch is |delta|-bounded by construction; "
+    "the gate checks (n_rows, n_distinct) per segment against a full "
+    "recompute of the folded state",
+)
+def cdc_maintained_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.operators.ivm import MaintainedDistinctCountView
+    from connemara_spark.pipeline import ParquetStore, Replayer
+
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    root = tempfile.mkdtemp(prefix="connemara_distinctview_")
+    spec = TableSpec(
+        database=CUSTOMER_SPEC.database,
+        schema=CUSTOMER_SPEC.schema,
+        table=CUSTOMER_SPEC.table,
+        columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+        pk_cols=list(CUSTOMER_SPEC.pk_cols),
+    )
+    store = ParquetStore(spark, root)
+    store.write(spec, snapshot)
+    cat = EngineCatalog()
+    cat.register(spec)
+    rep = Replayer(spark, cat, store)
+    view = MaintainedDistinctCountView(
+        spark, store, spec,
+        group_col="c_mktsegment", val_col="c_nationkey",
+        val_pg_type="integer", view_dir=f"{root}/view",
+        support_buckets=16,
+    )
+    lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
+    # four batches (the minmax rationale): post-bootstrap deletes must be
+    # able to burn support counts down through zero so BOTH crossing
+    # directions are exercised, not just arrivals
+    step = max((hi - lo) // 4 + 1, 1)
+    try:
+        for b0 in range(lo, hi + 1, step):
+            batch = bronze.filter(
+                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            )
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                summary = rep._batch_summary(parsed)
+                view.before_apply(parsed)
+                rep.apply_batch(batch, events=parsed, summary=summary)
+                view.after_apply()
+            finally:
+                parsed.unpersist()
+        return view.read_view().localCheckpoint()
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _require_local_master(spark: SparkSession) -> None:
     """The jdbc:derby:memory: targets the JDBC-sink queries stand up are
     JVM-local: the staged df.write.jdbc runs ON EXECUTORS, so the database

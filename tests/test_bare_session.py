@@ -51,6 +51,10 @@ RISKY = [
     "cdc_drop_column",
     "doc_weighted_sample",
     "cdc_maintained_topk_view",
+    # r9: the COUNT DISTINCT maintainer's nested support BucketStore
+    # (partial rewrites + zero-crossing summary patch) under the bare
+    # session
+    "cdc_maintained_distinct_view",
 ]
 
 SCRIPT = """

@@ -757,3 +757,239 @@ def test_minmax_and_topk_views_bucket_store_prune_path(spark, tmp_path):
     sr.run_until_drained()
     check()
     assert tk.last_recompute_groups == 1
+
+
+def test_maintained_distinct_count_view_zero_crossings(spark, tmp_path):
+    """COUNT DISTINCT is not self-maintainable from the view row; the
+    support-multiset refinement must keep every batch's (group, n_rows,
+    n_distinct) equal to a full recompute through duplicate values (no
+    crossing), last-of-a-value deletions (crossing down), value swaps,
+    null values/groups, group moves, and group disappearance — with NO
+    rescan leg anywhere (the support multiset is self-maintainable)."""
+    from connemara_spark.operators.ivm import MaintainedDistinctCountView
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+    from connemara_spark.testing import make_event
+
+    cat, spec, store = _agg_spec_setup(spark, tmp_path)
+    view = MaintainedDistinctCountView(
+        spark, store, spec, group_col="grp", val_col="amount",
+        val_pg_type="double precision", view_dir=str(tmp_path / "dcview"),
+        support_buckets=4, debug_counters=True,
+    )
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+        maintainers=[view],
+    )
+
+    def seg(events, name):
+        write_segment(str(tmp_path / "spool"), [dict(e) for e in events], name)
+
+    def check():
+        key = lambda r: tuple(map(str, r))  # null group sorts stably
+        want = sorted(map(tuple, view._full_agg(store.read(spec)).collect()), key=key)
+        got = sorted(map(tuple, view.read_view().collect()), key=key)
+        assert got == want, (got, want)
+        # the support multiset itself must equal a recount of the state
+        want_s = sorted(
+            map(tuple, view._full_support(store.read(spec)).collect()), key=key
+        )
+        got_s = sorted(map(tuple, view.sstore.read(view.sspec).collect()), key=key)
+        assert got_s == want_s, (got_s, want_s)
+
+    # a: 5.0 x2 + 7.0 + NULL -> (4 rows, 2 distinct); b: 5.0 -> (1, 1)
+    seg([make_event(spec, "insert", lsn=1, row={"id": 1, "grp": "a", "amount": 5.0}),
+         make_event(spec, "insert", lsn=2, row={"id": 2, "grp": "a", "amount": 5.0}),
+         make_event(spec, "insert", lsn=3, row={"id": 3, "grp": "a", "amount": 7.0}),
+         make_event(spec, "insert", lsn=4, row={"id": 4, "grp": "b", "amount": 5.0}),
+         make_event(spec, "insert", lsn=5, row={"id": 5, "grp": "a", "amount": None})],
+        "seg-001")
+    sr.run_until_drained()
+    check()
+    row = {r["grp"]: (r["n_rows"], r["n_distinct"]) for r in view.read_view().collect()}
+    assert row["a"] == (4, 2) and row["b"] == (1, 1)
+
+    # delete ONE duplicate 5.0: multiplicity 2 -> 1, distinct UNCHANGED
+    seg([make_event(spec, "delete", lsn=6, old_key={"id": 1})], "seg-002")
+    sr.run_until_drained()
+    check()
+    row = {r["grp"]: (r["n_rows"], r["n_distinct"]) for r in view.read_view().collect()}
+    assert row["a"] == (3, 2)
+
+    # delete the LAST 5.0 in a: crossing down -> distinct 2 -> 1
+    seg([make_event(spec, "delete", lsn=7, old_key={"id": 2})], "seg-003")
+    sr.run_until_drained()
+    check()
+    row = {r["grp"]: (r["n_rows"], r["n_distinct"]) for r in view.read_view().collect()}
+    assert row["a"] == (2, 1)
+
+    # value swap (7.0 -> 9.0: -1 and +1 crossings cancel), a duplicate
+    # arrival at the SAME new value in the same batch (one +1, not two),
+    # and a NULL-group row (merges via the null-safe join)
+    seg([make_event(spec, "update", lsn=8, row={"id": 3, "grp": "a", "amount": 9.0},
+                    old_key={"id": 3}),
+         make_event(spec, "insert", lsn=9, row={"id": 6, "grp": "a", "amount": 9.0}),
+         make_event(spec, "insert", lsn=10, row={"id": 7, "grp": None, "amount": 1.0})],
+        "seg-004")
+    sr.run_until_drained()
+    check()
+    row = {r["grp"]: (r["n_rows"], r["n_distinct"]) for r in view.read_view().collect()}
+    assert row["a"] == (3, 1) and row[None] == (1, 1)
+
+    # group move: b's only row joins a at a value a already has — b's
+    # summary row disappears, a's distinct count is unchanged
+    seg([make_event(spec, "update", lsn=11, row={"id": 4, "grp": "a", "amount": 9.0},
+                    old_key={"id": 4})], "seg-005")
+    sr.run_until_drained()
+    check()
+    row = {r["grp"]: (r["n_rows"], r["n_distinct"]) for r in view.read_view().collect()}
+    assert "b" not in row and row["a"] == (4, 1)
+
+    # empty group a and the null group entirely
+    seg([make_event(spec, "delete", lsn=12, old_key={"id": 3}),
+         make_event(spec, "delete", lsn=13, old_key={"id": 4}),
+         make_event(spec, "delete", lsn=14, old_key={"id": 5}),
+         make_event(spec, "delete", lsn=15, old_key={"id": 6}),
+         make_event(spec, "delete", lsn=16, old_key={"id": 7})],
+        "seg-006")
+    sr.run_until_drained()
+    check()
+    assert view.read_view().count() == 0
+    assert view.sstore.read(view.sspec).count() == 0
+
+
+def test_maintained_distinct_view_retry_after_support_orphan_crash(spark, tmp_path):
+    """The distinct view's extra crash window: the SUPPORT store advanced
+    but the summary/pointer never committed. The retry must re-read the
+    pointer's (base, support) versions, rewrite the same buckets with
+    identical content on top of the orphan manifest, and converge — no
+    double-counted crossings."""
+    from connemara_spark.events import BRONZE_SCHEMA
+    from connemara_spark.operators.ivm import MaintainedDistinctCountView
+    from connemara_spark.pipeline import Replayer
+    from connemara_spark.testing import make_event
+
+    cat, spec, store = _agg_spec_setup(spark, tmp_path)
+    rep = Replayer(spark, cat, store)
+    view = MaintainedDistinctCountView(
+        spark, store, spec, group_col="grp", val_col="amount",
+        val_pg_type="double precision", view_dir=str(tmp_path / "dcview"),
+        support_buckets=4,
+    )
+
+    def bronze(events):
+        return spark.createDataFrame(
+            [tuple(e[f.name] for f in BRONZE_SCHEMA.fields) for e in events],
+            schema=BRONZE_SCHEMA,
+        )
+
+    def run_batch(events):
+        b = bronze(events)
+        parsed = rep.parse_batch(b)
+        view.before_apply(parsed)
+        rep.apply_batch(b, events=parsed)
+        view.after_apply()
+
+    run_batch([
+        make_event(spec, "insert", lsn=1, row={"id": 1, "grp": "a", "amount": 5.0}),
+        make_event(spec, "insert", lsn=2, row={"id": 2, "grp": "a", "amount": 5.0}),
+        make_event(spec, "insert", lsn=3, row={"id": 3, "grp": "b", "amount": 7.0}),
+    ])
+
+    crash = [
+        # deletes the last 7.0 (crossing down) and arrives a new value
+        make_event(spec, "update", lsn=4, row={"id": 3, "grp": "b", "amount": 8.0},
+                   old_key={"id": 3}),
+        make_event(spec, "insert", lsn=5, row={"id": 4, "grp": "a", "amount": 6.0}),
+    ]
+    b = bronze(crash)
+    parsed = rep.parse_batch(b)
+    view.before_apply(parsed)
+    rep.apply_batch(b, events=parsed)
+    # partial after_apply: support written, summary/pointer crash
+    m, _patched, _v_now, new_support, bks = view._patch_frame()
+    assert bks is not None
+    view.sstore.write_partial(view.sspec, new_support, buckets=bks)
+    orphan_sv = view.sstore.current_version(view.sspec.target_name)
+    assert view._meta()["version"] == 1
+    assert view._meta()["support_version"] < orphan_sv
+
+    run_batch(crash)  # restart replays the batch end-to-end
+    got = {r["grp"]: (r["n_rows"], r["n_distinct"]) for r in view.read_view().collect()}
+    assert got == {"a": (3, 2), "b": (1, 1)}
+    want_s = sorted(map(tuple, view._full_support(store.read(spec)).collect()))
+    got_s = sorted(map(tuple, view.sstore.read(view.sspec).collect()))
+    assert got_s == want_s
+
+
+def test_maintained_distinct_view_support_partial_rewrite(spark, tmp_path):
+    """At steady state the support store must rewrite ONLY the buckets the
+    batch's net pairs hash into — every other bucket carries forward in
+    the copy-on-write manifest (the property that makes the view
+    |delta|-bounded when the support multiset is table-sized)."""
+    import json
+    import os
+
+    from connemara_spark.catalog import ColumnSpec, EngineCatalog, TableSpec
+    from connemara_spark.operators.ivm import MaintainedDistinctCountView
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.stores import BucketStore
+    from connemara_spark.streaming import StreamingReplayer
+    from connemara_spark.testing import make_event
+
+    spec = TableSpec(
+        database="db1", schema="public", table="sales",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("grp", "text"),
+                 ColumnSpec("amount", "double precision")],
+        pk_cols=["id"],
+    )
+    cat = EngineCatalog()
+    cat.register(spec)
+    spec = cat.get("db1", "public", "sales")
+    store = BucketStore(spark, str(tmp_path / "silver"), n_buckets=8)
+    view = MaintainedDistinctCountView(
+        spark, store, spec, group_col="grp", val_col="amount",
+        val_pg_type="double precision", view_dir=str(tmp_path / "dcview"),
+        support_buckets=8, debug_counters=True,
+    )
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+        maintainers=[view],
+    )
+
+    def seg(events, name):
+        write_segment(str(tmp_path / "spool"), [dict(e) for e in events], name)
+
+    # bootstrap: 32 rows, 4 groups, values with duplicates across all
+    # support buckets
+    seg([make_event(spec, "insert", lsn=i,
+                    row={"id": i, "grp": f"g{i % 4}", "amount": float(i % 10)})
+         for i in range(1, 33)], "seg-001")
+    sr.run_until_drained()
+
+    # steady batch touching ONE pair's worth of new value
+    seg([make_event(spec, "insert", lsn=33,
+                    row={"id": 100, "grp": "g0", "amount": 555.0})], "seg-002")
+    sr.run_until_drained()
+
+    want = sorted(map(tuple, view._full_agg(store.read(spec)).collect()))
+    got = sorted(map(tuple, view.read_view().collect()))
+    assert got == want, (got, want)
+    assert view.last_touched_buckets == 1
+
+    sv = view.sstore.current_version(view.sspec.target_name)
+    mdir = os.path.join(str(tmp_path / "dcview"), "support",
+                        view.sspec.target_name, f"v{sv:06d}")
+    with open(os.path.join(mdir, "MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    hosts = [v for v in manifest["buckets"].values() if v is not None]
+    rewritten = [v for v in hosts if v == sv]
+    carried = [v for v in hosts if v != sv]
+    assert len(rewritten) == 1, manifest
+    assert carried, manifest  # the untouched buckets carry forward
