@@ -130,3 +130,100 @@ def cms_lookup(
         .groupBy(value_col)
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+def mg_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Pass 1 of exact distributed heavy hitters: one Misra–Gries summary
+    of at most ``k`` counters PER PARTITION (Arrow-batched; the dict folds
+    across the partition's record batches, so state is O(k) regardless of
+    partition size). Emits ``(key, __cnt)`` rows — the counter's surviving
+    lower bound — plus ONE null-key row per partition carrying the
+    partition's total row count, so the caller gets N without a second
+    scan of the input.
+
+    Guarantee (Misra–Gries 1982; mergeable-summaries form, Agarwal et al.
+    2013): a counter only dies by a decrement, and a partition's total
+    decrement is < n_p/(k+1). Hence any key with global frequency
+    > N/(k+1) has, in at least one partition, local frequency
+    > n_p/(k+1) — and therefore SURVIVES that partition's summary. The
+    union of partition summaries is a guaranteed superset of the true
+    heavy hitters at threshold 1/(k+1), at most k·P rows total.
+
+    This is the genuinely-imperative per-partition path (bounded-state
+    stream folding has no DataFrame expression); everything around it
+    stays JVM-side.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+
+    def part(batches):
+        counters: dict = {}
+        total = 0
+        for pdf in batches:
+            s = pdf[key_col]
+            total += int(len(s))
+            for key, c in s.value_counts(dropna=True).items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                # batched MG decrement: subtract the (|C|-k)-th smallest
+                # count from every counter and drop the non-positive —
+                # at least |C|-k counters die, total decrement per row
+                # stays within the classic bound
+                vals = sorted(counters.values())
+                d = vals[len(counters) - k - 1]
+                counters = {kk: v - d for kk, v in counters.items() if v - d > 0}
+        keys = list(counters.keys())
+        yield pd.DataFrame(
+            {key_col: keys + [None], "__cnt": [counters[kk] for kk in keys] + [total]}
+        )
+
+    src = df.select(F.col(key_col).cast("string").alias(key_col)).filter(
+        F.col(key_col).isNotNull()
+    )
+    return src.mapInPandas(part, schema=f"{key_col} string, __cnt long")
+
+
+def exact_heavy_hitters(
+    df: DataFrame, key_col: str, *, num: int, den: int
+) -> DataFrame:
+    """EXACT keys with frequency > N·num/den, in two passes — the
+    100 TB shape for heavy hitters over a key domain too large to
+    groupBy outright (web-scale tokens, URLs, user ids):
+
+    1. ``mg_summaries`` folds each partition into <= ceil(den/num)
+       Misra–Gries counters — the shuffle-free candidate pass whose
+       union provably contains every true heavy hitter (superset, never
+       a miss).
+    2. The candidates (<= k·P keys, broadcastable) semi-join back and
+       ONLY they are exactly counted — the groupBy's key domain is the
+       bounded candidate set, so map-side combine caps the shuffle at
+       |candidates| rows per task instead of the full distinct-key set.
+
+    The comparison is integer-exact (``cnt·den > N·num``) so the result
+    is bit-reproducible in any engine — no float threshold drift. Null
+    keys are excluded (from N and from candidacy). Returns
+    ``(key_col, cnt)``, exact counts, deterministic regardless of
+    partitioning or arrival order (pass 2 never trusts pass 1's counts).
+    """
+    import math
+
+    if num < 1 or den < 1:
+        raise ValueError(f"threshold num/den must be positive (got {num}/{den})")
+    k = math.ceil(den / num)
+    # one tiny frame (<= k rows per partition + 1), two consumers
+    summ = mg_summaries(df, key_col, k).localCheckpoint()
+    n = summ.filter(F.col(key_col).isNull()).agg(
+        F.sum("__cnt").cast("long")
+    ).collect()[0][0] or 0
+    cands = summ.filter(F.col(key_col).isNotNull()).select(key_col).distinct()
+    src = df.select(F.col(key_col).cast("string").alias(key_col)).filter(
+        F.col(key_col).isNotNull()
+    )
+    return (
+        src.join(F.broadcast(cands), key_col, "inner")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * F.lit(int(den)) > F.lit(int(n)) * F.lit(int(num)))
+    )

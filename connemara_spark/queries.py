@@ -7603,6 +7603,48 @@ def corpus_cms_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_heavy_bigrams",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    big AS (
+        SELECT unnest(list_transform(
+                   range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM big)
+    SELECT bigram, COUNT(*) AS cnt
+    FROM big, tot
+    GROUP BY bigram, tot.n
+    HAVING COUNT(*) * 700 > tot.n * 1
+    """,
+    "EXACT heavy hitters (bigrams with frequency > N/700) via the two-pass "
+    "Misra-Gries construction: pass 1 folds each partition into <= 700 MG "
+    "counters (Arrow-batched, O(k) state regardless of partition size) whose "
+    "union PROVABLY contains every true heavy hitter; pass 2 exactly counts "
+    "only the broadcast candidate set, capping the shuffle at |candidates| "
+    "rows per task instead of the full distinct-key domain — the 100 TB "
+    "shape for token/URL/user-id frequency questions; the threshold compare "
+    "is integer-exact (cnt*den > N*num) so the gate is bit-reproducible",
+)
+def corpus_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.sketch import exact_heavy_hitters
+
+    docs = spread(load(spark, sf_dir, "documents")).select("text")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram")
+    )
+    return exact_heavy_hitters(big, "bigram", num=1, den=700)
+
+
+@register(
     "corpus_curation_funnel",
     """
     WITH q AS (

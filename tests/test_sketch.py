@@ -48,3 +48,57 @@ def test_cms_one_sided_and_exact_without_collisions(spark):
     for k, v in exact.items():
         assert got[k] >= v            # one-sided always
         assert got[k] == v            # no collisions at this width
+
+
+def test_exact_heavy_hitters_matches_groupby_any_partitioning(spark):
+    """The two-pass operator must equal the exact groupBy-HAVING answer on
+    skewed data for EVERY partition layout (MG is order/partition
+    sensitive internally; the exact second pass must erase that), with the
+    decrement path genuinely exercised (k << distinct keys)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.sketch import exact_heavy_hitters
+
+    # skew: key "hot" ~30%, "warm" ~12%, 200-key uniform tail
+    rows = (["hot"] * 300 + ["warm"] * 120 + [f"t{i % 200}" for i in range(580)])
+    pdf = pd.DataFrame({"k": rows})
+    num, den = 1, 10  # freq > N/10 -> k = 10 counters vs 202 distinct
+    for parts in (1, 3, 8):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        got = sorted(map(tuple, exact_heavy_hitters(df, "k", num=num, den=den).collect()))
+        n = df.count()
+        want = sorted(
+            map(tuple,
+                df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+                .filter(F.col("cnt") * den > n * num).collect())
+        )
+        assert got == want == [("hot", 300), ("warm", 120)], (parts, got, want)
+
+
+def test_mg_summaries_bounded_and_total(spark):
+    """Each partition emits at most k candidate rows plus exactly one
+    null-key total row; the totals sum to the non-null row count."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.sketch import mg_summaries
+
+    pdf = pd.DataFrame({"k": [f"v{i % 50}" for i in range(1000)] + [None] * 7})
+    df = spark.createDataFrame(pdf).repartition(4)
+    summ = mg_summaries(df, "k", k=5).toPandas()
+    totals = summ[summ["k"].isnull()]
+    cands = summ[summ["k"].notnull()]
+    assert len(totals) == 4
+    assert int(totals["__cnt"].sum()) == 1000  # nulls excluded from N
+    # <= k survivors per partition: global bound is enough to pin here
+    assert len(cands) <= 4 * 5
+
+
+def test_exact_heavy_hitters_empty_and_all_null(spark):
+    from connemara_spark.operators.sketch import exact_heavy_hitters
+
+    empty = spark.createDataFrame([], "k string")
+    assert exact_heavy_hitters(empty, "k", num=1, den=5).count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "k string")
+    assert exact_heavy_hitters(nulls, "k", num=1, den=5).count() == 0
