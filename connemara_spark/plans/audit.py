@@ -151,6 +151,12 @@ HEADLINES = [
         "Column profiler: ONE scan, one aggregation (the multi-distinct Expand lives inside a "
         "single shuffle); typed min/max aggregate first and render after, so no per-column pass.",
     ),
+    (
+        "corpus_heavy_bigrams",
+        "Exact heavy hitters: MG candidate pass is one Arrow stage with O(k) state per partition "
+        "(no shuffle); the exact recount joins the BROADCAST candidate set, so the only shuffle "
+        "is capped at |candidates| rows per task — never the full distinct-key domain.",
+    ),
 ]
 
 INTERESTING = re.compile(
@@ -246,6 +252,15 @@ def main() -> None:
             "re-aggregation is itself bounded — per-group row_number "
             "≤ k+slack BEFORE collect_list, semi-joined to only the "
             "burned-through groups."
+        ),
+        "cdc_maintained_distinct_view/view_patch": (
+            "COUNT DISTINCT kept exact and |delta|-bounded: the signed "
+            "value multiset at the touched keys nets to per-(group, value) "
+            "pair deltas, which full-outer merge with ONLY the touched "
+            "support buckets (the nested BucketStore prunes at path "
+            "selection); the O(groups) summary is patched from the counts' "
+            "zero crossings — no rescan leg exists, the support multiset "
+            "is self-maintainable."
         ),
     }
     print("\n# Multi-batch pipeline queries — per-batch plans\n", file=out)

@@ -179,6 +179,34 @@ def pipeline_batch_frames(spark: SparkSession, sf_dir: str):
         rep.apply_batch(b2, events=parsed2t)
         _, patched_tk, _ = tk._patch_frame()
         frames["cdc_maintained_topk_view/view_patch"] = patched_tk
+
+        # -- distinct-count view: the support-multiset summary patch -------
+        from connemara_spark.operators.ivm import MaintainedDistinctCountView
+
+        root = tempfile.mkdtemp(prefix="connemara_planaudit_d_")
+        roots.append(root)
+        spec = fresh_spec()
+        store = ParquetStore(spark, root)
+        store.write(spec, snapshot)
+        cat = EngineCatalog()
+        cat.register(spec)
+        rep = Replayer(spark, cat, store)
+        dc = MaintainedDistinctCountView(
+            spark, store, spec,
+            group_col="c_mktsegment", val_col="c_nationkey",
+            val_pg_type="integer", view_dir=f"{root}/dcview",
+            support_buckets=16,
+        )
+        parsed1d = rep.parse_batch(b1).persist()
+        dc.before_apply(parsed1d)
+        rep.apply_batch(b1, events=parsed1d)
+        dc.after_apply()
+        parsed1d.unpersist()
+        parsed2d = rep.parse_batch(b2)
+        dc.before_apply(parsed2d)
+        rep.apply_batch(b2, events=parsed2d)
+        _, patched_dc, _, _support_dc, _bks_dc = dc._patch_frame()
+        frames["cdc_maintained_distinct_view/view_patch"] = patched_dc
     except Exception:
         cleanup()
         raise

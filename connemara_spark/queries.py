@@ -3142,6 +3142,80 @@ def doc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_interval_join",
+    """
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+           l.user_id AS user_id, l.ts AS click_ts, r.ts AS purchase_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+    """,
+    "STREAM-STREAM interval join drained to batch parity — the attribution "
+    "shape (purchases within 6h of a click, per user): the events land as "
+    "two TIME-ORDERED segments (the watermark contract an event stream "
+    "actually has), both sides carry 1h watermarks so Spark bounds each "
+    "side's join state to the watermark+gap horizon, and matches spanning "
+    "the microbatch boundary must survive in state — the drained inner-join "
+    "output equals the batch interval join EXACTLY (time-ordered arrival "
+    "means no candidate is ever evicted early), which is what the gate "
+    "hashes; covers streaming/windows.py interval_join_streams (W7's "
+    "stream-stream leg) under the value gate",
+)
+def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from connemara_spark.streaming.windows import interval_join_streams
+
+    # watermarks require TIMESTAMP (LTZ); the session tz is pinned UTC by
+    # load(), so the NTZ->LTZ cast here and the ->NTZ cast on the way out
+    # are value-stable and the gated schema matches the oracle's naive ts
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp_ltz").alias("ts"), "user_id", "event_type"
+    )
+    row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = row["lo"] + (row["hi"] - row["lo"]) / 2
+    root = tempfile.mkdtemp(prefix="connemara_streamij_")
+    try:
+        land = _land_stream_segments(
+            root,
+            [ev.filter(F.col("ts") < F.lit(mid)), ev.filter(F.col("ts") >= F.lit(mid))],
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        joined = interval_join_streams(
+            clicks, purchases, key="user_id",
+            left_ts="click_ts", right_ts="purchase_ts",
+            watermark="1 hour", max_gap="6 hours",
+        ).select(
+            "click_id",
+            "purchase_id",
+            "l.user_id",
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        )
+        drained = _drain_to_table(spark, joined, _os.path.join(root, "ckpt"))
+        return drained.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "doc_token_stats",
     """
     SELECT doc_id,

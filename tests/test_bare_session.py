@@ -55,6 +55,9 @@ RISKY = [
     # (partial rewrites + zero-crossing summary patch) under the bare
     # session
     "cdc_maintained_distinct_view",
+    # r9: stream-stream interval join (watermarked two-sided state) drained
+    # under the bare session
+    "events_stream_interval_join",
 ]
 
 SCRIPT = """

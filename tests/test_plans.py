@@ -417,6 +417,7 @@ def test_pipeline_per_batch_plans_pass_lints(spark, sf_dir):
             "cdc_maintained_agg_view/view_patch",
             "cdc_maintained_minmax_view/view_patch",
             "cdc_maintained_topk_view/view_patch",
+            "cdc_maintained_distinct_view/view_patch",
         }
         # fold frames: exactly ONE parse site. The view patch pins the
         # touched keys against BOTH version reads (two semi-joins), so its
@@ -435,6 +436,9 @@ def test_pipeline_per_batch_plans_pass_lints(spark, sf_dir):
             "cdc_maintained_minmax_view/view_patch": 0,
             # same checkpoint-severed lineage as the minmax patch
             "cdc_maintained_topk_view/view_patch": 0,
+            # the distinct patch checkpoints both its delta multiset and
+            # the support-merge frame — same severed lineage
+            "cdc_maintained_distinct_view/view_patch": 0,
         }
         for name, df in frames.items():
             assert _from_json_count(df) == want_sites[name], (
