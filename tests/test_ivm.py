@@ -993,3 +993,60 @@ def test_maintained_distinct_view_support_partial_rewrite(spark, tmp_path):
     carried = [v for v in hosts if v != sv]
     assert len(rewritten) == 1, manifest
     assert carried, manifest  # the untouched buckets carry forward
+
+
+def test_maintained_distinct_view_support_gc_keeps_view_live(spark, tmp_path):
+    """Support-store retention: gc_support(keep_last=2) must retire old
+    version directories while (a) the current support read, (b) the next
+    batch's version-anchored patch, and (c) refcounted bucket hosts all
+    stay intact — the deployment loop is batches interleaved with GC."""
+    from connemara_spark.events import BRONZE_SCHEMA
+    from connemara_spark.operators.ivm import MaintainedDistinctCountView
+    from connemara_spark.pipeline import Replayer
+    from connemara_spark.testing import make_event
+
+    cat, spec, store = _agg_spec_setup(spark, tmp_path)
+    rep = Replayer(spark, cat, store)
+    view = MaintainedDistinctCountView(
+        spark, store, spec, group_col="grp", val_col="amount",
+        val_pg_type="double precision", view_dir=str(tmp_path / "dcview"),
+        support_buckets=4,
+    )
+
+    def bronze(events):
+        return spark.createDataFrame(
+            [tuple(e[f.name] for f in BRONZE_SCHEMA.fields) for e in events],
+            schema=BRONZE_SCHEMA,
+        )
+
+    def run_batch(events):
+        b = bronze(events)
+        parsed = rep.parse_batch(b)
+        view.before_apply(parsed)
+        rep.apply_batch(b, events=parsed)
+        view.after_apply()
+
+    lsn = 0
+    for batch in range(5):
+        evs = []
+        for j in range(4):
+            lsn += 1
+            evs.append(make_event(
+                spec, "insert", lsn=lsn,
+                row={"id": batch * 10 + j, "grp": f"g{j % 2}",
+                     "amount": float((batch * 7 + j) % 5)},
+            ))
+        run_batch(evs)
+        removed = view.gc_support(keep_last=2)
+        assert view.sstore.current_version(view.sspec.target_name) >= batch + 1, removed
+
+    # view still equals a recompute after five GC'd batches
+    want = sorted(map(tuple, view._full_agg(store.read(spec)).collect()))
+    got = sorted(map(tuple, view.read_view().collect()))
+    assert got == want, (got, want)
+    want_s = sorted(map(tuple, view._full_support(store.read(spec)).collect()))
+    got_s = sorted(map(tuple, view.sstore.read(view.sspec).collect()))
+    assert got_s == want_s
+    # retention actually retired something across five versions
+    versions = view.sstore.versions(view.sspec)
+    assert len(versions) <= 3, versions
