@@ -7690,10 +7690,10 @@ def corpus_cms_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bigram, COUNT(*) AS cnt
     FROM big, tot
     GROUP BY bigram, tot.n
-    HAVING COUNT(*) * 700 > tot.n * 1
+    HAVING COUNT(*) * 900 > tot.n * 1
     """,
-    "EXACT heavy hitters (bigrams with frequency > N/700) via the two-pass "
-    "Misra-Gries construction: pass 1 folds each partition into <= 700 MG "
+    "EXACT heavy hitters (bigrams with frequency > N/900) via the two-pass "
+    "Misra-Gries construction: pass 1 folds each partition into <= 900 MG "
     "counters (Arrow-batched, O(k) state regardless of partition size) whose "
     "union PROVABLY contains every true heavy hitter; pass 2 exactly counts "
     "only the broadcast candidate set, capping the shuffle at |candidates| "
@@ -7715,7 +7715,7 @@ def corpus_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram")
     )
-    return exact_heavy_hitters(big, "bigram", num=1, den=700)
+    return exact_heavy_hitters(big, "bigram", num=1, den=900)
 
 
 @register(
