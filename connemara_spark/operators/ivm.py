@@ -1294,7 +1294,10 @@ class MaintainedTopKView:
 class MaintainedDistinctCountView:
     """Keep a grouped ``(group, n_rows, n_distinct)`` view — COUNT
     DISTINCT, the textbook NON-DISTRIBUTIVE aggregate — materialized
-    incrementally over a CDC-fed table.
+    incrementally over a CDC-fed table (the consolidation store exists so
+    BI queries run against CDC-fed state, `/root/reference/docs/index.rst:9-12`;
+    distinct-count panels are the canonical such query after sums and
+    leaderboards).
 
     COUNT DISTINCT cannot be patched from the view row alone under
     inserts OR deletes (an arriving value may or may not be new; a
