@@ -7719,6 +7719,90 @@ def corpus_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_stream_heavy_bigrams",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    big AS (
+        SELECT unnest(list_transform(
+                   range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM big)
+    SELECT bigram, COUNT(*) AS cnt
+    FROM big, tot
+    GROUP BY bigram, tot.n
+    HAVING COUNT(*) * 900 > tot.n * 1
+    """,
+    "heavy hitters ON INGEST (STREAMING, applyInPandasWithState): the corpus "
+    "lands as two segments; each shard of the bigram stream keeps a "
+    "Misra-Gries summary of <= 900 counters as keyed state (bounded at "
+    "shards*k regardless of stream length — what a groupBy over a "
+    "crawl-scale token stream can never promise) and emits "
+    "its summary under a monotone seq each microbatch (the consumer keeps "
+    "each shard's latest: <= shards*k candidates); hash sharding makes the "
+    "shard-local MG bound apply to GLOBAL frequency, so the latest "
+    "summaries are a guaranteed candidate SUPERSET, "
+    "and the exact batch recount of the broadcast candidates "
+    "filters the extras — the final rows are deterministic for any "
+    "segmentation and equal corpus_heavy_bigrams exactly",
+)
+def doc_stream_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from connemara_spark.streaming.stateful import (
+        heavy_hitters_stream,
+        hh_latest_candidates,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    row = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    mid = (int(row["lo"]) + int(row["hi"])) // 2 + 1
+
+    def bigrams(frame: DataFrame) -> DataFrame:
+        t = F.split("text", " ")
+        return frame.select(t.alias("t")).select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                    F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bigram")
+        )
+
+    root = tempfile.mkdtemp(prefix="connemara_streamhh_")
+    try:
+        land = _land_stream_segments(
+            root,
+            [docs.filter(F.col("doc_id") < mid), docs.filter(F.col("doc_id") >= mid)],
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        cands_stream = heavy_hitters_stream(bigrams(stream), "bigram", num=1, den=900)
+        drained = _drain_to_table(spark, cands_stream, _os.path.join(root, "ckpt"))
+        cands = hh_latest_candidates(drained).select(F.col("k").alias("bigram"))
+        # exact batch recount of ONLY the candidates (threshold compare is
+        # integer-exact, as in sketch.exact_heavy_hitters)
+        big = bigrams(docs)
+        n = big.count()
+        return (
+            big.join(F.broadcast(cands), "bigram", "inner")
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") * F.lit(900) > F.lit(int(n)) * F.lit(1))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "corpus_curation_funnel",
     """
     WITH q AS (

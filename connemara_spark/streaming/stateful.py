@@ -507,3 +507,105 @@ def bottomk_sample_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+HH_SCHEMA = "shard int, k string, seq long"
+_HH_STATE_SCHEMA = "keys array<string>, cnts array<bigint>, seq bigint"
+
+
+def _hh_fn(k_counters: int):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ks, cs, seq = state.get
+            counters = dict(zip(ks, (int(c) for c in cs)))
+            seq = int(seq)
+        else:
+            counters, seq = {}, 0
+        for pdf in pdfs:
+            for kk, c in pdf["k"].value_counts(dropna=True).items():
+                counters[kk] = counters.get(kk, 0) + int(c)
+            if len(counters) > k_counters:
+                # batched Misra-Gries decrement (see sketch.mg_summaries)
+                vals = sorted(counters.values())
+                d = vals[len(counters) - k_counters - 1]
+                counters = {a: v - d for a, v in counters.items() if v - d > 0}
+        seq += 1
+        keys = list(counters.keys())
+        state.update((keys, [int(counters[a]) for a in keys], seq))
+        if keys:
+            yield pd.DataFrame(
+                {
+                    "shard": pd.Series([int(key[0])] * len(keys), dtype="int32"),
+                    "k": pd.Series(keys, dtype=object),
+                    "seq": pd.Series([seq] * len(keys), dtype="int64"),
+                }
+            )
+
+    return fn
+
+
+def heavy_hitters_stream(
+    df: DataFrame,
+    key_col: str,
+    *,
+    num: int,
+    den: int,
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming candidate pass for EXACT heavy hitters over an unbounded
+    stream: per hash shard, a Misra-Gries summary of ``ceil(den/num)``
+    counters lives in keyed streaming state; each microbatch the shard
+    emits its CURRENT summary under a monotone ``seq``, and the consumer
+    keeps each shard's latest emission (``hh_latest_candidates``) — at
+    most ``shards * k`` candidate keys, bounded regardless of stream
+    length or key-domain size (the thing a groupBy over a crawl-scale
+    token stream can never promise).
+
+    Hash sharding sends ALL occurrences of a key to one shard, so the
+    shard-local MG bound applies to the key's GLOBAL frequency: any key
+    with frequency > n_shard/(k+1) >= threshold survives the shard's final
+    summary, making the latest emissions a guaranteed SUPERSET of the true
+    heavy hitters at ``num/den``. An exact batch recount of the broadcast
+    candidates then yields the exact answer — the streaming twin of
+    ``sketch.exact_heavy_hitters``; segmentation can change which EXTRA
+    candidates survive, but the recount filters those, so the final output
+    is deterministic for any partitioning/batching.
+    """
+    import math
+
+    if num < 1 or den < 1:
+        raise ValueError(f"threshold num/den must be positive (got {num}/{den})")
+    k = math.ceil(den / num)
+    return (
+        df.select(
+            F.col(key_col).cast("string").alias("k"),
+            F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(shards))
+            .cast("int")
+            .alias("shard"),
+        )
+        .filter(F.col("k").isNotNull())
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _hh_fn(k),
+            outputStructType=HH_SCHEMA,
+            stateStructType=_HH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def hh_latest_candidates(drained: DataFrame) -> DataFrame:
+    """Each shard's LATEST summary from a drained ``heavy_hitters_stream``
+    emission log: one column ``k``, distinct, <= shards * k rows."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard")
+    return (
+        drained.withColumn("__mx", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("__mx"))
+        .select("k")
+        .distinct()
+    )

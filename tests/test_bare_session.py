@@ -58,6 +58,9 @@ RISKY = [
     # r9: stream-stream interval join (watermarked two-sided state) drained
     # under the bare session
     "events_stream_interval_join",
+    # r9: streaming Misra-Gries candidate pass (array-state serde) + exact
+    # batch recount under the bare session
+    "doc_stream_heavy_bigrams",
 ]
 
 SCRIPT = """

@@ -545,3 +545,73 @@ def test_dedup_family_provider_agnostic_rocksdb(spark, tmp_path):
         return got
 
     assert drain_bk("dflt", None) == drain_bk("rock", ROCKSDB_STATE_PROVIDER)
+
+
+def test_heavy_hitters_stream_candidates_cover_and_recount_exact(spark, tmp_path):
+    """The streaming MG candidate pass must (a) emit a superset of every
+    key whose global frequency exceeds the threshold — across ANY
+    segmentation, with k small enough that evictions/re-entries happen —
+    and (b) the exact recount of the drained candidates must equal the
+    batch groupBy-HAVING answer."""
+    from connemara_spark.streaming.stateful import (
+        heavy_hitters_stream,
+        hh_latest_candidates,
+    )
+
+    # skew: "hot" 30%, "warm" 12%, 150-key uniform tail; threshold 1/10
+    rows = ["hot"] * 300 + ["warm"] * 120 + [f"t{i % 150}" for i in range(580)]
+    schema = T.StructType([T.StructField("w", T.StringType())])
+    land = str(tmp_path / "in")
+    os.makedirs(land)
+
+    def seg(chunk, i):
+        df = spark.createDataFrame([(r,) for r in chunk], schema).coalesce(1)
+        st = str(tmp_path / f"st{i}")
+        df.write.parquet(st)
+        part = glob.glob(os.path.join(st, "part-*.parquet"))[0]
+        dst = os.path.join(land, f"seg-{i:04d}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    # interleave so hot/warm occurrences span all three batches
+    seg(rows[0::3], 0)
+    seg(rows[1::3], 1)
+    seg(rows[2::3], 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        heavy_hitters_stream(stream, "w", num=1, den=10, shards=4)
+        .writeStream.format("memory")
+        .queryName("hh_t1")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    cands = {r["k"] for r in hh_latest_candidates(spark.table("hh_t1")).collect()}
+    spark.catalog.dropTempView("hh_t1")
+
+    batch = spark.createDataFrame([(r,) for r in rows], schema)
+    n = batch.count()
+    want = {
+        (r["w"], r["cnt"])
+        for r in batch.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 10 > n).collect()
+    }
+    assert {w for w, _ in want} <= cands  # guaranteed superset
+    # latest-summary candidates are bounded at shards * k
+    assert len(cands) <= 4 * 10
+    got = {
+        (r["w"], r["cnt"])
+        for r in batch.join(
+            F.broadcast(spark.createDataFrame([(c,) for c in cands], schema)), "w"
+        ).groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 10 > n).collect()
+    }
+    assert got == want == {("hot", 300), ("warm", 120)}
