@@ -159,6 +159,35 @@ def apply_view_delta(old_view: DataFrame, delta: DataFrame) -> DataFrame:
     return old_view.exceptAll(dels).unionByName(inss)
 
 
+def gc_view_versions(view_dir: str, *, keep_last: int = 2) -> list[int]:
+    """Retire old materialized view version directories (``vNNNNNN``) —
+    every maintained view writes one per batch, so an un-GC'd view_dir
+    grows linearly with stream length. Keeps the newest ``keep_last``
+    versions up to and including CURRENT; the patch protocol only ever
+    reads the CURRENT version (its base), so ``keep_last=1`` is already
+    crash-safe — a retried batch re-reads the committed CURRENT, never an
+    older version. Returns the removed version numbers."""
+    import json
+    import os
+    import re
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (CURRENT must survive)")
+    ptr = os.path.join(view_dir, "CURRENT")
+    if not os.path.exists(ptr):
+        return []
+    with open(ptr) as fh:
+        current = json.load(fh)["version"]
+    removed = []
+    for e in sorted(os.listdir(view_dir)):
+        m = re.fullmatch(r"v(\d{6})", e)
+        if m and int(m.group(1)) <= current - keep_last:
+            shutil.rmtree(os.path.join(view_dir, e))
+            removed.append(int(m.group(1)))
+    return removed
+
+
 class MaintainedTwoTableJoinView:
     """Keep an equi-join view over TWO CDC-fed tables materialized and
     CURRENT — the consolidation engine's defining query (cross-source
@@ -271,6 +300,10 @@ class MaintainedTwoTableJoinView:
                     f"maintained two-table join view lost column(s) {missing} "
                     f"of {spec.target_name} to DDL — drop and rebuild the view"
                 )
+
+    def gc_view(self, *, keep_last: int = 2) -> list[int]:
+        """Retire old view version directories (see gc_view_versions)."""
+        return gc_view_versions(self.view_dir, keep_last=keep_last)
 
     def before_apply(self, parsed_events: DataFrame) -> None:
         ta = touched_keys(parsed_events, self.spec_a).select(
@@ -426,6 +459,10 @@ class MaintainedAggView:
                 f"maintained aggregate over {self.spec.target_name} lost "
                 f"column(s) {missing} to DDL — drop and rebuild the view"
             )
+
+    def gc_view(self, *, keep_last: int = 2) -> list[int]:
+        """Retire old view version directories (see gc_view_versions)."""
+        return gc_view_versions(self.view_dir, keep_last=keep_last)
 
     def before_apply(self, parsed_events: DataFrame) -> None:
         # lazy pin (see MaintainedTwoTableJoinView.before_apply): derives
@@ -627,6 +664,10 @@ class MaintainedJoinView:
                 f"column(s) {missing} to DDL — drop and rebuild the view"
             )
 
+    def gc_view(self, *, keep_last: int = 2) -> list[int]:
+        """Retire old view version directories (see gc_view_versions)."""
+        return gc_view_versions(self.view_dir, keep_last=keep_last)
+
     def before_apply(self, parsed_events: DataFrame) -> None:
         self._old = self.store.read(self.spec)  # version-pinned OLD state
         # lazy pin (see MaintainedTwoTableJoinView.before_apply)
@@ -793,6 +834,10 @@ class MaintainedMinMaxView:
                 f"maintained min/max view over {self.spec.target_name} lost "
                 f"column(s) {missing} to DDL — drop and rebuild the view"
             )
+
+    def gc_view(self, *, keep_last: int = 2) -> list[int]:
+        """Retire old view version directories (see gc_view_versions)."""
+        return gc_view_versions(self.view_dir, keep_last=keep_last)
 
     def before_apply(self, parsed_events: DataFrame) -> None:
         self._touched = touched_keys(parsed_events, self.spec)
@@ -1116,6 +1161,10 @@ class MaintainedTopKView:
                 f"column(s) {missing} to DDL — drop and rebuild the view"
             )
 
+    def gc_view(self, *, keep_last: int = 2) -> list[int]:
+        """Retire old view version directories (see gc_view_versions)."""
+        return gc_view_versions(self.view_dir, keep_last=keep_last)
+
     def before_apply(self, parsed_events: DataFrame) -> None:
         self._touched = touched_keys(parsed_events, self.spec)
         self._v_pre = self.store.current_version(self.spec.target_name)
@@ -1425,6 +1474,10 @@ class MaintainedDistinctCountView:
                 f"maintained distinct-count view over {self.spec.target_name} "
                 f"lost column(s) {missing} to DDL — drop and rebuild the view"
             )
+
+    def gc_view(self, *, keep_last: int = 2) -> list[int]:
+        """Retire old view version directories (see gc_view_versions)."""
+        return gc_view_versions(self.view_dir, keep_last=keep_last)
 
     def before_apply(self, parsed_events: DataFrame) -> None:
         self._touched = touched_keys(parsed_events, self.spec)

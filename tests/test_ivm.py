@@ -1050,3 +1050,78 @@ def test_maintained_distinct_view_support_gc_keeps_view_live(spark, tmp_path):
     # retention actually retired something across five versions
     versions = view.sstore.versions(view.sspec)
     assert len(versions) <= 3, versions
+
+
+def test_gc_view_versions_bounds_disk_and_keeps_views_live(spark, tmp_path):
+    """Every maintained view writes one version dir per batch; gc_view must
+    retire old ones while the view read, the NEXT batch's patch (which
+    reads only CURRENT), and crash-retry (re-reads committed CURRENT) all
+    keep working — the deployment loop is batches interleaved with GC."""
+    import os
+    import re
+
+    from connemara_spark.events import BRONZE_SCHEMA
+    from connemara_spark.operators.ivm import MaintainedAggView, MaintainedMinMaxView
+    from connemara_spark.pipeline import Replayer
+    from connemara_spark.testing import make_event
+
+    cat, spec, store = _agg_spec_setup(spark, tmp_path)
+    rep = Replayer(spark, cat, store)
+    agg = MaintainedAggView(
+        spark, store, spec, group_col="grp", sum_col="amount",
+        view_dir=str(tmp_path / "agg"),
+    )
+    mm = MaintainedMinMaxView(
+        spark, store, spec, group_col="grp", val_col="amount",
+        view_dir=str(tmp_path / "mm"),
+    )
+
+    def bronze(events):
+        return spark.createDataFrame(
+            [tuple(e[f.name] for f in BRONZE_SCHEMA.fields) for e in events],
+            schema=BRONZE_SCHEMA,
+        )
+
+    def run_batch(events):
+        b = bronze(events)
+        parsed = rep.parse_batch(b)
+        for v in (agg, mm):
+            v.before_apply(parsed)
+        rep.apply_batch(b, events=parsed)
+        for v in (agg, mm):
+            v.after_apply()
+
+    lsn = 0
+    for batch in range(4):
+        evs = []
+        for j in range(3):
+            lsn += 1
+            evs.append(make_event(
+                spec, "insert", lsn=lsn,
+                row={"id": batch * 10 + j, "grp": f"g{j % 2}",
+                     "amount": float(batch + j)},
+            ))
+        run_batch(evs)
+        agg.gc_view(keep_last=2)
+        mm.gc_view(keep_last=1)
+
+    def vdirs(d):
+        return sorted(
+            e for e in os.listdir(d) if re.fullmatch(r"v\d{6}", e)
+        )
+
+    assert vdirs(str(tmp_path / "agg")) == ["v000003", "v000004"]
+    assert vdirs(str(tmp_path / "mm")) == ["v000004"]
+
+    # views still equal a full recompute, and another batch still applies
+    for v in (agg, mm):
+        want = sorted(map(tuple, v._full_agg(store.read(spec)).collect()))
+        got = sorted(map(tuple, v.read_view().collect()))
+        assert got == want, (got, want)
+    lsn += 1
+    run_batch([make_event(spec, "insert", lsn=lsn,
+                          row={"id": 99, "grp": "g0", "amount": 42.0})])
+    for v in (agg, mm):
+        want = sorted(map(tuple, v._full_agg(store.read(spec)).collect()))
+        got = sorted(map(tuple, v.read_view().collect()))
+        assert got == want, (got, want)
