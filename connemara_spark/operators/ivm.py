@@ -181,7 +181,10 @@ def gc_view_versions(view_dir: str, *, keep_last: int = 2) -> list[int]:
         current = json.load(fh)["version"]
     removed = []
     for e in sorted(os.listdir(view_dir)):
-        m = re.fullmatch(r"v(\d{6})", e)
+        # {6,} not {6}: versions are written f"v{v:06d}", which grows to 7+
+        # digits past 1,000,000 — an exactly-6 match would silently stop
+        # retiring them right when a long-lived stream needs GC most
+        m = re.fullmatch(r"v(\d{6,})", e)
         if m and int(m.group(1)) <= current - keep_last:
             shutil.rmtree(os.path.join(view_dir, e))
             removed.append(int(m.group(1)))
@@ -1492,9 +1495,16 @@ class MaintainedDistinctCountView:
         # replays against the versions the pointer still records
         if bks is None:
             self.sstore.write(self.sspec, new_support)
+            sv = self.sstore.current_version(self.sspec.target_name)
+        elif not bks:
+            # no net support change (bks == []): write_partial would commit
+            # a content-identical manifest, churning support versions and
+            # forcing more frequent gc_support for nothing — carry the
+            # pointer's existing support version forward instead
+            sv = m["support_version"]
         else:
             self.sstore.write_partial(self.sspec, new_support, buckets=bks)
-        sv = self.sstore.current_version(self.sspec.target_name)
+            sv = self.sstore.current_version(self.sspec.target_name)
         v = m["version"] + 1
         patched.write.mode("overwrite").parquet(
             os.path.join(self.view_dir, f"v{v:06d}")

@@ -875,8 +875,7 @@ def cdc_maintained_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     state AS (
         SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
-               CAST(CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END
-                    AS DECIMAL(12,2)) AS v,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS v,
                CASE WHEN l.c_custkey IS NULL THEN c.c_mktsegment ELSE l.c_mktsegment END AS c_mktsegment
         FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.c_custkey
         WHERE COALESCE(l.op, '') <> 'delete'
@@ -901,7 +900,14 @@ def cdc_maintained_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-aggregated — from the current state restricted to exactly those "
     "groups (broadcast semi join), never a view rescan; the gate checks all "
     "six columns (n_rows, both extrema AND both multiplicities) against a "
-    "full recompute of the folded state",
+    "full recompute of the folded state. The gate compares the RAW double "
+    "(val_type='double'): a DECIMAL(12,2) gate is engine-divergent on "
+    "near-tie shortest reprs (Spark casts via the shortest decimal string, "
+    "DuckDB rounds at ~15 significant digits — e.g. 1.7249999999999999 -> "
+    "1.72 vs 1.73, reproduced on adversarial data; the r9 driver red row), "
+    "and decimal collapse would also merge distinct doubles into one "
+    "multiplicity bucket. The decimal-typed view path stays pinned in "
+    "tests/test_ivm.py where both sides share one engine.",
 )
 def cdc_maintained_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -929,7 +935,9 @@ def cdc_maintained_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = MaintainedMinMaxView(
         spark, store, spec,
         group_col="c_mktsegment", val_col="c_acctbal",
-        val_type="decimal(12,2)", view_dir=f"{root}/view",
+        # raw double, NOT decimal(12,2): see the registry docstring — the
+        # decimal cast of a double is engine-divergent on near-tie reprs
+        val_type="double", view_dir=f"{root}/view",
         # debug_counters stays OFF here: the per-batch rescan count is a
         # pytest concern (test_ivm pins when the leg fires) and its
         # .count() would add one driver job per batch to the bench cost
@@ -977,8 +985,7 @@ def cdc_maintained_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     state AS (
         SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
-               CAST(CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END
-                    AS DECIMAL(12,2)) AS v,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS v,
                CASE WHEN l.c_custkey IS NULL THEN c.c_mktsegment ELSE l.c_mktsegment END AS c_mktsegment
         FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.c_custkey
         WHERE COALESCE(l.op, '') <> 'delete'
@@ -999,7 +1006,12 @@ def cdc_maintained_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "only, and ONLY a group whose buffer burns below min(k, n_rows) is "
     "re-aggregated (broadcast semi join + per-group window bounded at "
     "k+slack rows out); the exploded (group, rank, pk, value) rows are "
-    "gated against a full ROW_NUMBER recompute of the folded state",
+    "gated against a full ROW_NUMBER recompute of the folded state. The "
+    "gate ranks the RAW double (val_type='double'): a DECIMAL(12,2) gate "
+    "is engine-divergent on near-tie shortest reprs (see the minmax view "
+    "docstring; the r9 driver red row), and decimal collapse would turn "
+    "distinct doubles into rank ties broken differently per engine. The "
+    "decimal-typed buffer path stays pinned in tests/test_ivm.py.",
 )
 def cdc_maintained_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -1027,7 +1039,9 @@ def cdc_maintained_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = MaintainedTopKView(
         spark, store, spec,
         group_col="c_mktsegment", val_col="c_acctbal",
-        k=5, slack=5, val_type="decimal(12,2)", view_dir=f"{root}/view",
+        # raw double, NOT decimal(12,2): see the registry docstring — the
+        # decimal cast of a double is engine-divergent on near-tie reprs
+        k=5, slack=5, val_type="double", view_dir=f"{root}/view",
     )
     lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
     # four batches (the minmax rationale): post-bootstrap deletes must be

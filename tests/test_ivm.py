@@ -1052,6 +1052,70 @@ def test_maintained_distinct_view_support_gc_keeps_view_live(spark, tmp_path):
     assert len(versions) <= 3, versions
 
 
+def test_maintained_distinct_view_noop_batch_skips_support_write(spark, tmp_path):
+    """A batch whose state diff nets ZERO support change (e.g. an update
+    rewriting a row to identical values) must NOT commit a new support
+    version: write_partial with bks == [] would commit a content-identical
+    manifest, churning versions and forcing more frequent gc_support. The
+    pointer instead carries the existing support_version forward."""
+    from connemara_spark.events import BRONZE_SCHEMA
+    from connemara_spark.operators.ivm import MaintainedDistinctCountView
+    from connemara_spark.pipeline import Replayer
+    from connemara_spark.testing import make_event
+
+    cat, spec, store = _agg_spec_setup(spark, tmp_path)
+    rep = Replayer(spark, cat, store)
+    view = MaintainedDistinctCountView(
+        spark, store, spec, group_col="grp", val_col="amount",
+        val_pg_type="double precision", view_dir=str(tmp_path / "dcview"),
+        support_buckets=4,
+    )
+
+    def bronze(events):
+        return spark.createDataFrame(
+            [tuple(e[f.name] for f in BRONZE_SCHEMA.fields) for e in events],
+            schema=BRONZE_SCHEMA,
+        )
+
+    def run_batch(events):
+        b = bronze(events)
+        parsed = rep.parse_batch(b)
+        view.before_apply(parsed)
+        rep.apply_batch(b, events=parsed)
+        view.after_apply()
+
+    run_batch([
+        make_event(spec, "insert", lsn=1, row={"id": 1, "grp": "a", "amount": 5.0}),
+        make_event(spec, "insert", lsn=2, row={"id": 2, "grp": "b", "amount": 7.0}),
+    ])
+    sv0 = view._meta()["support_version"]
+    store_versions0 = len(view.sstore.versions(view.sspec))
+
+    # identity update: old state == new state at the key -> empty net pairs
+    run_batch([
+        make_event(spec, "update", lsn=3,
+                   row={"id": 1, "grp": "a", "amount": 5.0}, old_key={"id": 1}),
+    ])
+    m = view._meta()
+    assert m["support_version"] == sv0
+    assert len(view.sstore.versions(view.sspec)) == store_versions0
+    # ...but the summary view DID advance (new version, same content)
+    assert m["version"] == 2
+
+    # and a real change afterwards still commits support normally
+    run_batch([
+        make_event(spec, "update", lsn=4,
+                   row={"id": 1, "grp": "a", "amount": 9.0}, old_key={"id": 1}),
+    ])
+    assert view._meta()["support_version"] > sv0
+    want = sorted(map(tuple, view._full_agg(store.read(spec)).collect()))
+    got = sorted(map(tuple, view.read_view().collect()))
+    assert got == want, (got, want)
+    want_s = sorted(map(tuple, view._full_support(store.read(spec)).collect()))
+    got_s = sorted(map(tuple, view.sstore.read(view.sspec).collect()))
+    assert got_s == want_s
+
+
 def test_gc_view_versions_bounds_disk_and_keeps_views_live(spark, tmp_path):
     """Every maintained view writes one version dir per batch; gc_view must
     retire old ones while the view read, the NEXT batch's patch (which
@@ -1107,7 +1171,7 @@ def test_gc_view_versions_bounds_disk_and_keeps_views_live(spark, tmp_path):
 
     def vdirs(d):
         return sorted(
-            e for e in os.listdir(d) if re.fullmatch(r"v\d{6}", e)
+            e for e in os.listdir(d) if re.fullmatch(r"v\d{6,}", e)
         )
 
     assert vdirs(str(tmp_path / "agg")) == ["v000003", "v000004"]
@@ -1125,3 +1189,26 @@ def test_gc_view_versions_bounds_disk_and_keeps_views_live(spark, tmp_path):
         want = sorted(map(tuple, v._full_agg(store.read(spec)).collect()))
         got = sorted(map(tuple, v.read_view().collect()))
         assert got == want, (got, want)
+
+
+def test_gc_view_versions_retires_seven_digit_dirs(tmp_path):
+    """f"v{v:06d}" grows past six digits at version 1,000,000 — GC must
+    keep retiring those (an exactly-{6} regex would silently stop right
+    when a long-lived stream needs the bound most)."""
+    import json
+    import os
+
+    from connemara_spark.operators.ivm import gc_view_versions
+
+    d = tmp_path / "view"
+    os.makedirs(d)
+    for v in (999_998, 999_999, 1_000_000, 1_000_001):
+        os.makedirs(d / f"v{v:06d}")
+    with open(d / "CURRENT", "w") as fh:
+        json.dump({"version": 1_000_001, "store_version": 7}, fh)
+
+    removed = gc_view_versions(str(d), keep_last=2)
+    assert removed == [999_998, 999_999]
+    assert sorted(e for e in os.listdir(d) if e != "CURRENT") == [
+        "v1000000", "v1000001"
+    ]
