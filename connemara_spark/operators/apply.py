@@ -731,6 +731,7 @@ def incremental_group_agg(
     group_col: str,
     sum_col: str,
     sum_type: str = "decimal(12,2)",
+    sum_expr=None,
 ) -> DataFrame:
     """Maintain a ``(group, n_rows, total)`` aggregate under CDC WITHOUT
     rescanning the base table: each touched key contributes -old/+new to its
@@ -744,7 +745,13 @@ def incremental_group_agg(
     Groups whose row count reaches 0 are dropped (never retained as
     zero-rows ghosts). Cost: the delta is O(touched keys); the merge join
     touches only affected groups.
+
+    ``sum_expr`` (optional ``Column -> Column``) transforms the raw value
+    column before the cast — e.g. ``functions.money.grid_dec`` so a
+    double-sourced money sum is grid-exact (the base aggregate must apply
+    the same transform).
     """
+    f = sum_expr if sum_expr is not None else (lambda c: c)
     # ONE pass over the delta: each row explodes into its -old and/or +new
     # contribution. The earlier minus/plus self-UNION referenced ``delta``
     # twice, and delta is typically an (expensive) diff-join frame — both
@@ -754,7 +761,7 @@ def incremental_group_agg(
         F.struct(
             F.col(f"old_vals.{group_col}").alias("g"),
             F.lit(-1).cast("long").alias("dn"),
-            (-F.col(f"old_vals.{sum_col}").cast(sum_type)).alias("dt"),
+            (-f(F.col(f"old_vals.{sum_col}")).cast(sum_type)).alias("dt"),
         ),
     )
     plus_c = F.when(
@@ -762,7 +769,7 @@ def incremental_group_agg(
         F.struct(
             F.col(f"new_vals.{group_col}").alias("g"),
             F.lit(1).cast("long").alias("dn"),
-            F.col(f"new_vals.{sum_col}").cast(sum_type).alias("dt"),
+            f(F.col(f"new_vals.{sum_col}")).cast(sum_type).alias("dt"),
         ),
     )
     net = (
@@ -793,16 +800,20 @@ def group_agg_net(
     map-side-combined groupBy nets them. Callers that already hold the
     old and new states restricted to the touched keys (the maintained-view
     patch) save the per-key full-outer join — two shuffle exchanges of
-    touched-key rows — per batch."""
+    touched-key rows — per batch.
+
+    ``sum_col`` may be any SQL expression over the row (not just a column
+    name) — e.g. a grid-exact money normalization — evaluated identically
+    on both the old and new side."""
     o = old_rows.select(
         F.col(group_col).alias("g"),
         F.lit(-1).cast("long").alias("dn"),
-        (-F.col(sum_col).cast(sum_type)).alias("dt"),
+        (-F.expr(sum_col).cast(sum_type)).alias("dt"),
     )
     n = new_rows.select(
         F.col(group_col).alias("g"),
         F.lit(1).cast("long").alias("dn"),
-        F.col(sum_col).cast(sum_type).alias("dt"),
+        F.expr(sum_col).cast(sum_type).alias("dt"),
     )
     return (
         o.unionByName(n)

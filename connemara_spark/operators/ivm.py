@@ -403,6 +403,7 @@ class MaintainedAggView:
         group_col: str,
         sum_col: str,
         sum_type: str = "decimal(12,2)",
+        sum_expr: str | None = None,
         view_dir: str,
     ):
         import os
@@ -412,6 +413,10 @@ class MaintainedAggView:
         self.spec = spec
         self.group_col = group_col
         self.sum_col = sum_col
+        # optional SQL expression summed INSTEAD of the bare column (e.g. a
+        # grid-exact money normalization); sum_col stays the DDL-tracked
+        # dependency for check_schema
+        self.sum_expr = sum_expr or sum_col
         self.sum_type = sum_type
         self.view_dir = view_dir
         os.makedirs(view_dir, exist_ok=True)
@@ -441,7 +446,7 @@ class MaintainedAggView:
     def _full_agg(self, state: DataFrame) -> DataFrame:
         return state.groupBy(self.group_col).agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col(self.sum_col).cast(self.sum_type))
+            F.sum(F.expr(self.sum_expr).cast(self.sum_type))
             .cast(self.sum_type)
             .alias("total"),
         )
@@ -540,7 +545,7 @@ class MaintainedAggView:
         # touched-key rows from every patch (r8; EXPLAIN.md view_patch).
         net = group_agg_net(
             old_t, new_t,
-            group_col=self.group_col, sum_col=self.sum_col, sum_type=self.sum_type,
+            group_col=self.group_col, sum_col=self.sum_expr, sum_type=self.sum_type,
         )
         base = (
             self._full_agg(old)

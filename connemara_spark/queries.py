@@ -94,7 +94,28 @@ def _ranked_topk(top: DataFrame, score_col: str, id_col: str, out: str = "rk") -
 
 
 def _dec(c: str, t: str = DEC_PRICE) -> F.Column:
-    return F.col(c).cast(t)
+    """Grid-exact money decimal: snap the double onto the 10^-scale grid
+    with FLOOR(x*10^s + 0.5) — pure IEEE ops (multiply, add, floor) that
+    are bit-identical in Spark and DuckDB — THEN cast, which is exact for
+    an on-grid double. A direct double->DECIMAL cast is engine-DIVERGENT
+    on near-tie shortest reprs: Spark rounds the shortest decimal string
+    HALF_UP while DuckDB rounds at ~15 significant digits, so
+    1.7249999999999999 casts to 1.72 vs 1.73 (reproduced: 48/400
+    adversarial values; the r9 driver red rows). Oracle twin:
+    CAST(CAST(FLOOR(x * 10^s + 0.5) AS DOUBLE) / 10^s AS DECIMAL(p,s)).
+    Current driver testdata is entirely on-grid (<= 2-decimal shortest
+    reprs), where this is value-identical to the plain cast — the grid
+    only engages on adversarial regenerations."""
+    from connemara_spark.functions.money import grid_dec
+
+    return grid_dec(c, t)
+
+
+def _dec_sql(expr: str, t: str = "DECIMAL(12,2)") -> str:
+    """The oracle-side twin of ``_dec`` (see its docstring)."""
+    from connemara_spark.functions.money import grid_dec_sql
+
+    return grid_dec_sql(expr, t)
 
 
 @dataclass
@@ -152,10 +173,10 @@ def register(
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2))) * (1 + CAST(CAST(FLOOR(l_tax * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -183,7 +204,7 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -219,7 +240,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
                   JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -260,7 +281,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_SURFACE_Q6 = """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+    SELECT CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -269,7 +290,7 @@ _SQL_SURFACE_Q6 = """
 
 _SQL_SURFACE_Q5 = """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
                   JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -316,7 +337,7 @@ register(
 @register(
     "q6_forecast_revenue",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+    SELECT CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -345,7 +366,7 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c_custkey, c_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
            c_acctbal, n_name
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -389,7 +410,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT c_mktsegment, o_orderkey, o_totalprice,
                row_number() OVER (PARTITION BY c_mktsegment
-                                  ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey) AS rn
+                                  ORDER BY CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) DESC, o_orderkey) AS rn
         FROM orders JOIN customer ON o_custkey = c_custkey
     ) t WHERE rn <= 3
     """,
@@ -789,7 +810,7 @@ def cdc_rebucket_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE COALESCE(l.op, '') <> 'delete'
     )
     SELECT c_mktsegment, COUNT(*) AS n_rows,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS total
+           CAST(SUM(CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS total
     FROM state GROUP BY c_mktsegment
     """,
     "incrementally-maintained grouped aggregate over the CDC-fed customer state "
@@ -826,6 +847,11 @@ def cdc_maintained_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = MaintainedAggView(
         spark, store, spec,
         group_col="c_mktsegment", sum_col="c_acctbal",
+        # grid-exact money normalization (the _dec twin — see its
+        # docstring): a bare double->DECIMAL cast is engine-divergent on
+        # near-tie reprs, which would poison the value gate on regenerated
+        # adversarial data
+        sum_expr="cast(cast(floor(c_acctbal * 100 + 0.5) as double) / 100 as decimal(12,2))",
         sum_type="decimal(12,2)", view_dir=f"{root}/view",
     )
     lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
@@ -2600,7 +2626,7 @@ def cdc_changefeed_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE COALESCE(l.op, '') <> 'delete'
     )
     SELECT c_mktsegment, COUNT(*) AS n_rows,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+           CAST(SUM(CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
     FROM state GROUP BY c_mktsegment
     """,
     "incremental materialized-rollup maintenance: the per-segment aggregate is "
@@ -2617,8 +2643,12 @@ def cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("c_acctbal")).alias("total"),
     )
     delta = apply_delta(snapshot, parse_events(bronze), CUSTOMER_SPEC)
+    from connemara_spark.functions.money import grid_dec
+
     out = incremental_group_agg(
-        base_agg, delta, group_col="c_mktsegment", sum_col="c_acctbal"
+        base_agg, delta, group_col="c_mktsegment", sum_col="c_acctbal",
+        # grid-exact money (matches base_agg's _dec): see _dec's docstring
+        sum_expr=grid_dec,
     )
     return out.select(
         "c_mktsegment",
@@ -2846,7 +2876,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(CAST(FLOOR(value * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, sid
     """,
     "NATIVE session windows (F.session_window) as a batch backfill — the same "
@@ -2871,7 +2901,7 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVENTS_CTE + """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(CAST(FLOOR(value * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM ev
     GROUP BY 1, event_type
     """,
@@ -4394,8 +4424,10 @@ def _profile_oracle() -> str:
     for c, t in _PROFILE_COLS:
         mn, mx = f"MIN({c})", f"MAX({c})"
         if t == "double":
-            mn = f"CAST(MIN({c}) AS DECIMAL(18,2))"
-            mx = f"CAST(MAX({c}) AS DECIMAL(18,2))"
+            # grid-exact render (see _dec): a bare double->DECIMAL cast
+            # diverges cross-engine on near-tie shortest reprs
+            mn = _dec_sql(f"MIN({c})", "DECIMAL(18,2)")
+            mx = _dec_sql(f"MAX({c})", "DECIMAL(18,2)")
         parts.append(
             f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
             f"COUNT(*) - COUNT({c}) AS n_nulls, "
@@ -4432,7 +4464,9 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c, t in _PROFILE_COLS:
         mn, mx = F.col(f"{c}__min"), F.col(f"{c}__max")
         if t == "double":
-            mn, mx = mn.cast("decimal(18,2)"), mx.cast("decimal(18,2)")
+            from connemara_spark.functions.money import grid_dec
+
+            mn, mx = grid_dec(mn, "decimal(18,2)"), grid_dec(mx, "decimal(18,2)")
         entries.append(
             F.struct(
                 F.lit(c).alias("col_name"),
@@ -5043,9 +5077,9 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     """
     SELECT 100.00 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 THEN CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))
                  ELSE 0 END) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           / CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))) AS DOUBLE)
            AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
@@ -5075,12 +5109,12 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume_orders",
     """
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+           CAST(SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 100
+        HAVING SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) > 100
     )
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     ORDER BY o_totalprice DESC, o_orderkey
@@ -5112,7 +5146,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    SELECT CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 30)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 40)
@@ -5145,10 +5179,10 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_nationkey,
            COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+           CAST(SUM(CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (
-        SELECT AVG(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer WHERE c_acctbal > 0
+        SELECT AVG(CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) FROM customer WHERE c_acctbal > 0
     )
     AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY c_nationkey
@@ -6855,7 +6889,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
            CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
            CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (event_type = 'purchase') AS DOUBLE)
+           CAST(SUM(CAST(CAST(FLOOR(value * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) FILTER (event_type = 'purchase') AS DOUBLE)
                AS purchase_value
     FROM ev GROUP BY user_id
     """,
@@ -6918,7 +6952,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
-               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS amount
+               CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2))) AS amount
         FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
                       JOIN orders ON o_orderkey = l_orderkey
                       JOIN customer ON c_custkey = o_custkey
@@ -6961,7 +6995,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name AS nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
     FROM (
         SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
-               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS amount
+               CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2))) AS amount
         FROM part JOIN lineitem ON p_partkey = l_partkey
                   JOIN supplier ON s_suppkey = l_suppkey
                   JOIN orders ON o_orderkey = l_orderkey
@@ -6993,11 +7027,11 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_parts",
     """
     SELECT l_partkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS part_value
+           CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))) AS DOUBLE) AS part_value
     FROM lineitem
     GROUP BY l_partkey
-    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-           > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) * 0.001 FROM lineitem)
+    HAVING CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))) AS DOUBLE)
+           > (SELECT CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))) AS DOUBLE) * 0.001 FROM lineitem)
     """,
     "share-of-total HAVING with a global scalar subquery (TPC-H q11 shape)",
 )
@@ -7076,7 +7110,7 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
         SELECT l_suppkey,
-               SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+               SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))) AS total_rev
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
         GROUP BY l_suppkey
@@ -7132,10 +7166,10 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH avgq AS (
         SELECT l_partkey AS a_partkey,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+               CAST(SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+    SELECT CAST(CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
            COUNT(*) AS n_items
     FROM lineitem JOIN part ON p_partkey = l_partkey
                   JOIN avgq ON a_partkey = l_partkey
@@ -7171,7 +7205,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_name LIKE 'red%'
           AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         GROUP BY l_suppkey, l_partkey
-        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 50
+        HAVING SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) > 50
     )
     """,
     "semi join on a grouped-HAVING subquery (TPC-H q20 shape)",
@@ -7530,7 +7564,7 @@ def embedding_retrieval_precision(spark: SparkSession, sf_dir: str) -> DataFrame
     {EVENTS_CTE},
     b AS (
         SELECT user_id, date_trunc('hour', ts) AS bucket, COUNT(*) AS n_events,
-               SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+               SUM(CAST(CAST(FLOOR(value * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS sum_value
         FROM ev GROUP BY 1, 2
     ),
     s AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM b GROUP BY 1),
@@ -7897,9 +7931,9 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     {EVENTS_CTE},
     r AS (
-        SELECT event_id, user_id, ts, CAST(value AS DECIMAL(12,2)) AS v,
-               SUM(CAST(value AS DECIMAL(12,2))) OVER w AS s1,
-               SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) OVER w AS s2,
+        SELECT event_id, user_id, ts, CAST(CAST(FLOOR(value * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) AS v,
+               SUM(CAST(CAST(FLOOR(value * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) OVER w AS s1,
+               SUM(CAST(CAST(FLOOR(value * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * CAST(CAST(FLOOR(value * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) OVER w AS s2,
                COUNT(*) OVER w AS n
         FROM ev
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -8311,7 +8345,7 @@ def _state_checksum(repr_col: F.Column) -> F.Column:
     ),
     cs AS (
         SELECT COUNT(*) AS customer_rows,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS customer_balance_total,
+               CAST(SUM(CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS DOUBLE) AS customer_balance_total,
                CAST(SUM(CAST(CAST('0x' || substr(md5(
                         CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
                         CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment), 1, 15)
@@ -8320,7 +8354,7 @@ def _state_checksum(repr_col: F.Column) -> F.Column:
     ),
     asum AS (
         SELECT COUNT(*) AS account_rows,
-               CAST(SUM(CAST(a_balance AS DECIMAL(12,2))) AS DOUBLE) AS account_balance_total,
+               CAST(SUM(CAST(CAST(FLOOR(a_balance * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS DOUBLE) AS account_balance_total,
                CAST(SUM(CAST(CAST('0x' || substr(md5(
                         CAST(a_userkey AS VARCHAR) || '|' || a_last_type), 1, 15)
                     AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS account_checksum
@@ -8752,7 +8786,7 @@ def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
                CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
-               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS vol
+               CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2))) AS vol
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              JOIN customer ON o_custkey = c_custkey
              JOIN supplier ON l_suppkey = s_suppkey
@@ -8811,7 +8845,7 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
                ns.n_name AS supp_nation,
-               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS vol
+               CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2))) AS vol
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              JOIN customer ON o_custkey = c_custkey
              JOIN nation nc ON c_nationkey = nc.n_nationkey
@@ -8876,7 +8910,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT ns.n_name AS nation,
                CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
-               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS profit
+               CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2))) AS profit
         FROM lineitem JOIN part ON l_partkey = p_partkey
              JOIN supplier ON l_suppkey = s_suppkey
              JOIN orders ON l_orderkey = o_orderkey
@@ -8921,9 +8955,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT
       CAST(SUM(CASE WHEN p_type = 'PROMO'
-                    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    THEN CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))
                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+      CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
       COUNT(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -8986,9 +9020,9 @@ def q16_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name, o_orderkey, o_totalprice,
            CAST(qty.sum_qty AS DOUBLE) AS sum_qty
     FROM (
-        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+        SELECT l_orderkey, SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS sum_qty
         FROM lineitem GROUP BY l_orderkey
-        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200
+        HAVING SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) > 200
     ) qty
     JOIN orders ON o_orderkey = qty.l_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -9022,7 +9056,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_bracket_revenue",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+    SELECT CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (1 - CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
@@ -9105,10 +9139,10 @@ def q21_exclusive_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     "q22_idle_rich_customers",
     """
     SELECT c_mktsegment, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+           CAST(SUM(CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
     FROM customer
-    WHERE CAST(c_acctbal AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
-          > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer WHERE c_acctbal > 0)
+    WHERE CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2)) * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT SUM(CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
