@@ -1123,6 +1123,7 @@ def train_books_offline(
     iters: int = 12,
     seed: int = 3,
     ids_mod: tuple[int, int] | None = None,
+    absolute: bool = False,
 ) -> list[list[list[float]]]:
     """Spark-free replica of ``pq_train_codebooks`` over
     ``{sf_dir}/embeddings.parquet`` (pyarrow + hashlib + the shared Lloyd's
@@ -1133,16 +1134,42 @@ def train_books_offline(
     ``ids_mod=(mod, rem)`` restricts training to ids with ``id % mod ==
     rem`` — the oracle twin of a STREAMING bootstrap that trained on its
     first micro-batch only (the rest of the corpus arrived later and was
-    coded with frozen books). Memoized per (sf_dir, params): training is
-    an offline index-build step, not per-query work."""
+    coded with frozen books). ``absolute`` trains over the elementwise
+    |vector| corpus (the skewed all-positive set the trained-centroid gate
+    uses). Memoized per (sf_dir, params): training is an offline
+    index-build step, not per-query work."""
+    import numpy as np
+
+    key = (os.path.normpath(sf_dir), dim, m, k_cb, sample_n, iters, seed, ids_mod, absolute)
+    if key in _OFFLINE_BOOKS:
+        return _OFFLINE_BOOKS[key]
+    X = _offline_sample(
+        sf_dir, id_col=id_col, vec_col=vec_col, sample_n=sample_n,
+        seed=seed, ids_mod=ids_mod, absolute=absolute,
+    )
+    books = _lloyd_books(X, dim=dim, m=m, k_cb=k_cb, iters=iters, seed=seed)
+    _OFFLINE_BOOKS[key] = books
+    return books
+
+
+def _offline_sample(
+    sf_dir: str,
+    *,
+    id_col: str,
+    vec_col: str,
+    sample_n: int,
+    seed: int,
+    ids_mod: tuple[int, int] | None,
+    absolute: bool,
+):
+    """The shared Spark-free sampling discipline: md5(seed|id)-ordered
+    bounded sample over ``{sf_dir}/embeddings.parquet`` — bit-identical to
+    the DataFrame trainers' ``orderBy(md5, id).limit(n).collect()``."""
     import hashlib
 
     import numpy as np
     import pyarrow.parquet as pq
 
-    key = (os.path.normpath(sf_dir), dim, m, k_cb, sample_n, iters, seed, ids_mod)
-    if key in _OFFLINE_BOOKS:
-        return _OFFLINE_BOOKS[key]
     tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=[id_col, vec_col])
     ids = tbl[id_col].to_pylist()
     vecs = tbl[vec_col].to_pylist()
@@ -1156,9 +1183,52 @@ def train_books_offline(
         key=lambda i: (hashlib.md5(f"{seed}|{ids[i]}".encode()).hexdigest(), ids[i]),
     )[:sample_n]
     X = np.array([vecs[i] for i in order], dtype=np.float64)
-    books = _lloyd_books(X, dim=dim, m=m, k_cb=k_cb, iters=iters, seed=seed)
-    _OFFLINE_BOOKS[key] = books
-    return books
+    return np.abs(X) if absolute else X
+
+
+_OFFLINE_CENTROIDS: dict[tuple, list[list[float]]] = {}
+
+
+def train_centroids_offline(
+    sf_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 32,
+    sample_n: int = 20000,
+    iters: int = 12,
+    seed: int = 3,
+    absolute: bool = False,
+) -> list[list[float]]:
+    """Spark-free replica of ``build_ann_index(centroid_mode="trained")``'s
+    SPHERICAL coarse-centroid trainer (annindex.py): same md5-ordered
+    sample, rows unit-normalized, one full-dimension Lloyd's run
+    (``_lloyd_books`` with m=1, k_cb=n_cells), means re-normalized and
+    rounded to the float32 grid. Exists so the trained-centroid ANN gate
+    can render data-trained centroids as DuckDB literals — a green row is
+    then a cross-implementation claim over the whole trainer, exactly the
+    ``train_books_offline`` pattern."""
+    import numpy as np
+
+    key = (os.path.normpath(sf_dir), dim, n_cells, sample_n, iters, seed, absolute)
+    if key in _OFFLINE_CENTROIDS:
+        return _OFFLINE_CENTROIDS[key]
+    X = _offline_sample(
+        sf_dir, id_col=id_col, vec_col=vec_col, sample_n=sample_n,
+        seed=seed, ids_mod=None, absolute=absolute,
+    )
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    means = np.array(
+        _lloyd_books(X / norms, dim=dim, m=1, k_cb=n_cells, iters=iters, seed=seed)[0],
+        dtype=np.float64,
+    )
+    mn = np.linalg.norm(means, axis=1, keepdims=True)
+    mn[mn == 0.0] = 1.0
+    cents = (means / mn).astype(np.float32).astype(np.float64).tolist()
+    _OFFLINE_CENTROIDS[key] = cents
+    return cents
 
 
 def ivfpq_topk(

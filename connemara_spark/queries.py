@@ -6593,6 +6593,126 @@ def embedding_ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk_indexed(emb, index_dir, k=10, n_probe=4, rerank=50)
 
 
+def _ann_trained_centroid_oracle(sf_dir: str) -> str:
+    """DuckDB oracle for the TRAINED-CENTROID index: the ``_ivfpq_trained_
+    oracle`` pipeline with (a) the corpus skewed all-positive (elementwise
+    |x| — the distribution where the seeded literal grid collapses the
+    inverted lists, annindex.build_ann_index docstring) and (b) the coarse
+    centroids rendered from ``train_centroids_offline`` — the Spark-free
+    spherical-k-means replica — instead of the literal grid. A green row
+    certifies the whole trained read path: sample discipline, spherical
+    trainer, META round-trip, probe assignment, ADC shortlist, exact
+    rerank."""
+    dim, k, n_cells, n_probe, m, rerank = 64, 10, 32, 4, 8, 50
+    from connemara_spark.operators.similarity import (
+        ivf_lit_dot_sql, pq_tables_sql, train_books_offline, train_centroids_offline,
+    )
+
+    books = train_books_offline(sf_dir, k_cb=16, absolute=True)
+    cents = train_centroids_offline(
+        sf_dir, dim=dim, n_cells=n_cells, seed=ANN_INDEX_PARAMS["train_seed"],
+        absolute=True,
+    )
+    tables = pq_tables_sql(books, "embedding[{i}]", one_based=True, arr_fmt="[{}]")
+    dls_cols = ", ".join(f"{t} AS l{j}" for j, t in enumerate(tables))
+    code_cols = ", ".join(
+        f"list_position(l{j}, list_min(l{j})) - 1 AS c{j}" for j in range(m)
+    )
+    adc_chain = " + ".join(f"q.l{j}[i.c{j} + 1]" for j in range(m))
+    cell_unions = " UNION ALL ".join(
+        f"SELECT vec_id, {c} AS cell, ({ivf_lit_dot_sql(cents[c], 'embedding[{i}]')}) AS d FROM e"
+        for c in range(n_cells)
+    )
+    dot_chain = " + ".join(
+        f"CAST(q.embedding[{i + 1}] AS DOUBLE) * CAST(n.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> abs(x)) AS embedding
+        FROM embeddings
+    ),
+    dls AS (SELECT vec_id, {dls_cols} FROM e),
+    codes AS (SELECT vec_id, {code_cols} FROM dls),
+    dots AS ({cell_unions}),
+    ranked_cells AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell DESC) AS cr
+        FROM dots
+    ),
+    idx AS (SELECT vec_id AS neighbor_id, cell FROM ranked_cells WHERE cr = 1),
+    probes AS (SELECT vec_id AS query_id, cell FROM ranked_cells WHERE cr <= {n_probe}),
+    cand AS (
+        SELECT DISTINCT query_id, neighbor_id
+        FROM probes JOIN idx USING (cell)
+        WHERE query_id <> neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, ROUND({adc_chain}, 6) AS adc_dist
+        FROM cand JOIN dls q ON q.vec_id = query_id
+                  JOIN codes i ON i.vec_id = neighbor_id
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS r
+            FROM scored) s
+        WHERE r <= {max(rerank, k)}
+    ),
+    reranked AS (
+        SELECT query_id, neighbor_id, ({dot_chain}) AS cosine
+        FROM shortlist JOIN e q ON q.vec_id = query_id
+                       JOIN e n ON n.vec_id = neighbor_id
+    ),
+    final AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM reranked
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM final WHERE rank <= {k}
+    """
+
+
+@register(
+    "embedding_ann_trained_centroids",
+    None,
+    "the TRAINED-spherical-centroid IVF-PQ index under the value-hash gate, on a "
+    "deliberately SKEWED (all-positive, elementwise |x|) corpus — the distribution "
+    "where literal-grid centroids collapse the inverted lists (measured 110x on the "
+    "read path, SCALE.md r9): build with centroid_mode='trained' (unit-normalized "
+    "Lloyd's over the md5 sample, means re-normalized, persisted in META), then "
+    "top-k readback through the persisted index; the oracle recomputes the ENTIRE "
+    "pipeline from an independent Spark-free trainer rendered as literals",
+    oracle_fn=_ann_trained_centroid_oracle,
+)
+def embedding_ann_trained_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from connemara_spark.operators.annindex import build_ann_index, ivfpq_topk_indexed
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.abs(x)).alias("embedding"),
+    )
+    root = tempfile.mkdtemp(prefix="connemara_anntrained_")
+    try:
+        index_dir = os.path.join(root, "index")
+        # fresh build per invocation: this entry's bench time is the honest
+        # trained-build + read cost (the lit-centroid read path is the
+        # persisted-index _ensure_index entry)
+        build_ann_index(
+            emb, index_dir, centroid_mode="trained",
+            source_path=os.path.join(sf_dir, "embeddings.parquet"),
+            **ANN_INDEX_PARAMS,
+        )
+        return ivfpq_topk_indexed(
+            emb, index_dir, k=10, n_probe=4, rerank=50
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _subspace_balance_oracle(sf_dir: str, *, dim: int = 64, m: int = 8) -> str:
     """Spark-free replica (pyarrow + pure python) of the variance-balanced
     layout: same fixed-point scores, same serpentine deal — rendered as a
