@@ -280,6 +280,20 @@ class MaintainedTwoTableJoinView:
         self.key_b = key_b
         self.view_cols = view_cols
         self.view_dir = view_dir
+        # The projection contract, PINNED at construction. check_schema must
+        # compare the catalog against what this view was BUILT to project —
+        # the spec objects themselves are the catalog's live entries, which
+        # EngineCatalog.rename_column mutates in place, so deriving the
+        # needed set from spec.columns at check time can never see a rename
+        # (the staleness check would silently pass and the next patch would
+        # fail or null-fill). Caught by the cdc_two_source_ddl_join_view
+        # gate.
+        self._need_a = frozenset(spec_a.pk_cols) | {
+            c for c in view_cols if c in cols_a
+        }
+        self._need_b = frozenset(spec_b.pk_cols) | {
+            c for c in view_cols if c in cols_b
+        }
         os.makedirs(view_dir, exist_ok=True)
         self._touched = None
 
@@ -313,12 +327,13 @@ class MaintainedTwoTableJoinView:
         return self.spark.read.parquet(os.path.join(self.view_dir, f"v{v:06d}"))
 
     def check_schema(self, catalog) -> None:
-        """Fail loudly when DDL removed a column this view projects from
-        either table (see MaintainedAggView.check_schema)."""
-        for spec in (self.spec_a, self.spec_b):
+        """Fail loudly when DDL removed OR RENAMED a column this view
+        projects from either table. The needed sets were pinned at
+        construction (``_need_a``/``_need_b``) — deriving them from the
+        spec objects here would race the catalog's in-place evolution and
+        miss every rename (see __init__)."""
+        for spec, need in ((self.spec_a, self._need_a), (self.spec_b, self._need_b)):
             cur = catalog.get(spec.database, spec.schema, spec.table)
-            mine = {c.name for c in spec.columns}
-            need = set(spec.pk_cols) | {c for c in self.view_cols if c in mine}
             missing = sorted(need - set(cur.column_names))
             if missing:
                 raise RuntimeError(
@@ -659,6 +674,11 @@ class MaintainedJoinView:
         self.key_b = key_b
         self.view_cols = view_cols
         self.view_dir = view_dir
+        # pinned projection contract (see MaintainedTwoTableJoinView.__init__:
+        # the catalog mutates spec.columns in place on rename, so the needed
+        # set must be snapshotted at construction for check_schema to see it)
+        mine = {c.name for c in spec.columns}
+        self._need = frozenset(spec.pk_cols) | {c for c in view_cols if c in mine}
         os.makedirs(view_dir, exist_ok=True)
         self._old = None
         self._touched = None
@@ -692,12 +712,11 @@ class MaintainedJoinView:
         )
 
     def check_schema(self, catalog) -> None:
-        """Fail loudly when DDL removed a column this view projects from
-        its table (see MaintainedAggView.check_schema)."""
+        """Fail loudly when DDL removed OR RENAMED a column this view
+        projects from its table (needed set pinned at construction — see
+        MaintainedTwoTableJoinView.check_schema)."""
         cur = catalog.get(self.spec.database, self.spec.schema, self.spec.table)
-        mine = {c.name for c in self.spec.columns}
-        need = set(self.spec.pk_cols) | {c for c in self.view_cols if c in mine}
-        missing = sorted(need - set(cur.column_names))
+        missing = sorted(self._need - set(cur.column_names))
         if missing:
             raise RuntimeError(
                 f"maintained join view over {self.spec.target_name} lost "

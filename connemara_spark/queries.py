@@ -1729,6 +1729,227 @@ def cdc_two_source_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_TWO_SOURCE_DDL_JOIN_ORACLE = """
+    WITH cchg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               'cdc#' || CAST(event_id AS VARCHAR) AS c_name,
+               CAST(user_id % 25 AS INTEGER) AS c_nationkey,
+               value AS c_acctbal,
+               event_type AS c_segment
+        FROM events WHERE event_id % 2 = 0
+    ),
+    clast AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM cchg
+        ) t WHERE rn = 1
+    ),
+    cstate AS (
+        SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_name ELSE l.c_name END AS c_name,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_nationkey ELSE l.c_nationkey END AS c_nationkey,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS c_acctbal,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_mktsegment ELSE l.c_segment END AS c_segment
+        FROM customer c FULL OUTER JOIN clast l ON c.c_custkey = l.c_custkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    ),
+    ochg AS (
+        SELECT CAST((user_id * 17 + event_id % 100) % 300 + 1 AS BIGINT) AS o_orderkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               CAST(user_id % 200 + 1 AS BIGINT) AS o_custkey,
+               event_type AS o_orderstatus,
+               value AS o_totalprice
+        FROM events WHERE event_id % 2 = 1
+    ),
+    olast AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY event_id DESC) AS rn
+            FROM ochg
+        ) t WHERE rn = 1
+    ),
+    ostate AS (
+        SELECT COALESCE(l.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE WHEN l.o_orderkey IS NULL THEN o.o_custkey ELSE l.o_custkey END AS o_custkey,
+               CASE WHEN l.o_orderkey IS NULL THEN o.o_orderstatus ELSE l.o_orderstatus END AS o_orderstatus,
+               CASE WHEN l.o_orderkey IS NULL THEN o.o_totalprice ELSE l.o_totalprice END AS o_totalprice
+        FROM orders o FULL OUTER JOIN olast l ON o.o_orderkey = l.o_orderkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_segment,
+           o.o_custkey, o.o_orderstatus, o.o_totalprice
+    FROM cstate c JOIN ostate o ON c.c_custkey = o.o_orderkey
+"""
+
+
+@register(
+    "cdc_two_source_ddl_join_view",
+    _TWO_SOURCE_DDL_JOIN_ORACLE,
+    "destructive DDL MEETS the cross-source maintained join — the real BI "
+    "consolidation failure mode: while db1.customer and db2.orders both feed "
+    "the maintained join view, an ALTER TABLE RENAME COLUMN on db1 (renaming "
+    "a column the view PROJECTS) rides a live batch. The DDL barrier cuts "
+    "the batch, catalog + silver store evolve, and the next check_schema "
+    "(the StreamingReplayer post-DDL staleness contract, streaming/driver.py) "
+    "fails LOUDLY instead of null-filling the view; the query then performs "
+    "the documented remediation — drop and rebuild the view against the "
+    "evolved spec — and a FOURTH batch patches the REBUILT view "
+    "incrementally to prove maintenance resumed. Oracle = full recompute of "
+    "the cross-source join from both per-table folds, segment values "
+    "surviving the rename under the new name",
+)
+def cdc_two_source_ddl_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+    import json as _json
+    import shutil
+    import tempfile
+
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.operators.ivm import MaintainedTwoTableJoinView
+    from connemara_spark.pipeline import ParquetStore, Replayer
+
+    cust_snap = load(spark, sf_dir, "customer")
+    ord_snap = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    lo, hi = _event_lsn_bounds(spark, sf_dir)
+    rename_from = lo + (hi - lo) // 2
+    rename_from += rename_from % 2  # even: keeps ddl_lsn off both lsn grids
+    # customer (db1): even event_ids at lsn = 2*event_id (lsn % 4 == 0),
+    # payloads switch to the post-ALTER column name at rename_from;
+    # orders (db2): odd event_ids relocated to lsn = 2*event_id + 1 so both
+    # streams interleave across every batch boundary. The DDL event sits at
+    # 2*rename_from - 2 (lsn % 4 == 2) — a slot neither stream occupies.
+    cust_bronze = _renaming_customer_bronze(spark, sf_dir, rename_from).filter(
+        F.col("lsn_start") % 4 == 0
+    )
+    ord_bronze = _orders_cdc_bronze(
+        spark, sf_dir, database="db2", slot="slot_db2"
+    ).withColumn("lsn_start", F.col("lsn_start") * 2 + 1)
+    bronze = cust_bronze.unionByName(ord_bronze).persist()
+    ddl_lsn = 2 * rename_from - 2
+    ts = _dt.datetime(2024, 6, 1)
+    ddl_row = spark.createDataFrame(
+        [
+            (
+                ts, "db1", "slot_db1", ddl_lsn, ddl_lsn + 1000, ts,
+                _json.dumps(
+                    {
+                        "kind": "insert",
+                        "schema": "public",
+                        "table": "sql_ddl_statements",
+                        "columnnames": ["id", "current_query", "search_path", "command_tags"],
+                        "columnvalues": [
+                            str(ddl_lsn),
+                            "ALTER TABLE public.customer RENAME COLUMN "
+                            "c_mktsegment TO c_segment",
+                            '"$user", public',
+                            "{DDL}",
+                        ],
+                    }
+                ),
+            )
+        ],
+        schema=bronze.schema,
+    )
+    root = tempfile.mkdtemp(prefix="connemara_twosrc_ddl_")
+    try:
+        spec_a = TableSpec(
+            database="db1", schema="public", table="customer",
+            columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+            pk_cols=["c_custkey"],
+        )
+        spec_b = TableSpec(
+            database="db2", schema="public", table="orders",
+            columns=[ColumnSpec(c.name, c.pg_type) for c in ORDERS_CDC_SPEC.columns],
+            pk_cols=["o_orderkey"],
+        )
+        store = ParquetStore(spark, root)
+        store.write(spec_a, cust_snap)
+        store.write(spec_b, ord_snap)
+        cat = EngineCatalog()
+        cat.register(spec_a)
+        cat.register(spec_b)
+        rep = Replayer(
+            spark, cat, store,
+            allowed_slots=[("db1", "slot_db1"), ("db2", "slot_db2")],
+        )
+        view = MaintainedTwoTableJoinView(
+            spark, store, spec_a, spec_b,
+            key_a="c_custkey", key_b="o_orderkey",
+            view_cols=[
+                "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+                "o_custkey", "o_orderstatus", "o_totalprice",
+            ],
+            view_dir=f"{root}/view",
+        )
+        hi_lsn = 2 * hi + 1
+        mid2 = ddl_lsn + max((hi_lsn - ddl_lsn) // 2, 1)
+        batches = [
+            # two pre-DDL batches so the view is genuinely maintained (not
+            # bootstrap-only) before the DDL hits it
+            bronze.filter(F.col("lsn_start") < ddl_lsn // 2),
+            bronze.filter(
+                (F.col("lsn_start") >= ddl_lsn // 2) & (F.col("lsn_start") < ddl_lsn)
+            ),
+            # the DDL rides a batch that also carries post-DDL DML from
+            # BOTH sources (payloads already under the new column name)
+            bronze.filter(
+                (F.col("lsn_start") > ddl_lsn) & (F.col("lsn_start") <= mid2)
+            ).unionByName(ddl_row),
+            bronze.filter(F.col("lsn_start") > mid2),
+        ]
+        stale_seen = False
+        for batch in batches:
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                summary = rep._batch_summary(parsed)
+                view.before_apply(parsed)
+                metrics = rep.apply_batch(batch, events=parsed, summary=summary)
+                if getattr(metrics, "ddl_executed", 0):
+                    # the StreamingReplayer contract: verify view columns
+                    # survived the DDL BEFORE patching
+                    try:
+                        view.check_schema(cat)
+                    except RuntimeError:
+                        stale_seen = True
+                        # documented remediation: drop and rebuild against
+                        # the evolved spec — the rebuilt view bootstraps
+                        # from current store state on its next batch
+                        evolved = cat.get("db1", "public", "customer")
+                        assert [c.name for c in evolved.columns][-1] == "c_segment"
+                        view = MaintainedTwoTableJoinView(
+                            spark, store, evolved, spec_b,
+                            key_a="c_custkey", key_b="o_orderkey",
+                            view_cols=[
+                                "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                                "c_segment",
+                                "o_custkey", "o_orderstatus", "o_totalprice",
+                            ],
+                            view_dir=f"{root}/view2",
+                        )
+                        continue  # the broken view is never patched
+                view.after_apply()
+            finally:
+                parsed.unpersist()
+        if not stale_seen:
+            raise RuntimeError(
+                "the rename must trip check_schema's staleness contract"
+            )
+        # the final batch patched the REBUILT view incrementally (version 1)
+        if view._current() != 1:
+            raise RuntimeError(
+                f"rebuilt view should have exactly one patched version, got "
+                f"{view._current()}"
+            )
+        return view.read_view().localCheckpoint()
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _evolving_customer_bronze(
     spark: SparkSession, sf_dir: str, note_from: int
 ) -> DataFrame:
