@@ -35,6 +35,22 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    # Anchor guard: a run launched into a co-tenant busy cycle produces
+    # numbers that must not silently clobber a committed low-ambient
+    # BENCH_FULL.json (this lost the r9 anchor). The run still executes and
+    # prints (the driver needs its JSON line), but it is ANNOTATED as
+    # contaminated and diverted to BENCH_FULL_CONTAMINATED.json whenever the
+    # committed map is cleaner.
+    max_launch_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    launch_load = _loadavg()
+    contaminated = launch_load > max_launch_load
+    if contaminated:
+        print(
+            f"# WARNING: launch load_1m {launch_load:.2f} > {max_launch_load:.2f} — "
+            "run will be marked contaminated (set SPARK_GRAFT_BENCH_MAX_LOAD to tune)",
+            file=sys.stderr,
+        )
+
     from connemara_spark.queries import REGISTRY
     from connemara_spark.session import get_spark
 
@@ -143,6 +159,8 @@ def main() -> None:
         ),
         "load_1m_mean": round(sum(all_loads) / len(all_loads), 2) if all_loads else -1,
         "load_1m_max": round(max(all_loads), 2) if all_loads else -1,
+        "load_1m_at_launch": round(launch_load, 2),
+        "contaminated": contaminated,
     }
     if prev_queries:
         new = sorted(set(times) - prev_queries)
@@ -193,12 +211,32 @@ def main() -> None:
     #      per-query entries greedily packed slowest-first until the size
     #      budget, with queries_omitted counting the fast remainder.
     print(json.dumps(payload))
+    here = os.path.dirname(__file__) or "."
+    full_path = os.path.join(here, "BENCH_FULL.json")
+    if contaminated:
+        # never clobber a cleaner committed anchor with a loaded run
+        prev_clean = False
+        try:
+            with open(full_path) as fh:
+                prev = json.load(fh)
+            prev_clean = not prev.get("contaminated", False) and (
+                prev.get("load_1m_max", 99) <= max_launch_load * 2
+            )
+        except Exception:
+            pass
+        if prev_clean:
+            full_path = os.path.join(here, "BENCH_FULL_CONTAMINATED.json")
+            print(
+                "# contaminated run: keeping existing BENCH_FULL.json anchor, "
+                "writing BENCH_FULL_CONTAMINATED.json instead",
+                file=sys.stderr,
+            )
     try:
-        with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_FULL.json"), "w") as fh:
+        with open(full_path, "w") as fh:
             json.dump({**payload, "detail": detail}, fh)
             fh.write("\n")
     except OSError as exc:
-        print(f"# BENCH_FULL.json write failed: {exc}", file=sys.stderr)
+        print(f"# {full_path} write failed: {exc}", file=sys.stderr)
 
     budget = 1850
     compact = {k: v for k, v in payload.items() if k not in ("queries", "new_queries")}
