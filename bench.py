@@ -160,8 +160,15 @@ def main() -> None:
         "load_1m_mean": round(sum(all_loads) / len(all_loads), 2) if all_loads else -1,
         "load_1m_max": round(max(all_loads), 2) if all_loads else -1,
         "load_1m_at_launch": round(launch_load, 2),
-        "contaminated": contaminated,
     }
+    # a quiet launch doesn't immunize the run: the co-tenant cycles in
+    # ~7-minute bursts, so judge contamination on the measured per-rep
+    # loads too (mean says the burst dominated the run, not one rep)
+    contaminated = contaminated or (
+        payload["load_1m_max"] > 4 * max_launch_load
+        or payload["load_1m_mean"] > 1.5 * max_launch_load
+    )
+    payload["contaminated"] = contaminated
     if prev_queries:
         new = sorted(set(times) - prev_queries)
         payload["new_queries"] = new

@@ -366,8 +366,9 @@ class MaintainedTwoTableJoinView:
         with _static_patch_plan(self.spark):
             self._after_apply_impl()
 
-    def _after_apply_impl(self) -> None:
-        import json
+    def _patch_frame(self):
+        """Build (current version, patched view frame) WITHOUT committing —
+        ``_after_apply_impl`` writes it; plan audits explain it."""
         import os
 
         v0 = self._current()
@@ -399,7 +400,13 @@ class MaintainedTwoTableJoinView:
             else self.spark.read.parquet(os.path.join(self.view_dir, f"v{v0:06d}"))
         )
         kept = base.join(t, base[self.key_a] == t["__k"], "left_anti")
-        patched = kept.unionByName(repl)
+        return v0, kept.unionByName(repl)
+
+    def _after_apply_impl(self) -> None:
+        import json
+        import os
+
+        v0, patched = self._patch_frame()
         v = v0 + 1
         patched.write.mode("overwrite").parquet(
             os.path.join(self.view_dir, f"v{v:06d}")

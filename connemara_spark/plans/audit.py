@@ -262,6 +262,16 @@ def main() -> None:
             "zero crossings — no rescan leg exists, the support multiset "
             "is self-maintainable."
         ),
+        "cdc_two_source_join_view/view_patch": (
+            "Cross-source replacement patch (the consolidation headline's "
+            "steady state): the union of both sides' touched join keys "
+            "BROADCASTS into three legs — both new-state reads (bucket-"
+            "pruned at path selection on the BucketStore) semi-join to it, "
+            "their re-join replaces exactly those view rows, and the base "
+            "view anti-joins the same broadcast to keep everything else. "
+            "Work is O(touched keys) on every leg; neither source table is "
+            "rescanned."
+        ),
     }
     print("\n# Multi-batch pipeline queries — per-batch plans\n", file=out)
     print(

@@ -207,6 +207,69 @@ def pipeline_batch_frames(spark: SparkSession, sf_dir: str):
         rep.apply_batch(b2, events=parsed2d)
         _, patched_dc, _, _support_dc, _bks_dc = dc._patch_frame()
         frames["cdc_maintained_distinct_view/view_patch"] = patched_dc
+
+        # -- two-source join view: the cross-source replacement patch ------
+        from connemara_spark.operators.ivm import MaintainedTwoTableJoinView
+        from connemara_spark.queries import ORDERS_CDC_SPEC, _orders_cdc_bronze
+
+        root = tempfile.mkdtemp(prefix="connemara_planaudit_2s_")
+        roots.append(root)
+        spec_a = TableSpec(
+            database="db1", schema="public", table="customer",
+            columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+            pk_cols=["c_custkey"],
+        )
+        spec_b = TableSpec(
+            database="db2", schema="public", table="orders",
+            columns=[ColumnSpec(c.name, c.pg_type) for c in ORDERS_CDC_SPEC.columns],
+            pk_cols=["o_orderkey"],
+        )
+        store2 = BucketStore(spark, root, n_buckets=32)
+        store2.write(spec_a, snapshot)
+        store2.write(
+            spec_b,
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            ),
+        )
+        cat = EngineCatalog()
+        cat.register(spec_a)
+        cat.register(spec_b)
+        rep2 = Replayer(
+            spark, cat, store2,
+            allowed_slots=[("db1", "slot_db1"), ("db2", "slot_db2")],
+        )
+        bronze2 = (
+            bronze.filter(F.col("lsn_start") % 2 == 0)
+            .unionByName(
+                _orders_cdc_bronze(spark, sf_dir, database="db2", slot="slot_db2")
+            )
+        )
+        b1_2 = bronze2.filter(
+            (F.col("lsn_start") >= lo) & (F.col("lsn_start") < lo + step)
+        )
+        b2_2 = bronze2.filter(
+            (F.col("lsn_start") >= lo + step) & (F.col("lsn_start") < lo + 2 * step)
+        )
+        view2 = MaintainedTwoTableJoinView(
+            spark, store2, spec_a, spec_b,
+            key_a="c_custkey", key_b="o_orderkey",
+            view_cols=[
+                "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+                "o_custkey", "o_orderstatus", "o_totalprice",
+            ],
+            view_dir=f"{root}/view",
+        )
+        parsed1_2 = rep2.parse_batch(b1_2).persist()
+        view2.before_apply(parsed1_2)
+        rep2.apply_batch(b1_2, events=parsed1_2)
+        view2.after_apply()
+        parsed1_2.unpersist()
+        parsed2_2 = rep2.parse_batch(b2_2)
+        view2.before_apply(parsed2_2)
+        rep2.apply_batch(b2_2, events=parsed2_2)
+        _, patched_2s = view2._patch_frame()
+        frames["cdc_two_source_join_view/view_patch"] = patched_2s
     except Exception:
         cleanup()
         raise

@@ -517,23 +517,32 @@ def _hh_fn(k_counters: int):
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # counters as ONE pandas Series (vectorized index-aligned add +
+        # np.partition trim — same math as the former dict fold, no
+        # per-key Python loop; see sketch.mg_summaries)
         if state.exists:
             ks, cs, seq = state.get
-            counters = dict(zip(ks, (int(c) for c in cs)))
+            counters = pd.Series([int(c) for c in cs], index=list(ks), dtype="int64")
             seq = int(seq)
         else:
-            counters, seq = {}, 0
+            counters, seq = pd.Series(dtype="int64"), 0
         for pdf in pdfs:
-            for kk, c in pdf["k"].value_counts(dropna=True).items():
-                counters[kk] = counters.get(kk, 0) + int(c)
+            vc = pdf["k"].value_counts(dropna=True)
+            counters = vc.astype("int64") if counters.empty else counters.add(
+                vc, fill_value=0
+            ).astype("int64")
             if len(counters) > k_counters:
                 # batched Misra-Gries decrement (see sketch.mg_summaries)
-                vals = sorted(counters.values())
-                d = vals[len(counters) - k_counters - 1]
-                counters = {a: v - d for a, v in counters.items() if v - d > 0}
+                vals = counters.to_numpy()
+                d = np.partition(vals, len(vals) - k_counters - 1)[
+                    len(vals) - k_counters - 1
+                ]
+                counters = counters[counters > d] - int(d)
         seq += 1
-        keys = list(counters.keys())
-        state.update((keys, [int(counters[a]) for a in keys], seq))
+        keys = counters.index.tolist()
+        state.update((keys, [int(c) for c in counters.to_numpy()], seq))
         if keys:
             yield pd.DataFrame(
                 {

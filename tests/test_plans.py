@@ -418,6 +418,7 @@ def test_pipeline_per_batch_plans_pass_lints(spark, sf_dir):
             "cdc_maintained_minmax_view/view_patch",
             "cdc_maintained_topk_view/view_patch",
             "cdc_maintained_distinct_view/view_patch",
+            "cdc_two_source_join_view/view_patch",
         }
         # fold frames: exactly ONE parse site. The view patch pins the
         # touched keys against BOTH version reads (two semi-joins), so its
@@ -439,6 +440,16 @@ def test_pipeline_per_batch_plans_pass_lints(spark, sf_dir):
             # the distinct patch checkpoints both its delta multiset and
             # the support-merge frame — same severed lineage
             "cdc_maintained_distinct_view/view_patch": 0,
+            # the two-source replacement patch's touched-key pin (the union
+            # of BOTH specs' touched keys, deliberately lazy — see
+            # before_apply) is textually re-embedded in all three legs of
+            # the raw uncached frame (a_t/b_t semi + base anti), each
+            # carrying the two-table parse subtree: 12 textual sites. At
+            # runtime the registry/streaming drivers cache the parse and
+            # the pin broadcasts ONCE (ReusedExchange) — real parses stay
+            # 1; the pin catches a structural regression (e.g. the pin
+            # losing its single-broadcast shape).
+            "cdc_two_source_join_view/view_patch": 12,
         }
         for name, df in frames.items():
             assert _from_json_count(df) == want_sites[name], (
