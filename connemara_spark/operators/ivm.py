@@ -819,7 +819,9 @@ class MaintainedMinMaxView:
     At 100 TB: the delta legs are |Δ|-bounded; the recompute leg's
     frequency is bounded by actual extremum-exhaustion events (data-, not
     size-, driven), and its cost is one pushed-down filtered scan per
-    affected batch. ``last_recompute_groups`` (with ``debug_counters=True``)
+    affected batch. ``last_recompute_groups`` (always recorded since r10 —
+    the count is one cheap job over the checkpointed patch summary, and it
+    doubles as the skip condition for scheduling the recompute leg at all)
     exposes how often it fires.
     """
 
