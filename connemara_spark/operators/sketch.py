@@ -235,3 +235,96 @@ def exact_heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") * F.lit(int(den)) > F.lit(int(n)) * F.lit(int(num)))
     )
+
+
+def hdr_bucket_lo(cents_col: str, *, sub_bits: int = 3) -> Column:
+    """HDR-histogram-style log bucket of a non-negative integer ``cents``
+    column: keep the top ``1 + sub_bits`` significant bits, zero the rest —
+    the bucket's LOWER BOUND in cents. Pure integer ops (bin-string length
+    for floor(log2), shifts for the truncation), so the bucketing is
+    bit-identical in any engine (no log()/float anywhere); relative error
+    of the lower bound is < 2^-sub_bits (12.5% at the default).
+
+    The number of distinct buckets is bounded by ~63 * 2^sub_bits
+    regardless of data volume — a (group, bucket) histogram is the
+    map-side-combinable, mergeable, bounded-state quantile shape for
+    telemetry at 100 TB (the exact windowed quantile needs a per-group
+    sort of every row)."""
+    c = f"greatest({cents_col}, 0L)"
+    sh = f"greatest(length(bin({c})) - 1 - {sub_bits}, 0)"
+    return F.expr(
+        f"CASE WHEN {c} > 0 THEN shiftleft(shiftright({c}, {sh}), {sh}) ELSE 0L END"
+    )
+
+
+def hdr_bucket_lo_sql(cents_expr: str, *, sub_bits: int = 3) -> str:
+    """DuckDB twin of ``hdr_bucket_lo`` (>> and << on BIGINT, same
+    bin-length floor(log2))."""
+    c = f"GREATEST({cents_expr}, 0)"
+    sh = f"GREATEST(length(bin({c})) - 1 - {sub_bits}, 0)"
+    return f"(CASE WHEN {c} > 0 THEN ({c} >> {sh}) << {sh} ELSE 0 END)"
+
+
+def hdr_quantile_rollup(
+    df: DataFrame,
+    group_col: str,
+    cents_col: str,
+    *,
+    q_pcts: tuple[int, ...] = (50, 90, 99),
+    sub_bits: int = 3,
+) -> DataFrame:
+    """Per-group quantile estimates from the bounded HDR histogram, next to
+    the EXACT rank-selected quantiles for an on-gate error-bound demo.
+
+    Sketch leg (the 100 TB path): one map-side-combined groupBy on
+    (group, bucket) — state O(groups x buckets) — then a window over the
+    BUCKETS (<= ~500 rows per group, never the data); estimate for q = the
+    smallest bucket lower bound whose cumulative count reaches
+    ceil(q% * N), an integer-exact comparison (cum * 100 >= q * N).
+
+    Exact leg (test-scale witness only; drop it at volume): row_number
+    over each group's cents orders every row — the value at rank
+    ceil(q% * N / 100). Both legs return cents/100 as DOUBLE (exact)."""
+    g = group_col
+    hist = (
+        df.select(F.col(g), hdr_bucket_lo(cents_col, sub_bits=sub_bits).alias("__lo"))
+        .groupBy(g, "__lo")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wb = Window.partitionBy(g).orderBy("__lo")
+    wg = Window.partitionBy(g)
+    hb = hist.withColumn("__cum", F.sum("__c").over(wb)).withColumn(
+        "__n", F.sum("__c").over(wg)
+    )
+    est_aggs = [F.max("__n").cast("long").alias("n")]
+    for q in q_pcts:
+        est_aggs.append(
+            (
+                F.min(
+                    F.when(F.col("__cum") * 100 >= F.lit(q) * F.col("__n"), F.col("__lo"))
+                ).cast("double")
+                / 100.0
+            ).alias(f"p{q}_est")
+        )
+    est = hb.groupBy(g).agg(*est_aggs)
+
+    wr = Window.partitionBy(g).orderBy(cents_col)
+    rows = (
+        df.select(F.col(g), F.col(cents_col))
+        .withColumn("__rn", F.row_number().over(wr))
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
+    )
+    ex_aggs = []
+    for q in q_pcts:
+        target = F.floor((F.lit(q) * F.col("__n") + 99) / 100)
+        ex_aggs.append(
+            (
+                F.min(F.when(F.col("__rn") == target, F.col(cents_col))).cast("double")
+                / 100.0
+            ).alias(f"p{q}_exact")
+        )
+    exact = rows.groupBy(g).agg(*ex_aggs)
+    order = [g, "n"]
+    for q in q_pcts:
+        order += [f"p{q}_est", f"p{q}_exact"]
+    return est.join(exact, g).select(*order)
