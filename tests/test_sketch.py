@@ -102,3 +102,37 @@ def test_exact_heavy_hitters_empty_and_all_null(spark):
     assert exact_heavy_hitters(empty, "k", num=1, den=5).count() == 0
     nulls = spark.createDataFrame([(None,), (None,)], "k string")
     assert exact_heavy_hitters(nulls, "k", num=1, den=5).count() == 0
+
+
+def test_hdr_quantile_rollup_error_bound_and_edges(spark):
+    """The HDR bucket is the value with all but the top 1+3 significant
+    bits zeroed: every estimate must sit within [exact * (1 - 1/8), exact]
+    for positive values (the bucket LOWER bound never exceeds the true
+    quantile, and its relative error is < 2^-sub_bits). Zero and negative
+    cents clamp to bucket 0."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from connemara_spark.operators.sketch import hdr_bucket_lo, hdr_quantile_rollup
+
+    rng = random.Random(7)
+    rows = [("a", rng.randint(1, 10_000_000)) for _ in range(5000)]
+    rows += [("b", rng.randint(1, 500)) for _ in range(333)]
+    df = spark.createDataFrame(rows, "g string, cents long")
+    out = {r["g"]: r.asDict() for r in hdr_quantile_rollup(df, "g", "cents").collect()}
+    assert out["a"]["n"] == 5000 and out["b"]["n"] == 333
+    for g in ("a", "b"):
+        for q in (50, 90, 99):
+            est, exact = out[g][f"p{q}_est"], out[g][f"p{q}_exact"]
+            assert est <= exact, (g, q, est, exact)
+            assert est >= exact * (1 - 1 / 8) - 1e-9, (g, q, est, exact)
+
+    # edges: zero and negative cents land in bucket 0 (never negative)
+    edge = spark.createDataFrame(
+        [(0,), (-250,), (1,), (7,), (8,)], "cents long"
+    ).select(hdr_bucket_lo("cents").alias("lo"), "cents")
+    got = {r["cents"]: r["lo"] for r in edge.collect()}
+    assert got[0] == 0 and got[-250] == 0
+    # values below 2^(sub_bits+1) are exact (no bits dropped)
+    assert got[1] == 1 and got[7] == 7 and got[8] == 8
