@@ -751,7 +751,21 @@ def incremental_group_agg(
     double-sourced money sum is grid-exact (the base aggregate must apply
     the same transform).
     """
-    f = sum_expr if sum_expr is not None else (lambda c: c)
+    if sum_expr is None:
+        f = lambda c: c
+    else:
+        # thread sum_type through when the transform accepts it (grid_dec's
+        # dec_type): a transform that snapped at its OWN hardcoded scale
+        # would silently overflow to NULL at its inner cast before the
+        # caller's outer sum_type cast ever ran
+        import inspect
+
+        _pos = [
+            q
+            for q in inspect.signature(sum_expr).parameters.values()
+            if q.kind in (q.POSITIONAL_ONLY, q.POSITIONAL_OR_KEYWORD)
+        ]
+        f = (lambda c: sum_expr(c, sum_type)) if len(_pos) >= 2 else sum_expr
     # ONE pass over the delta: each row explodes into its -old and/or +new
     # contribution. The earlier minus/plus self-UNION referenced ``delta``
     # twice, and delta is typically an (expensive) diff-join frame — both
@@ -804,7 +818,13 @@ def group_agg_net(
 
     ``sum_col`` may be any SQL expression over the row (not just a column
     name) — e.g. a grid-exact money normalization — evaluated identically
-    on both the old and new side."""
+    on both the old and new side. Bare identifiers are backtick-quoted
+    before parsing so column names that collide with SQL reserved words
+    (``order``, ``group``) keep working as plain column references."""
+    import re as _re
+
+    if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", sum_col):
+        sum_col = f"`{sum_col}`"
     o = old_rows.select(
         F.col(group_col).alias("g"),
         F.lit(-1).cast("long").alias("dn"),

@@ -468,6 +468,11 @@ class MaintainedAggView:
         self.sum_expr = sum_expr or sum_col
         self.sum_type = sum_type
         self.view_dir = view_dir
+        # projection contract PINNED at construction (mirrors
+        # MaintainedTwoTableJoinView): EngineCatalog.rename_column mutates
+        # spec.pk_cols in place, so deriving the need-set lazily from the
+        # live spec makes a PK rename structurally undetectable
+        self._need = frozenset(spec.pk_cols) | {group_col, sum_col}
         os.makedirs(view_dir, exist_ok=True)
         self._touched = None
         self._v_pre = None
@@ -509,7 +514,7 @@ class MaintainedAggView:
         fail-loudly contract. An unrelated ADD COLUMN passes: the view's
         projection is a subset either way."""
         cur = catalog.get(self.spec.database, self.spec.schema, self.spec.table)
-        need = set(self.spec.pk_cols) | {self.group_col, self.sum_col}
+        need = self._need
         missing = sorted(need - set(cur.column_names))
         if missing:
             raise RuntimeError(
@@ -848,6 +853,8 @@ class MaintainedMinMaxView:
         self.view_dir = view_dir
         self.debug_counters = debug_counters
         self.last_recompute_groups: int | None = None
+        # pinned projection contract (see MaintainedAggView.__init__)
+        self._need = frozenset(spec.pk_cols) | {group_col, val_col}
         os.makedirs(view_dir, exist_ok=True)
         self._touched = None
         self._v_pre = None
@@ -900,7 +907,7 @@ class MaintainedMinMaxView:
 
     def check_schema(self, catalog) -> None:
         cur = catalog.get(self.spec.database, self.spec.schema, self.spec.table)
-        need = set(self.spec.pk_cols) | {self.group_col, self.val_col}
+        need = self._need
         missing = sorted(need - set(cur.column_names))
         if missing:
             raise RuntimeError(
@@ -1176,6 +1183,8 @@ class MaintainedTopKView:
         if len(spec.pk_cols) != 1:
             raise ValueError("MaintainedTopKView requires a single-column pk")
         self.pk = spec.pk_cols[0]
+        # pinned projection contract (see MaintainedAggView.__init__)
+        self._need = frozenset(spec.pk_cols) | {group_col, val_col}
         os.makedirs(view_dir, exist_ok=True)
         self._touched = None
         self._v_pre = None
@@ -1250,7 +1259,7 @@ class MaintainedTopKView:
 
     def check_schema(self, catalog) -> None:
         cur = catalog.get(self.spec.database, self.spec.schema, self.spec.table)
-        need = set(self.spec.pk_cols) | {self.group_col, self.val_col}
+        need = self._need
         missing = sorted(need - set(cur.column_names))
         if missing:
             raise RuntimeError(
@@ -1519,6 +1528,8 @@ class MaintainedDistinctCountView:
         self.view_dir = view_dir
         self.debug_counters = debug_counters
         self.last_touched_buckets: int | None = None
+        # pinned projection contract (see MaintainedAggView.__init__)
+        self._need = frozenset(spec.pk_cols) | {group_col, val_col}
         os.makedirs(view_dir, exist_ok=True)
         gcol = next(c for c in spec.columns if c.name == group_col)
         # the support multiset: pk == (group, value) so the bucket key IS
@@ -1581,7 +1592,7 @@ class MaintainedDistinctCountView:
 
     def check_schema(self, catalog) -> None:
         cur = catalog.get(self.spec.database, self.spec.schema, self.spec.table)
-        need = set(self.spec.pk_cols) | {self.group_col, self.val_col}
+        need = self._need
         missing = sorted(need - set(cur.column_names))
         if missing:
             raise RuntimeError(

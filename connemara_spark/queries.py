@@ -17,7 +17,7 @@ import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from connemara_spark.catalog import ColumnSpec, TableSpec
@@ -548,6 +548,7 @@ def _customer_cdc_bronze(
     slot: str = "slot_db1",
     name_prefix: str = "cdc#",
     lsn_offset: int = 0,
+    acctbal: Column | None = None,
 ) -> DataFrame:
     """Derive a deterministic wal2json CDC stream from the events table:
     error → delete, signup → insert, other → full-row update, keyed into a
@@ -555,8 +556,14 @@ def _customer_cdc_bronze(
     ``database``/``slot``/``name_prefix``/``lsn_offset`` let a caller forge
     a SECOND stream over the same key space — the rogue-slot stream the F2
     restriction gate needs (an admitted rogue at lsn+1 would win every
-    per-key fold and poison c_name, so leakage is hash-visible)."""
+    per-key fold and poison c_name, so leakage is hash-visible).
+    ``acctbal`` optionally replaces the raw ``value`` column as the
+    c_acctbal payload — the certified IVM gates pass an adversarial
+    dyadic-grid expression here (exact IEEE ops only, so the double is
+    bit-identical in Spark and the DuckDB oracle, and it survives the
+    wal2json shortest-repr string round-trip exactly)."""
     ev = spread(load(spark, sf_dir, "events"))
+    bal = F.col("value") if acctbal is None else acctbal
     key = ((F.col("user_id") * 31 + F.col("event_id") % 100) % 200 + 1).cast("long")
     kind = (
         F.when(F.col("event_type") == "error", "delete")
@@ -568,7 +575,7 @@ def _customer_cdc_bronze(
         key.cast("string"),
         F.concat(F.lit(name_prefix), F.col("event_id").cast("string")),
         (F.col("user_id") % 25).cast("string"),
-        F.col("value").cast("string"),
+        bal.cast("string"),
         F.col("event_type"),
     )
     payload = F.to_json(
@@ -964,9 +971,11 @@ def cdc_maintained_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         # raw double, NOT decimal(12,2): see the registry docstring — the
         # decimal cast of a double is engine-divergent on near-tie reprs
         val_type="double", view_dir=f"{root}/view",
-        # debug_counters stays OFF here: the per-batch rescan count is a
-        # pytest concern (test_ivm pins when the leg fires) and its
-        # .count() would add one driver job per batch to the bench cost
+        # debug_counters stays OFF here: it only controls the extra pytest
+        # bookkeeping (last_recompute_groups). The rescan-groups count
+        # itself now ALWAYS runs inside _patch_frame — it doubles as the
+        # skip-the-rescan-leg condition — and it's cheap: a checkpointed
+        # |touched-groups|-sized frame, not a table scan.
     )
     lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
     # four batches, not two: the recompute leg needs post-bootstrap
@@ -1094,6 +1103,241 @@ def cdc_maintained_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(
                 "c_mktsegment",
+                (F.col("pos") + 1).cast("int").alias("rank"),
+                F.col("pair.id").alias("c_custkey"),
+                F.col("pair.v").alias("val"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# Adversarial dyadic-grid money value for the *_certified IVM gates. Every
+# op is EXACT in IEEE-754 (×8 shifts the exponent; FLOOR and the ÷8 are
+# exact; the k·2⁻²⁷ tail fits the mantissa next to a ≤2¹⁰ magnitude, so
+# even the final add rounds nothing): Spark and DuckDB compute the SAME
+# bit pattern, and the wal2json shortest-repr string round-trip preserves
+# it. The 1/8 quantization forces extremum multiplicities > 1 while the
+# five 2⁻²⁷-spaced satellites force the view to keep near-tie doubles
+# DISTINCT — any decimal snap or precision loss anywhere in the pipeline
+# collapses them and the multiplicity/rank gates go red.
+_GRID_EPS = 7.450580596923828e-09  # 2**-27, exactly representable
+_ADV_GRID_SQL = (
+    "FLOOR(value * 8) / 8 + CAST(event_id % 5 AS DOUBLE) * 7.450580596923828e-09"
+)
+
+
+def _adv_grid_col() -> Column:
+    return (
+        F.floor(F.col("value") * 8) / 8
+        + (F.col("event_id") % 5).cast("double") * F.lit(_GRID_EPS)
+    )
+
+
+@register(
+    "cdc_maintained_minmax_view_certified",
+    f"""
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               CAST(user_id % 25 AS INTEGER) AS c_nationkey,
+               {_ADV_GRID_SQL} AS c_acctbal
+        FROM events
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg
+        ) t WHERE rn = 1
+    ),
+    state AS (
+        SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS v,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_nationkey ELSE l.c_nationkey END AS c_nationkey
+        FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.c_custkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    ),
+    agg AS (
+        SELECT c_nationkey, COUNT(*) AS n_rows, MIN(v) AS min_val, MAX(v) AS max_val
+        FROM state GROUP BY c_nationkey
+    )
+    SELECT a.c_nationkey, a.n_rows, a.min_val,
+           (SELECT COUNT(*) FROM state s
+             WHERE s.c_nationkey = a.c_nationkey AND s.v = a.min_val) AS min_cnt,
+           a.max_val,
+           (SELECT COUNT(*) FROM state s
+             WHERE s.c_nationkey = a.c_nationkey AND s.v = a.max_val) AS max_cnt
+    FROM agg a
+    """,
+    "certification re-run of the maintained MIN/MAX view under a strictly "
+    "HARDER workload than cdc_maintained_minmax_view (not an alias): the CDC "
+    "value is an adversarial dyadic-grid double (FLOOR(v*8)/8 + k*2^-27 — "
+    "exact IEEE ops, bit-identical cross-engine, survives the wal2json "
+    "shortest-repr round-trip) that forces extremum multiplicities > 1 AND "
+    "2^-27-spaced near-tie satellites the multiplicity counter must keep "
+    "distinct; 25 nation groups instead of 5 segments and SIX LSN batches "
+    "instead of four multiply the exhausted-extremum rescan pressure. The "
+    "gate checks all six columns (n_rows, both extrema, both multiplicities) "
+    "against a full recompute of the folded state, on the RAW double "
+    "(val_type='double'; the decimal-cast divergence class is pinned in "
+    "tests/test_money_grid.py).",
+)
+def cdc_maintained_minmax_view_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.operators.ivm import MaintainedMinMaxView
+    from connemara_spark.pipeline import ParquetStore, Replayer
+
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_cdc_bronze(
+        spark, sf_dir, acctbal=_adv_grid_col()
+    ).persist()
+    root = tempfile.mkdtemp(prefix="connemara_minmaxcert_")
+    spec = TableSpec(
+        database=CUSTOMER_SPEC.database,
+        schema=CUSTOMER_SPEC.schema,
+        table=CUSTOMER_SPEC.table,
+        columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+        pk_cols=list(CUSTOMER_SPEC.pk_cols),
+    )
+    store = ParquetStore(spark, root)
+    store.write(spec, snapshot)
+    cat = EngineCatalog()
+    cat.register(spec)
+    rep = Replayer(spark, cat, store)
+    view = MaintainedMinMaxView(
+        spark, store, spec,
+        group_col="c_nationkey", val_col="c_acctbal",
+        val_type="double", view_dir=f"{root}/view",
+    )
+    lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
+    # six batches: with 25 groups the per-batch delete clusters are
+    # smaller, so more batches are needed to exhaust extrema repeatedly
+    # and keep the rescan leg genuinely exercised
+    step = max((hi - lo) // 6 + 1, 1)
+    try:
+        for b0 in range(lo, hi + 1, step):
+            batch = bronze.filter(
+                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            )
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                summary = rep._batch_summary(parsed)
+                view.before_apply(parsed)
+                rep.apply_batch(batch, events=parsed, summary=summary)
+                view.after_apply()
+            finally:
+                parsed.unpersist()
+        return view.read_view().localCheckpoint()
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "cdc_maintained_topk_view_certified",
+    f"""
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               CAST(user_id % 25 AS INTEGER) AS c_nationkey,
+               {_ADV_GRID_SQL} AS c_acctbal
+        FROM events
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg
+        ) t WHERE rn = 1
+    ),
+    state AS (
+        SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS v,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_nationkey ELSE l.c_nationkey END AS c_nationkey
+        FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.c_custkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    )
+    SELECT c_nationkey, rank, c_custkey, val FROM (
+        SELECT c_nationkey, c_custkey, v AS val,
+               CAST(row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY v DESC, c_custkey) AS INT) AS rank
+        FROM state
+    ) WHERE rank <= 3
+    """,
+    "certification re-run of the maintained TOP-K view under a strictly "
+    "HARDER workload than cdc_maintained_topk_view (not an alias): the "
+    "adversarial dyadic-grid value (see the minmax_certified docstring) "
+    "makes rank order depend on 2^-27-spaced near-tie doubles — any "
+    "precision loss in the buffer reorders ranks; 25 nation groups, SIX "
+    "LSN batches, and a deliberately thin buffer (k=3, slack=2) maximize "
+    "slack burn-through so the bounded rescan leg fires repeatedly. The "
+    "exploded (group, rank, pk, value) rows are gated against a full "
+    "ROW_NUMBER recompute of the folded state on the RAW double.",
+)
+def cdc_maintained_topk_view_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.operators.ivm import MaintainedTopKView
+    from connemara_spark.pipeline import ParquetStore, Replayer
+
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_cdc_bronze(
+        spark, sf_dir, acctbal=_adv_grid_col()
+    ).persist()
+    root = tempfile.mkdtemp(prefix="connemara_topkcert_")
+    spec = TableSpec(
+        database=CUSTOMER_SPEC.database,
+        schema=CUSTOMER_SPEC.schema,
+        table=CUSTOMER_SPEC.table,
+        columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+        pk_cols=list(CUSTOMER_SPEC.pk_cols),
+    )
+    store = ParquetStore(spark, root)
+    store.write(spec, snapshot)
+    cat = EngineCatalog()
+    cat.register(spec)
+    rep = Replayer(spark, cat, store)
+    view = MaintainedTopKView(
+        spark, store, spec,
+        group_col="c_nationkey", val_col="c_acctbal",
+        k=3, slack=2, val_type="double", view_dir=f"{root}/view",
+    )
+    lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
+    # six batches + thin slack: see the minmax_certified rationale
+    step = max((hi - lo) // 6 + 1, 1)
+    try:
+        for b0 in range(lo, hi + 1, step):
+            batch = bronze.filter(
+                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            )
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                summary = rep._batch_summary(parsed)
+                view.before_apply(parsed)
+                rep.apply_batch(batch, events=parsed, summary=summary)
+                view.after_apply()
+            finally:
+                parsed.unpersist()
+        return (
+            view.read_view()
+            .select(
+                "c_nationkey",
+                F.posexplode("top").alias("pos", "pair"),
+            )
+            .select(
+                "c_nationkey",
                 (F.col("pos") + 1).cast("int").alias("rank"),
                 F.col("pair.id").alias("c_custkey"),
                 F.col("pair.v").alias("val"),

@@ -1212,3 +1212,87 @@ def test_gc_view_versions_retires_seven_digit_dirs(tmp_path):
     assert sorted(e for e in os.listdir(d) if e != "CURRENT") == [
         "v1000000", "v1000001"
     ]
+
+
+def test_maintained_agg_view_grid_money_matches_duckdb_recompute(spark, tmp_path):
+    """Close the loop between the adversarial-money generator and the IVM
+    family (round-10 money work): a MaintainedAggView whose ``sum_expr``
+    is the grid-exact money normalization (functions/money.py), fed CDC
+    amounts from the decimal-cast DIVERGENCE set (17-digit near-ties,
+    exact .005 ties), must equal a **DuckDB** recompute of the same folded
+    state under the SQL twin — cross-engine, not Spark-vs-Spark. A bare
+    double→DECIMAL cast on this data is engine-divergent (pinned in
+    tests/test_money_grid.py); the grid makes the maintained total
+    bit-identical in both engines."""
+    import duckdb
+
+    from connemara_spark.functions.money import grid_dec_sql
+    from connemara_spark.operators.ivm import MaintainedAggView
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+    from connemara_spark.testing import make_event
+
+    cat, spec, store = _agg_spec_setup(spark, tmp_path)
+    grid = grid_dec_sql("amount")  # valid in BOTH Spark SQL and DuckDB
+    view = MaintainedAggView(
+        spark, store, spec, group_col="grp", sum_col="amount",
+        sum_expr=grid, sum_type="decimal(12,2)",
+        view_dir=str(tmp_path / "aggview"),
+    )
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+        maintainers=[view],
+    )
+
+    def seg(events, name):
+        write_segment(str(tmp_path / "spool"), [dict(e) for e in events], name)
+
+    # the divergence set: near-tie shortest reprs where Spark's
+    # shortest-string HALF_UP and DuckDB's ~15-sig-digit rounding disagree
+    # on a bare cast, plus exact .005 ties and on-grid values
+    adversarial = [
+        1.7249999999999999, 2.005, 0.0050000000000002, 9.9949999999999999,
+        3.1049999999999998, 10.0, 7.77, 0.005, 123.4549999999999997,
+        55.125,
+    ]
+
+    def duck_recompute():
+        state = store.read(spec).toPandas()  # noqa: F841 (duckdb scans it)
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT grp, COUNT(*) AS n_rows, "
+            f"CAST(SUM({grid}) AS DECIMAL(12,2)) AS total "
+            f"FROM state GROUP BY grp ORDER BY grp"
+        ).fetchall()
+        con.close()
+        return [(g, int(n), str(t)) for g, n, t in rows]
+
+    def spark_view():
+        return sorted(
+            (r["grp"], int(r["n_rows"]), str(r["total"]))
+            for r in view.read_view().collect()
+        )
+
+    seg([
+        make_event(spec, "insert", lsn=i + 1,
+                   row={"id": i + 1, "grp": "ab"[i % 2], "amount": v})
+        for i, v in enumerate(adversarial)
+    ], "seg-001")
+    sr.run_until_drained()
+    assert spark_view() == duck_recompute()
+
+    # updates move near-tie values ACROSS groups (both groups patch with
+    # the grid transform on each side) and a delete removes a tie value
+    seg([
+        make_event(spec, "update", lsn=11,
+                   row={"id": 1, "grp": "b", "amount": 4.4649999999999999},
+                   old_key={"id": 1}),
+        make_event(spec, "delete", lsn=12, old_key={"id": 2}),
+        make_event(spec, "insert", lsn=13,
+                   row={"id": 99, "grp": "c", "amount": 0.9950000000000001}),
+    ], "seg-002")
+    sr.run_until_drained()
+    assert spark_view() == duck_recompute()
