@@ -13,6 +13,14 @@ estimator of intrinsic cost under one-sided contention noise). The 1-min
 load average is sampled at every rep start and published per query in
 BENCH_FULL.json plus summarized in the JSON line, so a round-over-round
 delta can be read directly against its load context without forensics.
+
+Contamination (r11): judged by CPU ATTRIBUTION, not loadavg — busy
+jiffies burned by processes OUTSIDE this process tree (Python + JVM +
+pyspark workers, reaped children included) per query window, in
+cores-average. The loadavg cannot separate the bench's own local[32]
+burst from a co-tenant burst, which is why every pre-r11 anchor
+self-flagged contaminated. Fields: other_cores_mean / other_cores_max
+in the JSON line, per-query "other_cores" in BENCH_FULL.json detail.
 """
 
 from __future__ import annotations

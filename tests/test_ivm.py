@@ -1296,3 +1296,46 @@ def test_maintained_agg_view_grid_money_matches_duckdb_recompute(spark, tmp_path
     ], "seg-002")
     sr.run_until_drained()
     assert spark_view() == duck_recompute()
+
+
+def test_single_table_maintainers_detect_pk_rename(spark, tmp_path):
+    """Rename-blindness regression (r10 ADVICE): EngineCatalog.rename_column
+    mutates TableSpec objects IN PLACE, so a maintainer that derives its
+    check_schema need-set lazily from the live spec.pk_cols can never see a
+    PK rename — the spec it compares against mutated along with the catalog.
+    All four single-table maintainers must pin the need-set at construction
+    (as MaintainedTwoTableJoinView always did) and fail check_schema loudly
+    after a PK-column rename."""
+    from connemara_spark.operators.ivm import (
+        MaintainedAggView,
+        MaintainedDistinctCountView,
+        MaintainedMinMaxView,
+        MaintainedTopKView,
+    )
+
+    cat, spec, store = _agg_spec_setup(spark, tmp_path)
+    views = [
+        MaintainedAggView(
+            spark, store, spec, group_col="grp", sum_col="amount",
+            view_dir=str(tmp_path / "v_agg"),
+        ),
+        MaintainedMinMaxView(
+            spark, store, spec, group_col="grp", val_col="amount",
+            val_type="double", view_dir=str(tmp_path / "v_mm"),
+        ),
+        MaintainedTopKView(
+            spark, store, spec, group_col="grp", val_col="amount",
+            k=3, val_type="double", view_dir=str(tmp_path / "v_tk"),
+        ),
+        MaintainedDistinctCountView(
+            spark, store, spec, group_col="grp", val_col="amount",
+            val_pg_type="double precision", view_dir=str(tmp_path / "v_dc"),
+        ),
+    ]
+    for v in views:
+        v.check_schema(cat)  # pre-rename: everything resolves
+
+    cat.rename_column("db1", "public", "sales", "id", "id_renamed")
+    for v in views:
+        with pytest.raises(RuntimeError, match="id"):
+            v.check_schema(cat)

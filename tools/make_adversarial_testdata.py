@@ -53,11 +53,30 @@ def floatsum_expr(col, key):
     # cycling power-of-two scale: each multiply is EXACT in IEEE-754, so
     # per-row values agree bit-for-bit across engines — only aggregation
     # ORDER effects can diverge downstream. 2^±20 spans ~12 decimal orders.
+    # FINDING (r11): this UP-scaling variant drives money columns out of
+    # their DECIMAL domain and every affected gate fails LOUDLY in both
+    # engines (Spark ANSI NUMERIC_VALUE_OUT_OF_RANGE) — no silent
+    # divergence. Use --cls floatsum_down for the in-domain order probe.
     return f"""CAST({col} * CASE CAST({key} AS BIGINT) % 5
           WHEN 0 THEN 1.0
           WHEN 1 THEN 1024.0
           WHEN 2 THEN 0.0009765625
           WHEN 3 THEN 1048576.0
+          ELSE 0.00000095367431640625
+        END AS DOUBLE) AS {col}"""
+
+
+def floatsum_down_expr(col, key):
+    # the IN-DOMAIN order probe: downscale ONLY (2^0 .. 2^-20), so money
+    # stays inside its DECIMAL(12,2)-ish domain and ratios/discounts stay
+    # in [0,1], but sums mix magnitudes across ~6 decimal orders — a raw
+    # double SUM gate would now be addition-order-sensitive while every
+    # per-row value remains bit-identical cross-engine
+    return f"""CAST({col} * CASE CAST({key} AS BIGINT) % 5
+          WHEN 0 THEN 1.0
+          WHEN 1 THEN 0.03125
+          WHEN 2 THEN 0.0009765625
+          WHEN 3 THEN 0.000030517578125
           ELSE 0.00000095367431640625
         END AS DOUBLE) AS {col}"""
 
@@ -107,6 +126,7 @@ MONEY_JOBS = {
 CLASSES = {
     "money": (money_expr, MONEY_JOBS),
     "floatsum": (floatsum_expr, MONEY_JOBS),
+    "floatsum_down": (floatsum_down_expr, MONEY_JOBS),
     "timestamp": (timestamp_expr, {"events": [("ts", "event_id")]}),
     "collation": (collation_expr, {
         # string columns that act as sort keys / tiebreakers / group keys
@@ -146,6 +166,7 @@ def main() -> None:
         )
     print(f"wrote {args.dst} [class={args.cls}]")
     probe = {"money": ("events", "value"), "floatsum": ("events", "value"),
+             "floatsum_down": ("events", "value"),
              "timestamp": ("events", "ts"), "collation": ("customer", "c_name")}
     t, c = probe[args.cls]
     print(t, con.execute(
