@@ -1442,6 +1442,212 @@ def cdc_maintained_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "cdc_maintained_family_views",
+    """
+    WITH chg AS (
+        SELECT CAST((user_id * 31 + event_id % 100) % 200 + 1 AS BIGINT) AS c_custkey,
+               event_id,
+               CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+               CAST(user_id % 25 AS INTEGER) AS c_nationkey,
+               value AS c_acctbal,
+               event_type AS c_mktsegment
+        FROM events
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY event_id DESC) AS rn
+            FROM chg
+        ) t WHERE rn = 1
+    ),
+    state AS (
+        SELECT COALESCE(l.c_custkey, c.c_custkey) AS c_custkey,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_acctbal ELSE l.c_acctbal END AS v,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_nationkey ELSE l.c_nationkey END AS c_nationkey,
+               CASE WHEN l.c_custkey IS NULL THEN c.c_mktsegment ELSE l.c_mktsegment END AS c_mktsegment
+        FROM customer c FULL OUTER JOIN last l ON c.c_custkey = l.c_custkey
+        WHERE COALESCE(l.op, '') <> 'delete'
+    ),
+    mm AS (
+        SELECT c_mktsegment, COUNT(*) AS n_rows, MIN(v) AS min_val, MAX(v) AS max_val
+        FROM state GROUP BY c_mktsegment
+    )
+    SELECT 'agg' AS view, c_mktsegment AS grp, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(FLOOR(v * 100 + 0.5) AS DOUBLE) / 100 AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS total,
+           CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS BIGINT) AS min_cnt,
+           CAST(NULL AS DOUBLE) AS max_val, CAST(NULL AS BIGINT) AS max_cnt,
+           CAST(NULL AS BIGINT) AS n_distinct, CAST(NULL AS VARCHAR) AS top_ids
+    FROM state GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'minmax', a.c_mktsegment, a.n_rows, CAST(NULL AS DECIMAL(12,2)),
+           a.min_val,
+           (SELECT COUNT(*) FROM state s
+             WHERE s.c_mktsegment = a.c_mktsegment AND s.v = a.min_val),
+           a.max_val,
+           (SELECT COUNT(*) FROM state s
+             WHERE s.c_mktsegment = a.c_mktsegment AND s.v = a.max_val),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM mm a
+    UNION ALL
+    SELECT 'distinct', c_mktsegment, COUNT(*), CAST(NULL AS DECIMAL(12,2)),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           COUNT(DISTINCT c_nationkey), CAST(NULL AS VARCHAR)
+    FROM state GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'topk', c_mktsegment, MAX(n_all), CAST(NULL AS DECIMAL(12,2)),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           string_agg(CAST(c_custkey AS VARCHAR), ':' ORDER BY rank)
+    FROM (
+        SELECT c_mktsegment, c_custkey,
+               row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY v DESC, c_custkey) AS rank,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n_all
+        FROM state
+    ) WHERE rank <= 5 GROUP BY c_mktsegment
+    """,
+    "the DEPLOYMENT shape of incremental view maintenance: ONE CDC stream "
+    "drives FOUR maintained views (grouped aggregate, MIN/MAX with "
+    "multiplicities, COUNT DISTINCT with its bucketed support multiset, "
+    "TOP-K with its slack buffer) through the multi-maintainer protocol — "
+    "per batch one shared parse, one store apply, then every view patches "
+    "inside the same batch commit, exactly as StreamingReplayer drives "
+    "maintainers=[...]. Also the fixture-sharing answer to the per-view "
+    "bench cost: four gated views for one fixture's seed+parse+apply. "
+    "Output is the union of all four views in one wide schema; each leg "
+    "must equal a full recompute of the folded state (agg totals grid-"
+    "exact decimal; minmax/topk gate the RAW double; topk rows witnessed "
+    "by the ':'-joined id ranking, ties broken by pk).",
+)
+def cdc_maintained_family_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from connemara_spark.catalog import EngineCatalog
+    from connemara_spark.operators.ivm import (
+        MaintainedAggView,
+        MaintainedDistinctCountView,
+        MaintainedMinMaxView,
+        MaintainedTopKView,
+    )
+    from connemara_spark.pipeline import ParquetStore, Replayer
+
+    snapshot = load(spark, sf_dir, "customer")
+    bronze = _customer_cdc_bronze(spark, sf_dir).persist()
+    root = tempfile.mkdtemp(prefix="connemara_familyviews_")
+    spec = TableSpec(
+        database=CUSTOMER_SPEC.database,
+        schema=CUSTOMER_SPEC.schema,
+        table=CUSTOMER_SPEC.table,
+        columns=[ColumnSpec(c.name, c.pg_type) for c in CUSTOMER_SPEC.columns],
+        pk_cols=list(CUSTOMER_SPEC.pk_cols),
+    )
+    store = ParquetStore(spark, root)
+    store.write(spec, snapshot)
+    cat = EngineCatalog()
+    cat.register(spec)
+    rep = Replayer(spark, cat, store)
+    views = [
+        MaintainedAggView(
+            spark, store, spec, group_col="c_mktsegment", sum_col="c_acctbal",
+            sum_expr="cast(cast(floor(c_acctbal * 100 + 0.5) as double) / 100 as decimal(12,2))",
+            sum_type="decimal(12,2)", view_dir=f"{root}/v_agg",
+        ),
+        MaintainedMinMaxView(
+            spark, store, spec, group_col="c_mktsegment", val_col="c_acctbal",
+            val_type="double", view_dir=f"{root}/v_mm",
+        ),
+        MaintainedDistinctCountView(
+            spark, store, spec, group_col="c_mktsegment", val_col="c_nationkey",
+            val_pg_type="integer", view_dir=f"{root}/v_dc",
+            support_buckets=16,
+        ),
+        MaintainedTopKView(
+            spark, store, spec, group_col="c_mktsegment", val_col="c_acctbal",
+            k=5, slack=5, val_type="double", view_dir=f"{root}/v_tk",
+        ),
+    ]
+    lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
+    # three batches: bootstrap + two incremental (deletes in the tail
+    # batches exercise every view's non-self-maintainable leg at least
+    # probabilistically; the per-view 4-6 batch gates own the exhaustive
+    # rescan coverage — this gate owns the SHARED-batch protocol)
+    step = max((hi - lo) // 3 + 1, 1)
+    try:
+        for b0 in range(lo, hi + 1, step):
+            batch = bronze.filter(
+                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            )
+            parsed = rep.parse_batch(batch).persist()
+            try:
+                summary = rep._batch_summary(parsed)
+                for v in views:
+                    v.before_apply(parsed)
+                rep.apply_batch(batch, events=parsed, summary=summary)
+                for v in views:
+                    v.after_apply()
+            finally:
+                parsed.unpersist()
+        agg, mm, dc, tk = views
+        nul = lambda t: F.lit(None).cast(t)
+        wide = (
+            agg.read_view()
+            .select(
+                F.lit("agg").alias("view"),
+                F.col("c_mktsegment").alias("grp"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("total"),
+                nul("double").alias("min_val"), nul("long").alias("min_cnt"),
+                nul("double").alias("max_val"), nul("long").alias("max_cnt"),
+                nul("long").alias("n_distinct"), nul("string").alias("top_ids"),
+            )
+            .unionByName(
+                mm.read_view().select(
+                    F.lit("minmax").alias("view"),
+                    F.col("c_mktsegment").alias("grp"),
+                    F.col("n_rows").cast("long"),
+                    nul("decimal(12,2)").alias("total"),
+                    F.col("min_val"), F.col("min_cnt").cast("long"),
+                    F.col("max_val"), F.col("max_cnt").cast("long"),
+                    nul("long").alias("n_distinct"),
+                    nul("string").alias("top_ids"),
+                )
+            )
+            .unionByName(
+                dc.read_view().select(
+                    F.lit("distinct").alias("view"),
+                    F.col("c_mktsegment").alias("grp"),
+                    F.col("n_rows").cast("long"),
+                    nul("decimal(12,2)").alias("total"),
+                    nul("double").alias("min_val"), nul("long").alias("min_cnt"),
+                    nul("double").alias("max_val"), nul("long").alias("max_cnt"),
+                    F.col("n_distinct").cast("long"),
+                    nul("string").alias("top_ids"),
+                )
+            )
+            .unionByName(
+                tk.read_view().select(
+                    F.lit("topk").alias("view"),
+                    F.col("c_mktsegment").alias("grp"),
+                    F.col("n_rows").cast("long"),
+                    nul("decimal(12,2)").alias("total"),
+                    nul("double").alias("min_val"), nul("long").alias("min_cnt"),
+                    nul("double").alias("max_val"), nul("long").alias("max_cnt"),
+                    nul("long").alias("n_distinct"),
+                    F.concat_ws(
+                        ":", F.transform("top", lambda p: p["id"].cast("string"))
+                    ).alias("top_ids"),
+                )
+            )
+        )
+        return wide.localCheckpoint()
+    finally:
+        bronze.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _require_local_master(spark: SparkSession) -> None:
     """The jdbc:derby:memory: targets the JDBC-sink queries stand up are
     JVM-local: the staged df.write.jdbc runs ON EXECUTORS, so the database
