@@ -193,6 +193,11 @@ def main() -> None:
             "reps": reps,
             "load_1m": [round(x, 2) for x in loads],
             "other_cores": round(oc, 3),
+            # contamination is a PER-MEASUREMENT property: a co-tenant
+            # burst 20 minutes away cannot bias this query's min-of-reps.
+            # >4 sustained co-tenant cores across this query's own window
+            # can — flag the query, not the whole run.
+            "suspect": bool(oc > 4.0),
         }
         print(
             f"# {name}: {times[name]:.3f}s ({n} rows; reps={reps} "
@@ -271,9 +276,17 @@ def main() -> None:
             sum(oc * dt for oc, dt in oc_windows) / max(w_total, 1e-9), 3
         )
         payload["other_cores_max"] = round(max(oc for oc, _ in oc_windows), 3)
+        # Per-measurement attribution: queries whose OWN window carried a
+        # co-tenant burst are flagged `suspect` (their min-of-reps may be
+        # inflated; re-measure before trusting a delta on them). The RUN
+        # is contaminated only when the interference was systematic —
+        # a sustained co-tenant mean, or bursts hitting enough query
+        # windows that the map as a whole can't anchor comparisons.
+        suspects = sorted(n for n, d in detail.items() if d.get("suspect"))
+        payload["suspect_queries"] = suspects
         contaminated = contaminated or (
             payload["other_cores_mean"] > 1.0
-            or payload["other_cores_max"] > 8.0
+            or len(suspects) > max(3, len(times) // 20)
         )
     else:
         # /proc unavailable: fall back to the legacy loadavg heuristic
