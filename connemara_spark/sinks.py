@@ -128,6 +128,7 @@ class _JdbcLedgerBase:
     ``store``, ``url``, ``props``, ``ledger``."""
 
     spark = store = url = props = ledger = None
+    staging_partitions = 8
 
     def _connect(self):
         # the driver-side connections must authenticate the same way the
@@ -223,6 +224,10 @@ class _JdbcLedgerBase:
             slice_df.select(*cols)
             .withColumn("__key_only", F.lit(False))
             .unionByName(key_rows.select(*cols, "__key_only"))
+            # coalesce, not repartition: fold the store-layout-shaped
+            # partitioning down to the target's connection budget without
+            # a shuffle (see staging_partitions in __init__)
+            .coalesce(self.staging_partitions)
         )
         staged.write.mode("overwrite").option("truncate", "true").jdbc(
             self.url, staging, properties=self.props
@@ -300,9 +305,19 @@ class JdbcApplySink(_JdbcLedgerBase):
         ledger_table: str | None = None,
         follow_destructive: bool = False,
         type_overrides: dict[str, str] | None = None,
+        staging_partitions: int = 8,
     ):
         self.spark = spark
         self.store = store
+        # JDBC write parallelism must track the TARGET's ingest concurrency,
+        # not the store's layout: the staged slice inherits the bucketed
+        # read's partitioning (+ the key-rows union), so a 32-bucket store
+        # ships ~64 near-empty partitions, each opening a connection for a
+        # tiny executeBatch — measured ~1.7s/batch against embedded Derby
+        # where the reconcile transaction itself costs ~0.06s. Eight
+        # concurrent connections is a sane ceiling for a PostgreSQL-class
+        # target; large slices still parallelize up to it.
+        self.staging_partitions = max(1, staging_partitions)
         # SNAPSHOT the spec: the catalog mutates TableSpec objects in place
         # when DDL executes, and this sink's spec must track what the JDBC
         # TARGET looks like, not what the catalog currently says — the gap
@@ -549,11 +564,15 @@ class JdbcMultiApplySink(_JdbcLedgerBase):
         url: str,
         properties: dict[str, str] | None = None,
         ledger_table: str = "multi_apply_ledger",
+        staging_partitions: int = 8,
     ):
         if not targets:
             raise ValueError("JdbcMultiApplySink needs at least one (spec, table)")
         self.spark = spark
         self.store = store
+        # see JdbcApplySink: JDBC write parallelism tracks the target's
+        # connection budget, not the store layout
+        self.staging_partitions = max(1, staging_partitions)
         # SNAPSHOT every spec (same hazard JdbcApplySink guards against):
         # the catalog mutates TableSpec.columns IN PLACE when DDL executes,
         # and each target's staged slice must track what that JDBC TARGET
