@@ -3687,6 +3687,239 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_interval_left_join",
+    """
+    SELECT l.event_id AS click_id, r.event_id AS purchase_id,
+           l.user_id AS user_id, l.ts AS click_ts, r.ts AS purchase_ts
+    FROM events l LEFT JOIN events r
+      ON l.user_id = r.user_id
+     AND r.event_type = 'purchase'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+    WHERE l.event_type = 'click'
+    """,
+    "STREAM-STREAM LEFT OUTER interval join drained to batch parity — the "
+    "funnel-leakage shape (clicks with NO purchase within 6h emit with "
+    "nulls; the rows the inner join silently drops are the interesting "
+    "ones): same two time-ordered segments and 1h watermarks as "
+    "events_stream_interval_join, plus a sentinel third segment (one "
+    "click + one purchase at max_ts + 8h, ids < 0, filtered from the "
+    "output) that advances BOTH watermarks past every real click's "
+    "candidate interval — outer rows only finalize once the watermark "
+    "proves no match can still arrive, so without the sentinel the tail "
+    "of the stream would never emit its nulls and batch parity would be "
+    "unprovable; covers streaming/windows.py interval_left_join_streams "
+    "(W7's outer leg) under the value gate",
+)
+def events_stream_interval_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from connemara_spark.streaming.windows import interval_left_join_streams
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp_ltz").alias("ts"),
+        "user_id", "event_type",
+    )
+    row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = row["lo"] + (row["hi"] - row["lo"]) / 2
+    sentinel_ts = row["hi"] + timedelta(hours=8)
+    sentinel = spark.createDataFrame(
+        [(-1, sentinel_ts, -1, "click"), (-2, sentinel_ts, -1, "purchase")],
+        schema=ev.schema,
+    )
+    root = tempfile.mkdtemp(prefix="connemara_streamlj_")
+    try:
+        land = _land_stream_segments(
+            root,
+            [
+                ev.filter(F.col("ts") < F.lit(mid)),
+                ev.filter(F.col("ts") >= F.lit(mid)),
+                sentinel,
+            ],
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        joined = interval_left_join_streams(
+            clicks, purchases, key="user_id",
+            left_ts="click_ts", right_ts="purchase_ts",
+            watermark="1 hour", max_gap="6 hours",
+        ).select(
+            "click_id",
+            "purchase_id",
+            F.col("l.user_id"),
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        )
+        drained = _drain_to_table(spark, joined, _os.path.join(root, "ckpt"))
+        return drained.filter(F.col("click_id") >= 0).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "events_salted_join",
+    """
+    WITH dim AS (
+        SELECT user_id, COUNT(*) AS user_events,
+               COUNT(DISTINCT event_type) AS user_types
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type, d.user_events, d.user_types
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    """,
+    "skew mitigation under the value gate: operators/skew.salted_join "
+    "widens the shuffle key to (user_id, salt) — every big-side row gets "
+    "a rand(seed) salt, the small per-user dim replicates once per salt — "
+    "so one hot user spreads across n_salts partitions in the join AND "
+    "any downstream same-key stage. Salting is RESULT-invariant (each "
+    "salt carries a full small-side copy), which is exactly what the "
+    "oracle pins: the salted plan must equal the plain equi-join "
+    "bit-for-bit, on any data, under any task retry (re-salting a retried "
+    "row is safe by construction). The events fan-in (~67 rows/user at "
+    "sf0.01) stands in for the hot key; the operator's spread/identity "
+    "properties are pinned in tests/test_skew.py",
+)
+def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        F.count_distinct("event_type").alias("user_types"),
+    )
+    return salted_join(
+        ev.select("event_id", "user_id", "event_type"), dim,
+        "user_id", n_salts=8,
+    )
+
+
+@register(
+    "cdc_apply_pkless",
+    """
+    WITH ev AS (
+        SELECT CAST(user_id % 20 AS BIGINT) AS user_key,
+               't' || CAST(event_id % 3 AS VARCHAR) AS tag_old,
+               't' || CAST(event_id % 3 + 1 AS VARCHAR) AS tag_new,
+               event_id,
+               CASE WHEN event_type = 'signup' THEN 'insert'
+                    WHEN event_type = 'error' THEN 'delete'
+                    ELSE 'update' END AS op
+        FROM events
+    ),
+    ops AS (
+        -- '-' leg: the old whole-row of deletes and updates
+        SELECT user_key, tag_old AS tag, event_id AS lsn, 0 AS sub,
+               FALSE AS add_op
+        FROM ev WHERE op IN ('delete', 'update')
+        UNION ALL
+        -- '+' leg: the new whole-row of inserts and updates
+        SELECT user_key,
+               CASE WHEN op = 'insert' THEN tag_old ELSE tag_new END AS tag,
+               event_id AS lsn, 1 AS sub, TRUE AS add_op
+        FROM ev WHERE op IN ('insert', 'update')
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_key, tag ORDER BY lsn DESC, sub DESC) AS rn
+            FROM ops
+        ) t WHERE rn = 1
+    ),
+    snap AS (
+        SELECT DISTINCT CAST(user_id % 20 AS BIGINT) AS user_key, 't0' AS tag
+        FROM events
+    )
+    SELECT user_key, tag FROM last WHERE add_op
+    UNION ALL
+    SELECT s.user_key, s.tag FROM snap s WHERE NOT EXISTS (
+        SELECT 1 FROM ops o WHERE o.user_key = s.user_key AND o.tag = s.tag)
+    """,
+    "PK-less table apply under the value gate (SURVEY hard-point 6: the "
+    "reference DIES on tables without a primary key; this engine falls "
+    "back to whole-row keys — oldkeys carry every column, the per-key "
+    "fold keys on the full row struct, and an update becomes a "
+    "delete(old whole row)+insert(new whole row) split): a 2-column "
+    "PK-less tags table is seeded with one 't0' row per user and driven "
+    "by a forged wal2json stream (signup→insert, error→delete, "
+    "other→update rotating the tag) whose oldkeys list BOTH columns. The "
+    "oracle folds the same ±whole-row op sequence by (row value, lsn) — "
+    "set semantics per distinct row, exactly what whole-row keying "
+    "means; pinned structurally in tests/test_apply.py::"
+    "test_no_pk_table_whole_row_fallback",
+)
+def cdc_apply_pkless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = TableSpec(
+        database="db1",
+        schema="public",
+        table="tags",
+        columns=[ColumnSpec("user_key", "bigint"), ColumnSpec("tag", "text")],
+        pk_cols=[],
+    )
+    ev = spread(load(spark, sf_dir, "events"))
+    k = (F.col("user_id") % 20).cast("long")
+    tag_old = F.concat(F.lit("t"), (F.col("event_id") % 3).cast("string"))
+    tag_new = F.concat(F.lit("t"), (F.col("event_id") % 3 + 1).cast("string"))
+    kind = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    names = F.array(F.lit("user_key"), F.lit("tag"))
+    payload = F.to_json(
+        F.struct(
+            kind.alias("kind"),
+            F.lit("public").alias("schema"),
+            F.lit("tags").alias("table"),
+            F.when(kind != "delete", names).alias("columnnames"),
+            F.when(
+                kind != "delete",
+                F.array(
+                    k.cast("string"),
+                    F.when(kind == "insert", tag_old).otherwise(tag_new),
+                ),
+            ).alias("columnvalues"),
+            F.when(
+                kind != "insert",
+                F.struct(
+                    names.alias("keynames"),
+                    F.array(k.cast("string"), tag_old).alias("keyvalues"),
+                ),
+            ).alias("oldkeys"),
+        )
+    )
+    bronze = ev.select(
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("insert_timestamp"),
+        F.lit("db1").alias("database"),
+        F.lit("slot_db1").alias("source_slotname"),
+        F.col("event_id").alias("lsn_start"),
+        (F.col("event_id") + 1000).alias("xid"),
+        F.col("ts").alias("xid_timestamp"),
+        payload.alias("payload"),
+    )
+    snapshot = (
+        ev.select(k.alias("user_key")).distinct().withColumn("tag", F.lit("t0"))
+    )
+    return apply_changes(snapshot, parse_events(bronze), spec).localCheckpoint()
+
+
+@register(
     "doc_token_stats",
     """
     SELECT doc_id,
