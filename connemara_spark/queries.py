@@ -3920,6 +3920,185 @@ def cdc_apply_pkless(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_jsonl_quarantine",
+    """
+    SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 97 <> 0
+    """,
+    "JSONL ingestion with corrupt-line quarantine under the value gate "
+    "(sources/textfiles.read_jsonl_docs): the documents corpus is rendered "
+    "to line-delimited JSON with every 97th doc replaced by a broken line "
+    "(unterminated object), read back through the explicit-schema "
+    "PERMISSIVE reader, and the GOOD split is hashed. The gate proves the "
+    "split in both directions at once — a corrupt line leaking into good "
+    "rows or a valid line wrongly quarantined each flips the value hash; "
+    "JSON escaping round-trips embedded newlines/quotes/unicode exactly",
+)
+def doc_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from connemara_spark.sources.textfiles import read_jsonl_docs
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    line = F.to_json(F.struct("doc_id", "text", "lang", "source"))
+    rendered = F.when(
+        F.col("doc_id") % 97 == 0,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string")),
+    ).otherwise(line)
+    root = tempfile.mkdtemp(prefix="connemara_jsonl_")
+    try:
+        land = _os.path.join(root, "drop")
+        docs.select(rendered.alias("value")).write.text(land)
+        good, bad = read_jsonl_docs(spark, land)
+        # the reader caches its single parse (good/bad share it); pin the
+        # result off the files before the tempdir goes away — the small
+        # orphaned cache entry is freed by the ContextCleaner once the
+        # internal frame is unreferenced
+        return good.select("doc_id", "text", "lang", "source").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "doc_corpus_roundtrip",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    "partitioned corpus sink round-trip under the value gate "
+    "(sources/textfiles.write_corpus): the documents corpus is written "
+    "hive-partitioned by lang (per-language reads prune whole "
+    "directories), Z-ordered within partitions on (doc_id, n_chars), "
+    "zstd-compressed, then read back and hashed against the source rows — "
+    "partition-column extraction (lang leaves the data files and comes "
+    "back from directory names), the Z-order rewrite, and the codec all "
+    "have to be value-neutral for the hash to survive",
+)
+def doc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from connemara_spark.sources.textfiles import write_corpus
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="connemara_corpus_")
+    try:
+        path = _os.path.join(root, "corpus")
+        write_corpus(
+            docs, path, partition_by="lang", zorder=("doc_id", "n_chars")
+        )
+        back = spark.read.parquet(path)
+        return back.select(
+            "doc_id", "text", F.col("lang").cast("string").alias("lang"),
+            "source", "n_chars",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "doc_tar_shards_roundtrip",
+    """
+    SELECT doc_id, text, lang, source FROM documents
+    """,
+    "WebDataset tar shard sink/source round-trip under the value gate "
+    "(sources/shards.write_tar_shards / read_tar_shards): the documents "
+    "corpus is routed into 8 hash-sharded tars (one shuffle, executor-side "
+    "streaming tar writes, byte-reproducible), re-read with one task per "
+    "shard re-assembling samples by basename, and the decoded members are "
+    "hashed against the source rows — member encoding (UTF-8 for strings), "
+    "null-member skipping, and key round-trip all gate-checked; shard "
+    "byte-determinism itself is pinned in tests/test_shards.py",
+)
+def doc_tar_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from connemara_spark.sources.shards import read_tar_shards, write_tar_shards
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="connemara_shards_")
+    try:
+        manifest = write_tar_shards(
+            docs,
+            root,
+            key_col="doc_id",
+            member_cols={"txt": "text", "lang": "lang", "src": "source"},
+            n_shards=8,
+        )
+        manifest.collect()  # the manifest job IS the write
+        back = read_tar_shards(spark, root)
+        m = F.col("members")
+        return (
+            back.select(
+                F.col("key").cast("long").alias("doc_id"),
+                F.element_at(m, "txt").cast("string").alias("text"),
+                F.element_at(m, "lang").cast("string").alias("lang"),
+                F.element_at(m, "src").cast("string").alias("source"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "events_stream_dedup_watermark",
+    """
+    SELECT DISTINCT user_id FROM events
+    """,
+    "bounded-state streaming dedup under the value gate (streaming/ingest."
+    "streaming_dedup_within_watermark -> dropDuplicatesWithinWatermark): "
+    "the events stream lands as two time-ordered segments drained one "
+    "microbatch each; re-arrivals of the same user_id within the horizon "
+    "are dropped ACROSS microbatches (the state survives the batch "
+    "boundary — that is what the gate proves), with the delay set beyond "
+    "the stream's whole span so no key evicts and the drained output is "
+    "exactly one row per distinct key. Only the key column is gated: "
+    "which duplicate row survives within a batch is pick-any, so any "
+    "payload column would be nondeterministic by design. Eviction and "
+    "re-admission after the horizon are pinned in "
+    "tests/test_streaming_ingest.py",
+)
+def events_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from connemara_spark.streaming.ingest import streaming_dedup_within_watermark
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp_ltz").alias("ts")
+    )
+    row = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = row["lo"] + (row["hi"] - row["lo"]) / 2
+    span_h = int((row["hi"] - row["lo"]).total_seconds() // 3600) + 48
+    root = tempfile.mkdtemp(prefix="connemara_streamwm_")
+    try:
+        land = _land_stream_segments(
+            root,
+            [ev.filter(F.col("ts") < F.lit(mid)), ev.filter(F.col("ts") >= F.lit(mid))],
+        )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        deduped = streaming_dedup_within_watermark(
+            stream, keys=["user_id"], ts_col="ts", delay=f"{span_h} hours"
+        )
+        drained = _drain_to_table(
+            spark, deduped.select("user_id"), _os.path.join(root, "ckpt")
+        )
+        return drained.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "doc_token_stats",
     """
     SELECT doc_id,
