@@ -785,3 +785,120 @@ def weighted_systematic_sample(
         .filter(F.col("n_picks") >= 1)
         .select(id_col, F.col("__w").alias("weight"), "n_picks")
     )
+
+
+def mixture_interleave(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    *,
+    weights: dict[str, int],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic mixture interleaving: lay the corpus out in ONE global
+    training order where every prefix holds each source in proportion to
+    its integer weight (stride scheduling — the document j of source s sits
+    at rational time (2j-1)/(2*w_s), realized as the exact integer key
+    (2j-1) * (lcm(w)/w_s) with ties broken by source name).
+
+    Returns (id_col, source_col, pos) with ``pos`` the 1-based global
+    position. The training-order contract data loaders need: reproducible
+    across runs/partitionings/engines (within-source order is md5 of the
+    id — the same pure-function-of-the-id contract as ``hash_sample``),
+    and every window of the stream carries the configured source mixture
+    (no "all of source A first" pathology, no RNG drift between epochs).
+
+    Scale shape: NO global window anywhere. Within-source ranks come from
+    the 256-shard banded prefix-sum (``pack_sequences``), and the global
+    position is CLOSED-FORM per row: rank(K) = 1 + sum over sources s' of
+    |{j' : key_{s'}(j') < K}| — each term a pure integer formula
+    min(n_s', ((K-1) // M_s' + 1) // 2) over |sources| literals, plus a
+    divisibility test for cross-source ties. Per-source totals are a
+    |sources|-row driver collect (bounded, documented). Every operand is
+    positive, so truncating and floor integer division agree — the formula
+    is portable verbatim to the SQL oracle.
+    """
+    from math import gcd
+
+    from pyspark.sql.window import Window
+
+    sources = sorted(weights)
+    if not sources:
+        raise ValueError("weights must name at least one source")
+    ws = {s: int(weights[s]) for s in sources}
+    if any(w <= 0 for w in ws.values()):
+        raise ValueError("weights must be positive integers")
+    lcm = 1
+    for w in ws.values():
+        lcm = lcm * w // gcd(lcm, w)
+    mult = {s: lcm // ws[s] for s in sources}  # key stride per source
+
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    t = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        h.alias("__h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("__shard"),
+    ).filter(F.col(source_col).isin(sources))
+
+    w_in = Window.partitionBy(source_col, "__shard").orderBy("__h")
+    t = t.withColumn("__j_in", F.row_number().over(w_in))
+
+    counts = t.groupBy(source_col, "__shard").agg(F.count(F.lit(1)).alias("__c"))
+    # exclusive per-source prefix over the fixed [0,255] shard domain —
+    # the _prefix_offsets shape, kept WITHIN each source
+    contrib = counts.filter(F.col("__shard") < 255).select(
+        source_col,
+        F.explode(F.sequence(F.col("__shard") + 1, F.lit(255))).alias("__shard"),
+        F.col("__c").alias("__v"),
+    )
+    offsets = contrib.groupBy(source_col, "__shard").agg(F.sum("__v").alias("__off"))
+    t = t.join(F.broadcast(offsets), [source_col, "__shard"], "left").withColumn(
+        "__j", (F.coalesce(F.col("__off"), F.lit(0)) + F.col("__j_in")).cast("long")
+    )
+
+    # per-source totals: |sources| rows, the same bounded-collect class as
+    # the store's bucket pricing — the values render into the closed form
+    n_rows = {
+        r[source_col]: r["n"]
+        for r in df.filter(F.col(source_col).isin(sources))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    key = F.lit(None).cast("long")
+    for s in sources:
+        key = F.when(
+            F.col(source_col) == s, (2 * F.col("__j") - 1) * F.lit(mult[s])
+        ).otherwise(key)
+    t = t.withColumn("__key", key.cast("long"))
+
+    # closed-form global rank: 1 + my own earlier rows + per-other-source
+    # counts of strictly-smaller keys (+1 on an exact cross-source tie when
+    # that source orders first). All operands are positive integers, so
+    # `div` (truncating) equals floor division in BOTH engines.
+    pos = F.lit(1).cast("long") + (F.col("__j") - 1)
+    for s in sources:
+        m, n_s = mult[s], int(n_rows.get(s, 0))
+        other = F.col(source_col) != s
+        # largest j' with (2j'-1)*M' <= K-1  ->  (((K-1) div M') + 1) div 2
+        c_lt = F.least(
+            F.lit(n_s).cast("long"),
+            F.expr(f"((__key - 1) div {m}L + 1L) div 2L"),
+        )
+        # exact tie: M' | K, odd quotient, j' in range; ties order by
+        # source name — count it only when s sorts before my source
+        tie = (
+            (F.col("__key") % F.lit(m) == 0)
+            & (F.expr(f"(__key div {m}L) % 2L") == 1)
+            & (F.expr(f"(__key div {m}L + 1L) div 2L") <= F.lit(n_s))
+            & (F.lit(s) < F.col(source_col))
+        )
+        pos = pos + F.when(
+            other, c_lt + F.when(tie, F.lit(1)).otherwise(F.lit(0))
+        ).otherwise(F.lit(0))
+
+    return t.select(
+        F.col(id_col), F.col(source_col), pos.cast("long").alias("pos")
+    )

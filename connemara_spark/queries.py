@@ -5047,6 +5047,46 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_mixture_interleave",
+    """
+    WITH j AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY md5('42|' || CAST(doc_id AS VARCHAR))) AS j
+        FROM documents WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+    ),
+    k AS (
+        SELECT doc_id, lang,
+               (2*j - 1) * CASE lang WHEN 'de' THEN 60 WHEN 'en' THEN 12
+                                     WHEN 'es' THEN 30 WHEN 'fr' THEN 20
+                                     WHEN 'zh' THEN 15 END AS key
+        FROM j
+    )
+    SELECT doc_id, lang, row_number() OVER (ORDER BY key, lang) AS pos FROM k
+    """,
+    "deterministic mixture interleaving under the value gate "
+    "(curation.mixture_interleave): ONE global training order where every "
+    "prefix carries each language in proportion to its integer weight "
+    "(en:5 fr:3 es:2 zh:4 de:1 — stride scheduling: doc j of source s at "
+    "exact integer key (2j-1)*(lcm/w_s), ties by source name). The Spark "
+    "side computes the global position CLOSED-FORM (1 + sum of per-source "
+    "strictly-smaller-key counts, each a pure integer formula over the "
+    "source's literal stride — no global window anywhere; within-source "
+    "ranks ride the 256-shard banded prefix-sum), while the oracle is the "
+    "naive double-window recompute — bit-equality proves the stride-rank "
+    "algebra AND the shard machinery at once",
+)
+def doc_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.curation import mixture_interleave
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "lang")
+    return mixture_interleave(
+        docs, "doc_id", "lang",
+        weights={"en": 5, "fr": 3, "es": 2, "zh": 4, "de": 1},
+    )
+
+
+@register(
     "doc_weighted_sample",
     """
     WITH w AS (

@@ -384,3 +384,81 @@ def test_weighted_systematic_sample_invariants(spark, sf_dir):
     zs = weighted_systematic_sample(zw, "doc_id", "n_chars", k=60).collect()
     assert sum(r["n_picks"] for r in zs) == 60
     assert all(r["doc_id"] % 3 != 0 for r in zs)
+
+
+# ---------------------------------------------------------------------------
+# mixture_interleave
+
+
+def _naive_interleave(rows, weights, seed=42):
+    """Window-free python reference: stride keys + (key, source) sort."""
+    from math import gcd
+
+    lcm = 1
+    for w in weights.values():
+        lcm = lcm * w // gcd(lcm, w)
+    per_src = {}
+    for i, s in rows:
+        per_src.setdefault(s, []).append(i)
+    keyed = []
+    for s, ids_ in per_src.items():
+        ids_.sort(key=lambda i: hashlib.md5(f"{seed}|{i}".encode()).hexdigest())
+        m = lcm // weights[s]
+        for j, i in enumerate(ids_, start=1):
+            keyed.append(((2 * j - 1) * m, s, i))
+    keyed.sort(key=lambda t: (t[0], t[1]))
+    return {i: pos for pos, (_, _, i) in enumerate(keyed, start=1)}
+
+
+def test_mixture_interleave_matches_naive_reference(spark):
+    from connemara_spark.operators.curation import mixture_interleave
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    weights = {"a": 3, "b": 2, "c": 5}
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in mixture_interleave(df, "doc_id", "src", weights=weights).collect()
+    }
+    assert got == _naive_interleave(rows, weights)
+
+
+def test_mixture_interleave_positions_are_a_permutation_and_proportional(spark):
+    from connemara_spark.operators.curation import mixture_interleave
+
+    rows = [(i, "heavy" if i % 10 else "light") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = mixture_interleave(
+        df, "doc_id", "src", weights={"heavy": 9, "light": 1}
+    ).collect()
+    poss = sorted(r["pos"] for r in out)
+    assert poss == list(range(1, 1001))
+    # every prefix window carries ~the configured 9:1 mixture: in any
+    # prefix of length n, heavy count is within 1 of 0.9n by the stride
+    # guarantee (|occupancy - n*w| < 1 for stride scheduling)
+    by_pos = {r["pos"]: r["src"] for r in out}
+    heavy = 0
+    for n in range(1, 1001):
+        heavy += by_pos[n] == "heavy"
+        assert abs(heavy - 0.9 * n) <= 1.0 + 1e-9
+    assert heavy == 900
+
+
+def test_mixture_interleave_partition_invariant(spark):
+    from connemara_spark.operators.curation import mixture_interleave
+
+    rows = [(i, ["x", "y"][i % 2]) for i in range(400)]
+    base = spark.createDataFrame(rows, "doc_id long, src string")
+    a = mixture_interleave(base.repartition(1), "doc_id", "src", weights={"x": 1, "y": 3})
+    b = mixture_interleave(base.repartition(17), "doc_id", "src", weights={"x": 1, "y": 3})
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_mixture_interleave_rejects_bad_weights(spark):
+    from connemara_spark.operators.curation import mixture_interleave
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, src string")
+    with pytest.raises(ValueError):
+        mixture_interleave(df, "doc_id", "src", weights={"a": 0})
+    with pytest.raises(ValueError):
+        mixture_interleave(df, "doc_id", "src", weights={})
