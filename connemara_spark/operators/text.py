@@ -336,3 +336,51 @@ def compression_features(
     return src.mapInPandas(
         feats, "doc_id long, n_raw long, n_zlib long, compress_ratio double"
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG / long-context
+    preprocessing shape): whitespace-token windows of ``size`` tokens
+    advancing by ``size - overlap``, the final window allowed short.
+
+    Returns (id_col, chunk_id 1-based, chunk). Chunk boundaries are a pure
+    function of the text, so re-chunking a re-crawled corpus yields
+    identical ids — downstream dedup/embedding caches stay valid.
+
+    Plan shape: one ``sequence`` of window starts posexploded per document
+    (no higher-order-function lambda references the word array, so the
+    split is evaluated at most twice per row — the O(n^2) producer-tree
+    substitution trap documented in operators/dedup.py never arises), then
+    one ``slice`` + ``array_join`` per chunk. Empty/whitespace-only texts
+    yield exactly one chunk (their degenerate window) rather than
+    disappearing — a chunker that silently drops rows would break
+    join-back accounting.
+    """
+    if size <= 0 or overlap < 0 or overlap >= size:
+        raise ValueError("need size > 0 and 0 <= overlap < size")
+    step = size - overlap
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(step)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            words.alias("__w"),
+            F.posexplode(starts).alias("__pos", "__st"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__pos") + 1).cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("__w"), F.col("__st"), F.lit(size)), " "
+            ).alias("chunk"),
+        )
+    )

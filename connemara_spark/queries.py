@@ -5087,6 +5087,38 @@ def doc_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunk_sliding",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    s AS (
+        SELECT doc_id, words,
+               unnest(range(1, greatest(len(words), 1) + 1, 96)) AS st
+        FROM w
+    )
+    SELECT doc_id, CAST((st - 1) / 96 + 1 AS BIGINT) AS chunk_id,
+           array_to_string(words[st:st+127], ' ') AS chunk
+    FROM s
+    """,
+    "sliding-window document chunking under the value gate "
+    "(text.chunk_text, the RAG / long-context preprocessing shape): "
+    "128-token windows advancing by 96 (32-token overlap), final window "
+    "short, empty texts keep their one degenerate chunk so join-back "
+    "accounting never loses a row; chunk boundaries are a pure function "
+    "of the text (re-chunking a re-crawl is cache-stable). Plan: one "
+    "posexploded start sequence + one slice/array_join per chunk — no "
+    "HOF lambda references the word array, so the producer-tree "
+    "substitution trap (operators/dedup.py) never arises",
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from connemara_spark.operators.text import chunk_text
+
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    return chunk_text(docs, "doc_id", "text", size=128, overlap=32)
+
+
+@register(
     "doc_weighted_sample",
     """
     WITH w AS (

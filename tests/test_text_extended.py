@@ -158,3 +158,50 @@ def test_mojibake_repair_and_detection(spark):
     assert rows[2]["fixed"] == "plain ascii"  # clean ascii untouched
     assert rows[2]["n"] == 0
     assert rows[3]["fixed"] == good          # already-good text is a fixpoint
+
+
+# ---------------------------------------------------------------------------
+# chunk_text (sliding-window chunking)
+
+
+def test_chunk_text_windows_overlap_and_final_short_window(spark):
+    from connemara_spark.operators.text import chunk_text
+
+    text = " ".join(str(i) for i in range(10))  # tokens 0..9
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {
+        r["chunk_id"]: r["chunk"]
+        for r in chunk_text(df, size=4, overlap=2).collect()
+    }
+    # starts 1,3,5,7,9 (step 2), window 4, final windows short
+    assert out == {
+        1: "0 1 2 3",
+        2: "2 3 4 5",
+        3: "4 5 6 7",
+        4: "6 7 8 9",
+        5: "8 9",
+    }
+
+
+def test_chunk_text_empty_and_single_token_keep_one_chunk(spark):
+    from connemara_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "solo")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk"])
+        for r in chunk_text(df, size=8, overlap=2).collect()
+    )
+    assert rows == [(1, 1, ""), (2, 1, "solo")]
+
+
+def test_chunk_text_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from connemara_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for size, overlap in ((0, 0), (4, 4), (4, 5), (4, -1)):
+        with _pytest.raises(ValueError):
+            chunk_text(df, size=size, overlap=overlap)
