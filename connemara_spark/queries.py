@@ -4099,6 +4099,115 @@ def events_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "doc_stream_corpus_ingest",
+    """
+    WITH stream AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text, lang, source
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    m AS (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM stream
+    ),
+    win AS (
+        SELECT doc_id, text, lang, source FROM m WHERE doc_id = mn
+    ),
+    q AS (
+        SELECT *,
+               least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.25
+               + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1)) * 0.25
+               + (1.0 - CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1)) * 0.15
+               + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1)) * 0.15
+               + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / greatest(len(string_split(text, ' ')), 1)) * 0.20 AS s
+        FROM win
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM win),
+    tc AS (
+        SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS twf
+        FROM (SELECT doc_id, w, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(ws) AS w FROM w) GROUP BY doc_id, w)
+        GROUP BY doc_id
+    ),
+    rep AS (
+        SELECT w.doc_id,
+               CASE WHEN len(ws) >= 2 THEN
+                   CAST(len(ws) - 1 - len(list_distinct(list_transform(
+                       range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' ')))) AS DOUBLE)
+                   / (len(ws) - 1) ELSE 0.0 END AS d2,
+               COALESCE(twf, 0.0) AS twf
+        FROM w LEFT JOIN tc USING (doc_id)
+    )
+    SELECT q.doc_id, q.lang, q.source, md5(q.text) AS content_md5
+    FROM q JOIN rep ON q.doc_id = rep.doc_id
+    WHERE q.s >= 0.72 AND NOT (rep.twf > 0.20 OR rep.d2 > 0.35)
+    """,
+    "the full streaming corpus-ingest pipeline under the value gate "
+    "(streaming/ingest.StreamingCorpusIngest): documents plus a "
+    "deterministic re-crawl (+10M ids for doc_id%5) land as three "
+    "ingest-ordered segments drained one microbatch each through the "
+    "foreachBatch body — in-batch exact dedup (min doc_id per content "
+    "md5), anti-join against the hashes already APPENDED to the silver "
+    "corpus (the cross-batch dedup state IS the corpus — survives "
+    "restarts for free), quality gate (>= 0.72, which rejects ~30% "
+    "here) and Gopher repetition gate, append with the content hash "
+    "materialized. Result = the corpus read back; equals the batch rule "
+    "(min-id winner per hash that passes both gates) because segment "
+    "order is id order and the gates are pure functions of the text; "
+    "gated on the deterministic columns (ids/lang/source/md5), the "
+    "float scores stay pinned by doc_quality_scores / "
+    "doc_repetition_filters",
+)
+def doc_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from connemara_spark.streaming.ingest import StreamingCorpusIngest
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    row = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    mid = (int(row["lo"]) + int(row["hi"])) // 2 + 1
+    root = tempfile.mkdtemp(prefix="connemara_corpusingest_")
+    try:
+        land = _land_stream_segments(
+            root,
+            [
+                docs.filter(F.col("doc_id") < mid),
+                docs.filter(F.col("doc_id") >= mid),
+                docs.filter(F.col("doc_id") % 5 == 0).select(
+                    (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                    "text", "lang", "source",
+                ),
+            ],
+        )
+        ingest = StreamingCorpusIngest(
+            spark,
+            landing_dir=land,
+            corpus_dir=_os.path.join(root, "corpus"),
+            checkpoint_dir=_os.path.join(root, "ckpt"),
+            min_quality=0.72,
+            max_files_per_trigger=1,
+        )
+        ingest.run_until_drained()
+        return (
+            spark.read.parquet(ingest.corpus_dir)
+            .select("doc_id", "lang", "source", "content_md5")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "doc_token_stats",
     """
     SELECT doc_id,
