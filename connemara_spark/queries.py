@@ -3737,8 +3737,12 @@ def events_stream_interval_left_join(
             root,
             [
                 ev.filter(F.col("ts") < F.lit(mid)),
-                ev.filter(F.col("ts") >= F.lit(mid)),
-                sentinel,
+                # sentinels ride the LAST data segment (not a third
+                # microbatch — one fewer scan of the stream): the watermark
+                # they advance commits at end-of-batch, and the availableNow
+                # drain's no-data flush batch then finalizes every
+                # unmatched left row's null before termination
+                ev.filter(F.col("ts") >= F.lit(mid)).unionByName(sentinel),
             ],
         )
         stream = (
