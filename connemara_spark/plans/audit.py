@@ -84,6 +84,19 @@ HEADLINES = [
         "Python.",
     ),
     (
+        "doc_mixture_interleave",
+        "Mixture interleave: NO global window — within-source ranks from 256-shard banded "
+        "windows + a broadcast offsets join; the global position is closed-form integer "
+        "arithmetic over |sources| literal strides, so the order assignment is embarrassingly "
+        "parallel.",
+    ),
+    (
+        "doc_chunk_sliding",
+        "Sliding chunking: posexploded start sequence + slice/array_join, all inside codegen; "
+        "no HOF lambda references the word array (the producer-tree substitution trap), no "
+        "shuffle at all.",
+    ),
+    (
         "cdc_join_view_delta",
         "Incremental join-view delta (r5 staged shape): the materialized touched-key set "
         "broadcasts into LEFT-SEMI prunes of the fold INPUTS (events + snapshot, apply_changes "
