@@ -3967,6 +3967,90 @@ def doc_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_csv_quarantine",
+    """
+    SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 89 <> 0
+    """,
+    "CSV ingestion with corrupt-line quarantine under the value gate "
+    "(sources/textfiles.read_csv_docs — the JSONL reader's CSV twin): the "
+    "documents metadata columns (no free text, so no quoting ambiguity in "
+    "the fixture) render to CSV with every 89th row's doc_id poisoned to a "
+    "non-numeric token, read back through the explicit-schema PERMISSIVE "
+    "reader, good split hashed — both leak directions flip the hash",
+)
+def doc_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from connemara_spark.sources.textfiles import read_csv_docs
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    key = F.when(
+        F.col("doc_id") % 89 == 0,
+        F.concat(F.lit("x"), F.col("doc_id").cast("string")),
+    ).otherwise(F.col("doc_id").cast("string"))
+    line = F.concat_ws(",", key, "lang", "source", F.col("n_chars").cast("string"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="connemara_csv_")
+    try:
+        land = _os.path.join(root, "drop")
+        docs.select(line.alias("value")).write.text(land)
+        good, bad = read_csv_docs(spark, land, schema=schema, header=False)
+        return good.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "doc_orc_roundtrip",
+    """
+    SELECT doc_id, text, lang, source FROM documents
+    """,
+    "ORC corpus sink/source round-trip under the value gate "
+    "(sources/textfiles.write_corpus_orc / read_orc_docs — the parquet "
+    "sink's twin for Hive/Trino-standardized consumers): hive-partitioned "
+    "by lang, zstd ORC, read back through the explicit-schema reader and "
+    "hashed against the source rows",
+)
+def doc_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from connemara_spark.sources.textfiles import read_orc_docs, write_corpus_orc
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    root = tempfile.mkdtemp(prefix="connemara_orc_")
+    try:
+        path = _os.path.join(root, "corpus")
+        write_corpus_orc(docs, path, partition_by="lang")
+        return (
+            read_orc_docs(spark, path)
+            .select(
+                "doc_id", "text",
+                F.col("lang").cast("string").alias("lang"), "source",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "doc_corpus_roundtrip",
     """
     SELECT doc_id, text, lang, source, n_chars FROM documents
