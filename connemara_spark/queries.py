@@ -790,32 +790,37 @@ def cdc_rebucket_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-# --- shared maintained-view family fixture ---------------------------------
+# --- maintained-view replay helper -----------------------------------------
 # The five plain-family maintained-view gates (agg/minmax/topk/distinct/
 # family union) and the two *_certified gates replay the SAME CDC stream over
-# the SAME seed snapshot, differing only in which maintainer's view the query
-# formats. Re-running the seed+parse+apply orchestration per registry query
-# made the family the bench's largest block (~15-20s per query at ANY scale
-# factor — fixture orchestration, not data volume). Each family now replays
-# ONCE per (Spark application, sf_dir) with every maintainer of that family
-# attached — the multi-maintainer protocol exactly as StreamingReplayer
-# drives ``maintainers=[...]`` — and the localCheckpoint-pinned view frames
-# are memoized; each registry query formats its own view from the shared
-# frames. The build cost lands on the first family member's cold invocation
-# (visible in BENCH_FULL.json per-rep detail); correctness is unchanged:
-# every view still must equal a full recompute of the folded state, and the
-# shared batch count is the MAX of the old per-query counts (4 plain, 6
-# certified) so no gate's workload got softer — the 2-batch gates got harder.
-_IVM_SHARED: dict = {}
+# the SAME seed snapshot, differing only in which maintainer(s) ride the
+# replay and how many LSN batches cut it. This helper builds the fixture and
+# runs the multi-maintainer protocol exactly as StreamingReplayer drives
+# ``maintainers=[...]``; each registry query attaches ONLY the maintainer(s)
+# whose view it returns and pays for its own replay on EVERY invocation —
+# a bench/oracle run always computes each query's result from the parquet
+# inputs (an earlier revision memoized the finished view frames per sf_dir
+# across queries, which made the per-query bench numbers measure a dict hit;
+# reverted). The final view is invariant to the batch cut count (each view
+# must equal a full recompute of the folded state — that is the gate), so
+# per-query batch counts are a pure workload knob, kept at the values each
+# gate's docstring declares.
 
 
-def _ivm_fixture(spark: SparkSession, sf_dir: str, *, certified: bool) -> dict:
-    """One CDC replay with the whole view family attached; memoized per
-    (applicationId, sf_dir, family). Returns raw ``read_view()`` frames:
-    plain family → {"agg", "mm", "dc", "tk"}; certified → {"mm", "tk"}
-    (adversarial dyadic-grid payload, 25 nation groups, thin TOP-K slack).
-    The scratch store is removed before returning — only the checkpointed
-    view frames (5-75 rows each) survive, pinned off the store paths."""
+def _ivm_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    which: tuple[str, ...],
+    certified: bool,
+    n_batches: int,
+) -> dict:
+    """One CDC replay with the REQUESTED maintainers attached; computed
+    fresh per invocation. Returns raw ``read_view()`` frames keyed by
+    ``which``: plain family → any of {"agg", "mm", "dc", "tk"}; certified →
+    {"mm", "tk"} (adversarial dyadic-grid payload, 25 nation groups, thin
+    TOP-K slack). The scratch store is removed before returning — only the
+    checkpointed view frames (5-75 rows each) survive, off the store paths."""
     import shutil
     import tempfile
 
@@ -828,10 +833,6 @@ def _ivm_fixture(spark: SparkSession, sf_dir: str, *, certified: bool) -> dict:
     )
     from connemara_spark.pipeline import ParquetStore, Replayer
 
-    key = (spark.sparkContext.applicationId, sf_dir, certified)
-    hit = _IVM_SHARED.get(key)
-    if hit is not None:
-        return hit
     snapshot = load(spark, sf_dir, "customer")
     bronze = _customer_cdc_bronze(
         spark, sf_dir, acctbal=_adv_grid_col() if certified else None
@@ -850,25 +851,21 @@ def _ivm_fixture(spark: SparkSession, sf_dir: str, *, certified: bool) -> dict:
     cat.register(spec)
     rep = Replayer(spark, cat, store)
     if certified:
-        views = {
-            "mm": MaintainedMinMaxView(
+        factories = {
+            "mm": lambda: MaintainedMinMaxView(
                 spark, store, spec,
                 group_col="c_nationkey", val_col="c_acctbal",
                 val_type="double", view_dir=f"{root}/v_mm",
             ),
-            "tk": MaintainedTopKView(
+            "tk": lambda: MaintainedTopKView(
                 spark, store, spec,
                 group_col="c_nationkey", val_col="c_acctbal",
                 k=3, slack=2, val_type="double", view_dir=f"{root}/v_tk",
             ),
         }
-        # six batches: with 25 groups the per-batch delete clusters are
-        # smaller, so more batches are needed to exhaust extrema (and burn
-        # the thin slack buffer) repeatedly — the rescan legs stay exercised
-        n_batches = 6
     else:
-        views = {
-            "agg": MaintainedAggView(
+        factories = {
+            "agg": lambda: MaintainedAggView(
                 spark, store, spec,
                 group_col="c_mktsegment", sum_col="c_acctbal",
                 # grid-exact money normalization (the _dec twin): a bare
@@ -879,27 +876,24 @@ def _ivm_fixture(spark: SparkSession, sf_dir: str, *, certified: bool) -> dict:
             # raw double, NOT decimal(12,2), for minmax/topk: see the
             # registry docstrings — the decimal cast of a double is
             # engine-divergent on near-tie shortest reprs
-            "mm": MaintainedMinMaxView(
+            "mm": lambda: MaintainedMinMaxView(
                 spark, store, spec,
                 group_col="c_mktsegment", val_col="c_acctbal",
                 val_type="double", view_dir=f"{root}/v_mm",
             ),
-            "dc": MaintainedDistinctCountView(
+            "dc": lambda: MaintainedDistinctCountView(
                 spark, store, spec,
                 group_col="c_mktsegment", val_col="c_nationkey",
                 val_pg_type="integer", view_dir=f"{root}/v_dc",
                 support_buckets=16,
             ),
-            "tk": MaintainedTopKView(
+            "tk": lambda: MaintainedTopKView(
                 spark, store, spec,
                 group_col="c_mktsegment", val_col="c_acctbal",
                 k=5, slack=5, val_type="double", view_dir=f"{root}/v_tk",
             ),
         }
-        # four batches: post-bootstrap deletes must exhaust extrema / burn
-        # support counts through zero / drain the slack buffer so every
-        # view's non-self-maintainable rescan leg is exercised
-        n_batches = 4
+    views = {nm: factories[nm]() for nm in which}
     lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
     step = max((hi - lo) // n_batches + 1, 1)
     try:
@@ -920,9 +914,7 @@ def _ivm_fixture(spark: SparkSession, sf_dir: str, *, certified: bool) -> dict:
                     v.after_apply()
             finally:
                 parsed.unpersist()
-        out = {nm: v.read_view().localCheckpoint() for nm, v in views.items()}
-        _IVM_SHARED[key] = out
-        return out
+        return {nm: v.read_view().localCheckpoint() for nm, v in views.items()}
     finally:
         bronze.unpersist()
         shutil.rmtree(root, ignore_errors=True)
@@ -959,14 +951,15 @@ def _ivm_fixture(spark: SparkSession, sf_dir: str, *, certified: bool) -> dict:
     FROM state GROUP BY c_mktsegment
     """,
     "incrementally-maintained grouped aggregate over the CDC-fed customer state "
-    "(MaintainedAggView through the Replayer maintainer protocol, four LSN-ordered "
-    "batches on the shared family replay — see _ivm_fixture): each batch patches "
-    "the materialized (group, n_rows, total) at its touched keys only — O(|delta|) "
-    "per batch, never a base-table rescan; the final view must equal a full "
-    "recompute of the folded state",
+    "(MaintainedAggView through the Replayer maintainer protocol, two LSN-ordered "
+    "batches): each batch patches the materialized (group, n_rows, total) at its "
+    "touched keys only — O(|delta|) per batch, never a base-table rescan; the final "
+    "view must equal a full recompute of the folded state",
 )
 def cdc_maintained_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ivm_fixture(spark, sf_dir, certified=False)["agg"]
+    return _ivm_replay(
+        spark, sf_dir, which=("agg",), certified=False, n_batches=2
+    )["agg"]
 
 
 @register(
@@ -1024,7 +1017,9 @@ def cdc_maintained_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_ivm.py where both sides share one engine.",
 )
 def cdc_maintained_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ivm_fixture(spark, sf_dir, certified=False)["mm"]
+    return _ivm_replay(
+        spark, sf_dir, which=("mm",), certified=False, n_batches=4
+    )["mm"]
 
 
 @register(
@@ -1076,7 +1071,7 @@ def cdc_maintained_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_maintained_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _ivm_fixture(spark, sf_dir, certified=False)["tk"]
+        _ivm_replay(spark, sf_dir, which=("tk",), certified=False, n_batches=4)["tk"]
         .select(
             "c_mktsegment",
             F.posexplode("top").alias("pos", "pair"),
@@ -1164,7 +1159,9 @@ def _adv_grid_col() -> Column:
 def cdc_maintained_minmax_view_certified(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    return _ivm_fixture(spark, sf_dir, certified=True)["mm"]
+    return _ivm_replay(
+        spark, sf_dir, which=("mm",), certified=True, n_batches=6
+    )["mm"]
 
 
 @register(
@@ -1212,7 +1209,7 @@ def cdc_maintained_topk_view_certified(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return (
-        _ivm_fixture(spark, sf_dir, certified=True)["tk"]
+        _ivm_replay(spark, sf_dir, which=("tk",), certified=True, n_batches=6)["tk"]
         .select(
             "c_nationkey",
             F.posexplode("top").alias("pos", "pair"),
@@ -1267,7 +1264,9 @@ def cdc_maintained_topk_view_certified(
     "recompute of the folded state",
 )
 def cdc_maintained_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ivm_fixture(spark, sf_dir, certified=False)["dc"]
+    return _ivm_replay(
+        spark, sf_dir, which=("dc",), certified=False, n_batches=4
+    )["dc"]
 
 
 @register(
@@ -1342,15 +1341,17 @@ def cdc_maintained_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TOP-K with its slack buffer) through the multi-maintainer protocol — "
     "per batch one shared parse, one store apply, then every view patches "
     "inside the same batch commit, exactly as StreamingReplayer drives "
-    "maintainers=[...]. Also the fixture-sharing answer to the per-view "
-    "bench cost: four gated views for one fixture's seed+parse+apply. "
+    "maintainers=[...] — four gated views riding one seed+parse+apply. "
     "Output is the union of all four views in one wide schema; each leg "
     "must equal a full recompute of the folded state (agg totals grid-"
     "exact decimal; minmax/topk gate the RAW double; topk rows witnessed "
     "by the ':'-joined id ranking, ties broken by pk).",
 )
 def cdc_maintained_family_views(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fam = _ivm_fixture(spark, sf_dir, certified=False)
+    fam = _ivm_replay(
+        spark, sf_dir, which=("agg", "mm", "dc", "tk"), certified=False,
+        n_batches=4,
+    )
     agg, mm, dc, tk = fam["agg"], fam["mm"], fam["dc"], fam["tk"]
     nul = lambda t: F.lit(None).cast(t)
     return (
@@ -7184,21 +7185,15 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, k=10, n_cells=32, n_probe=2)
 
 
-_TRAINED_BOOKS: dict[str, list] = {}
-
-
 def _trained_books(spark: SparkSession, sf_dir: str) -> list:
-    """Spark-side trained PQ books, memoized per sf_dir — training is the
-    offline index-BUILD step (its cost is the ``embedding_pq_train`` bench
-    entry); queries consume the books as constants, which is how a deployed
-    PQ index actually works."""
+    """Spark-side trained PQ books, computed fresh per invocation (an
+    earlier revision memoized them per sf_dir, which let a repeat run of
+    ``embedding_pq_train`` skip its own training — the bench entry must
+    carry the training cost it claims to measure)."""
     from connemara_spark.operators.similarity import pq_train_codebooks
 
-    key = sf_dir.rstrip("/")
-    if key not in _TRAINED_BOOKS:
-        emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-        _TRAINED_BOOKS[key] = pq_train_codebooks(emb, k_cb=16)
-    return _TRAINED_BOOKS[key]
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    return pq_train_codebooks(emb, k_cb=16)
 
 
 def _books_rows(books: list) -> list[tuple[int, int, str]]:
