@@ -172,13 +172,44 @@ def _static_patch_plan(spark):
     57 jobs, 14.5s → 10.7s for four MinMax patches at sf0.1; the broadcast
     materialization jobs dominate). At 100 TB the same logic holds: the
     patch's only table-sized leg (the rare extremum-exhaustion recompute)
-    is already an explicit broadcast semi join that prunes at the scan."""
+    is already an explicit broadcast semi join that prunes at the scan.
+
+    With AQE off, every patch exchange runs at the session's full
+    ``spark.sql.shuffle.partitions`` — task-count overhead AQE coalescing
+    would otherwise remove. Patch frames are |Δ|-bounded (touched keys /
+    touched groups) at ANY table size, so the exchange width is pinned to
+    ``SPARK_GRAFT_PATCH_SHUFFLE`` (default 8) independently of the core
+    count: the knob tracks delta volume, not cluster size — a deployment
+    with huge per-batch deltas raises the env, the plan shape is
+    unchanged. Results are partition-count invariant (aggregations and
+    equi-joins only)."""
+    import os
+
+    patch_parts = os.environ.get("SPARK_GRAFT_PATCH_SHUFFLE", "8")
     before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", patch_parts)
     try:
         yield
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", before)
+        spark.conf.set("spark.sql.shuffle.partitions", before_parts)
+
+
+def _vread(view, path: str) -> DataFrame:
+    """Read one view version directory with the view's schema cached on
+    the maintainer instance: the schema is invariant across versions of
+    one view, so only the FIRST read in a maintainer's lifetime pays the
+    parquet footer-inference job (each uncached read costs a 1-task
+    inference job plus a driver gap — several per batch across the
+    patch ladder)."""
+    sch = getattr(view, "_vschema", None)
+    if sch is not None:
+        return view.spark.read.schema(sch).parquet(path)
+    df = view.spark.read.parquet(path)
+    view._vschema = df.schema
+    return df
 
 
 def gc_view_versions(view_dir: str, *, keep_last: int = 2) -> list[int]:
@@ -324,7 +355,7 @@ class MaintainedTwoTableJoinView:
             return self._join(
                 self.store.read(self.spec_a), self.store.read(self.spec_b)
             )
-        return self.spark.read.parquet(os.path.join(self.view_dir, f"v{v:06d}"))
+        return _vread(self, os.path.join(self.view_dir, f"v{v:06d}"))
 
     def check_schema(self, catalog) -> None:
         """Fail loudly when DDL removed OR RENAMED a column this view
@@ -397,7 +428,7 @@ class MaintainedTwoTableJoinView:
             # touched keys either way, so this is retry-safe too)
             self._join(new_a, new_b)
             if v0 == 0
-            else self.spark.read.parquet(os.path.join(self.view_dir, f"v{v0:06d}"))
+            else _vread(self, os.path.join(self.view_dir, f"v{v0:06d}"))
         )
         kept = base.join(t, base[self.key_a] == t["__k"], "left_anti")
         return v0, kept.unionByName(repl)
@@ -493,9 +524,7 @@ class MaintainedAggView:
         m = self._meta()
         if m["version"] == 0:
             return self._full_agg(self.store.read(self.spec))
-        return self.spark.read.parquet(
-            os.path.join(self.view_dir, f"v{m['version']:06d}")
-        )
+        return _vread(self, os.path.join(self.view_dir, f"v{m['version']:06d}"))
 
     def _full_agg(self, state: DataFrame) -> DataFrame:
         return state.groupBy(self.group_col).agg(
@@ -609,9 +638,7 @@ class MaintainedAggView:
         base = (
             self._full_agg(old)
             if m["version"] == 0
-            else self.spark.read.parquet(
-                os.path.join(self.view_dir, f"v{m['version']:06d}")
-            )
+            else _vread(self, os.path.join(self.view_dir, f"v{m['version']:06d}"))
         )
         patched = merge_group_agg(
             base, net, group_col=self.group_col, sum_type=self.sum_type
@@ -712,7 +739,7 @@ class MaintainedJoinView:
         if v == 0:
             a = self.store.read(self.spec)
             return self._join(a)
-        return self.spark.read.parquet(os.path.join(self.view_dir, f"v{v:06d}"))
+        return _vread(self, os.path.join(self.view_dir, f"v{v:06d}"))
 
     def _join(self, a: DataFrame) -> DataFrame:
         j = a.join(self.dim, a[self.key_a] == self.dim[self.key_b])
@@ -779,7 +806,7 @@ class MaintainedJoinView:
         base = (
             self._join(self._old)
             if v0 == 0
-            else self.spark.read.parquet(os.path.join(self.view_dir, f"v{v0:06d}"))
+            else _vread(self, os.path.join(self.view_dir, f"v{v0:06d}"))
         )
         kept = base.join(t, base[self.key_a] == t["__k"], "left_anti")
         patched = kept.unionByName(repl)
@@ -876,9 +903,7 @@ class MaintainedMinMaxView:
         m = self._meta()
         if m["version"] == 0:
             return self._full_agg(self.store.read(self.spec))
-        return self.spark.read.parquet(
-            os.path.join(self.view_dir, f"v{m['version']:06d}")
-        )
+        return _vread(self, os.path.join(self.view_dir, f"v{m['version']:06d}"))
 
     def _val(self):
         return F.col(self.val_col).cast(self.val_type)
@@ -1004,9 +1029,7 @@ class MaintainedMinMaxView:
         base = (
             self._full_agg(old)
             if m["version"] == 0
-            else self.spark.read.parquet(
-                os.path.join(self.view_dir, f"v{m['version']:06d}")
-            )
+            else _vread(self, os.path.join(self.view_dir, f"v{m['version']:06d}"))
         )
         # the view rows that can change, with their extremum bookkeeping
         base_t = base.join(F.broadcast(touched_groups), g, "left_semi")
@@ -1209,9 +1232,7 @@ class MaintainedTopKView:
         raw = (
             self._full_agg(self.store.read(self.spec))
             if m["version"] == 0
-            else self.spark.read.parquet(
-                os.path.join(self.view_dir, f"v{m['version']:06d}")
-            )
+            else _vread(self, os.path.join(self.view_dir, f"v{m['version']:06d}"))
         )
         return raw.select(
             self.group_col,
@@ -1365,9 +1386,7 @@ class MaintainedTopKView:
         base = (
             self._full_agg(old)
             if m["version"] == 0
-            else self.spark.read.parquet(
-                os.path.join(self.view_dir, f"v{m['version']:06d}")
-            )
+            else _vread(self, os.path.join(self.view_dir, f"v{m['version']:06d}"))
         )
         base_t = base.join(F.broadcast(touched_groups), g, "left_semi")
         s = per_group.join(base_t, g, "left")
@@ -1569,9 +1588,7 @@ class MaintainedDistinctCountView:
         m = self._meta()
         if m["version"] == 0:
             return self._full_agg(self.store.read(self.spec))
-        return self.spark.read.parquet(
-            os.path.join(self.view_dir, f"v{m['version']:06d}")
-        )
+        return _vread(self, os.path.join(self.view_dir, f"v{m['version']:06d}"))
 
     def _val(self):
         return F.col(self.val_col).cast(self.sspec.columns[1].spark_type)
@@ -1766,9 +1783,7 @@ class MaintainedDistinctCountView:
         base = (
             self._full_agg(old)
             if m["version"] == 0
-            else self.spark.read.parquet(
-                os.path.join(self.view_dir, f"v{m['version']:06d}")
-            )
+            else _vread(self, os.path.join(self.view_dir, f"v{m['version']:06d}"))
         )
         bb = base.alias("b")
         nn = gd.alias("n")

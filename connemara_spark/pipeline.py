@@ -107,6 +107,25 @@ class MemoryStore:
         self.tables[spec.target_name] = self.read(spec).withColumnRenamed(old, new)
 
 
+def _pre_rename(spec: TableSpec, old: str, new: str) -> TableSpec:
+    """The spec AS IT WAS before a column rename (the DDL executor mutates
+    the catalog spec in place before calling the store's evolve hook, so
+    stores that read with an explicit spec schema need the pre-rename shape
+    to address the still-old-named files on disk)."""
+    from connemara_spark.catalog import ColumnSpec
+
+    return TableSpec(
+        database=spec.database,
+        schema=spec.schema,
+        table=spec.table,
+        columns=[
+            ColumnSpec(old if c.name == new else c.name, c.pg_type)
+            for c in spec.columns
+        ],
+        pk_cols=[old if p == new else p for p in spec.pk_cols],
+    )
+
+
 class ParquetStore:
     """Versioned parquet table store ("silver" tables).
 
@@ -155,7 +174,14 @@ class ParquetStore:
         v = self.current_version(spec.target_name)
         if v is None:
             return self.spark.createDataFrame([], spec.spark_schema())
-        return self.spark.read.parquet(self._dir(spec.target_name, v))
+        # explicit schema (same contract as BucketStore._read_manifest):
+        # parquet matches columns BY NAME, and every committed version is
+        # spec-shaped (evolve_* rewrite the files), so passing the schema
+        # skips the per-read footer-inference job — measured as a 1-task
+        # job + a driver gap on EVERY store read in the per-batch ladder
+        return self.spark.read.schema(spec.spark_schema()).parquet(
+            self._dir(spec.target_name, v)
+        )
 
     def read_version(self, spec: TableSpec, version: int) -> DataFrame:
         """Time travel: read the table AS OF an earlier commit. Every
@@ -175,7 +201,11 @@ class ParquetStore:
                 f"no committed version {version} for {spec.target_name} "
                 f"(current: {cur})"
             )
-        return self.spark.read.parquet(d)
+        # current-spec schema, matched by name (BucketStore.read_version
+        # semantics): an old version predating an ADD COLUMN null-fills the
+        # new column; renames/drops fail loudly upstream (check_schema /
+        # rebuild), so no caller can silently read the wrong column
+        return self.spark.read.schema(spec.spark_schema()).parquet(d)
 
     def gc_versions(
         self, spec: TableSpec, *, keep_last: int = 1, min_age_seconds: float = 0.0
@@ -270,7 +300,14 @@ class ParquetStore:
         self.write(spec, self.read(spec).drop(name))
 
     def evolve_rename_column(self, spec: TableSpec, old: str, new: str) -> None:
-        self.write(spec, self.read(spec).withColumnRenamed(old, new))
+        # the catalog mutates the spec BEFORE this runs (executor.py), so
+        # `spec` already carries the NEW name while the files on disk still
+        # carry the OLD one — reading them under the post-rename schema
+        # would silently null-fill the renamed column (parquet matches by
+        # name). Read under the pre-rename schema instead.
+        self.write(
+            spec, self.read(_pre_rename(spec, old, new)).withColumnRenamed(old, new)
+        )
 
 
 @dataclass

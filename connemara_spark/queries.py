@@ -834,9 +834,15 @@ def _ivm_replay(
     from connemara_spark.pipeline import ParquetStore, Replayer
 
     snapshot = load(spark, sf_dir, "customer")
+    # localCheckpoint, not persist: same one materialization job, but it
+    # also TRUNCATES the logical lineage — every downstream action (batch
+    # summary, fold write, each view-patch job) otherwise re-analyzes the
+    # whole load→payload-gen subtree per job, which the job-ladder probe
+    # showed as driver gaps between jobs, not task time
+    spark.sparkContext.setJobDescription("ivm: bronze")
     bronze = _customer_cdc_bronze(
         spark, sf_dir, acctbal=_adv_grid_col() if certified else None
-    ).persist()
+    ).localCheckpoint()
     root = tempfile.mkdtemp(prefix="connemara_ivmfam_")
     spec = TableSpec(
         database=CUSTOMER_SPEC.database,
@@ -846,6 +852,7 @@ def _ivm_replay(
         pk_cols=list(CUSTOMER_SPEC.pk_cols),
     )
     store = ParquetStore(spark, root)
+    spark.sparkContext.setJobDescription("ivm: seed")
     store.write(spec, snapshot)
     cat = EngineCatalog()
     cat.register(spec)
@@ -896,27 +903,32 @@ def _ivm_replay(
     views = {nm: factories[nm]() for nm in which}
     lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
     step = max((hi - lo) // n_batches + 1, 1)
+    jd = spark.sparkContext.setJobDescription  # phase labels for the UI/probe
     try:
-        for b0 in range(lo, hi + 1, step):
+        for i, b0 in enumerate(range(lo, hi + 1, step)):
             batch = bronze.filter(
                 (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
             )
-            # one shared parse per batch (cached — apply + every maintainer
-            # run several jobs over it), touched keys pinned pre-apply,
-            # every view patched post-apply inside the same batch commit
-            parsed = rep.parse_batch(batch).persist()
-            try:
-                summary = rep._batch_summary(parsed)
-                for v in views.values():
-                    v.before_apply(parsed)
-                rep.apply_batch(batch, events=parsed, summary=summary)
-                for v in views.values():
-                    v.after_apply()
-            finally:
-                parsed.unpersist()
+            # one shared parse per batch, localCheckpoint-pinned: apply +
+            # every maintainer run several jobs over it, and the truncated
+            # lineage keeps each of those jobs' plans shallow (the from_json
+            # parse is analyzed once, in the checkpoint job, instead of in
+            # every downstream action)
+            jd(f"ivm b{i}: parse")
+            parsed = rep.parse_batch(batch).localCheckpoint()
+            jd(f"ivm b{i}: summary")
+            summary = rep._batch_summary(parsed)
+            for v in views.values():
+                v.before_apply(parsed)
+            jd(f"ivm b{i}: fold")
+            rep.apply_batch(batch, events=parsed, summary=summary)
+            for nm, v in views.items():
+                jd(f"ivm b{i}: patch:{nm}")
+                v.after_apply()
+        jd("ivm: read_view")
         return {nm: v.read_view().localCheckpoint() for nm, v in views.items()}
     finally:
-        bronze.unpersist()
+        jd(None)
         shutil.rmtree(root, ignore_errors=True)
 
 

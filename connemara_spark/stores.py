@@ -355,8 +355,16 @@ class BucketStore:
         self._evolved_full_write(spec, self.read(spec).drop(name), dropped=name)
 
     def evolve_rename_column(self, spec: TableSpec, old: str, new: str) -> None:
+        # the catalog spec is already renamed at call time but the bucket
+        # files still carry the old name; an explicit-schema read under the
+        # NEW name would null-fill the column (parquet matches by name) —
+        # read under the pre-rename shape, then rename
+        from connemara_spark.pipeline import _pre_rename
+
         self._evolved_full_write(
-            spec, self.read(spec).withColumnRenamed(old, new), renamed=(old, new)
+            spec,
+            self.read(_pre_rename(spec, old, new)).withColumnRenamed(old, new),
+            renamed=(old, new),
         )
 
     def _evolved_full_write(self, spec: TableSpec, df: DataFrame, **_why) -> None:

@@ -391,3 +391,37 @@ def test_pipeline_queries_leave_no_scratch_dirs(spark, sf_dir):
     # lingering entry to the CacheManager (other suites' caches tolerated)
     if cache_was_empty:
         assert cache_mgr.isEmpty()
+
+
+@pytest.mark.parametrize("store_kind", ["parquet", "bucket"])
+def test_evolve_rename_column_preserves_values(spark, tmp_path, store_kind):
+    """The DDL executor mutates the catalog spec IN PLACE before calling the
+    store's evolve hook, and both stores read parquet with an explicit spec
+    schema (matched by name). evolve_rename_column must therefore read the
+    still-old-named files under the PRE-rename schema — a post-rename-schema
+    read silently null-fills the renamed column (the r11 regression this
+    pins)."""
+    from connemara_spark.stores import BucketStore
+
+    spec = TableSpec(
+        database="db1",
+        schema="public",
+        table="items_rn",
+        columns=[ColumnSpec("id", "bigint"), ColumnSpec("v", "text")],
+        pk_cols=["id"],
+    )
+    store = (
+        ParquetStore(spark, str(tmp_path))
+        if store_kind == "parquet"
+        else BucketStore(spark, str(tmp_path), n_buckets=4)
+    )
+    store.write(spec, spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+
+    # the executor's order: catalog spec mutates first, then the store hook
+    for c in spec.columns:
+        if c.name == "v":
+            c.name = "w"
+    store.evolve_rename_column(spec, "v", "w")
+
+    got = {r["id"]: r["w"] for r in store.read(spec).collect()}
+    assert got == {1: "a", 2: "b"}
