@@ -959,9 +959,8 @@ class MaintainedMinMaxView:
 
         m, patched, v_now = self._patch_frame()
         v = m["version"] + 1
-        patched.write.mode("overwrite").parquet(
-            os.path.join(self.view_dir, f"v{v:06d}")
-        )
+        vdir = os.path.join(self.view_dir, f"v{v:06d}")
+        patched.write.mode("overwrite").parquet(vdir)
         tmp = os.path.join(self.view_dir, "CURRENT.tmp")
         with open(tmp, "w") as fh:
             json.dump({"version": v, "store_version": v_now}, fh)
@@ -1013,16 +1012,12 @@ class MaintainedMinMaxView:
         # re-join), removing two shuffle exchanges and a join from every
         # patch. __ds is the net signed multiplicity at the value; __ins
         # counts the batch's insert rows at it (for the takeover
-        # multiplicity). This is also the ONE materialization of the delta
-        # (deltas itself now has a single consumer, so checkpointing the
-        # smaller per-value frame replaces checkpointing the row-level one).
-        per_val = (
-            deltas.groupBy(g, "__v")
-            .agg(
-                F.sum("__s").alias("__ds"),
-                F.sum(F.when(F.col("__s") > 0, 1)).alias("__ins"),
-            )
-            .localCheckpoint()
+        # multiplicity). Left lazy: the whole patch runs as ONE action (the
+        # view write), and the two consumers below (touched_groups, d) share
+        # this subtree via exchange reuse instead of a checkpoint job.
+        per_val = deltas.groupBy(g, "__v").agg(
+            F.sum("__s").alias("__ds"),
+            F.sum(F.when(F.col("__s") > 0, 1)).alias("__ins"),
         )
         touched_groups = per_val.select(g).distinct()
 
@@ -1094,44 +1089,48 @@ class MaintainedMinMaxView:
         )
         needs_rescan = (n_new > 0) & ~all_null & ~(min_ok & max_ok)
 
-        s = s.withColumn("__n_new", n_new).withColumn(
-            "__rescan", needs_rescan
-        ).localCheckpoint()
+        s = s.withColumn("__n_new", n_new).withColumn("__rescan", needs_rescan)
 
-        patched_rows = s.filter((F.col("__n_new") > 0) & ~F.col("__rescan")).select(
-            F.col(g),
-            F.col("__n_new").alias("n_rows"),
-            F.when(ins_takes_min, F.col("__ins_min"))
-            .otherwise(F.col("__bmin"))
-            .alias("min_val"),
-            F.when(
-                ins_takes_min,
-                F.col("__ins_minc")
-                # inserts AT an unchanged min also count toward its
-                # multiplicity; when the insert min TAKES OVER strictly
-                # below, nothing pre-existing sits at that value
-                ,
+        def _rows(sf):
+            return sf.filter((F.col("__n_new") > 0) & ~F.col("__rescan")).select(
+                F.col(g),
+                F.col("__n_new").alias("n_rows"),
+                F.when(ins_takes_min, F.col("__ins_min"))
+                .otherwise(F.col("__bmin"))
+                .alias("min_val"),
+                F.when(
+                    ins_takes_min,
+                    F.col("__ins_minc")
+                    # inserts AT an unchanged min also count toward its
+                    # multiplicity; when the insert min TAKES OVER strictly
+                    # below, nothing pre-existing sits at that value
+                    ,
+                )
+                .otherwise(surv_min)
+                .alias("min_cnt"),
+                F.when(ins_takes_max, F.col("__ins_max"))
+                .otherwise(F.col("__bmax"))
+                .alias("max_val"),
+                F.when(ins_takes_max, F.col("__ins_maxc"))
+                .otherwise(surv_max)
+                .alias("max_cnt"),
             )
-            .otherwise(surv_min)
-            .alias("min_cnt"),
-            F.when(ins_takes_max, F.col("__ins_max"))
-            .otherwise(F.col("__bmax"))
-            .alias("max_val"),
-            F.when(ins_takes_max, F.col("__ins_maxc"))
-            .otherwise(surv_max)
-            .alias("max_cnt"),
-        )
-        rescan_groups = s.filter(F.col("__rescan")).select(g)
-        # `s` is localCheckpointed and |touched groups|-sized, so this count
-        # is one sub-100ms job — and in the common batch (no extremum
-        # exhausted) it lets us skip SCHEDULING the whole recompute subtree
-        # (a full-store scan + three aggregation exchanges that would
-        # produce zero rows).
-        n_rescan = rescan_groups.count()
+
+        # ONE materialization for the whole patch: `s` is |touched groups|-
+        # sized and every downstream consumer — the keep-side anti join's
+        # group set, the patched rows, the rescan gate and the rescan group
+        # list — reads this checkpoint instead of re-deriving the delta
+        # subtree (the former shape also checkpointed per_val separately and
+        # re-built touched_groups from it on the write side).
+        s = s.localCheckpoint()
+        tg = s.select(g)  # == touched_groups, now from the checkpoint
+        # tiny gating job on the checkpointed frame: in the common batch
+        # (no extremum exhausted) it lets us skip SCHEDULING the whole
+        # recompute subtree — a full-store scan plus three aggregation
+        # exchanges that would produce zero rows.
+        n_rescan = s.filter(F.col("__rescan")).count()
         self.last_recompute_groups = n_rescan
-        patched = base.join(F.broadcast(touched_groups), g, "left_anti").unionByName(
-            patched_rows
-        )
+        patched = base.join(F.broadcast(tg), g, "left_anti").unionByName(_rows(s))
         if n_rescan:
             # the recompute leg MUST see the group's whole world: full
             # current state (not the touched buckets), pruned by the group
@@ -1139,7 +1138,9 @@ class MaintainedMinMaxView:
             patched = patched.unionByName(
                 self._full_agg(
                     self.store.read(self.spec).join(
-                        F.broadcast(rescan_groups), g, "left_semi"
+                        F.broadcast(s.filter(F.col("__rescan")).select(g)),
+                        g,
+                        "left_semi",
                     )
                 )
             )
@@ -1356,30 +1357,26 @@ class MaintainedTopKView:
         ).unionByName(
             new_t.select(F.col(g), self._val().alias("__v"), F.col(self.pk).alias("__id"), F.lit(1).alias("__s"))
         )
-        # the ONE materialization of the batch delta: deltas has a single
-        # consumer (this per-group fold), so checkpointing the folded
-        # |touched groups|-sized frame replaces checkpointing the row-level
-        # one; touched_groups falls out of the groupBy for free
-        per_group = (
-            deltas.groupBy(g)
-            .agg(
-                F.sum("__s").alias("__dn"),
-                F.collect_set("__id").alias("__touched_ids"),
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            (F.col("__s") > 0) & F.col("__v").isNotNull(),
-                            F.struct(F.col("__v").alias("v"), F.col("__id").alias("id")),
-                        )
-                    ),
-                    lambda a, b: F.when(a["v"] > b["v"], -1)
-                    .when(a["v"] < b["v"], 1)
-                    .when(a["id"] < b["id"], -1)
-                    .when(a["id"] > b["id"], 1)
-                    .otherwise(0),
-                ).alias("__adds"),
-            )
-            .localCheckpoint()
+        # left lazy: the patch materializes ONCE, at the folded `s` frame
+        # below — the two consumers of this per-group fold (touched_groups'
+        # semi join and s's left side) share the subtree via exchange reuse
+        # inside that one checkpoint job
+        per_group = deltas.groupBy(g).agg(
+            F.sum("__s").alias("__dn"),
+            F.collect_set("__id").alias("__touched_ids"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        (F.col("__s") > 0) & F.col("__v").isNotNull(),
+                        F.struct(F.col("__v").alias("v"), F.col("__id").alias("id")),
+                    )
+                ),
+                lambda a, b: F.when(a["v"] > b["v"], -1)
+                .when(a["v"] < b["v"], 1)
+                .when(a["id"] < b["id"], -1)
+                .when(a["id"] > b["id"], 1)
+                .otherwise(0),
+            ).alias("__adds"),
         )
         touched_groups = per_group.select(g)
 
@@ -1468,7 +1465,9 @@ class MaintainedTopKView:
         # recompute subtree (full-store scan + window + collect_list)
         n_rescan = rescan_groups.count()
         self.last_recompute_groups = n_rescan
-        patched = base.join(F.broadcast(touched_groups), g, "left_anti").unionByName(
+        # keep-side group set from the checkpoint (== touched_groups), so
+        # the write never re-derives the delta subtree
+        patched = base.join(F.broadcast(s.select(g)), g, "left_anti").unionByName(
             patched_rows
         )
         if n_rescan:
@@ -1697,19 +1696,24 @@ class MaintainedDistinctCountView:
 
         # the batch as a signed value multiset at the touched keys (state
         # diff, not event rows — TOAST updates and PK splits are already
-        # folded); one |delta|-sized frame feeds three legs below
-        deltas = (
-            old_t.select(F.col(g), self._val().alias("__v"), F.lit(-1).alias("__s"))
-            .unionByName(
-                new_t.select(F.col(g), self._val().alias("__v"), F.lit(1).alias("__s"))
-            )
+        # folded), pre-aggregated to (group, value) BEFORE materializing:
+        # both consumers (the support net pairs and the per-group row-count
+        # delta) derive from the per-value net counts, so checkpointing the
+        # |touched (group,value) pairs|-sized fold replaces checkpointing
+        # the row-level delta — fewer checkpoint bytes and one aggregation
+        # exchange instead of two over the row-level frame
+        deltas = old_t.select(
+            F.col(g), self._val().alias("__v"), F.lit(-1).alias("__s")
+        ).unionByName(
+            new_t.select(F.col(g), self._val().alias("__v"), F.lit(1).alias("__s"))
+        )
+        per_val = (
+            deltas.groupBy(g, "__v")
+            .agg(F.sum("__s").cast("long").alias("__dc"))
             .localCheckpoint()
         )
-        net_pairs = (
-            deltas.filter(F.col("__v").isNotNull())
-            .groupBy(g, "__v")
-            .agg(F.sum("__s").cast("long").alias("__dc"))
-            .filter(F.col("__dc") != 0)
+        net_pairs = per_val.filter(
+            F.col("__v").isNotNull() & (F.col("__dc") != 0)
         )
 
         if m["version"] == 0:
@@ -1756,7 +1760,9 @@ class MaintainedDistinctCountView:
             F.col(g), F.col("__v"), F.col("__c_new").alias("__c")
         )
 
-        dn = deltas.groupBy(F.col(g)).agg(F.sum("__s").cast("long").alias("__dn"))
+        dn = per_val.groupBy(F.col(g)).agg(
+            F.sum("__dc").cast("long").alias("__dn")
+        )
         dd = (
             joined.filter(F.col("__dc").isNotNull())
             .groupBy(F.col(g))

@@ -126,7 +126,8 @@ def main() -> None:
         prev_end = job["t1"]
         st = [
             f"{sid}:{stages.get(sid, {}).get('ntasks', '?')}t/"
-            f"{stages.get(sid, {}).get('task_ms', 0)}ms"
+            f"{stages.get(sid, {}).get('task_ms', 0)}ms:"
+            f"{stages.get(sid, {}).get('name', '')[:24]}"
             for sid in job["stages"]
             if sid in stages
         ]
