@@ -1512,6 +1512,8 @@ def cdc_jdbc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # initial sync: the COPY-shaped bulk load (no touched-key
         # machinery — at bootstrap every key is new)
+        jd = spark.sparkContext.setJobDescription
+        jd("jdbc: bootstrap")
         sink.bootstrap_load(batch_id="bootstrap")
         lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
         step = max((hi - lo) // 2 + 1, 1)
@@ -1522,11 +1524,16 @@ def cdc_jdbc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             # one localCheckpoint-pinned parse per batch (see _ivm_replay):
             # the batch summary, touched-key pin, apply and sink ship all
             # run shallow plans over the truncated lineage
+            jd(f"jdbc b{i}: parse")
             parsed = rep.parse_batch(batch).localCheckpoint()
+            jd(f"jdbc b{i}: summary")
             summary = rep._batch_summary(parsed)
             sink.before_apply(parsed)
+            jd(f"jdbc b{i}: fold")
             rep.apply_batch(batch, events=parsed, summary=summary)
+            jd(f"jdbc b{i}: ship")
             sink.after_apply(batch_id=f"batch-{i}")
+        jd(None)
         # the RESULT is the live target read back over JDBC — value parity
         # against the oracle proves the delete+insert reconcile transaction
         # reproduced the folded state exactly

@@ -472,9 +472,12 @@ class JdbcApplySink(_JdbcLedgerBase):
             return False
         cols = [c.name for c in self.spec.columns]
         state = self.store.read(self.spec)
-        state.select(*cols).withColumn("__key_only", F.lit(False)).write.mode(
-            "overwrite"
-        ).option("truncate", "true").jdbc(
+        # coalesce to the connection budget (see _stage_slice): a bootstrap
+        # left at store-scan parallelism opens one target connection per
+        # scan partition for no throughput gain
+        state.select(*cols).withColumn("__key_only", F.lit(False)).coalesce(
+            self.staging_partitions
+        ).write.mode("overwrite").option("truncate", "true").jdbc(
             self.url, self.staging, properties=self.props
         )
         con = self._connect()
