@@ -703,7 +703,7 @@ def cdc_apply_customer_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.stores import BucketStore
 
     snapshot = load(spark, sf_dir, "customer")
-    bronze = _customer_cdc_bronze(spark, sf_dir).localCheckpoint()
+    bronze = _customer_cdc_bronze(spark, sf_dir)
     # fresh store per invocation: the query is a pure function of sf_dir,
     # so state from an earlier run must never leak into the result; the
     # scratch dir is removed in the finally below (the result is
@@ -727,16 +727,14 @@ def cdc_apply_customer_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
     step = max((hi - lo) // 2 + 1, 1)
     try:
+        # ONE parse + checkpoint for the whole stream, sliced per batch
+        # (row-wise parse: filter∘parse == parse∘filter) — apply_batch runs
+        # several driver-synchronous jobs over each batch and every one of
+        # them reads shallow checkpoint blocks instead of re-parsing JSON
+        parsed_all = rep.parse_batch(bronze).localCheckpoint()
         for b0 in range(lo, hi + 1, step):
-            batch = bronze.filter(
-                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
-            )
-            # cache the parsed batch: apply_batch runs several driver-
-            # synchronous jobs over it (DDL collect, touched-bucket pricing,
-            # fold) and each would re-execute the JSON parse otherwise — the
-            # same reason the streaming driver caches its microbatch
-            parsed = rep.parse_batch(batch).localCheckpoint()
-            rep.apply_batch(batch, events=parsed)
+            in_batch = (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            rep.apply_batch(bronze.filter(in_batch), events=parsed_all.filter(in_batch))
         # eager localCheckpoint pins the final state OFF the store paths
         # (ContextCleaner frees the blocks when the result is dropped)
         return store.read(spec).localCheckpoint()
@@ -766,7 +764,7 @@ def cdc_rebucket_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.stores import BucketStore
 
     snapshot = load(spark, sf_dir, "customer")
-    bronze = _customer_cdc_bronze(spark, sf_dir).localCheckpoint()
+    bronze = _customer_cdc_bronze(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="connemara_rebucket_")
     store = BucketStore(spark, root, n_buckets=8)
     spec = TableSpec(
@@ -784,12 +782,12 @@ def cdc_rebucket_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     step = max((hi - lo) // 2 + 1, 1)
     try:
         ranges = list(range(lo, hi + 1, step))
+        # one parse for both batches (row-wise; layout-independent, so the
+        # mid-stream rebucket below cannot affect it), sliced per batch
+        parsed_all = rep.parse_batch(bronze).localCheckpoint()
         for i, b0 in enumerate(ranges):
-            batch = bronze.filter(
-                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
-            )
-            parsed = rep.parse_batch(batch).localCheckpoint()
-            rep.apply_batch(batch, events=parsed)
+            in_batch = (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            rep.apply_batch(bronze.filter(in_batch), events=parsed_all.filter(in_batch))
             if i == 0:
                 # the idle-maintenance trigger's core action, exercised at
                 # the harshest point: between two batches of one stream —
@@ -854,9 +852,11 @@ def _ivm_replay(
     # whole load→payload-gen subtree per job, which the job-ladder probe
     # showed as driver gaps between jobs, not task time
     spark.sparkContext.setJobDescription("ivm: bronze")
+    # lazy: the one materialization is the parse checkpoint in the loop
+    # below (the payload-generation subtree is analyzed once, inside it)
     bronze = _customer_cdc_bronze(
         spark, sf_dir, acctbal=_adv_grid_col() if certified else None
-    ).localCheckpoint()
+    )
     root = tempfile.mkdtemp(prefix="connemara_ivmfam_")
     spec = TableSpec(
         database=CUSTOMER_SPEC.database,
@@ -919,26 +919,50 @@ def _ivm_replay(
     step = max((hi - lo) // n_batches + 1, 1)
     jd = spark.sparkContext.setJobDescription  # phase labels for the UI/probe
     try:
+        # ONE parse + checkpoint for the whole stream, sliced per batch:
+        # parse/standard_filters/slot_restriction are row-wise, so
+        # filter(parse(bronze)) == parse(filter(bronze)) row-for-row — and
+        # the n per-batch parse checkpoints (a scheduler job + driver gap
+        # each) collapse into one. Downstream per-batch frames read local
+        # checkpoint blocks through a cheap lsn filter, keeping every
+        # maintainer/fold plan shallow exactly as before.
+        jd("ivm: parse")
+        parsed_all = rep.parse_batch(bronze).localCheckpoint()
         for i, b0 in enumerate(range(lo, hi + 1, step)):
-            batch = bronze.filter(
-                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
-            )
-            # one shared parse per batch, localCheckpoint-pinned: apply +
-            # every maintainer run several jobs over it, and the truncated
-            # lineage keeps each of those jobs' plans shallow (the from_json
-            # parse is analyzed once, in the checkpoint job, instead of in
-            # every downstream action)
-            jd(f"ivm b{i}: parse")
-            parsed = rep.parse_batch(batch).localCheckpoint()
+            in_batch = (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            batch = bronze.filter(in_batch)
+            parsed = parsed_all.filter(in_batch)
             jd(f"ivm b{i}: summary")
             summary = rep._batch_summary(parsed)
             for v in views.values():
                 v.before_apply(parsed)
             jd(f"ivm b{i}: fold")
             rep.apply_batch(batch, events=parsed, summary=summary)
-            for nm, v in views.items():
-                jd(f"ivm b{i}: patch:{nm}")
-                v.after_apply()
+            if len(views) > 1:
+                # the patches are independent (each view has its own
+                # view_dir; the store state they read is the same applied
+                # version) — submit them as CONCURRENT Spark jobs, same
+                # discipline as Replayer._apply_dml_segment's per-table
+                # folds: the batch's patch phase costs max(views), not
+                # sum(views). One shared static-plan context wraps all of
+                # them (the nested per-view context is then a no-op that
+                # captures and restores the already-patched settings).
+                from concurrent.futures import ThreadPoolExecutor
+
+                from connemara_spark.operators.ivm import _static_patch_plan
+
+                def _patch(item, _i=i):
+                    nm, v = item
+                    jd(f"ivm b{_i}: patch:{nm}")
+                    v.after_apply()
+
+                with _static_patch_plan(spark):
+                    with ThreadPoolExecutor(max_workers=len(views)) as ex:
+                        list(ex.map(_patch, views.items()))
+            else:
+                for nm, v in views.items():
+                    jd(f"ivm b{i}: patch:{nm}")
+                    v.after_apply()
         jd("ivm: read_view")
         return {nm: v.read_view().localCheckpoint() for nm, v in views.items()}
     finally:
@@ -1477,7 +1501,7 @@ def cdc_jdbc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from connemara_spark.stores import BucketStore
 
     snapshot = load(spark, sf_dir, "customer")
-    bronze = _customer_cdc_bronze(spark, sf_dir).localCheckpoint()
+    bronze = _customer_cdc_bronze(spark, sf_dir)
     # a FRESH in-memory Derby per invocation (pure function of sf_dir: no
     # target rows or ledger entries may leak between runs), dropped in the
     # finally once the read-back result is materialized
@@ -1517,15 +1541,16 @@ def cdc_jdbc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink.bootstrap_load(batch_id="bootstrap")
         lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
         step = max((hi - lo) // 2 + 1, 1)
+        # ONE parse + checkpoint for the whole stream, sliced per batch
+        # (row-wise parse; see _ivm_replay): the batch summary, touched-key
+        # pin, apply and sink ship all run shallow plans over the truncated
+        # lineage
+        jd("jdbc: parse")
+        parsed_all = rep.parse_batch(bronze).localCheckpoint()
         for i, b0 in enumerate(range(lo, hi + 1, step)):
-            batch = bronze.filter(
-                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
-            )
-            # one localCheckpoint-pinned parse per batch (see _ivm_replay):
-            # the batch summary, touched-key pin, apply and sink ship all
-            # run shallow plans over the truncated lineage
-            jd(f"jdbc b{i}: parse")
-            parsed = rep.parse_batch(batch).localCheckpoint()
+            in_batch = (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            batch = bronze.filter(in_batch)
+            parsed = parsed_all.filter(in_batch)
             jd(f"jdbc b{i}: summary")
             summary = rep._batch_summary(parsed)
             sink.before_apply(parsed)
@@ -1713,7 +1738,6 @@ def cdc_jdbc_multi_table_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         _customer_cdc_bronze(spark, sf_dir)
         .filter(F.col("lsn_start") % 2 == 0)
         .unionByName(_orders_cdc_bronze(spark, sf_dir))
-        .localCheckpoint()
     )
     dbname = f"connemara_multi_{uuid.uuid4().hex}"
     url = f"jdbc:derby:memory:{dbname}"
@@ -1767,11 +1791,12 @@ def cdc_jdbc_multi_table_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink.bootstrap_load_all(batch_id="bootstrap")
         lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
         step = max((hi - lo) // 2 + 1, 1)
+        # one parse + checkpoint, sliced per batch (see _ivm_replay)
+        parsed_all = rep.parse_batch(bronze).localCheckpoint()
         for i, b0 in enumerate(range(lo, hi + 1, step)):
-            batch = bronze.filter(
-                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
-            )
-            parsed = rep.parse_batch(batch).localCheckpoint()
+            in_batch = (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            batch = bronze.filter(in_batch)
+            parsed = parsed_all.filter(in_batch)
             summary = rep._batch_summary(parsed)
             sink.before_apply(parsed)
             rep.apply_batch(batch, events=parsed, summary=summary)
@@ -1898,7 +1923,6 @@ def cdc_two_source_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, sf_dir, slot="slot_rogue", name_prefix="evil#", lsn_offset=1
             ).filter(F.col("lsn_start") % 2 == 1)
         )
-        .localCheckpoint()
     )
     root = tempfile.mkdtemp(prefix="connemara_twosrc_")
     spec_a = TableSpec(
@@ -1937,17 +1961,17 @@ def cdc_two_source_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
     step = max((hi - lo) // 2 + 1, 1)
     try:
+        # the maintainer protocol exactly as StreamingReplayer drives it:
+        # ONE localCheckpoint-pinned parse for the whole stream, sliced per
+        # batch (row-wise parse; see _ivm_replay) and shared by summary,
+        # touched-key pin and apply — parse_batch applies the slot
+        # restriction, so the rogue stream never reaches the fold OR the
+        # view's touched-key set
+        parsed_all = rep.parse_batch(bronze).localCheckpoint()
         for b0 in range(lo, hi + 1, step):
-            batch = bronze.filter(
-                (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
-            )
-            # the maintainer protocol exactly as StreamingReplayer drives it
-            # (one localCheckpoint-pinned parse shared by summary,
-            # touched-key pin and apply — truncated lineage keeps every
-            # downstream job's plan shallow; parse_batch applies the slot
-            # restriction, so the rogue stream never reaches the fold OR
-            # the view's touched-key set)
-            parsed = rep.parse_batch(batch).localCheckpoint()
+            in_batch = (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
+            batch = bronze.filter(in_batch)
+            parsed = parsed_all.filter(in_batch)
             summary = rep._batch_summary(parsed)
             view.before_apply(parsed)
             rep.apply_batch(batch, events=parsed, summary=summary)
@@ -2056,7 +2080,9 @@ def cdc_two_source_ddl_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_bronze = _orders_cdc_bronze(
         spark, sf_dir, database="db2", slot="slot_db2"
     ).withColumn("lsn_start", F.col("lsn_start") * 2 + 1)
-    bronze = cust_bronze.unionByName(ord_bronze).localCheckpoint()
+    # lazy: the one materialization is the parse checkpoint below (the
+    # bronze subtree is analyzed once, inside that job)
+    bronze = cust_bronze.unionByName(ord_bronze)
     ddl_lsn = 2 * rename_from - 2
     ts = _dt.datetime(2024, 6, 1)
     ddl_row = spark.createDataFrame(
@@ -2115,26 +2141,31 @@ def cdc_two_source_ddl_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         hi_lsn = 2 * hi + 1
         mid2 = ddl_lsn + max((hi_lsn - ddl_lsn) // 2, 1)
+        # ONE parse + checkpoint for the whole interleaved stream, sliced
+        # per batch (row-wise parse; see _ivm_replay); the 1-row DDL event
+        # is parsed separately (a driver-local frame) and unioned into its
+        # batch's parsed slice exactly where its bronze row would sit
+        parsed_all = rep.parse_batch(bronze).localCheckpoint()
+        parsed_ddl = rep.parse_batch(ddl_row)
+        cut1 = F.col("lsn_start") < ddl_lsn // 2
+        cut2 = (F.col("lsn_start") >= ddl_lsn // 2) & (F.col("lsn_start") < ddl_lsn)
+        # the DDL rides a batch that also carries post-DDL DML from
+        # BOTH sources (payloads already under the new column name)
+        cut3 = (F.col("lsn_start") > ddl_lsn) & (F.col("lsn_start") <= mid2)
+        cut4 = F.col("lsn_start") > mid2
         batches = [
             # two pre-DDL batches so the view is genuinely maintained (not
             # bootstrap-only) before the DDL hits it
-            bronze.filter(F.col("lsn_start") < ddl_lsn // 2),
-            bronze.filter(
-                (F.col("lsn_start") >= ddl_lsn // 2) & (F.col("lsn_start") < ddl_lsn)
+            (bronze.filter(cut1), parsed_all.filter(cut1)),
+            (bronze.filter(cut2), parsed_all.filter(cut2)),
+            (
+                bronze.filter(cut3).unionByName(ddl_row),
+                parsed_all.filter(cut3).unionByName(parsed_ddl),
             ),
-            # the DDL rides a batch that also carries post-DDL DML from
-            # BOTH sources (payloads already under the new column name)
-            bronze.filter(
-                (F.col("lsn_start") > ddl_lsn) & (F.col("lsn_start") <= mid2)
-            ).unionByName(ddl_row),
-            bronze.filter(F.col("lsn_start") > mid2),
+            (bronze.filter(cut4), parsed_all.filter(cut4)),
         ]
         stale_seen = False
-        for batch in batches:
-            # localCheckpoint, not persist: one materialization job either
-            # way, but the truncated lineage keeps every downstream job's
-            # plan shallow (see _ivm_replay)
-            parsed = rep.parse_batch(batch).localCheckpoint()
+        for batch, parsed in batches:
             summary = rep._batch_summary(parsed)
             view.before_apply(parsed)
             metrics = rep.apply_batch(batch, events=parsed, summary=summary)
@@ -2345,7 +2376,7 @@ def cdc_jdbc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot = load(spark, sf_dir, "customer")
     lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
     note_from = lo + (hi - lo) // 2 + 1  # first post-DDL event_id
-    bronze = _evolving_customer_bronze(spark, sf_dir, note_from).localCheckpoint()
+    bronze = _evolving_customer_bronze(spark, sf_dir, note_from)
     # the DDL event sits at the free odd LSN just below the first post-DDL
     # event (lsn = 2*event_id keeps odds free), so the single stream is
     # LSN-monotone: ... pre-DDL DML < DDL < post-DDL DML ...
@@ -2417,13 +2448,20 @@ def cdc_jdbc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sink.bootstrap_load(batch_id="bootstrap")
         # batch 1: pre-DDL DML only; batch 2: the DDL event AND the
-        # post-DDL DML in ONE batch — the apply cuts at the barrier
+        # post-DDL DML in ONE batch — the apply cuts at the barrier.
+        # ONE parse + checkpoint, sliced per batch (see _ivm_replay); the
+        # 1-row DDL event parses driver-locally into its batch's slice.
+        parsed_all = rep.parse_batch(bronze).localCheckpoint()
+        parsed_ddl = rep.parse_batch(ddl_row)
+        pre, post = F.col("lsn_start") < ddl_lsn, F.col("lsn_start") > ddl_lsn
         batches = [
-            bronze.filter(F.col("lsn_start") < ddl_lsn),
-            bronze.filter(F.col("lsn_start") > ddl_lsn).unionByName(ddl_row),
+            (bronze.filter(pre), parsed_all.filter(pre)),
+            (
+                bronze.filter(post).unionByName(ddl_row),
+                parsed_all.filter(post).unionByName(parsed_ddl),
+            ),
         ]
-        for i, batch in enumerate(batches):
-            parsed = rep.parse_batch(batch).localCheckpoint()
+        for i, (batch, parsed) in enumerate(batches):
             summary = rep._batch_summary(parsed)
             sink.before_apply(parsed)
             metrics = rep.apply_batch(batch, events=parsed, summary=summary)
@@ -2562,7 +2600,7 @@ def cdc_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot = load(spark, sf_dir, "customer")
     lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
     rename_from = lo + (hi - lo) // 2 + 1  # first post-DDL event_id
-    bronze = _renaming_customer_bronze(spark, sf_dir, rename_from).localCheckpoint()
+    bronze = _renaming_customer_bronze(spark, sf_dir, rename_from)
     ddl_lsn = 2 * rename_from - 1
     ts = _dt.datetime(2024, 6, 1)
     ddl_row = spark.createDataFrame(
@@ -2613,13 +2651,19 @@ def cdc_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.register(spec)
         rep = Replayer(spark, cat, store)
         # batch 1: pre-DDL DML only; batch 2: the RENAME event AND the
-        # post-DDL DML (already decoded under the NEW name) in ONE batch
+        # post-DDL DML (already decoded under the NEW name) in ONE batch.
+        # ONE parse + checkpoint, sliced per batch (see _ivm_replay).
+        parsed_all = rep.parse_batch(bronze).localCheckpoint()
+        parsed_ddl = rep.parse_batch(ddl_row)
+        pre, post = F.col("lsn_start") < ddl_lsn, F.col("lsn_start") > ddl_lsn
         batches = [
-            bronze.filter(F.col("lsn_start") < ddl_lsn),
-            bronze.filter(F.col("lsn_start") > ddl_lsn).unionByName(ddl_row),
+            (bronze.filter(pre), parsed_all.filter(pre)),
+            (
+                bronze.filter(post).unionByName(ddl_row),
+                parsed_all.filter(post).unionByName(parsed_ddl),
+            ),
         ]
-        for batch in batches:
-            parsed = rep.parse_batch(batch).localCheckpoint()
+        for batch, parsed in batches:
             summary = rep._batch_summary(parsed)
             rep.apply_batch(batch, events=parsed, summary=summary)
         evolved = cat.get("db1", "public", "customer")
@@ -2752,7 +2796,7 @@ def cdc_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot = load(spark, sf_dir, "customer")
     lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
     drop_from = lo + (hi - lo) // 2 + 1  # first post-DDL event_id
-    bronze = _dropping_customer_bronze(spark, sf_dir, drop_from).localCheckpoint()
+    bronze = _dropping_customer_bronze(spark, sf_dir, drop_from)
     ddl_lsn = 2 * drop_from - 1
     ts = _dt.datetime(2024, 6, 1)
     ddl_row = spark.createDataFrame(
@@ -2803,13 +2847,19 @@ def cdc_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.register(spec)
         rep = Replayer(spark, cat, store)
         # batch 1: pre-DDL DML only; batch 2: the DROP event AND the
-        # post-DDL DML (already narrowed to four columns) in ONE batch
+        # post-DDL DML (already narrowed to four columns) in ONE batch.
+        # ONE parse + checkpoint, sliced per batch (see _ivm_replay).
+        parsed_all = rep.parse_batch(bronze).localCheckpoint()
+        parsed_ddl = rep.parse_batch(ddl_row)
+        pre, post = F.col("lsn_start") < ddl_lsn, F.col("lsn_start") > ddl_lsn
         batches = [
-            bronze.filter(F.col("lsn_start") < ddl_lsn),
-            bronze.filter(F.col("lsn_start") > ddl_lsn).unionByName(ddl_row),
+            (bronze.filter(pre), parsed_all.filter(pre)),
+            (
+                bronze.filter(post).unionByName(ddl_row),
+                parsed_all.filter(post).unionByName(parsed_ddl),
+            ),
         ]
-        for batch in batches:
-            parsed = rep.parse_batch(batch).localCheckpoint()
+        for batch, parsed in batches:
             summary = rep._batch_summary(parsed)
             rep.apply_batch(batch, events=parsed, summary=summary)
         evolved = cat.get("db1", "public", "customer")
