@@ -3442,7 +3442,12 @@ def _land_stream_segments(root: str, segs) -> str:
     base = _time.time()
     for i, s in enumerate(segs):
         st = _os.path.join(root, f"st{i}")
-        s.coalesce(1).write.parquet(st)
+        # repartition(1), NOT coalesce(1): coalesce collapses the WHOLE
+        # upstream chain (scan, filters, casts) into the single write task,
+        # while repartition computes it at full parallelism and only the
+        # final encode runs single-task (one file per segment is the
+        # ingest-order contract below)
+        s.repartition(1).write.parquet(st)
         part = _glob.glob(_os.path.join(st, "part-*.parquet"))[0]
         dst = _os.path.join(land, f"seg-{i:04d}.parquet")
         _shutil.move(part, dst)
@@ -3450,31 +3455,79 @@ def _land_stream_segments(root: str, segs) -> str:
     return land
 
 
-def _drain_to_table(spark: SparkSession, stream_out: DataFrame, ckpt: str) -> DataFrame:
+def _stream_state_width(spark: SparkSession, *paths: str) -> int:
+    """Shuffle width for a BOUNDED stream drain, derived from the landing
+    dir's bytes (guide §2: partitioning tracks data volume, not a constant
+    tuned for one box). Stateful exchanges are exempt from AQE coalescing —
+    the width chosen at query start is the number of state-store instances
+    paying a commit (files + fsync) EVERY microbatch, so a tiny drained
+    fixture at the session's full width burns 32 state commits per batch
+    to shuffle a few MB. ~8 MB of input per state partition, floor 8,
+    ceiling the session width (a 100 TB stream saturates the ceiling; the
+    env knob overrides for deployments that know their state volume)."""
+    import os as _os
+
+    env = _os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        return max(1, int(env))
+    total = 0
+    for p in paths:
+        for dirpath, _dirs, files in _os.walk(p):
+            for f in files:
+                try:
+                    total += _os.path.getsize(_os.path.join(dirpath, f))
+                except OSError:
+                    pass
+    session = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(8, min(session, total // (8 << 20) + 1))
+
+
+def _drain_to_table(
+    spark: SparkSession,
+    stream_out: DataFrame,
+    ckpt: str,
+    *,
+    state_width: int | None = None,
+) -> DataFrame:
     """Run a streaming frame to completion (availableNow) into a memory
-    sink and return the drained rows pinned off the sink table."""
+    sink and return the drained rows pinned off the sink table.
+
+    ``state_width``: stateful-shuffle width pinned for this query (see
+    _stream_state_width); the session setting is restored after the drain
+    (the width is read once at query start and recorded in the checkpoint,
+    but restoring only after termination keeps the window race-free)."""
     import os as _os
     import uuid as _uuid
 
     name = f"drain_{_uuid.uuid4().hex[:10]}"
-    q = (
-        stream_out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    # awaitTermination returns False on TIMEOUT while the query is still
-    # running (exception() is None in that state) — proceeding would read
-    # a partially-populated memory sink and surface as a confusing oracle
-    # mismatch at larger scale factors. Fail loudly instead.
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(
-            f"streaming drain {name} did not finish within 300s — "
-            "refusing to read a partially-populated memory sink"
+    before = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    if state_width is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_width))
+    try:
+        q = (
+            stream_out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
+        # awaitTermination returns False on TIMEOUT while the query is still
+        # running (exception() is None in that state) — proceeding would read
+        # a partially-populated memory sink and surface as a confusing oracle
+        # mismatch at larger scale factors. Fail loudly instead.
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                f"streaming drain {name} did not finish within 300s — "
+                "refusing to read a partially-populated memory sink"
+            )
+    finally:
+        # restore only after termination: the stream thread reads the conf
+        # asynchronously at first-batch planning, so restoring right after
+        # start() would race it
+        if state_width is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
     if q.exception() is not None:
         raise RuntimeError(str(q.exception()))
     res = spark.table(name).localCheckpoint()
@@ -3539,7 +3592,10 @@ def doc_stream_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands = lsh_candidates_stream(
             md5_band_rows(stream, "doc_id", "text", k=5, num_hashes=16, bands=8)
         )
-        drained = _drain_to_table(spark, cands, _os.path.join(root, "ckpt"))
+        drained = _drain_to_table(
+            spark, cands, _os.path.join(root, "ckpt"),
+            state_width=_stream_state_width(spark, land),
+        )
         # batch-side dedup of the intrinsic cross-band/cross-batch repeats
         # (the verify stage does this join anyway at scale)
         return drained.dropDuplicates(["id_a", "id_b"]).localCheckpoint()
@@ -3595,6 +3651,7 @@ def doc_stream_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             bottomk_sample_stream(stream, id_col="doc_id", k=64, shards=8),
             _os.path.join(root, "ckpt"),
+            state_width=_stream_state_width(spark, land),
         )
         # merge the shard sketches: bottom-64 of everything ever admitted
         return (
@@ -3664,7 +3721,8 @@ def doc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(land)
         )
         drained = _drain_to_table(
-            spark, exact_dedup_stream(stream), _os.path.join(root, "ckpt")
+            spark, exact_dedup_stream(stream), _os.path.join(root, "ckpt"),
+            state_width=_stream_state_width(spark, land),
         )
         return drained.select("doc_id", "dup_of").localCheckpoint()
     finally:
@@ -3739,7 +3797,10 @@ def events_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
             F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         )
-        drained = _drain_to_table(spark, joined, _os.path.join(root, "ckpt"))
+        drained = _drain_to_table(
+            spark, joined, _os.path.join(root, "ckpt"),
+            state_width=_stream_state_width(spark, land),
+        )
         return drained.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -3830,7 +3891,10 @@ def events_stream_interval_left_join(
             F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
             F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         )
-        drained = _drain_to_table(spark, joined, _os.path.join(root, "ckpt"))
+        drained = _drain_to_table(
+            spark, joined, _os.path.join(root, "ckpt"),
+            state_width=_stream_state_width(spark, land),
+        )
         return drained.filter(F.col("click_id") >= 0).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -4238,7 +4302,8 @@ def events_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
             stream, keys=["user_id"], ts_col="ts", delay=f"{span_h} hours"
         )
         drained = _drain_to_table(
-            spark, deduped.select("user_id"), _os.path.join(root, "ckpt")
+            spark, deduped.select("user_id"), _os.path.join(root, "ckpt"),
+            state_width=_stream_state_width(spark, land),
         )
         return drained.localCheckpoint()
     finally:
@@ -9114,7 +9179,10 @@ def doc_stream_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(land)
         )
         cands_stream = heavy_hitters_stream(bigrams(stream), "bigram", num=1, den=900)
-        drained = _drain_to_table(spark, cands_stream, _os.path.join(root, "ckpt"))
+        drained = _drain_to_table(
+            spark, cands_stream, _os.path.join(root, "ckpt"),
+            state_width=_stream_state_width(spark, land),
+        )
         cands = hh_latest_candidates(drained).select(F.col("k").alias("bigram"))
         # exact batch recount of ONLY the candidates (threshold compare is
         # integer-exact, as in sketch.exact_heavy_hitters)
