@@ -9982,12 +9982,25 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
-    toks = words.select(
-        "doc_id", F.size(bpe_segment_expr(F.col("word"), merges)).alias("n_toks")
+    # token count is a pure function of the word: run the 12-level merge
+    # fold once per DISTINCT word (vocabulary-sized — Zipf-bounded at any
+    # corpus size) and join the counts back, instead of folding every
+    # corpus word occurrence (guide §4/§2: per-row compute scoped to the
+    # distinct domain, then shuffled as small (word, n) pairs). The
+    # per-(doc, word) pre-aggregation also shrinks the join's probe side
+    # and map-side-combines the final per-doc sums.
+    per_word = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab_toks = (
+        per_word.select("word")
+        .distinct()
+        .select(
+            "word", F.size(bpe_segment_expr(F.col("word"), merges)).alias("n_toks")
+        )
     )
+    toks = per_word.join(vocab_toks, "word")
     return toks.groupBy("doc_id").agg(
-        F.sum("n_toks").cast("bigint").alias("n_tokens"),
-        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_toks")).cast("bigint").alias("n_tokens"),
+        F.sum("cnt").cast("bigint").alias("n_words"),
     )
 
 
