@@ -197,6 +197,39 @@ def _static_patch_plan(spark):
         spark.conf.set("spark.sql.shuffle.partitions", before_parts)
 
 
+def _patch_gate(s, g: str):
+    """One tiny action on the checkpointed per-group patch frame ``s``
+    (columns ``g`` + ``__rescan``, |touched groups| rows) returning
+    ``(touched group values, rescan group values)``.
+
+    This REPLACES the former ``count()`` rescan gate at the same cost —
+    one scheduler job over checkpoint blocks — and returns strictly more:
+    with the group values on the driver, the write plan can prune the
+    keep side and the rescan leg with literal IN-lists instead of two
+    broadcast semi/anti joins. Each broadcast exchange is its own
+    scheduler job plus planning work, and in a per-batch maintenance
+    protocol those driver costs ARE the bill (the data legs are
+    |Δ|-bounded). Callers fall back to the broadcast-join shape above
+    ``SPARK_GRAFT_PATCH_GROUP_LITERALS`` (default 4096) — at production
+    delta sizes the broadcast plan is the right one, and the gate frame
+    stays delta-bounded either way."""
+    rows = s.select(g, "__rescan").collect()
+    return [r[0] for r in rows], [r[0] for r in rows if r[1]]
+
+
+def _group_literal_cap() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_PATCH_GROUP_LITERALS", "4096"))
+
+
+def _not_in_groups(col, values):
+    """Keep-side predicate matching LEFT ANTI join semantics exactly,
+    including NULLs on either side (NULL never matches, so NULL-group
+    rows are KEPT; a NULL in ``values`` matches nothing)."""
+    return ~F.coalesce(col.isin(*values), F.lit(False))
+
+
 def _vread(view, path: str) -> DataFrame:
     """Read one view version directory with the view's schema cached on
     the maintainer instance: the schema is invariant across versions of
@@ -1123,27 +1156,36 @@ class MaintainedMinMaxView:
         # subtree (the former shape also checkpointed per_val separately and
         # re-built touched_groups from it on the write side).
         s = s.localCheckpoint()
-        tg = s.select(g)  # == touched_groups, now from the checkpoint
-        # tiny gating job on the checkpointed frame: in the common batch
-        # (no extremum exhausted) it lets us skip SCHEDULING the whole
-        # recompute subtree — a full-store scan plus three aggregation
-        # exchanges that would produce zero rows.
-        n_rescan = s.filter(F.col("__rescan")).count()
-        self.last_recompute_groups = n_rescan
-        patched = base.join(F.broadcast(tg), g, "left_anti").unionByName(_rows(s))
-        if n_rescan:
+        # tiny gating job on the checkpointed frame (see _patch_gate): in
+        # the common batch (no extremum exhausted) it lets us skip
+        # SCHEDULING the whole recompute subtree — a full-store scan plus
+        # three aggregation exchanges that would produce zero rows — and
+        # below the literal cap it also removes both write-side broadcast
+        # exchanges (each its own scheduler job per batch).
+        tg_vals, rescan_vals = _patch_gate(s, g)
+        self.last_recompute_groups = len(rescan_vals)
+        lit = len(tg_vals) <= _group_literal_cap()
+        kept = (
+            (base.filter(_not_in_groups(F.col(g), tg_vals)) if tg_vals else base)
+            if lit
+            else base.join(F.broadcast(s.select(g)), g, "left_anti")
+        )
+        patched = kept.unionByName(_rows(s))
+        if rescan_vals:
             # the recompute leg MUST see the group's whole world: full
             # current state (not the touched buckets), pruned by the group
-            # semi join
-            patched = patched.unionByName(
-                self._full_agg(
-                    self.store.read(self.spec).join(
-                        F.broadcast(s.filter(F.col("__rescan")).select(g)),
-                        g,
-                        "left_semi",
-                    )
+            # list (literal pushdown below the cap, broadcast semi above)
+            state = self.store.read(self.spec)
+            state = (
+                state.filter(F.col(g).isin(*rescan_vals))
+                if lit
+                else state.join(
+                    F.broadcast(s.filter(F.col("__rescan")).select(g)),
+                    g,
+                    "left_semi",
                 )
             )
+            patched = patched.unionByName(self._full_agg(state))
         return m, patched, v_now
 
 
@@ -1459,25 +1501,33 @@ class MaintainedTopKView:
             F.col("__n_new").alias("n_rows"),
             F.col("__merged").alias("top"),
         )
-        rescan_groups = s.filter(F.col("__rescan")).select(g)
-        # tiny checkpointed frame — one cheap job that, on the common batch
-        # (buffer never burned below k), skips scheduling the whole
-        # recompute subtree (full-store scan + window + collect_list)
-        n_rescan = rescan_groups.count()
-        self.last_recompute_groups = n_rescan
-        # keep-side group set from the checkpoint (== touched_groups), so
-        # the write never re-derives the delta subtree
-        patched = base.join(F.broadcast(s.select(g)), g, "left_anti").unionByName(
-            patched_rows
+        # tiny checkpointed-frame job (see _patch_gate): on the common
+        # batch (buffer never burned below k) it skips scheduling the
+        # whole recompute subtree (full-store scan + window +
+        # collect_list), and below the literal cap the write plan prunes
+        # by IN-list instead of two broadcast exchanges (each a scheduler
+        # job per batch).
+        tg_vals, rescan_vals = _patch_gate(s, g)
+        self.last_recompute_groups = len(rescan_vals)
+        lit = len(tg_vals) <= _group_literal_cap()
+        kept = (
+            (base.filter(_not_in_groups(F.col(g), tg_vals)) if tg_vals else base)
+            if lit
+            else base.join(F.broadcast(s.select(g)), g, "left_anti")
         )
-        if n_rescan:
-            patched = patched.unionByName(
-                self._full_agg(
-                    self.store.read(self.spec).join(
-                        F.broadcast(rescan_groups), g, "left_semi"
-                    )
+        patched = kept.unionByName(patched_rows)
+        if rescan_vals:
+            state = self.store.read(self.spec)
+            state = (
+                state.filter(F.col(g).isin(*rescan_vals))
+                if lit
+                else state.join(
+                    F.broadcast(s.filter(F.col("__rescan")).select(g)),
+                    g,
+                    "left_semi",
                 )
             )
+            patched = patched.unionByName(self._full_agg(state))
         return m, patched, v_now
 
 

@@ -400,6 +400,33 @@ class Replayer:
 
         Returns ``(ddl_rows, counts, buckets)``; ``buckets`` is None for
         flat stores, else ``{(db, schema, table): sorted bucket ids}``."""
+        return self.batch_summaries(events, F.lit(0)).get(
+            0, self.empty_summary()
+        )
+
+    def empty_summary(self):
+        """The summary of a batch with no events (shape matches
+        ``_batch_summary`` on an empty frame)."""
+        partial = hasattr(self.store, "write_partial") and hasattr(
+            self.store, "n_buckets"
+        )
+        return [], {}, ({} if partial else None)
+
+    def batch_summaries(self, events: DataFrame, batch_ix) -> dict:
+        """Every batch's ``_batch_summary`` in ONE aggregation job.
+
+        ``batch_ix`` is an integer Column assigning each parsed event row
+        the SAME batch index the caller's per-batch slice predicates
+        produce (the assignment is row-wise, so grouping the whole stream
+        by it equals summarizing each slice separately). Replay loops that
+        cut one checkpointed parse into n lsn batches previously paid a
+        driver-synchronous collect (2 scheduler jobs under AQE) per batch;
+        the per-batch summaries are tiny (per-table counts + bucket ids +
+        the rare DDL rows), so folding the batch index into the grouping
+        collapses 2n jobs into 2 with an identical result per batch.
+
+        Returns ``{ix: (ddl_rows, counts, buckets)}``; batches with no
+        events are absent (callers default to the empty summary)."""
         from connemara_spark.events import is_ddl_event
         from connemara_spark.operators.apply import (
             _effective_spec,
@@ -434,6 +461,7 @@ class Replayer:
         ddl = is_ddl_event()
         groups = (
             events.select(
+                batch_ix.cast("int").alias("__bix"),
                 "database",
                 "schema",
                 "table",
@@ -451,10 +479,10 @@ class Replayer:
             # tables) with a NULL bucket; a row's count is attributed once
             # via its first position
             .select(
-                "database", "schema", "table", "__ddl", "__ddl_row",
+                "__bix", "database", "schema", "table", "__ddl", "__ddl_row",
                 F.posexplode_outer("__buckets").alias("__pos", "__bucket"),
             )
-            .groupBy("database", "schema", "table", "__ddl", "__bucket")
+            .groupBy("__bix", "database", "schema", "table", "__ddl", "__bucket")
             .agg(
                 F.sum(
                     F.when(
@@ -465,23 +493,27 @@ class Replayer:
             )
             .collect()
         )
-        ddl_rows = sorted(
-            (r for g in groups if g["__ddl"] for r in g["ddl_rows"]),
-            key=lambda r: (r["insert_timestamp"], r["lsn_start"]),
-        )
-        counts: dict = {}
-        bucket_sets: dict = {}
-        for g in groups:
-            if g["__ddl"]:
-                continue
-            k = (g["database"], g["schema"], g["table"])
-            counts[k] = counts.get(k, 0) + g["n"]
-            if partial and g["__bucket"] is not None:
-                bucket_sets.setdefault(k, set()).add(g["__bucket"])
-        buckets = (
-            {k: sorted(v) for k, v in bucket_sets.items()} if partial else None
-        )
-        return ddl_rows, counts, buckets
+        out: dict = {}
+        for ix in {g["__bix"] for g in groups}:
+            gs = [g for g in groups if g["__bix"] == ix]
+            ddl_rows = sorted(
+                (r for g in gs if g["__ddl"] for r in g["ddl_rows"]),
+                key=lambda r: (r["insert_timestamp"], r["lsn_start"]),
+            )
+            counts: dict = {}
+            bucket_sets: dict = {}
+            for g in gs:
+                if g["__ddl"]:
+                    continue
+                k = (g["database"], g["schema"], g["table"])
+                counts[k] = counts.get(k, 0) + g["n"]
+                if partial and g["__bucket"] is not None:
+                    bucket_sets.setdefault(k, set()).add(g["__bucket"])
+            buckets = (
+                {k: sorted(v) for k, v in bucket_sets.items()} if partial else None
+            )
+            out[ix] = (ddl_rows, counts, buckets)
+        return out
 
     def apply_batch(
         self,

@@ -562,6 +562,14 @@ def _event_lsn_bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
         return int(row["lo"]), int(row["hi"])
 
 
+def _lsn_batch_ix(lo: int, step: int) -> Column:
+    """Batch index of a parsed CDC event under the standard lsn slicing
+    (``lsn_start in [lo + i*step, lo + (i+1)*step)`` → ``i``) — the
+    row-wise twin of the replay loops' per-batch filter, for
+    ``Replayer.batch_summaries`` (all batches' summaries in one job)."""
+    return F.expr(f"int((lsn_start - {lo}) div {step})")
+
+
 def _customer_cdc_bronze(
     spark: SparkSession,
     sf_dir: str,
@@ -732,9 +740,14 @@ def cdc_apply_customer_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # several driver-synchronous jobs over each batch and every one of
         # them reads shallow checkpoint blocks instead of re-parsing JSON
         parsed_all = rep.parse_batch(bronze).localCheckpoint()
-        for b0 in range(lo, hi + 1, step):
+        summaries = rep.batch_summaries(parsed_all, _lsn_batch_ix(lo, step))
+        for i, b0 in enumerate(range(lo, hi + 1, step)):
             in_batch = (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
-            rep.apply_batch(bronze.filter(in_batch), events=parsed_all.filter(in_batch))
+            rep.apply_batch(
+                bronze.filter(in_batch),
+                events=parsed_all.filter(in_batch),
+                summary=summaries.get(i, rep.empty_summary()),
+            )
         # eager localCheckpoint pins the final state OFF the store paths
         # (ContextCleaner frees the blocks when the result is dropped)
         return store.read(spec).localCheckpoint()
@@ -785,6 +798,9 @@ def cdc_rebucket_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one parse for both batches (row-wise; layout-independent, so the
         # mid-stream rebucket below cannot affect it), sliced per batch
         parsed_all = rep.parse_batch(bronze).localCheckpoint()
+        # NOT batch_summaries here: batch 2's touched-bucket pricing must
+        # run under the modulus the mid-loop rebucket() installs — an
+        # upfront all-batches summary would price it under modulus 8
         for i, b0 in enumerate(ranges):
             in_batch = (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
             rep.apply_batch(bronze.filter(in_batch), events=parsed_all.filter(in_batch))
@@ -928,12 +944,15 @@ def _ivm_replay(
         # maintainer/fold plan shallow exactly as before.
         jd("ivm: parse")
         parsed_all = rep.parse_batch(bronze).localCheckpoint()
+        # every batch's summary in ONE aggregation job over the checkpoint
+        # (row-wise batch assignment == the per-batch slice filters below)
+        jd("ivm: summaries")
+        summaries = rep.batch_summaries(parsed_all, _lsn_batch_ix(lo, step))
         for i, b0 in enumerate(range(lo, hi + 1, step)):
             in_batch = (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
             batch = bronze.filter(in_batch)
             parsed = parsed_all.filter(in_batch)
-            jd(f"ivm b{i}: summary")
-            summary = rep._batch_summary(parsed)
+            summary = summaries.get(i, rep.empty_summary())
             for v in views.values():
                 v.before_apply(parsed)
             jd(f"ivm b{i}: fold")
@@ -1547,12 +1566,13 @@ def cdc_jdbc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lineage
         jd("jdbc: parse")
         parsed_all = rep.parse_batch(bronze).localCheckpoint()
+        jd("jdbc: summaries")
+        summaries = rep.batch_summaries(parsed_all, _lsn_batch_ix(lo, step))
         for i, b0 in enumerate(range(lo, hi + 1, step)):
             in_batch = (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
             batch = bronze.filter(in_batch)
             parsed = parsed_all.filter(in_batch)
-            jd(f"jdbc b{i}: summary")
-            summary = rep._batch_summary(parsed)
+            summary = summaries.get(i, rep.empty_summary())
             sink.before_apply(parsed)
             jd(f"jdbc b{i}: fold")
             rep.apply_batch(batch, events=parsed, summary=summary)
@@ -1788,19 +1808,28 @@ def cdc_jdbc_multi_table_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # initial sync: both targets restored in ONE transaction (the
         # multi-table analog of the COPY-shaped bootstrap)
+        jd = spark.sparkContext.setJobDescription
+        jd("jdbcmulti: bootstrap")
         sink.bootstrap_load_all(batch_id="bootstrap")
         lo, hi = _event_lsn_bounds(spark, sf_dir)  # footer stats, no Spark job
         step = max((hi - lo) // 2 + 1, 1)
-        # one parse + checkpoint, sliced per batch (see _ivm_replay)
+        # one parse + checkpoint, sliced per batch (see _ivm_replay);
+        # all batch summaries on one job
+        jd("jdbcmulti: parse")
         parsed_all = rep.parse_batch(bronze).localCheckpoint()
+        jd("jdbcmulti: summaries")
+        summaries = rep.batch_summaries(parsed_all, _lsn_batch_ix(lo, step))
         for i, b0 in enumerate(range(lo, hi + 1, step)):
             in_batch = (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
             batch = bronze.filter(in_batch)
             parsed = parsed_all.filter(in_batch)
-            summary = rep._batch_summary(parsed)
+            summary = summaries.get(i, rep.empty_summary())
             sink.before_apply(parsed)
+            jd(f"jdbcmulti b{i}: fold")
             rep.apply_batch(batch, events=parsed, summary=summary)
+            jd(f"jdbcmulti b{i}: ship")
             sink.after_apply(batch_id=f"batch-{i}")
+        jd(None)
         # both live targets read back and projected onto one shape: the
         # hash covers every column of both tables' final state
         cust = spark.read.jdbc(url, "customer", properties=props).select(
@@ -1968,11 +1997,12 @@ def cdc_two_source_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         # restriction, so the rogue stream never reaches the fold OR the
         # view's touched-key set
         parsed_all = rep.parse_batch(bronze).localCheckpoint()
-        for b0 in range(lo, hi + 1, step):
+        summaries = rep.batch_summaries(parsed_all, _lsn_batch_ix(lo, step))
+        for i, b0 in enumerate(range(lo, hi + 1, step)):
             in_batch = (F.col("lsn_start") >= b0) & (F.col("lsn_start") < b0 + step)
             batch = bronze.filter(in_batch)
             parsed = parsed_all.filter(in_batch)
-            summary = rep._batch_summary(parsed)
+            summary = summaries.get(i, rep.empty_summary())
             view.before_apply(parsed)
             rep.apply_batch(batch, events=parsed, summary=summary)
             view.after_apply()
@@ -2164,9 +2194,21 @@ def cdc_two_source_ddl_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (bronze.filter(cut4), parsed_all.filter(cut4)),
         ]
+        # all four batch summaries in ONE job over checkpoint ∪ DDL row —
+        # the CASE below is the row-wise twin of cut1..cut4 (the DDL event
+        # itself sits at lsn == ddl_lsn, which only batch 3's union admits)
+        bix = (
+            F.when(F.col("lsn_start") < ddl_lsn // 2, 0)
+            .when(F.col("lsn_start") < ddl_lsn, 1)
+            .when(F.col("lsn_start") <= mid2, 2)
+            .otherwise(3)
+        )
+        summaries = rep.batch_summaries(
+            parsed_all.unionByName(parsed_ddl), bix
+        )
         stale_seen = False
-        for batch, parsed in batches:
-            summary = rep._batch_summary(parsed)
+        for i, (batch, parsed) in enumerate(batches):
+            summary = summaries.get(i, rep.empty_summary())
             view.before_apply(parsed)
             metrics = rep.apply_batch(batch, events=parsed, summary=summary)
             if getattr(metrics, "ddl_executed", 0):
@@ -2461,8 +2503,13 @@ def cdc_jdbc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 parsed_all.filter(post).unionByName(parsed_ddl),
             ),
         ]
+        # both batch summaries in one job (DDL row rides batch 1's slice)
+        summaries = rep.batch_summaries(
+            parsed_all.unionByName(parsed_ddl),
+            F.when(F.col("lsn_start") < ddl_lsn, 0).otherwise(1),
+        )
         for i, (batch, parsed) in enumerate(batches):
-            summary = rep._batch_summary(parsed)
+            summary = summaries.get(i, rep.empty_summary())
             sink.before_apply(parsed)
             metrics = rep.apply_batch(batch, events=parsed, summary=summary)
             if metrics.ddl_executed:
@@ -2663,8 +2710,12 @@ def cdc_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
                 parsed_all.filter(post).unionByName(parsed_ddl),
             ),
         ]
-        for batch, parsed in batches:
-            summary = rep._batch_summary(parsed)
+        summaries = rep.batch_summaries(
+            parsed_all.unionByName(parsed_ddl),
+            F.when(F.col("lsn_start") < ddl_lsn, 0).otherwise(1),
+        )
+        for i, (batch, parsed) in enumerate(batches):
+            summary = summaries.get(i, rep.empty_summary())
             rep.apply_batch(batch, events=parsed, summary=summary)
         evolved = cat.get("db1", "public", "customer")
         assert [c.name for c in evolved.columns][-1] == "c_segment"
@@ -2859,8 +2910,12 @@ def cdc_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
                 parsed_all.filter(post).unionByName(parsed_ddl),
             ),
         ]
-        for batch, parsed in batches:
-            summary = rep._batch_summary(parsed)
+        summaries = rep.batch_summaries(
+            parsed_all.unionByName(parsed_ddl),
+            F.when(F.col("lsn_start") < ddl_lsn, 0).otherwise(1),
+        )
+        for i, (batch, parsed) in enumerate(batches):
+            summary = summaries.get(i, rep.empty_summary())
             rep.apply_batch(batch, events=parsed, summary=summary)
         evolved = cat.get("db1", "public", "customer")
         assert [c.name for c in evolved.columns] == [

@@ -1339,3 +1339,70 @@ def test_single_table_maintainers_detect_pk_rename(spark, tmp_path):
     for v in views:
         with pytest.raises(RuntimeError, match="id"):
             v.check_schema(cat)
+
+
+def test_minmax_topk_patch_broadcast_fallback(spark, tmp_path, monkeypatch):
+    """Above SPARK_GRAFT_PATCH_GROUP_LITERALS the patch write falls back
+    from literal IN-list pruning to the broadcast anti/semi-join shape;
+    pin that branch (cap=0 forces it) to the same view-equals-recompute
+    contract the default literal branch is pinned to elsewhere."""
+    from connemara_spark.operators.ivm import MaintainedMinMaxView, MaintainedTopKView
+    from connemara_spark.sources.replication import write_segment
+    from connemara_spark.streaming import StreamingReplayer
+    from connemara_spark.testing import make_event
+
+    monkeypatch.setenv("SPARK_GRAFT_PATCH_GROUP_LITERALS", "0")
+    cat, spec, store = _agg_spec_setup(spark, tmp_path)
+    mm = MaintainedMinMaxView(
+        spark, store, spec, group_col="grp", val_col="amount",
+        view_dir=str(tmp_path / "mm"),
+    )
+    tk = MaintainedTopKView(
+        spark, store, spec, group_col="grp", val_col="amount",
+        k=2, slack=1, val_type="double", view_dir=str(tmp_path / "tk"),
+    )
+    sr = StreamingReplayer(
+        spark, cat, store,
+        landing_dir=str(tmp_path / "spool"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        landing_format="wal_spool",
+        maintainers=[mm, tk],
+    )
+
+    def seg(events, name):
+        write_segment(str(tmp_path / "spool"), [dict(e) for e in events], name)
+
+    def check():
+        from pyspark.sql import functions as F
+
+        want = sorted(map(repr, mm._full_agg(store.read(spec)).collect()))
+        got = sorted(map(repr, mm.read_view().collect()))
+        assert got == want, (got, want)
+        want_tk = sorted(
+            (r["grp"], r["n_rows"], [(float(p["v"]), p["id"]) for p in r["top"]])
+            for r in tk._full_agg(store.read(spec)).select(
+                "grp", "n_rows", F.slice("top", 1, 2).alias("top")
+            ).collect()
+        )
+        got_tk = sorted(
+            (r["grp"], r["n_rows"], [(float(p["v"]), p["id"]) for p in r["top"]])
+            for r in tk.read_view().collect()
+        )
+        assert got_tk == want_tk, (got_tk, want_tk)
+
+    # group a: 4 rows, k+slack=3 stored (9,8,5), amount 3.0 unstored
+    seg([make_event(spec, "insert", lsn=1, row={"id": 1, "grp": "a", "amount": 5.0}),
+         make_event(spec, "insert", lsn=2, row={"id": 2, "grp": "a", "amount": 8.0}),
+         make_event(spec, "insert", lsn=3, row={"id": 3, "grp": "a", "amount": 9.0}),
+         make_event(spec, "insert", lsn=4, row={"id": 5, "grp": "a", "amount": 3.0}),
+         make_event(spec, "insert", lsn=5, row={"id": 4, "grp": "b", "amount": 7.0})],
+        "seg-001")
+    sr.run_until_drained()
+    check()
+    # burn the buffer below min(k, n') with an unstored runner-up alive so
+    # the RESCAN leg runs under the broadcast fallback too
+    seg([make_event(spec, "delete", lsn=6, old_key={"id": 3}),
+         make_event(spec, "delete", lsn=7, old_key={"id": 2})], "seg-002")
+    sr.run_until_drained()
+    check()
+    assert tk.last_recompute_groups == 1

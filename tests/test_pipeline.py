@@ -425,3 +425,53 @@ def test_evolve_rename_column_preserves_values(spark, tmp_path, store_kind):
 
     got = {r["id"]: r["w"] for r in store.read(spec).collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_batch_summaries_equal_per_batch(spark, tmp_path):
+    """batch_summaries (all batches' summaries in one job) must agree with
+    _batch_summary over each batch's slice — counts, touched-bucket sets
+    (BucketStore pricing leg) and DDL barrier rows alike."""
+    from pyspark.sql import functions as F
+
+    from connemara_spark.stores import BucketStore
+    from connemara_spark.testing import make_event
+
+    spec = TableSpec(
+        database=SPEC.database, schema=SPEC.schema, table=SPEC.table,
+        columns=[ColumnSpec(c.name, c.pg_type) for c in SPEC.columns],
+        pk_cols=list(SPEC.pk_cols),
+    )
+    cat = EngineCatalog()
+    cat.register(spec)
+    store = BucketStore(spark, str(tmp_path / "bstore"), n_buckets=4)
+    store.write(spec, spark.createDataFrame([(1, "a")], "id long, v string"))
+    rep = Replayer(spark, cat, store)
+    rows = [
+        make_event(spec, "insert", lsn=1, row={"id": 2, "v": "b"}),
+        make_event(spec, "insert", lsn=2, row={"id": 3, "v": "c"}),
+        make_event(spec, "update", lsn=3, row={"id": 1, "v": "a2"}, old_key={"id": 1}),
+        ddl_event(5, "ALTER TABLE public.items ADD COLUMN note text"),
+        make_event(spec, "delete", lsn=6, old_key={"id": 3}),
+        make_event(spec, "insert", lsn=7, row={"id": 9, "v": "z"}),
+    ]
+    parsed = rep.parse_batch(bronze_df(spark, rows)).localCheckpoint()
+    step = 4  # batch 0: lsn 1-4, batch 1: lsn 5-8
+    bix = F.expr("int((lsn_start - 1) div 4)")
+    batched = rep.batch_summaries(parsed, bix)
+    assert set(batched) == {0, 1}
+    for i in (0, 1):
+        lo_b, hi_b = 1 + i * step, 1 + (i + 1) * step
+        sl = parsed.filter(
+            (F.col("lsn_start") >= lo_b) & (F.col("lsn_start") < hi_b)
+        )
+        ddl_rows, counts, buckets = rep._batch_summary(sl)
+        b_ddl, b_counts, b_buckets = batched[i]
+        assert b_counts == counts
+        assert b_buckets == buckets
+        assert [
+            (r["lsn_start"], r["columnvalues"]) for r in b_ddl
+        ] == [(r["lsn_start"], r["columnvalues"]) for r in ddl_rows]
+    # an lsn range with no events is simply absent; the empty summary
+    # matches _batch_summary over an empty slice
+    assert rep.batch_summaries(parsed.filter(F.lit(False)), F.lit(0)) == {}
+    assert rep.empty_summary() == rep._batch_summary(parsed.filter(F.lit(False)))

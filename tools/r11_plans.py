@@ -140,9 +140,11 @@ def main() -> None:
                         v.after_apply()
                 else:
                     # steady state: explain the patch frame instead of
-                    # writing it
+                    # writing it. Arity differs per maintainer (and per
+                    # tree revision): the patched frame is element [1]
+                    # everywhere (m/v0 first, extra support legs after).
                     for name, v in views.items():
-                        _m, patched, _v_now = v._patch_frame()
+                        patched = v._patch_frame()[1]
                         write(name, _explain(patched))
         finally:
             shutil.rmtree(root, ignore_errors=True)
@@ -209,7 +211,10 @@ def main() -> None:
                 if i == 0:
                     view.after_apply()
                 else:
-                    write("cdc_two_source_join_view", _explain(view._patch_frame()))
+                    write(
+                        "cdc_two_source_join_view",
+                        _explain(view._patch_frame()[1]),
+                    )
         finally:
             shutil.rmtree(root, ignore_errors=True)
 
