@@ -1573,7 +1573,9 @@ def cdc_jdbc_apply_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch = bronze.filter(in_batch)
             parsed = parsed_all.filter(in_batch)
             summary = summaries.get(i, rep.empty_summary())
-            sink.before_apply(parsed)
+            sink.before_apply(
+                parsed, buckets=(summary[2] or {}).get(("db1", "public", "customer"))
+            )
             jd(f"jdbc b{i}: fold")
             rep.apply_batch(batch, events=parsed, summary=summary)
             jd(f"jdbc b{i}: ship")
@@ -1824,7 +1826,7 @@ def cdc_jdbc_multi_table_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch = bronze.filter(in_batch)
             parsed = parsed_all.filter(in_batch)
             summary = summaries.get(i, rep.empty_summary())
-            sink.before_apply(parsed)
+            sink.before_apply(parsed, buckets=summary[2])
             jd(f"jdbcmulti b{i}: fold")
             rep.apply_batch(batch, events=parsed, summary=summary)
             jd(f"jdbcmulti b{i}: ship")
@@ -2510,7 +2512,9 @@ def cdc_jdbc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, (batch, parsed) in enumerate(batches):
             summary = summaries.get(i, rep.empty_summary())
-            sink.before_apply(parsed)
+            sink.before_apply(
+                parsed, buckets=(summary[2] or {}).get(("db1", "public", "customer"))
+            )
             metrics = rep.apply_batch(batch, events=parsed, summary=summary)
             if metrics.ddl_executed:
                 # the streaming driver's exact protocol: DDL evolved the

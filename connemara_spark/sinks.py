@@ -196,22 +196,30 @@ class _JdbcLedgerBase:
         finally:
             con.close()
 
-    def _stage_slice(self, spec, staging: str, keys) -> tuple[list, list]:
+    def _stage_slice(
+        self, spec, staging: str, keys, buckets: list[int] | None = None
+    ) -> tuple[list, list]:
         """ONE distributed staging write for one table: the new rows at the
         touched keys (__key_only=false, inserted by the reconcile) plus the
         bare touched keys (__key_only=true — they ride along so DELETED
         rows, touched but absent from the new state, still reach the
-        DELETE). Returns (pk, cols) for the reconcile statements."""
+        DELETE). Returns (pk, cols) for the reconcile statements.
+
+        ``buckets``: the batch summary's already-priced touched-bucket ids
+        for this table, when the caller has them — skips the per-batch
+        ``buckets_of`` driver collect (the fold priced the same set on the
+        summary job; ``build_fold`` treats the two as interchangeable)."""
         pk = list(spec.pk_cols)
         if not pk:
             raise ValueError(f"{spec.target_name}: JDBC apply needs PK columns")
         # the new state at the touched keys — over a BucketStore this read
         # prunes to the touched buckets at path selection
-        new = (
-            self.store.read_for_keys(spec, keys)
-            if hasattr(self.store, "read_for_keys")
-            else self.store.read(spec)
-        )
+        if buckets is not None and hasattr(self.store, "read_buckets"):
+            new = self.store.read_buckets(spec, buckets)
+        elif hasattr(self.store, "read_for_keys"):
+            new = self.store.read_for_keys(spec, keys)
+        else:
+            new = self.store.read(spec)
         t = F.broadcast(keys.select(*pk).distinct())
         slice_df = new.join(t, on=pk, how="left_semi")
         cols = [c.name for c in spec.columns]
@@ -347,11 +355,14 @@ class JdbcApplySink(_JdbcLedgerBase):
         self._batch_seq = self._max_committed_seq()
 
     # -- maintainer protocol (driven by StreamingReplayer) -----------------
-    def before_apply(self, parsed_events) -> None:
+    def before_apply(self, parsed_events, buckets: list[int] | None = None) -> None:
         # lazy pin: derives from the immutable (cached) parsed batch only,
         # so post-apply evaluation sees identical keys — and the pin costs
-        # zero jobs (ivm.MaintainedTwoTableJoinView.before_apply)
+        # zero jobs (ivm.MaintainedTwoTableJoinView.before_apply).
+        # ``buckets``: this table's touched-bucket ids from the batch
+        # summary, when the driver loop has them (see _stage_slice).
         self._touched = touched_keys(parsed_events, self.spec)
+        self._touched_buckets = buckets
 
     def after_apply(self, batch_id: str | None = None) -> None:
         """Ship and merge the batch. With an explicit ``batch_id`` (one
@@ -367,9 +378,13 @@ class JdbcApplySink(_JdbcLedgerBase):
             self._batch_seq += 1
             batch_id = f"seq-{self._batch_seq}"
         try:
-            self.apply_touched(self._touched, batch_id=batch_id)
+            self.apply_touched(
+                self._touched,
+                batch_id=batch_id,
+                buckets=getattr(self, "_touched_buckets", None),
+            )
         finally:
-            self._touched = None
+            self._touched = self._touched_buckets = None
 
     def check_schema(self, catalog) -> None:
         """Follow schema evolution to the TARGET — the reference replays
@@ -503,13 +518,15 @@ class JdbcApplySink(_JdbcLedgerBase):
             con.close()
         return True
 
-    def apply_touched(self, keys, *, batch_id: str) -> bool:
+    def apply_touched(
+        self, keys, *, batch_id: str, buckets: list[int] | None = None
+    ) -> bool:
         """Replace the target's rows at ``keys`` with the silver store's
         CURRENT rows at those keys. Returns False when ``batch_id`` was
         already applied (exactly-once skip)."""
         if self._ledger_has(batch_id):
             return False
-        pk, cols = self._stage_slice(self.spec, self.staging, keys)
+        pk, cols = self._stage_slice(self.spec, self.staging, keys, buckets)
         self._reconcile(batch_id, pk, cols)
         return True
 
@@ -593,11 +610,18 @@ class JdbcMultiApplySink(_JdbcLedgerBase):
         self._batch_seq = self._max_committed_seq()
 
     # -- maintainer protocol ------------------------------------------------
-    def before_apply(self, parsed_events) -> None:
+    def before_apply(self, parsed_events, buckets: dict | None = None) -> None:
         # lazy pins, one per table, all off the shared cached parse (see
-        # JdbcApplySink.before_apply)
+        # JdbcApplySink.before_apply). ``buckets``: the batch summary's
+        # {(db, schema, table): touched bucket ids} when the loop has it.
+        bk = buckets or {}
         self._touched = [
-            (spec, target, touched_keys(parsed_events, spec))
+            (
+                spec,
+                target,
+                touched_keys(parsed_events, spec),
+                bk.get((spec.database, spec.schema, spec.table)),
+            )
             for spec, target in self.targets
         ]
 
@@ -674,9 +698,9 @@ class JdbcMultiApplySink(_JdbcLedgerBase):
         if self._ledger_has(batch_id):
             return False
 
-        def stage_one(spec, target, keys):
+        def stage_one(spec, target, keys, buckets=None):
             staging = f"{target}_staging"
-            pk, cols = self._stage_slice(spec, staging, keys)
+            pk, cols = self._stage_slice(spec, staging, keys, buckets)
             return (target, staging, pk, cols)
 
         # The per-table staging writes are the batch's distributed phase
@@ -687,8 +711,8 @@ class JdbcMultiApplySink(_JdbcLedgerBase):
         # guarantee, not a bottleneck: it is set-based DML at the target).
         staged = _run_legs(
             [
-                (lambda s=spec, t=target, k=keys: stage_one(s, t, k))
-                for spec, target, keys in legs
+                (lambda leg=leg: stage_one(*leg))
+                for leg in legs
             ]
         )
         con = self._connect()

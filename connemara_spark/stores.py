@@ -307,8 +307,14 @@ class BucketStore:
         # repartition on the partition key: without it every task writes a
         # file into every bucket directory it sees (tasks x buckets tiny
         # files + commit overhead); one file per bucket per version is the
-        # layout the manifest reader wants
-        staged.repartition("__bucket").write.mode("overwrite").partitionBy(
+        # layout the manifest reader wants. The partition COUNT is pinned
+        # to the modulus: a keyed repartition with no count is fair game
+        # for AQE coalescing, which folds a small batch's shuffle into ONE
+        # task that then writes every bucket file serially (measured as a
+        # 0.65-0.85s single-task job inside each fold at sf0.1); n tasks —
+        # one per bucket, the design unit of write parallelism — keeps the
+        # file writes concurrent at any batch size.
+        staged.repartition(n, "__bucket").write.mode("overwrite").partitionBy(
             "__bucket"
         ).parquet(vdir)
         written: set[int] = set()
