@@ -213,8 +213,15 @@ def build_ann_index(
     # repartition on the partition key first: without it every input task
     # writes a file into every cell directory (tasks x cells tiny files —
     # measured 2.8s for 1024 files vs one file per cell); at scale this is
-    # also the read-side layout you want (few large files per cell)
-    entries.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+    # also the read-side layout you want (few large files per cell). The
+    # partition COUNT is pinned to the cell count: a count-less keyed
+    # repartition is fair game for AQE coalescing, which folds a small
+    # batch into ONE task that writes every cell file serially (the same
+    # pathology stores._write_buckets carried) — n_cells tasks keep the
+    # per-cell file writes concurrent at any batch size.
+    entries.repartition(n_cells, "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(
         os.path.join(index_dir, "entries.parquet")
     )
     spark = emb.sparkSession
@@ -324,7 +331,10 @@ def _stage_append_entries(
             F.element_at("probes", 1).alias("cell"),
         )
     )
-    entries.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+    # width pinned to the cell count — see build_ann_index's entries write
+    entries.repartition(
+        int(meta["n_cells"]), "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(
         _append_dir(index_dir, batch_id)
     )
 
@@ -515,7 +525,10 @@ def compact_ann_index(spark: SparkSession, index_dir: str) -> dict:
     # `entries` is already the VISIBLE view (load_ann_index subtracted
     # tombstones in mutation-log order), so the new generation folds
     # deletes/upserts in for free and the cleared lists below are exact
-    entries.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+    # width pinned to the cell count — see build_ann_index's entries write
+    entries.repartition(
+        int(meta["n_cells"]), "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(index_dir, new_dir)
     )
     meta["entries_dir"] = new_dir
