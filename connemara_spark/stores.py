@@ -382,7 +382,9 @@ class BucketStore:
         pk = [c for c in spec.pk_cols if c in df.columns] or list(df.columns)
         bucket = F.pmod(F.xxhash64(*[F.col(c) for c in pk]), F.lit(n)).cast("int")
         staged = df.withColumn("__bucket", bucket)
-        staged.repartition("__bucket").write.mode("overwrite").partitionBy(
+        # width pinned to the modulus — see _write_buckets (AQE folds a
+        # count-less keyed repartition into one serial file-writing task)
+        staged.repartition(n, "__bucket").write.mode("overwrite").partitionBy(
             "__bucket"
         ).parquet(vdir)
         written: set[int] = set()
