@@ -250,21 +250,25 @@ def main() -> None:
         ),
         "cdc_maintained_minmax_view/view_patch": (
             "Non-self-maintainable MIN/MAX kept |delta|-bounded: the signed "
-            "value multiset at the touched keys (checkpointed once — four "
-            "legs reference it) joins the BROADCAST touched-group slice of "
-            "the base view for the multiplicity bookkeeping; only groups "
-            "whose extremum multiplicity hits zero with no insert taking "
-            "over reach the rescan leg — a broadcast semi join pruning the "
-            "full-state re-aggregation to exactly those groups."
+            "value multiset at the touched keys (checkpointed once — every "
+            "write leg reads the checkpoint) joins the BROADCAST touched-"
+            "group slice of the base view for the multiplicity bookkeeping "
+            "INSIDE the checkpoint job; the WRITE plan is join-free below "
+            "the group-literal cap — keep side pruned by a literal NOT-IN "
+            "over the gate-collected touched groups, and only groups whose "
+            "extremum multiplicity hits zero with no insert taking over "
+            "reach the rescan leg (literal IN pushdown below the cap, "
+            "broadcast semi join above it — r11)."
         ),
         "cdc_maintained_topk_view/view_patch": (
             "Top-k leaderboard patch: stored k+slack pair lists evict and "
             "merge as BOUNDED array ops (array_sort with a comparator "
             "lambda — no per-group window, no whole-group collect) over "
-            "the checkpointed touched-key delta; the rescan leg's "
-            "re-aggregation is itself bounded — per-group row_number "
-            "≤ k+slack BEFORE collect_list, semi-joined to only the "
-            "burned-through groups."
+            "the checkpointed touched-key delta; the WRITE plan is join- "
+            "and exchange-free below the group-literal cap (literal NOT-IN "
+            "keep side — r11), and the rescan leg's re-aggregation is "
+            "itself bounded — per-group row_number ≤ k+slack BEFORE "
+            "collect_list, pruned to only the burned-through groups."
         ),
         "cdc_maintained_distinct_view/view_patch": (
             "COUNT DISTINCT kept exact and |delta|-bounded: the signed "
