@@ -493,8 +493,18 @@ class Replayer:
             )
             .collect()
         )
+        ixes = {g["__bix"] for g in groups}
+        if None in ixes:
+            # a NULL batch index means the caller's batch_ix expression is
+            # not total over the parsed rows — those rows would silently
+            # vanish from every summary (no slice predicate reads a None
+            # key), understating counts/buckets with no error downstream
+            raise ValueError(
+                "batch_summaries: batch_ix evaluated to NULL for some rows — "
+                "the index expression must assign every event a batch"
+            )
         out: dict = {}
-        for ix in {g["__bix"] for g in groups}:
+        for ix in ixes:
             gs = [g for g in groups if g["__bix"] == ix]
             ddl_rows = sorted(
                 (r for g in gs if g["__ddl"] for r in g["ddl_rows"]),

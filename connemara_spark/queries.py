@@ -2198,7 +2198,18 @@ def cdc_two_source_ddl_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         # all four batch summaries in ONE job over checkpoint ∪ DDL row —
         # the CASE below is the row-wise twin of cut1..cut4 (the DDL event
-        # itself sits at lsn == ddl_lsn, which only batch 3's union admits)
+        # itself sits at lsn == ddl_lsn, which only batch 3's union admits).
+        # Grid-parity invariant the `<= mid2 -> 2` arm depends on: parsed_all
+        # rows occupy lsn % 4 == 0 (customer) or odd lsns (orders), so the
+        # ddl_lsn slot (% 4 == 2) admits ONLY the unioned parsed_ddl row —
+        # a parsed_all row there would be summarized into batch 2 yet
+        # excluded from every applied slice (cut2 is < ddl_lsn, cut3 is
+        # > ddl_lsn). Assert it so a future edit of the rename_from
+        # rounding cannot silently overcount batch 2's summary.
+        assert ddl_lsn % 4 == 2, (
+            f"ddl_lsn {ddl_lsn} must sit on the % 4 == 2 slot neither "
+            "source stream occupies"
+        )
         bix = (
             F.when(F.col("lsn_start") < ddl_lsn // 2, 0)
             .when(F.col("lsn_start") < ddl_lsn, 1)
@@ -3514,7 +3525,9 @@ def _land_stream_segments(root: str, segs) -> str:
     return land
 
 
-def _stream_state_width(spark: SparkSession, *paths: str) -> int:
+def _stream_state_width(
+    spark: SparkSession, *paths: str, python_keys: int | None = None
+) -> int:
     """Shuffle width for a BOUNDED stream drain, derived from the landing
     dir's bytes (guide §2: partitioning tracks data volume, not a constant
     tuned for one box). Stateful exchanges are exempt from AQE coalescing —
@@ -3523,7 +3536,21 @@ def _stream_state_width(spark: SparkSession, *paths: str) -> int:
     fixture at the session's full width burns 32 state commits per batch
     to shuffle a few MB. ~8 MB of input per state partition, floor 8,
     ceiling the session width (a 100 TB stream saturates the ceiling; the
-    env knob overrides for deployments that know their state volume)."""
+    env knob overrides for deployments that know their state volume).
+
+    ``python_keys``: the caller's state-key-cardinality estimate for
+    Python-stateful drains (``applyInPandasWithState``). Those pay a
+    per-key Python invocation every microbatch — a cost that parallelizes
+    across partitions up to the key count, unlike the per-partition state
+    commits the byte-derived width bounds. The width is therefore raised
+    to at least ``min(session, python_keys)`` so high-cardinality keyed
+    state (LSH buckets, content hashes) is not serialized onto the byte
+    floor, while shard-keyed operators (keys == shards, e.g. 8) keep the
+    narrow width that their commit cost wants. Measured both ways at
+    sf0.1/local[32]: doc_stream_neardup_md5 (~8 bucket keys/doc) 12.8s at
+    width 8 vs 7.7s at 32; doc_stream_dedup (1 key/doc) 4.4 vs 3.7; the
+    8-shard bottomk/heavy-bigram drains regress at 32 (2.9→3.3, 3.3→3.7),
+    hence the hint rather than a blanket session width."""
     import os as _os
 
     env = _os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
@@ -3538,7 +3565,10 @@ def _stream_state_width(spark: SparkSession, *paths: str) -> int:
                 except OSError:
                     pass
     session = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    return max(8, min(session, total // (8 << 20) + 1))
+    width = max(8, min(session, total // (8 << 20) + 1))
+    if python_keys is not None:
+        width = max(width, min(session, python_keys))
+    return width
 
 
 def _drain_to_table(
@@ -3653,7 +3683,11 @@ def doc_stream_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         drained = _drain_to_table(
             spark, cands, _os.path.join(root, "ckpt"),
-            state_width=_stream_state_width(spark, land),
+            # ~8 band-bucket state keys per doc: Python-stateful, needs
+            # CPU width (see _stream_state_width)
+            state_width=_stream_state_width(
+                spark, land, python_keys=8 * (int(row["hi"]) - int(row["lo"]) + 1)
+            ),
         )
         # batch-side dedup of the intrinsic cross-band/cross-batch repeats
         # (the verify stage does this join anyway at scale)
@@ -3710,7 +3744,9 @@ def doc_stream_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             bottomk_sample_stream(stream, id_col="doc_id", k=64, shards=8),
             _os.path.join(root, "ckpt"),
-            state_width=_stream_state_width(spark, land),
+            # 8 shard keys only: the narrow byte-derived width wins
+            # (measured — see _stream_state_width)
+            state_width=_stream_state_width(spark, land, python_keys=8),
         )
         # merge the shard sketches: bottom-64 of everything ever admitted
         return (
@@ -3781,7 +3817,11 @@ def doc_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         drained = _drain_to_table(
             spark, exact_dedup_stream(stream), _os.path.join(root, "ckpt"),
-            state_width=_stream_state_width(spark, land),
+            # one content-hash state key per distinct doc: Python-stateful,
+            # needs CPU width (see _stream_state_width)
+            state_width=_stream_state_width(
+                spark, land, python_keys=int(row["hi"]) - int(row["lo"]) + 1
+            ),
         )
         return drained.select("doc_id", "dup_of").localCheckpoint()
     finally:
@@ -9240,7 +9280,9 @@ def doc_stream_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands_stream = heavy_hitters_stream(bigrams(stream), "bigram", num=1, den=900)
         drained = _drain_to_table(
             spark, cands_stream, _os.path.join(root, "ckpt"),
-            state_width=_stream_state_width(spark, land),
+            # 8 shard keys only: the narrow byte-derived width wins
+            # (measured — see _stream_state_width)
+            state_width=_stream_state_width(spark, land, python_keys=8),
         )
         cands = hh_latest_candidates(drained).select(F.col("k").alias("bigram"))
         # exact batch recount of ONLY the candidates (threshold compare is

@@ -693,8 +693,13 @@ class JdbcMultiApplySink(_JdbcLedgerBase):
     def apply_touched_all(self, legs, *, batch_id: str) -> bool:
         """Stage every table's touched-key slice, then replace rows at all
         of them + record the batch id in ONE transaction. ``legs``:
-        ``(spec, target_table, keys_df)`` triples. Returns False on the
-        exactly-once ledger skip (covers every table at once)."""
+        ``(spec, target_table, keys_df)`` triples, or 4-tuples with the
+        batch summary's touched-bucket id list appended (what
+        ``before_apply(parsed, buckets=...)`` builds) — the staging read
+        then prunes to those buckets instead of re-deriving them with a
+        per-batch ``buckets_of`` collect; triples keep the fallback path.
+        Returns False on the exactly-once ledger skip (covers every table
+        at once)."""
         if self._ledger_has(batch_id):
             return False
 
