@@ -304,15 +304,22 @@ def _events_per_key(ev: DataFrame) -> DataFrame:
     lsn_start, sub_ord), so sort_array yields exact apply order. Shared by
     apply_changes / apply_delta / scd2_history — the one place the ordering
     contract is encoded."""
-    ev_struct = F.struct(
-        F.col("insert_timestamp").alias("insert_timestamp"),
-        F.col("lsn_start").alias("lsn_start"),
-        F.col("sub_ord").alias("sub_ord"),
-        F.col("op").alias("op"),
-        F.col("vals").alias("vals"),
-        F.col("has").alias("has"),
+    agg_col = _prepared(
+        ("events_per_key_agg",),
+        lambda: F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("insert_timestamp").alias("insert_timestamp"),
+                    F.col("lsn_start").alias("lsn_start"),
+                    F.col("sub_ord").alias("sub_ord"),
+                    F.col("op").alias("op"),
+                    F.col("vals").alias("vals"),
+                    F.col("has").alias("has"),
+                )
+            )
+        ).alias("__evs"),
     )
-    return ev.groupBy("__pk").agg(F.sort_array(F.collect_list(ev_struct)).alias("__evs"))
+    return ev.groupBy("__pk").agg(agg_col)
 
 
 def _make_fold(spec: TableSpec):
@@ -321,6 +328,14 @@ def _make_fold(spec: TableSpec):
     Accumulator: struct(exists boolean, violations int, vals struct<cols>).
     ``violations`` counts update/delete on a missing row — the J4 single-row
     drift assertion (replay.pl:416-426) as data instead of death.
+
+    NOTE: the step function itself is cheap to create, but invoking it via
+    ``F.aggregate`` builds a large expression tree (one struct overlay per
+    column across three op branches — hundreds of py4j round trips), so
+    every fold COLUMN built from it is cached via ``_prepared`` at its
+    call site; a multi-batch pipeline otherwise pays ~0.5s of pure driver
+    expression construction per batch per table (profiled: F.aggregate's
+    lambda materialization alone was 0.58s/call on the bench box).
     """
     cols = [c.name for c in spec.columns]
 
@@ -404,28 +419,67 @@ def _prune_to_keys(
 def _stage_snapshot(snapshot: DataFrame, spec: TableSpec) -> DataFrame:
     """Snapshot rows as ``(__pk struct, __snap_vals struct)`` — the join-side
     staging every fold variant shares."""
-    snap_key = F.struct(*[F.col(c).alias(c) for c in spec.pk_cols])
-    return snapshot.select(
-        snap_key.alias("__pk"),
-        F.struct(*[F.col(c.name).alias(c.name) for c in spec.columns]).alias(
-            "__snap_vals"
-        ),
+    cols = _prepared(
+        ("stage_snapshot", _spec_sig(spec)),
+        lambda: [
+            F.struct(*[F.col(c).alias(c) for c in spec.pk_cols]).alias("__pk"),
+            F.struct(*[F.col(c.name).alias(c.name) for c in spec.columns]).alias(
+                "__snap_vals"
+            ),
+        ],
     )
+    return snapshot.select(*cols)
 
 
 def _project_result(folded: DataFrame, spec: TableSpec, state_col: str) -> DataFrame:
     """Existing rows of a folded state column, snapshot-shaped (PKs from the
     authoritative join key)."""
-    return folded.filter(F.col(f"{state_col}.exists")).select(
-        *[
+    cols = _prepared(
+        ("project_result", _spec_sig(spec), state_col),
+        lambda: [
             (
                 F.col(f"__pk.{c.name}")
                 if c.name in spec.pk_cols
                 else F.col(f"{state_col}.vals.{c.name}")
             ).alias(c.name)
             for c in spec.columns
-        ]
+        ],
     )
+    return folded.filter(F.col(f"{state_col}.exists")).select(*cols)
+
+
+def _apply_state_col(spec: TableSpec) -> Column:
+    """The ``__state`` column of ``apply_changes``'s post-join projection —
+    fold the key's sorted events over the snapshot entry (or pass the
+    entry through untouched when the key has no events). Depends only on
+    the spec, so it is prepared once per spec signature and reused across
+    every batch/frame (unbound expression tree, never data)."""
+
+    def build() -> Column:
+        null_vals = F.struct(
+            *[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns]
+        )
+        return (
+            F.when(
+                F.col("__evs").isNotNull(),
+                _fold_expr(
+                    spec,
+                    "__evs",
+                    init_exists=F.col("__snap_vals").isNotNull(),
+                    init_vals=F.coalesce(F.col("__snap_vals"), null_vals),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("__snap_vals").isNotNull().alias("exists"),
+                    F.lit(0).alias("violations"),
+                    F.coalesce(F.col("__snap_vals"), null_vals).alias("vals"),
+                )
+            )
+            .alias("__state")
+        )
+
+    return _prepared(("apply_state", _spec_sig(spec)), build)
 
 
 def apply_changes(
@@ -470,32 +524,10 @@ def apply_changes(
     # Sort-merge full outer join on the PK struct; AQE handles skew.
     joined = snap.join(per_key, on="__pk", how="full_outer")
 
-    folded = joined.select(
-        "__pk",
-        F.when(
-            F.col("__evs").isNotNull(),
-            _fold_expr(
-                spec,
-                "__evs",
-                init_exists=F.col("__snap_vals").isNotNull(),
-                init_vals=F.coalesce(
-                    F.col("__snap_vals"),
-                    F.struct(*[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns]),
-                ),
-            ),
-        )
-        .otherwise(
-            F.struct(
-                F.col("__snap_vals").isNotNull().alias("exists"),
-                F.lit(0).alias("violations"),
-                F.coalesce(
-                    F.col("__snap_vals"),
-                    F.struct(*[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns]),
-                ).alias("vals"),
-            )
-        )
-        .alias("__state"),
-    )
+    # The whole __state expression references only __evs/__snap_vals by
+    # name and the spec — prepared once per spec signature (the F.aggregate
+    # fold alone is hundreds of py4j calls; see _make_fold's NOTE).
+    folded = joined.select("__pk", _apply_state_col(spec))
 
     # PK columns come from the join key (authoritative); the fold keeps
     # them consistent for insert/update events anyway.
@@ -757,25 +789,30 @@ def apply_delta(snapshot: DataFrame, events: DataFrame, spec: TableSpec) -> Data
     ev = events_for_table(events, spec)
     per_key = _events_per_key(ev)
 
-    snap_key = F.struct(*[F.col(k).alias(k) for k in spec.pk_cols])
-    snap = snapshot.select(
-        snap_key.alias("__pk"),
-        F.struct(*[F.col(c.name).alias(c.name) for c in spec.columns]).alias("__snap_vals"),
-    )
+    snap = _stage_snapshot(snapshot, spec)
     # LEFT join from the event keys: only touched keys matter here (the
     # full-outer join in apply_changes exists to carry untouched rows).
     joined = per_key.join(snap, on="__pk", how="left")
-    null_vals = F.struct(*[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns])
+
+    def build() -> list[Column]:
+        null_vals = F.struct(
+            *[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns]
+        )
+        return [
+            F.col("__snap_vals").isNotNull().alias("old_exists"),
+            F.coalesce(F.col("__snap_vals"), null_vals).alias("old_vals"),
+            _fold_expr(
+                spec,
+                "__evs",
+                init_exists=F.col("__snap_vals").isNotNull(),
+                init_vals=F.coalesce(F.col("__snap_vals"), null_vals),
+            ).alias("__state"),
+        ]
+
+    # prepared like apply_changes' __state (see _apply_state_col): the
+    # fold column is the expensive tree and depends only on the spec
     folded = joined.select(
-        "__pk",
-        F.col("__snap_vals").isNotNull().alias("old_exists"),
-        F.coalesce(F.col("__snap_vals"), null_vals).alias("old_vals"),
-        _fold_expr(
-            spec,
-            "__evs",
-            init_exists=F.col("__snap_vals").isNotNull(),
-            init_vals=F.coalesce(F.col("__snap_vals"), null_vals),
-        ).alias("__state"),
+        "__pk", *_prepared(("apply_delta_state", _spec_sig(spec)), build)
     )
     return folded.select(
         "__pk",

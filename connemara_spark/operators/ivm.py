@@ -963,6 +963,116 @@ class MaintainedMinMaxView:
             self.group_col, "n_rows", "min_val", "min_cnt", "max_val", "max_cnt"
         )
 
+    def _prep(self) -> dict:
+        """Batch-invariant Column trees of the patch, prepared once per
+        (group, value, type) signature and reused across every batch and
+        maintainer instance (the same plan-fragment cache as the apply
+        fold — a per-batch protocol otherwise pays the full py4j
+        expression-construction cost per patch; see apply._make_fold's
+        NOTE). Everything here references columns BY NAME only."""
+        from connemara_spark.operators.apply import _prepared
+
+        g = self.group_col
+
+        def build() -> dict:
+            ins_v = F.when(
+                (F.col("__ins") > 0) & F.col("__v").isNotNull(), F.col("__v")
+            )
+            n_new = F.coalesce(F.col("__bn"), F.lit(0)) + F.col("__dn")
+            surv_min = F.col("__bminc") + F.coalesce(F.col("__d_at_min"), F.lit(0))
+            surv_max = F.col("__bmaxc") + F.coalesce(F.col("__d_at_max"), F.lit(0))
+            new_group = F.col("__bn").isNull()
+            ins_takes_min = F.col("__ins_min").isNotNull() & (
+                new_group
+                | F.col("__bmin").isNull()
+                | (F.col("__ins_min") < F.col("__bmin"))
+            )
+            ins_takes_max = F.col("__ins_max").isNotNull() & (
+                new_group
+                | F.col("__bmax").isNull()
+                | (F.col("__ins_max") > F.col("__bmax"))
+            )
+            min_ok = ins_takes_min | (
+                ~new_group & F.col("__bmin").isNotNull() & (surv_min > 0)
+            )
+            max_ok = ins_takes_max | (
+                ~new_group & F.col("__bmax").isNotNull() & (surv_max > 0)
+            )
+            # a group whose rows are all null-valued has null extrema on
+            # both sides — self-maintainable trivially
+            all_null = F.col("__ins_min").isNull() & (
+                new_group | F.col("__bmin").isNull()
+            )
+            needs_rescan = (n_new > 0) & ~all_null & ~(min_ok & max_ok)
+            return {
+                "delta_old": [
+                    F.col(g), self._val().alias("__v"), F.lit(-1).alias("__s")
+                ],
+                "delta_new": [
+                    F.col(g), self._val().alias("__v"), F.lit(1).alias("__s")
+                ],
+                "per_val_aggs": [
+                    F.sum("__s").alias("__ds"),
+                    F.sum(F.when(F.col("__s") > 0, 1)).alias("__ins"),
+                ],
+                "base_sel": [
+                    F.col(g),
+                    F.col("n_rows").alias("__bn"),
+                    F.col("min_val").alias("__bmin"),
+                    F.col("min_cnt").alias("__bminc"),
+                    F.col("max_val").alias("__bmax"),
+                    F.col("max_cnt").alias("__bmaxc"),
+                ],
+                "s_aggs": [
+                    F.sum("__ds").alias("__dn"),
+                    F.sum(
+                        F.when(F.col("__v") == F.col("__bmin"), F.col("__ds"))
+                    ).alias("__d_at_min"),
+                    F.sum(
+                        F.when(F.col("__v") == F.col("__bmax"), F.col("__ds"))
+                    ).alias("__d_at_max"),
+                    F.min(ins_v).alias("__ins_min"),
+                    F.max(ins_v).alias("__ins_max"),
+                    # min_by/max_by skip rows whose ordering expr is NULL, so
+                    # these pick the insert count AT the insert extremum
+                    F.min_by(F.col("__ins"), ins_v).alias("__ins_minc"),
+                    F.max_by(F.col("__ins"), ins_v).alias("__ins_maxc"),
+                    F.first("__bn").alias("__bn"),
+                    F.first("__bmin").alias("__bmin"),
+                    F.first("__bminc").alias("__bminc"),
+                    F.first("__bmax").alias("__bmax"),
+                    F.first("__bmaxc").alias("__bmaxc"),
+                ],
+                "n_new": n_new,
+                "needs_rescan": needs_rescan,
+                "rows_sel": [
+                    F.col(g),
+                    F.col("__n_new").alias("n_rows"),
+                    F.when(ins_takes_min, F.col("__ins_min"))
+                    .otherwise(F.col("__bmin"))
+                    .alias("min_val"),
+                    F.when(
+                        ins_takes_min,
+                        F.col("__ins_minc")
+                        # inserts AT an unchanged min also count toward its
+                        # multiplicity; when the insert min TAKES OVER
+                        # strictly below, nothing pre-existing sits at that
+                        # value
+                        ,
+                    )
+                    .otherwise(surv_min)
+                    .alias("min_cnt"),
+                    F.when(ins_takes_max, F.col("__ins_max"))
+                    .otherwise(F.col("__bmax"))
+                    .alias("max_val"),
+                    F.when(ins_takes_max, F.col("__ins_maxc"))
+                    .otherwise(surv_max)
+                    .alias("max_cnt"),
+                ],
+            }
+
+        return _prepared(("mm_patch", g, self.val_col, self.val_type), build)
+
     def check_schema(self, catalog) -> None:
         cur = catalog.get(self.spec.database, self.spec.schema, self.spec.table)
         need = self._need
@@ -1027,6 +1137,7 @@ class MaintainedMinMaxView:
         pk = list(self.spec.pk_cols)
         t = F.broadcast(self._touched)
         g = self.group_col
+        prep = self._prep()  # batch-invariant Column trees (see _prep)
         old_t = old.join(t, on=pk, how="left_semi")
         new_t = new_t_src.join(t, on=pk, how="left_semi")
 
@@ -1034,10 +1145,8 @@ class MaintainedMinMaxView:
         # rows leave (-1), new rows arrive (+1) — state diff, not event
         # rows, so partial (TOAST) updates and PK-change splits are
         # already resolved by the fold
-        deltas = old_t.select(
-            F.col(g), self._val().alias("__v"), F.lit(-1).alias("__s")
-        ).unionByName(
-            new_t.select(F.col(g), self._val().alias("__v"), F.lit(1).alias("__s"))
+        deltas = old_t.select(*prep["delta_old"]).unionByName(
+            new_t.select(*prep["delta_new"])
         )
         # ONE (group, value) pre-aggregation feeds every per-group statistic
         # below — it replaces the former two-branch shape (a row-level join
@@ -1048,10 +1157,7 @@ class MaintainedMinMaxView:
         # multiplicity). Left lazy: the whole patch runs as ONE action (the
         # view write), and the two consumers below (touched_groups, d) share
         # this subtree via exchange reuse instead of a checkpoint job.
-        per_val = deltas.groupBy(g, "__v").agg(
-            F.sum("__s").alias("__ds"),
-            F.sum(F.when(F.col("__s") > 0, 1)).alias("__ins"),
-        )
+        per_val = deltas.groupBy(g, "__v").agg(*prep["per_val_aggs"])
         touched_groups = per_val.select(g).distinct()
 
         base = (
@@ -1061,93 +1167,17 @@ class MaintainedMinMaxView:
         )
         # the view rows that can change, with their extremum bookkeeping
         base_t = base.join(F.broadcast(touched_groups), g, "left_semi")
-        d = per_val.join(
-            base_t.select(
-                F.col(g),
-                F.col("n_rows").alias("__bn"),
-                F.col("min_val").alias("__bmin"),
-                F.col("min_cnt").alias("__bminc"),
-                F.col("max_val").alias("__bmax"),
-                F.col("max_cnt").alias("__bmaxc"),
-            ),
-            g,
-            "left",
-        )
-        # insert-present marker: NULL __v never competes for an extremum
-        ins_v = F.when(
-            (F.col("__ins") > 0) & F.col("__v").isNotNull(), F.col("__v")
-        )
-        s = d.groupBy(g).agg(
-            F.sum("__ds").alias("__dn"),
-            F.sum(F.when(F.col("__v") == F.col("__bmin"), F.col("__ds"))).alias(
-                "__d_at_min"
-            ),
-            F.sum(F.when(F.col("__v") == F.col("__bmax"), F.col("__ds"))).alias(
-                "__d_at_max"
-            ),
-            F.min(ins_v).alias("__ins_min"),
-            F.max(ins_v).alias("__ins_max"),
-            # min_by/max_by skip rows whose ordering expr is NULL, so these
-            # pick the insert count AT the insert extremum
-            F.min_by(F.col("__ins"), ins_v).alias("__ins_minc"),
-            F.max_by(F.col("__ins"), ins_v).alias("__ins_maxc"),
-            F.first("__bn").alias("__bn"),
-            F.first("__bmin").alias("__bmin"),
-            F.first("__bminc").alias("__bminc"),
-            F.first("__bmax").alias("__bmax"),
-            F.first("__bmaxc").alias("__bmaxc"),
-        )
+        d = per_val.join(base_t.select(*prep["base_sel"]), g, "left")
+        s = d.groupBy(g).agg(*prep["s_aggs"])
 
-        n_new = F.coalesce(F.col("__bn"), F.lit(0)) + F.col("__dn")
-        surv_min = F.col("__bminc") + F.coalesce(F.col("__d_at_min"), F.lit(0))
-        surv_max = F.col("__bmaxc") + F.coalesce(F.col("__d_at_max"), F.lit(0))
-        new_group = F.col("__bn").isNull()
-        ins_takes_min = F.col("__ins_min").isNotNull() & (
-            new_group
-            | F.col("__bmin").isNull()
-            | (F.col("__ins_min") < F.col("__bmin"))
+        s = s.withColumn("__n_new", prep["n_new"]).withColumn(
+            "__rescan", prep["needs_rescan"]
         )
-        ins_takes_max = F.col("__ins_max").isNotNull() & (
-            new_group
-            | F.col("__bmax").isNull()
-            | (F.col("__ins_max") > F.col("__bmax"))
-        )
-        min_ok = ins_takes_min | (~new_group & F.col("__bmin").isNotNull() & (surv_min > 0))
-        max_ok = ins_takes_max | (~new_group & F.col("__bmax").isNotNull() & (surv_max > 0))
-        # a group whose rows are all null-valued has null extrema on both
-        # sides — self-maintainable trivially
-        all_null = (
-            F.col("__ins_min").isNull()
-            & (new_group | F.col("__bmin").isNull())
-        )
-        needs_rescan = (n_new > 0) & ~all_null & ~(min_ok & max_ok)
-
-        s = s.withColumn("__n_new", n_new).withColumn("__rescan", needs_rescan)
 
         def _rows(sf):
-            return sf.filter((F.col("__n_new") > 0) & ~F.col("__rescan")).select(
-                F.col(g),
-                F.col("__n_new").alias("n_rows"),
-                F.when(ins_takes_min, F.col("__ins_min"))
-                .otherwise(F.col("__bmin"))
-                .alias("min_val"),
-                F.when(
-                    ins_takes_min,
-                    F.col("__ins_minc")
-                    # inserts AT an unchanged min also count toward its
-                    # multiplicity; when the insert min TAKES OVER strictly
-                    # below, nothing pre-existing sits at that value
-                    ,
-                )
-                .otherwise(surv_min)
-                .alias("min_cnt"),
-                F.when(ins_takes_max, F.col("__ins_max"))
-                .otherwise(F.col("__bmax"))
-                .alias("max_val"),
-                F.when(ins_takes_max, F.col("__ins_maxc"))
-                .otherwise(surv_max)
-                .alias("max_cnt"),
-            )
+            return sf.filter(
+                (F.col("__n_new") > 0) & ~F.col("__rescan")
+            ).select(*prep["rows_sel"])
 
         # ONE materialization for the whole patch: `s` is |touched groups|-
         # sized and every downstream consumer — the keep-side anti join's
@@ -1286,39 +1316,146 @@ class MaintainedTopKView:
     def _val(self):
         return F.col(self.val_col).cast(self.val_type)
 
+    @staticmethod
+    def _cmp(a, b):
+        """(v DESC, id ASC) comparator — the view's total ordering."""
+        return (
+            F.when(a["v"] > b["v"], -1)
+            .when(a["v"] < b["v"], 1)
+            .when(a["id"] < b["id"], -1)
+            .when(a["id"] > b["id"], 1)
+            .otherwise(0)
+        )
+
     def _full_agg(self, state: DataFrame) -> DataFrame:
         """(group, n_rows, top) from scratch: per-group window row_number
         bounds the collected list at k+slack BEFORE any collect_list, so
         the build never materializes a whole group in one array."""
-        from pyspark.sql.window import Window
-
-        lim = self.k + self.slack
         g = self.group_col
-        rows = state.select(
-            F.col(g), self._val().alias("__v"), F.col(self.pk).alias("__id")
-        )
+        prep = self._prep()
+        rows = state.select(*prep["fa_rows_sel"])
         counts = rows.groupBy(g).agg(F.count(F.lit(1)).alias("n_rows"))
-        w = Window.partitionBy(g).orderBy(
-            F.col("__v").desc_nulls_last(), F.col("__id")
-        )
         top = (
             rows.filter(F.col("__v").isNotNull())
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= lim)
+            .withColumn("__rn", prep["fa_rn"])
+            .filter(F.col("__rn") <= self.k + self.slack)
             .groupBy(g)
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("__v").alias("v"), F.col("__id").alias("id"))),
-                    lambda a, b: F.when(a["v"] > b["v"], -1)
-                    .when(a["v"] < b["v"], 1)
-                    .when(a["id"] < b["id"], -1)
-                    .when(a["id"] > b["id"], 1)
-                    .otherwise(0),
-                ).alias("top")
-            )
+            .agg(prep["fa_top_agg"])
         )
-        return counts.join(top, g, "left").select(
-            g, "n_rows", F.coalesce("top", F.array().cast("array<struct<v:" + self.val_type + ",id:bigint>>")).alias("top")
+        return counts.join(top, g, "left").select(*prep["fa_final_sel"])
+
+    def _prep(self) -> dict:
+        """Batch-invariant Column trees of the patch and the full
+        aggregate, prepared once per (group, value, type, k, slack, pk)
+        signature — the same plan-fragment cache as the apply fold (see
+        apply._make_fold's NOTE); the array_sort/filter/transform lambdas
+        here are the most py4j-expensive expressions in the maintainer.
+        Everything references columns BY NAME only."""
+        from pyspark.sql.window import Window
+
+        from connemara_spark.operators.apply import _prepared
+
+        g = self.group_col
+        lim = self.k + self.slack
+        empty_top = f"array<struct<v:{self.val_type},id:bigint>>"
+
+        def build() -> dict:
+            kept = F.filter(
+                F.coalesce(F.col("top"), F.array().cast(empty_top)),
+                lambda x: ~F.array_contains(F.col("__touched_ids"), x["id"]),
+            )
+            # merge two sorted lists by re-sorting the concat (both
+            # bounded: kept <= k+slack, adds <= |batch slice for group|)
+            merged = F.slice(
+                F.array_sort(F.concat(kept, F.col("__adds")), self._cmp), 1, lim
+            )
+            n_new = F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("__dn")
+            # Trust model: see _patch_frame's comment block.
+            base_top = F.coalesce(F.col("top"), F.array().cast(empty_top))
+            unknowns = F.coalesce(
+                F.col("n_rows") > F.size(base_top), F.lit(False)
+            )
+            cutoff = F.element_at(base_top, F.size(base_top))["v"]
+            kept_ids = F.transform(kept, lambda x: x["id"])
+            unsafe_flags = F.transform(
+                merged,
+                lambda x: F.coalesce(
+                    unknowns
+                    & ~(x["v"] > cutoff)
+                    & ~F.array_contains(kept_ids, x["id"]),
+                    F.lit(True),
+                ),
+            )
+            first_unsafe = F.array_position(unsafe_flags, F.lit(True))
+            trusted = F.when(
+                first_unsafe > 0,
+                F.slice(merged, F.lit(1), (first_unsafe - 1).cast("int")),
+            ).otherwise(merged)
+            need = F.greatest(F.least(F.lit(self.k), n_new), F.lit(0)).cast(
+                "int"
+            )
+            w = Window.partitionBy(g).orderBy(
+                F.col("__v").desc_nulls_last(), F.col("__id")
+            )
+            return {
+                "delta_old": [
+                    F.col(g),
+                    self._val().alias("__v"),
+                    F.col(self.pk).alias("__id"),
+                    F.lit(-1).alias("__s"),
+                ],
+                "delta_new": [
+                    F.col(g),
+                    self._val().alias("__v"),
+                    F.col(self.pk).alias("__id"),
+                    F.lit(1).alias("__s"),
+                ],
+                "per_group_aggs": [
+                    F.sum("__s").alias("__dn"),
+                    F.collect_set("__id").alias("__touched_ids"),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                (F.col("__s") > 0) & F.col("__v").isNotNull(),
+                                F.struct(
+                                    F.col("__v").alias("v"),
+                                    F.col("__id").alias("id"),
+                                ),
+                            )
+                        ),
+                        self._cmp,
+                    ).alias("__adds"),
+                ],
+                "merged": trusted,
+                "n_new": n_new,
+                "needs_rescan": (n_new > 0) & (F.size(trusted) < need),
+                "patched_sel": [
+                    F.col(g),
+                    F.col("__n_new").alias("n_rows"),
+                    F.col("__merged").alias("top"),
+                ],
+                "fa_rows_sel": [
+                    F.col(g),
+                    self._val().alias("__v"),
+                    F.col(self.pk).alias("__id"),
+                ],
+                "fa_rn": F.row_number().over(w),
+                "fa_top_agg": F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__v").alias("v"), F.col("__id").alias("id"))
+                    ),
+                    self._cmp,
+                ).alias("top"),
+                "fa_final_sel": [
+                    F.col(g),
+                    F.col("n_rows"),
+                    F.coalesce("top", F.array().cast(empty_top)).alias("top"),
+                ],
+            }
+
+        return _prepared(
+            ("tk_patch", g, self.val_col, self.val_type, self.k, self.slack, self.pk),
+            build,
         )
 
     def check_schema(self, catalog) -> None:
@@ -1386,40 +1523,22 @@ class MaintainedTopKView:
         v_now = self.store.current_version(self.spec.target_name)
 
         g = self.group_col
-        lim = self.k + self.slack
         pk = list(self.spec.pk_cols)
+        prep = self._prep()  # batch-invariant Column trees (see _prep)
         t = F.broadcast(self._touched)
         old_t = old.join(t, on=pk, how="left_semi")
         new_t = new_t_src.join(t, on=pk, how="left_semi")
 
         # per-group batch summary: touched pks (to evict from stored
         # lists), surviving new pairs (to merge), and the row-count delta
-        deltas = old_t.select(
-            F.col(g), self._val().alias("__v"), F.col(self.pk).alias("__id"), F.lit(-1).alias("__s")
-        ).unionByName(
-            new_t.select(F.col(g), self._val().alias("__v"), F.col(self.pk).alias("__id"), F.lit(1).alias("__s"))
+        deltas = old_t.select(*prep["delta_old"]).unionByName(
+            new_t.select(*prep["delta_new"])
         )
         # left lazy: the patch materializes ONCE, at the folded `s` frame
         # below — the two consumers of this per-group fold (touched_groups'
         # semi join and s's left side) share the subtree via exchange reuse
         # inside that one checkpoint job
-        per_group = deltas.groupBy(g).agg(
-            F.sum("__s").alias("__dn"),
-            F.collect_set("__id").alias("__touched_ids"),
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        (F.col("__s") > 0) & F.col("__v").isNotNull(),
-                        F.struct(F.col("__v").alias("v"), F.col("__id").alias("id")),
-                    )
-                ),
-                lambda a, b: F.when(a["v"] > b["v"], -1)
-                .when(a["v"] < b["v"], 1)
-                .when(a["id"] < b["id"], -1)
-                .when(a["id"] > b["id"], 1)
-                .otherwise(0),
-            ).alias("__adds"),
-        )
+        per_group = deltas.groupBy(g).agg(*prep["per_group_aggs"])
         touched_groups = per_group.select(g)
 
         base = (
@@ -1430,77 +1549,32 @@ class MaintainedTopKView:
         base_t = base.join(F.broadcast(touched_groups), g, "left_semi")
         s = per_group.join(base_t, g, "left")
 
-        kept = F.filter(
-            F.coalesce(F.col("top"), F.array().cast(f"array<struct<v:{self.val_type},id:bigint>>")),
-            lambda x: ~F.array_contains(F.col("__touched_ids"), x["id"]),
-        )
-        # merge two sorted lists by re-sorting the concat (both bounded:
-        # kept <= k+slack, adds <= |batch slice for the group|)
-        merged = F.slice(
-            F.array_sort(
-                F.concat(kept, F.col("__adds")),
-                lambda a, b: F.when(a["v"] > b["v"], -1)
-                .when(a["v"] < b["v"], 1)
-                .when(a["id"] < b["id"], -1)
-                .when(a["id"] > b["id"], 1)
-                .otherwise(0),
-            ),
-            1,
-            lim,
-        )
-        n_new = F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("__dn")
-        # Trust model for the merged list: the old stored list held the
-        # group's true top-s, so every UNSTORED old row has value <= the
-        # stored CUTOFF (the list's minimum). A merged entry is safe at
-        # its position iff (a) the group has no unstored rows at all, or
-        # (b) it outranks the cutoff outright, or (c) it WAS stored (kept
-        # entries also beat unstored cutoff-ties: the original sort
-        # admitted smaller pks first). A new arrival at-or-below the
-        # cutoff is NOT safe — an unknown unstored row may outrank it
-        # (without this, a low insert after evictions leapfrogs the true
-        # runner-up; caught by the bucket-store prune-path test). Rescan
-        # when any of the first min(k, n') positions is unsafe or the
-        # list runs short.
-        base_top = F.coalesce(
-            F.col("top"),
-            F.array().cast(f"array<struct<v:{self.val_type},id:bigint>>"),
-        )
-        unknowns = F.coalesce(F.col("n_rows") > F.size(base_top), F.lit(False))
-        cutoff = F.element_at(base_top, F.size(base_top))["v"]
-        kept_ids = F.transform(kept, lambda x: x["id"])
-        # the stored list must stay the group's TRUE top-s or the next
-        # batch's trust reasoning collapses — truncate at the first
-        # unsafe position (an unsafe slack tail would later surface as a
-        # fake runner-up). Truncation shrinks the buffer until a rescan
-        # refills it.
-        unsafe_flags = F.transform(
-            merged,
-            lambda x: F.coalesce(
-                unknowns
-                & ~(x["v"] > cutoff)
-                & ~F.array_contains(kept_ids, x["id"]),
-                F.lit(True),
-            ),
-        )
-        first_unsafe = F.array_position(unsafe_flags, F.lit(True))
-        trusted = F.when(
-            first_unsafe > 0,
-            F.slice(merged, F.lit(1), (first_unsafe - 1).cast("int")),
-        ).otherwise(merged)
-        need = F.greatest(F.least(F.lit(self.k), n_new), F.lit(0)).cast("int")
-        needs_rescan = (n_new > 0) & (F.size(trusted) < need)
+        # Trust model for the merged list (prep["merged"]): the old stored
+        # list held the group's true top-s, so every UNSTORED old row has
+        # value <= the stored CUTOFF (the list's minimum). A merged entry
+        # is safe at its position iff (a) the group has no unstored rows
+        # at all, or (b) it outranks the cutoff outright, or (c) it WAS
+        # stored (kept entries also beat unstored cutoff-ties: the
+        # original sort admitted smaller pks first). A new arrival
+        # at-or-below the cutoff is NOT safe — an unknown unstored row may
+        # outrank it (without this, a low insert after evictions leapfrogs
+        # the true runner-up; caught by the bucket-store prune-path test).
+        # The stored list must stay the group's TRUE top-s or the next
+        # batch's trust reasoning collapses — truncate at the first unsafe
+        # position (an unsafe slack tail would later surface as a fake
+        # runner-up); truncation shrinks the buffer until a rescan refills
+        # it. Rescan when any of the first min(k, n') positions is unsafe
+        # or the list runs short.
         s = (
-            s.withColumn("__merged", trusted)
-            .withColumn("__n_new", n_new)
-            .withColumn("__rescan", needs_rescan)
+            s.withColumn("__merged", prep["merged"])
+            .withColumn("__n_new", prep["n_new"])
+            .withColumn("__rescan", prep["needs_rescan"])
             .localCheckpoint()
         )
 
-        patched_rows = s.filter((F.col("__n_new") > 0) & ~F.col("__rescan")).select(
-            F.col(g),
-            F.col("__n_new").alias("n_rows"),
-            F.col("__merged").alias("top"),
-        )
+        patched_rows = s.filter(
+            (F.col("__n_new") > 0) & ~F.col("__rescan")
+        ).select(*prep["patched_sel"])
         # tiny checkpointed-frame job (see _patch_gate): on the common
         # batch (buffer never burned below k) it skips scheduling the
         # whole recompute subtree (full-store scan + window +
