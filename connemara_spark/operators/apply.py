@@ -924,20 +924,29 @@ def group_agg_net(
 
     if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", sum_col):
         sum_col = f"`{sum_col}`"
-    o = old_rows.select(
-        F.col(group_col).alias("g"),
-        F.lit(-1).cast("long").alias("dn"),
-        (-F.expr(sum_col).cast(sum_type)).alias("dt"),
-    )
-    n = new_rows.select(
-        F.col(group_col).alias("g"),
-        F.lit(1).cast("long").alias("dn"),
-        F.expr(sum_col).cast(sum_type).alias("dt"),
+    # batch-invariant Column trees (see _make_fold's NOTE): per-batch
+    # callers (the maintained-agg patch) otherwise rebuild them each batch
+    prep = _prepared(
+        ("group_agg_net", group_col, sum_col, sum_type),
+        lambda: {
+            "old_sel": [
+                F.col(group_col).alias("g"),
+                F.lit(-1).cast("long").alias("dn"),
+                (-F.expr(sum_col).cast(sum_type)).alias("dt"),
+            ],
+            "new_sel": [
+                F.col(group_col).alias("g"),
+                F.lit(1).cast("long").alias("dn"),
+                F.expr(sum_col).cast(sum_type).alias("dt"),
+            ],
+            "aggs": [F.sum("dn").alias("__dn"), F.sum("dt").alias("__dt")],
+        },
     )
     return (
-        o.unionByName(n)
+        old_rows.select(*prep["old_sel"])
+        .unionByName(new_rows.select(*prep["new_sel"]))
         .groupBy(F.col("g").alias(group_col))
-        .agg(F.sum("dn").alias("__dn"), F.sum("dt").alias("__dt"))
+        .agg(*prep["aggs"])
     )
 
 
@@ -952,20 +961,32 @@ def merge_group_agg(
     full-outer join on the group key touching only affected groups."""
     # NULL-safe equality: a NULL group key must merge with the base row,
     # not duplicate beside it (plain equi-join never matches NULL = NULL)
+    prep = _prepared(
+        ("merge_group_agg", group_col, sum_type),
+        lambda: {
+            "cond": F.col(f"b.{group_col}").eqNullSafe(F.col(f"n.{group_col}")),
+            "sel": [
+                F.coalesce(
+                    F.col(f"b.{group_col}"), F.col(f"n.{group_col}")
+                ).alias(group_col),
+                (
+                    F.coalesce(F.col("b.n_rows"), F.lit(0))
+                    + F.coalesce(F.col("n.__dn"), F.lit(0))
+                ).alias("n_rows"),
+                (
+                    F.coalesce(F.col("b.total"), F.lit(0).cast(sum_type))
+                    + F.coalesce(F.col("n.__dt"), F.lit(0).cast(sum_type))
+                )
+                .cast(sum_type)
+                .alias("total"),
+            ],
+        },
+    )
     b = base_agg.alias("b")
     n = net.alias("n")
-    merged = b.join(
-        n, F.col(f"b.{group_col}").eqNullSafe(F.col(f"n.{group_col}")), "full_outer"
-    )
     return (
-        merged.select(
-            F.coalesce(F.col(f"b.{group_col}"), F.col(f"n.{group_col}")).alias(group_col),
-            (F.coalesce(F.col("b.n_rows"), F.lit(0)) + F.coalesce(F.col("n.__dn"), F.lit(0))).alias("n_rows"),
-            (
-                F.coalesce(F.col("b.total"), F.lit(0).cast(sum_type))
-                + F.coalesce(F.col("n.__dt"), F.lit(0).cast(sum_type))
-            ).cast(sum_type).alias("total"),
-        )
+        b.join(n, prep["cond"], "full_outer")
+        .select(*prep["sel"])
         .filter(F.col("n_rows") > 0)
     )
 

@@ -1730,6 +1730,79 @@ class MaintainedDistinctCountView:
             .agg(F.count(F.lit(1)).alias("__c"))
         )
 
+    def _prep(self) -> dict:
+        """Batch-invariant Column trees of the patch, prepared once per
+        (group, value, type) signature — the same plan-fragment cache as
+        the apply fold (see apply._make_fold's NOTE). Name references
+        only; alias-qualified columns (``b.*``/``n.*``/``x.*``/``y.*``)
+        resolve against the per-batch aliased frames identically every
+        batch."""
+        from connemara_spark.operators.apply import _prepared
+
+        g = self.group_col
+
+        def build() -> dict:
+            return {
+                "delta_old": [
+                    F.col(g), self._val().alias("__v"), F.lit(-1).alias("__s")
+                ],
+                "delta_new": [
+                    F.col(g), self._val().alias("__v"), F.lit(1).alias("__s")
+                ],
+                "per_val_agg": F.sum("__s").cast("long").alias("__dc"),
+                "joined_cond": F.col(f"b.{g}").eqNullSafe(F.col(f"n.{g}"))
+                & (F.col("b.__v") == F.col("n.__v")),
+                "joined_sel": [
+                    F.coalesce(F.col(f"b.{g}"), F.col(f"n.{g}")).alias(g),
+                    F.coalesce(F.col("b.__v"), F.col("n.__v")).alias("__v"),
+                    F.coalesce(F.col("b.__c"), F.lit(0))
+                    .cast("long")
+                    .alias("__c_old"),
+                    F.col("n.__dc").alias("__dc"),
+                ],
+                "c_new": (
+                    F.col("__c_old") + F.coalesce(F.col("__dc"), F.lit(0))
+                ).cast("long"),
+                "support_sel": [
+                    F.col(g), F.col("__v"), F.col("__c_new").alias("__c")
+                ],
+                "dn_agg": F.sum("__dc").cast("long").alias("__dn"),
+                "dd_agg": F.sum(
+                    F.when(
+                        (F.col("__c_old") == 0) & (F.col("__c_new") > 0), 1
+                    )
+                    .when((F.col("__c_old") > 0) & (F.col("__c_new") == 0), -1)
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias("__dd"),
+                "gd_cond": F.col(f"x.{g}").eqNullSafe(F.col(f"y.{g}")),
+                "gd_sel": [
+                    F.coalesce(F.col(f"x.{g}"), F.col(f"y.{g}")).alias(g),
+                    F.coalesce(F.col("x.__dn"), F.lit(0)).alias("__dn"),
+                    F.coalesce(F.col("y.__dd"), F.lit(0)).alias("__dd"),
+                ],
+                "patched_cond": F.col(f"b.{g}").eqNullSafe(F.col(f"n.{g}")),
+                "patched_sel": [
+                    F.coalesce(F.col(f"b.{g}"), F.col(f"n.{g}")).alias(g),
+                    (
+                        F.coalesce(F.col("b.n_rows"), F.lit(0))
+                        + F.coalesce(F.col("n.__dn"), F.lit(0))
+                    )
+                    .cast("long")
+                    .alias("n_rows"),
+                    (
+                        F.coalesce(F.col("b.n_distinct"), F.lit(0))
+                        + F.coalesce(F.col("n.__dd"), F.lit(0))
+                    )
+                    .cast("long")
+                    .alias("n_distinct"),
+                ],
+            }
+
+        sig = str(self.sspec.columns[1].spark_type)
+        return _prepared(("dc_patch", g, self.val_col, sig), build)
+
     def check_schema(self, catalog) -> None:
         cur = catalog.get(self.spec.database, self.spec.schema, self.spec.table)
         need = self._need
@@ -1815,6 +1888,7 @@ class MaintainedDistinctCountView:
         pk = list(self.spec.pk_cols)
         t = F.broadcast(self._touched)
         g = self.group_col
+        prep = self._prep()  # batch-invariant Column trees (see _prep)
         old_t = old.join(t, on=pk, how="left_semi")
         new_t = new.join(t, on=pk, how="left_semi")
 
@@ -1826,15 +1900,11 @@ class MaintainedDistinctCountView:
         # |touched (group,value) pairs|-sized fold replaces checkpointing
         # the row-level delta — fewer checkpoint bytes and one aggregation
         # exchange instead of two over the row-level frame
-        deltas = old_t.select(
-            F.col(g), self._val().alias("__v"), F.lit(-1).alias("__s")
-        ).unionByName(
-            new_t.select(F.col(g), self._val().alias("__v"), F.lit(1).alias("__s"))
+        deltas = old_t.select(*prep["delta_old"]).unionByName(
+            new_t.select(*prep["delta_new"])
         )
         per_val = (
-            deltas.groupBy(g, "__v")
-            .agg(F.sum("__s").cast("long").alias("__dc"))
-            .localCheckpoint()
+            deltas.groupBy(g, "__v").agg(prep["per_val_agg"]).localCheckpoint()
         )
         net_pairs = per_val.filter(
             F.col("__v").isNotNull() & (F.col("__dc") != 0)
@@ -1858,22 +1928,9 @@ class MaintainedDistinctCountView:
         b = base_support.alias("b")
         n = net_pairs.alias("n")
         joined = (
-            b.join(
-                n,
-                F.col(f"b.{g}").eqNullSafe(F.col(f"n.{g}"))
-                & (F.col("b.__v") == F.col("n.__v")),
-                "full_outer",
-            )
-            .select(
-                F.coalesce(F.col(f"b.{g}"), F.col(f"n.{g}")).alias(g),
-                F.coalesce(F.col("b.__v"), F.col("n.__v")).alias("__v"),
-                F.coalesce(F.col("b.__c"), F.lit(0)).cast("long").alias("__c_old"),
-                F.col("n.__dc").alias("__dc"),
-            )
-            .withColumn(
-                "__c_new",
-                (F.col("__c_old") + F.coalesce(F.col("__dc"), F.lit(0))).cast("long"),
-            )
+            b.join(n, prep["joined_cond"], "full_outer")
+            .select(*prep["joined_sel"])
+            .withColumn("__c_new", prep["c_new"])
             # one materialization, two consumers (support rewrite + the
             # zero-crossing summary patch)
             .localCheckpoint()
@@ -1881,34 +1938,18 @@ class MaintainedDistinctCountView:
         # the complete new state of the touched buckets (untouched
         # co-resident pairs pass through via the full outer's base side)
         new_support = joined.filter(F.col("__c_new") > 0).select(
-            F.col(g), F.col("__v"), F.col("__c_new").alias("__c")
+            *prep["support_sel"]
         )
 
-        dn = per_val.groupBy(F.col(g)).agg(
-            F.sum("__dc").cast("long").alias("__dn")
-        )
+        dn = per_val.groupBy(F.col(g)).agg(prep["dn_agg"])
         dd = (
             joined.filter(F.col("__dc").isNotNull())
             .groupBy(F.col(g))
-            .agg(
-                F.sum(
-                    F.when((F.col("__c_old") == 0) & (F.col("__c_new") > 0), 1)
-                    .when((F.col("__c_old") > 0) & (F.col("__c_new") == 0), -1)
-                    .otherwise(0)
-                )
-                .cast("long")
-                .alias("__dd")
-            )
+            .agg(prep["dd_agg"])
         )
         x = dn.alias("x")
         y = dd.alias("y")
-        gd = x.join(
-            y, F.col(f"x.{g}").eqNullSafe(F.col(f"y.{g}")), "full_outer"
-        ).select(
-            F.coalesce(F.col(f"x.{g}"), F.col(f"y.{g}")).alias(g),
-            F.coalesce(F.col("x.__dn"), F.lit(0)).alias("__dn"),
-            F.coalesce(F.col("y.__dd"), F.lit(0)).alias("__dd"),
-        )
+        gd = x.join(y, prep["gd_cond"], "full_outer").select(*prep["gd_sel"])
 
         base = (
             self._full_agg(old)
@@ -1918,22 +1959,8 @@ class MaintainedDistinctCountView:
         bb = base.alias("b")
         nn = gd.alias("n")
         patched = (
-            bb.join(nn, F.col(f"b.{g}").eqNullSafe(F.col(f"n.{g}")), "full_outer")
-            .select(
-                F.coalesce(F.col(f"b.{g}"), F.col(f"n.{g}")).alias(g),
-                (
-                    F.coalesce(F.col("b.n_rows"), F.lit(0))
-                    + F.coalesce(F.col("n.__dn"), F.lit(0))
-                )
-                .cast("long")
-                .alias("n_rows"),
-                (
-                    F.coalesce(F.col("b.n_distinct"), F.lit(0))
-                    + F.coalesce(F.col("n.__dd"), F.lit(0))
-                )
-                .cast("long")
-                .alias("n_distinct"),
-            )
+            bb.join(nn, prep["patched_cond"], "full_outer")
+            .select(*prep["patched_sel"])
             .filter(F.col("n_rows") > 0)
         )
         return m, patched, v_now, new_support, bks
