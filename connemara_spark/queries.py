@@ -5794,34 +5794,48 @@ def _profile_oracle() -> str:
     "doubles render through DECIMAL(18,2) so min/max strings agree cross-engine",
 )
 def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One aggregation PER COLUMN, unioned — not one agg with six
+    # count_distinct's: multiple distinct aggregates make Catalyst plan an
+    # Expand (x7 row multiplication: 150k -> 1.05M wide rows here) feeding
+    # SortAggregates with two full Sorts (plan-verified; 4.9s warm at
+    # sf0.1). A single-distinct aggregate per branch plans as two-level
+    # hash aggregation with NO Expand and NO Sort, and each branch's scan
+    # prunes to its one column (ReadSchema = the profiled column only).
+    # Same aggregates, same values, same rows — only the plan shape
+    # changes (guide §1.2 step 1 / §7.2). At 100 TB the win compounds:
+    # the expand multiplies the full table width by the number of
+    # profiled columns, the union scans one column chunk per branch.
     df = load(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c, _t in _PROFILE_COLS:
-        aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
-            F.min(F.col(c)).alias(f"{c}__min"),  # typed min/max, rendered below
-            F.max(F.col(c)).alias(f"{c}__max"),
-        ]
-    row = df.agg(*aggs)
-    entries = []
-    for c, t in _PROFILE_COLS:
-        mn, mx = F.col(f"{c}__min"), F.col(f"{c}__max")
-        if t == "double":
-            from connemara_spark.functions.money import grid_dec
+    from connemara_spark.functions.money import grid_dec
 
+    parts = []
+    for c, t in _PROFILE_COLS:
+        one = df.select(c).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            F.min(F.col(c)).alias("__min"),  # typed min/max, rendered below
+            F.max(F.col(c)).alias("__max"),
+        )
+        mn, mx = F.col("__min"), F.col("__max")
+        if t == "double":
             mn, mx = grid_dec(mn, "decimal(18,2)"), grid_dec(mx, "decimal(18,2)")
-        entries.append(
-            F.struct(
+        parts.append(
+            one.select(
                 F.lit(c).alias("col_name"),
-                F.col("n_rows").alias("n_rows"),
-                F.col(f"{c}__nulls").alias("n_nulls"),
-                F.col(f"{c}__nd").alias("n_distinct"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
                 mn.cast("string").alias("min_str"),
                 mx.cast("string").alias("max_str"),
             )
         )
-    return row.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @register(
@@ -10659,11 +10673,25 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_exclusive_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
+    # dedup-then-count instead of two count_distinct's in one agg: multiple
+    # distinct aggregates plan an Expand (x3 row multiplication of the fact
+    # scan) feeding sort aggregates; one (order, supplier) pre-aggregation
+    # carrying an any-returned flag computes both counts exactly with plain
+    # hash aggregation and no Expand (guide §7.2 — same values, smaller
+    # shuffle: the pre-agg is map-side combined)
+    # the isNotNull guard pins count_distinct's NULL-skipping semantics
+    # exactly (a NULL supplier would otherwise become a counted group);
+    # l_suppkey is never NULL in TPC-H data, so the filter drops nothing
+    per_pair = (
+        li.filter(F.col("l_suppkey").isNotNull())
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("__ret")
+        )
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("__ret").alias("n_ret_supp"),
     )
     blamed = (
         li.filter(F.col("l_returnflag") == "R")
