@@ -30,6 +30,8 @@ from connemara_spark.catalog import TableSpec
 from connemara_spark.operators.apply import (
     _effective_spec,
     _events_per_key,
+    _prepared,
+    _spec_sig,
     events_for_table,
 )
 
@@ -46,10 +48,19 @@ def scd2_history(events: DataFrame, spec: TableSpec) -> DataFrame:
     """
     spec, _ = _effective_spec(spec)
     ev = events_for_table(events, spec)
+    per_key = _events_per_key(ev)
+    # the whole expression set depends only on the spec — prepared once
+    # per signature like the apply fold (see apply._make_fold's NOTE)
+    prep = _prepared(("scd2_history", _spec_sig(spec)), lambda: _build_scd2(spec))
+    state = per_key.select("__pk", prep["state_col"])
+    return state.select("__pk", F.explode(prep["versions"]).alias("v")).select(
+        *prep["final_sel"]
+    )
+
+
+def _build_scd2(spec: TableSpec) -> dict:
     cols = [c.name for c in spec.columns]
     non_pk = [c for c in cols if c not in spec.pk_cols]
-
-    per_key = _events_per_key(ev)
 
     null_vals = F.struct(*[F.lit(None).cast(c.spark_type).alias(c.name) for c in spec.columns])
     ver_type = "array<struct<valid_from_lsn:bigint,valid_to_lsn:bigint,vals:struct<{}>>>".format(
@@ -89,9 +100,6 @@ def scd2_history(events: DataFrame, spec: TableSpec) -> DataFrame:
         F.lit(None).cast("bigint").alias("from"),
         F.expr(f"CAST(array() AS {ver_type})").alias("closed"),
     )
-    state = per_key.select(
-        "__pk", F.aggregate(F.col("__evs"), init, fold).alias("__st")
-    )
 
     # closed versions ++ the still-open one (valid_to NULL) if the key exists.
     versions = F.when(
@@ -108,13 +116,14 @@ def scd2_history(events: DataFrame, spec: TableSpec) -> DataFrame:
         ),
     ).otherwise(F.col("__st.closed"))
 
-    return (
-        state.select("__pk", F.explode(versions).alias("v"))
-        .select(
+    return {
+        "state_col": F.aggregate(F.col("__evs"), init, fold).alias("__st"),
+        "versions": versions,
+        "final_sel": [
             *[F.col(f"__pk.{k}").alias(k) for k in spec.pk_cols],
             *[F.col(f"v.vals.{c}").alias(c) for c in non_pk],
             F.col("v.valid_from_lsn").alias("valid_from_lsn"),
             F.col("v.valid_to_lsn").alias("valid_to_lsn"),
             F.col("v.valid_to_lsn").isNull().alias("is_current"),
-        )
-    )
+        ],
+    }
