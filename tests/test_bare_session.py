@@ -10,6 +10,7 @@ test fixture's conf and defeat the point.
 
 from __future__ import annotations
 
+import pytest
 import subprocess
 import sys
 
@@ -78,6 +79,7 @@ print("ALL-OK")
 """
 
 
+@pytest.mark.slow  # endurance: see pytest.ini — run with -m 'slow or not slow'
 def test_risky_queries_run_under_bare_session():
     proc = subprocess.run(
         [sys.executable, "-c", SCRIPT.format(names=RISKY)],

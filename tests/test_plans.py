@@ -244,6 +244,7 @@ def test_pagerank_broadcasts_contributions_no_cartesian(spark, sf_dir):
     plans.assert_no_python_udf(df)
 
 
+@pytest.mark.slow  # endurance: see pytest.ini — run with -m 'slow or not slow'
 def test_no_partition_less_window_anywhere(spark, sf_dir):
     """Registry-wide lint: NO query plans a partition-less WindowExec —
     the accidental-global-window scale killer (all data through one task).

@@ -45,6 +45,7 @@ def _drain(stream_df, tmp, name):
     return out
 
 
+@pytest.mark.slow  # endurance: see pytest.ini — run with -m 'slow or not slow'
 def test_sessionize_stream_closes_on_gap(spark, tmp_path):
     landing = str(tmp_path / "landing")
     # user 7: events at minute 0,1 then a 40-min gap then minute 41 —
@@ -301,6 +302,7 @@ def test_lsh_candidates_stream_equals_batch_band_join(spark, tmp_path):
     spark.catalog.dropTempView("lshcand_t2")
 
 
+@pytest.mark.slow  # endurance: see pytest.ini — run with -m 'slow or not slow'
 def test_exact_dedup_stream_ttl_path_keeps_semantics(spark, tmp_path):
     """With a (large) TTL the operator runs the ProcessingTimeTimeout code
     path — setTimeoutDuration per sighting — and, unexpired, produces the

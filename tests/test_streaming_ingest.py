@@ -177,6 +177,7 @@ def test_streaming_neardup_cross_batch(spark, tmp_path):
     assert bands.count() == 2 * 32  # 32 band keys per doc
 
 
+@pytest.mark.slow  # endurance: see pytest.ini — run with -m 'slow or not slow'
 def test_streaming_neardup_agrees_with_batch_ground_truth(spark, tmp_path, sf_dir):
     """Ingest the real documents table in three micro-batches: afterwards no
     surviving pair may be a batch-LSH near-duplicate (est >= threshold on
