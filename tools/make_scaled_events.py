@@ -50,7 +50,10 @@ def main() -> None:
         (F.col("event_id") + F.col("__k") * span).alias("event_id"),
         *[c for c in ev.columns if c != "event_id"],
     )
-    scaled.repartition(8).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    # 64 files so the scan's parallelism is never capped by the landing
+    # layout (5M rows is ~50 MB — 8 files would pin every downstream scan
+    # to 8 tasks and mask the core-count scaling this fixture exists to show)
+    scaled.repartition(64).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
     n = spark.read.parquet(os.path.join(out, "events.parquet")).count()
     print(f"wrote {out}/events.parquet rows={n} (k={k}, span={span})")
 
