@@ -654,9 +654,16 @@ class JdbcMultiApplySink(_JdbcLedgerBase):
         def stage_one(spec, target):
             cols = [c.name for c in spec.columns]
             staging = f"{target}_staging"
+            # coalesce to the connection budget like the single-table
+            # bootstrap_load: left at store-scan parallelism this write
+            # opened one target connection PER SCAN PARTITION (32+ against
+            # a bucketed store — measured as a 1.56s 32-task job against
+            # embedded Derby where the coalesced write is sub-second)
             self.store.read(spec).select(*cols).withColumn(
                 "__key_only", F.lit(False)
-            ).write.mode("overwrite").option("truncate", "true").jdbc(
+            ).coalesce(self.staging_partitions).write.mode("overwrite").option(
+                "truncate", "true"
+            ).jdbc(
                 self.url, staging, properties=self.props
             )
             return (target, staging, cols)
