@@ -307,8 +307,18 @@ def srp_signature(vec_col: Column, planes: list[list[float]]) -> Column:
 
     One fold over a 2-D plane literal (acc*2 + sign-bit) — a single compact
     expression tree instead of one dot-product tree per bit, so Catalyst
-    compile time stays flat as n_bits grows."""
-    planes_lit = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+    compile time stays flat as n_bits grows. The 2-D literal is ONE SQL
+    string parsed JVM-side (see _centroid_lit): the nested
+    F.array(*[F.lit(x) ...]) shape costs a py4j round trip per element —
+    n_bits x dim of them (~1000 for a 16-bit/64-dim family) of pure serial
+    driver time per query."""
+    planes_lit = F.expr(
+        "array({})".format(
+            ", ".join(
+                "array({})".format(", ".join(f"{x!r}D" for x in p)) for p in planes
+            )
+        )
+    )
     return F.aggregate(
         planes_lit,
         F.lit(0).cast("long"),
@@ -1573,19 +1583,17 @@ def kmeans_fixed_point(
         )
     cents: list[tuple[int, list[int]]] = [(c, list(r["vf"])) for c, r in enumerate(init_rows)]
 
+    # per-dim SUM columns (map-side partial agg, k-row shuffle output)
+    # rather than posexplode: no dim-fold row expansion. Built ONCE: the
+    # list is iteration-invariant and dim F.sum(...) constructions per
+    # Lloyd round were pure py4j driver cost (~0.35s/iter profiled).
+    upd_aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.col("vf")[i]).alias(f"s{i}") for i in range(dim)
+    ]
     assigned = None
     for _ in range(iters):
         assigned = _kmeans_assign(base, cents)
-        # per-dim SUM columns (map-side partial agg, k-row shuffle output)
-        # rather than posexplode: no dim-fold row expansion
-        upd = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("vf")[i]).alias(f"s{i}") for i in range(dim)],
-            )
-            .collect()
-        )
+        upd = assigned.groupBy("cluster").agg(*upd_aggs).collect()
         # exact integer mean; emptied clusters drop (same as the SQL twin)
         counts = {r["cluster"]: r["n"] for r in upd}
         cents = sorted(
@@ -1606,14 +1614,20 @@ def _floordiv(a: int, n: int) -> int:
 def _kmeans_assign(base: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     """Zero-shuffle assignment: one exact-BIGINT distance column per
     centroid (separately codegen'd), argmin with lowest-cluster tie-break
-    (array_position returns the FIRST minimum)."""
+    (array_position returns the FIRST minimum).
+
+    Each distance column is ONE server-side-parsed SQL expression instead
+    of ~dim F.lit() + lambda constructions: the centroid literals change
+    every Lloyd round, so the trees cannot be cached like the CDC folds —
+    but k*(dim+~30) py4j round trips per round (~1.3s/iter profiled at
+    k=8, dim=64) collapse into k expr-parse calls with the identical
+    expression tree (exact-BIGINT math unchanged)."""
     dist_cols = []
     for c, cvec in cents:
-        carr = F.array(*[F.lit(int(x)).cast("long") for x in cvec])
-        d = F.aggregate(
-            F.zip_with("vf", carr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        arr = ",".join(f"{int(x)}L" for x in cvec)
+        d = F.expr(
+            f"aggregate(zip_with(vf, array({arr}), (a, b) -> (a - b) * (a - b)), "
+            f"0L, (acc, x) -> acc + x)"
         )
         dist_cols.append(d.alias(f"__d{c}"))
     staged = base.select("id", "vf", *dist_cols)
